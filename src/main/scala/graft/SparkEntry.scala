@@ -1,13 +1,457 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.silver.Pipelines
+import graft.recommend.Recommender
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family from SURVEY.md §2 is exposed as a named query with
+  * a DuckDB-equivalent oracle in [[oracleSql]]. Determinism rules applied
+  * throughout (SURVEY.md §5 item 1, §7.5 items 1–2):
+  *   - time anchors derive from `max(time col)`, never `current_date()`;
+  *   - every sort carries a unique tie-break key;
+  *   - double aggregates are rounded at the output boundary;
+  *   - additions whose operand order differs between engines are written as
+  *     fixed-order expressions (see `q15_hybrid_recommend`);
+  *   - integer-valued results are cast to BIGINT on both sides.
+  */
 object SparkEntry {
+
+  /** Hybrid-recommender user probed by q15/q13-style single-user paths;
+    * exists at every scale factor (custkey range starts at 0). */
+  val DemoUser = 7L
+
+  private def T(s: SparkSession, dir: String, name: String) = name match {
+    case "events" => Tables.events(s, dir) // ns→µs ts normalization
+    case _        => Tables.load(s, dir, name)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q15_hybrid_recommend")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1-style multi-aggregate pricing summary (agg family §2.4)
+    // Money columns are summed as exact integer cents (round(x*10^k) of a
+    // k-decimal value is boundary-free) then scaled back — double sums
+    // would differ between engines in the low bits and engine rounding
+    // modes differ exactly at the .xx5 boundaries a decimal sum can hit.
+    "q1_pricing_summary" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0).as("sum_price"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+            .cast("long")) / 10000.0).as("sum_disc_price"),
+          (sum(col("l_quantity")).cast("long") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P1–P3: projection + rename + derived column + equality/range filter
+    "q2_filter_project" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30)
+        .select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          // raw product, NOT rounded: same operands in the same order give
+          // bit-identical doubles in any IEEE-754 engine
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("net_price"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // J3: fact→dim join chain with broadcast dims
+    "q3_fact_dim_join" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // T1/T2: trending top-k with deterministic tie-break (flagship silver)
+    "q4_topk_trending" -> ((s, dir) =>
+      Pipelines.trending(T(s, dir, "lineitem"), T(s, dir, "part"), days = 30)
+        .limit(10)),
+
+    // P7: distinct like-pairs (the pre-join dedup the reference relies on)
+    "q5_distinct_pairs" -> ((s, dir) =>
+      Pipelines.likes(T(s, dir, "orders"), T(s, dir, "lineitem"))
+        .orderBy(col("user_id"), col("track_id"))),
+
+    // P4: range predicate anchored at max(ts), grouped event stats
+    "q6_recent_window" -> ((s, dir) =>
+      Pipelines.recentWindow(T(s, dir, "events"), "ts", days = 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))),
+
+    // U1: union + distinct of both sides of the similarity pair table
+    "q7_union_distinct" -> ((s, dir) => {
+      val sim = Pipelines.playlistSimilarity(T(s, dir, "lineitem"))
+      sim.select(col("track_id_1").as("track_id"))
+        .union(sim.select(col("track_id_2").as("track_id")))
+        .distinct()
+        .orderBy(col("track_id"))
+    }),
+
+    // J5 + P6: left outer join with null-fill (likes analysis)
+    "q8_left_join_fill" -> ((s, dir) => {
+      val likes = Pipelines.likes(T(s, dir, "orders"), T(s, dir, "lineitem"))
+      val sim = Pipelines.playlistSimilarity(T(s, dir, "lineitem"))
+        .filter(col("score") >= 2)
+      Pipelines.likesAnalysis(likes, sim).orderBy(col("user_id"))
+    }),
+
+    // J6: anti-join — parts with no listen in the last 30 days
+    "q9_anti_join" -> ((s, dir) => {
+      val recent = Pipelines.recentWindow(T(s, dir, "lineitem"), "l_shipdate", 30)
+        .select(col("l_partkey").as("p_partkey"))
+      T(s, dir, "part").join(recent, Seq("p_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // J4: semi-join — customers having at least one big order
+    "q10_semi_join" -> ((s, dir) => {
+      val big = T(s, dir, "orders").filter(col("o_totalprice") > 400)
+        .select(col("o_custkey").as("c_custkey"))
+      T(s, dir, "customer").join(big, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J1 + A2: playlist co-occurrence (canonical t1<t2 self-join)
+    "q11_cooccurrence" -> ((s, dir) =>
+      Pipelines.playlistSimilarity(T(s, dir, "lineitem"))
+        .filter(col("score") >= 2)
+        .orderBy(col("track_id_1"), col("track_id_2"))),
+
+    // J2 + A2 + A5: collaborative-filtering pairs over distinct likes
+    "q12_collab_pairs" -> ((s, dir) =>
+      Pipelines.collaborativeFiltering(
+        Pipelines.likes(T(s, dir, "orders"), T(s, dir, "lineitem")))
+        .filter(col("score") >= 3)
+        .orderBy(col("track_id_1"), col("track_id_2"))),
+
+    // J8: social 1-hop — per-user count of distinct followee-liked tracks
+    "q13_social_onehop" -> ((s, dir) => {
+      val likes = Pipelines.likes(T(s, dir, "orders"), T(s, dir, "lineitem"))
+      Pipelines.follows(T(s, dir, "customer"))
+        .join(likes, col("user_id_b") === col("user_id"))
+        .groupBy(col("user_id_a"))
+        .agg(countDistinct(col("track_id")).as("n_social_tracks"))
+        .orderBy(col("user_id_a"))
+    }),
+
+    // J9: normalized trending (global-max normalization via empty window)
+    "q14_trending_normalized" -> ((s, dir) =>
+      Pipelines.normalizedTrending(
+        Pipelines.trending(T(s, dir, "lineitem"), T(s, dir, "part"), 30))
+        .select(col("track_id"), col("play_count"), col("norm_score"))
+        .orderBy(col("track_id"))),
+
+    // Flagship: full hybrid recommender for DemoUser (§3.3 / §7.1 item 4)
+    "q15_hybrid_recommend" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val likes = Pipelines.likes(T(s, dir, "orders"), li)
+      Recommender.recommend(
+        playlistSim = Pipelines.playlistSimilarity(li),
+        cfSim = Pipelines.collaborativeFiltering(likes),
+        trendingDf = Pipelines.trending(li, T(s, dir, "part"), 30),
+        followsDf = Pipelines.follows(T(s, dir, "customer")),
+        likesDf = likes,
+        userId = DemoUser, k = 5)
+    }),
+
+    // §2.5 extension: ranked window — top-3 tracks per brand by play_count
+    "q16_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Pipelines.recentWindow(T(s, dir, "lineitem"), "l_shipdate", 30)
+        .groupBy(col("l_partkey").as("track_id"))
+        .agg(count(lit(1)).as("play_count"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("play_count").desc, col("track_id").asc)
+      counts.join(broadcast(T(s, dir, "part")
+          .select(col("p_partkey").as("track_id"), col("p_brand"))), Seq("track_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("rn"), col("track_id"), col("play_count"))
+        .orderBy(col("p_brand"), col("rn"))
+    }),
+
+    // Rollup aggregate with grouping markers (no NULL sort keys)
+    "q17_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          // grouping() is only legal inside the rollup's agg list
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("long").as("grp"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("grp"), col("n"), col("sum_qty"))
+        .orderBy(col("grp"), col("returnflag"), col("linestatus"))),
+
+    // P2/§2.8: date-part derivation (year/month) + grouped revenue
+    "q18_date_parts" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"),
+          col("o_totalprice"))
+        .groupBy(col("o_year"), col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_year"), col("o_month"))),
+
+    // §2.8: scalar string functions (upper/substr/length/concat)
+    "q19_scalar_strings" -> ((s, dir) =>
+      T(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))),
+
+    // S15: SQL-over-path surface (Thrift/Grafana shape, SURVEY §3.4)
+    "q20_sql_surface" -> ((s, dir) =>
+      s.sql(
+        s"""SELECT l_returnflag, count(*) AS n
+           |FROM parquet.`$dir/lineitem.parquet`
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  )
+
+  // ----------------------------------------------------------- oracle SQL
+
+  /** DuckDB-runnable ANSI SQL equivalents, table names = parquet basenames.
+    * Column aliases match the Spark side exactly (driver sorts columns by
+    * name before hashing). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_price,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS sum_disc_price,
+        |  sum(l_quantity)::BIGINT / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_fact_dim_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q4_topk_trending" ->
+      """WITH counts AS (
+        |  SELECT l_partkey AS track_id, count(*) AS play_count
+        |  FROM lineitem, (SELECT max(l_shipdate) AS mx FROM lineitem)
+        |  WHERE l_shipdate >= mx - INTERVAL 30 DAY GROUP BY 1)
+        |SELECT c.track_id, p.p_name AS track_name, c.play_count
+        |FROM counts c JOIN part p ON p.p_partkey = c.track_id
+        |ORDER BY play_count DESC, track_id ASC LIMIT 10""".stripMargin,
+
+    "q5_distinct_pairs" ->
+      """SELECT DISTINCT o_custkey AS user_id, l_partkey AS track_id
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY user_id, track_id""".stripMargin,
+
+    "q6_recent_window" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events, (SELECT max(ts) AS mx FROM events)
+        |WHERE ts >= mx - INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q7_union_distinct" ->
+      """WITH plt AS (SELECT DISTINCT l_orderkey AS playlist_id, l_partkey AS track_id FROM lineitem),
+        |sim AS (
+        |  SELECT a.track_id AS t1, b.track_id AS t2
+        |  FROM plt a JOIN plt b ON a.playlist_id = b.playlist_id AND a.track_id < b.track_id
+        |  GROUP BY 1, 2)
+        |SELECT DISTINCT track_id FROM (SELECT t1 AS track_id FROM sim UNION ALL SELECT t2 FROM sim)
+        |ORDER BY track_id""".stripMargin,
+
+    "q8_left_join_fill" ->
+      """WITH likes AS (
+        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS track_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |plt AS (SELECT DISTINCT l_orderkey AS playlist_id, l_partkey AS track_id FROM lineitem),
+        |sim AS (
+        |  SELECT a.track_id AS track_id_1, b.track_id AS track_id_2, count(*) AS score
+        |  FROM plt a JOIN plt b ON a.playlist_id = b.playlist_id AND a.track_id < b.track_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |model_tracks AS (
+        |  SELECT DISTINCT track_id FROM
+        |    (SELECT track_id_1 AS track_id FROM sim UNION ALL SELECT track_id_2 FROM sim)),
+        |total AS (SELECT user_id, count(*) AS total_likes_count FROM likes GROUP BY 1),
+        |relevant AS (
+        |  SELECT user_id, count(*) AS relevant_likes_count FROM likes
+        |  WHERE track_id IN (SELECT track_id FROM model_tracks) GROUP BY 1)
+        |SELECT t.user_id, t.total_likes_count,
+        |  coalesce(r.relevant_likes_count, 0) AS relevant_likes_count
+        |FROM total t LEFT JOIN relevant r ON t.user_id = r.user_id
+        |ORDER BY t.user_id""".stripMargin,
+
+    "q9_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem, (SELECT max(l_shipdate) AS mx FROM lineitem)
+        |  WHERE l_partkey = p_partkey AND l_shipdate >= mx - INTERVAL 30 DAY)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_cooccurrence" ->
+      """WITH plt AS (SELECT DISTINCT l_orderkey AS playlist_id, l_partkey AS track_id FROM lineitem)
+        |SELECT a.track_id AS track_id_1, b.track_id AS track_id_2, count(*) AS score
+        |FROM plt a JOIN plt b ON a.playlist_id = b.playlist_id AND a.track_id < b.track_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q12_collab_pairs" ->
+      """WITH likes AS (
+        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS track_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT a.track_id AS track_id_1, b.track_id AS track_id_2, count(*) AS score
+        |FROM likes a JOIN likes b ON a.user_id = b.user_id AND a.track_id < b.track_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q13_social_onehop" ->
+      """WITH likes AS (
+        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS track_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |follows AS (
+        |  SELECT a.c_custkey AS user_id_a, b.c_custkey AS user_id_b
+        |  FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |  WHERE a.c_custkey <> b.c_custkey AND abs(a.c_custkey - b.c_custkey) <= 2)
+        |SELECT f.user_id_a, count(DISTINCT l.track_id) AS n_social_tracks
+        |FROM follows f JOIN likes l ON f.user_id_b = l.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_trending_normalized" ->
+      """WITH counts AS (
+        |  SELECT l_partkey AS track_id, count(*) AS play_count
+        |  FROM lineitem, (SELECT max(l_shipdate) AS mx FROM lineitem)
+        |  WHERE l_shipdate >= mx - INTERVAL 30 DAY GROUP BY 1)
+        |SELECT track_id, play_count,
+        |  play_count / (SELECT max(play_count) FROM counts) AS norm_score
+        |FROM counts ORDER BY track_id""".stripMargin,
+
+    "q15_hybrid_recommend" ->
+      """WITH likes AS (
+        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS track_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |plt AS (SELECT DISTINCT l_orderkey AS playlist_id, l_partkey AS track_id FROM lineitem),
+        |playlist_sim AS (
+        |  SELECT a.track_id AS track_id_1, b.track_id AS track_id_2, count(*) AS score
+        |  FROM plt a JOIN plt b ON a.playlist_id = b.playlist_id AND a.track_id < b.track_id
+        |  GROUP BY 1, 2),
+        |cf_sim AS (
+        |  SELECT a.track_id AS track_id_1, b.track_id AS track_id_2, count(*) AS score
+        |  FROM likes a JOIN likes b ON a.user_id = b.user_id AND a.track_id < b.track_id
+        |  GROUP BY 1, 2),
+        |trending AS (
+        |  SELECT l_partkey AS track_id, count(*) AS play_count
+        |  FROM lineitem, (SELECT max(l_shipdate) AS mx FROM lineitem)
+        |  WHERE l_shipdate >= mx - INTERVAL 30 DAY GROUP BY 1),
+        |follows AS (
+        |  SELECT a.c_custkey AS user_id_a, b.c_custkey AS user_id_b
+        |  FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |  WHERE a.c_custkey <> b.c_custkey AND abs(a.c_custkey - b.c_custkey) <= 2),
+        |user_likes AS (SELECT track_id FROM likes WHERE user_id = 7),
+        |sym_playlist AS (
+        |  SELECT track_id_1, track_id_2, score FROM playlist_sim
+        |  UNION ALL SELECT track_id_2, track_id_1, score FROM playlist_sim),
+        |sym_cf AS (
+        |  SELECT track_id_1, track_id_2, score FROM cf_sim
+        |  UNION ALL SELECT track_id_2, track_id_1, score FROM cf_sim),
+        |cand_sim AS (
+        |  SELECT s.track_id_2 AS track_id, sum(s.score)::DOUBLE AS sim_score
+        |  FROM sym_playlist s JOIN user_likes u ON s.track_id_1 = u.track_id GROUP BY 1),
+        |cand_cf AS (
+        |  SELECT s.track_id_2 AS track_id, sum(s.score)::DOUBLE AS cf_score
+        |  FROM sym_cf s JOIN user_likes u ON s.track_id_1 = u.track_id GROUP BY 1),
+        |cand_social AS (
+        |  SELECT l.track_id, count(*)::DOUBLE AS social_score
+        |  FROM follows f JOIN likes l ON f.user_id_b = l.user_id
+        |  WHERE f.user_id_a = 7 GROUP BY 1),
+        |cand_trend AS (
+        |  SELECT track_id,
+        |    play_count::DOUBLE / (SELECT max(play_count) FROM trending) AS trend_score
+        |  FROM trending),
+        |scored AS (
+        |  SELECT coalesce(s.track_id, c.track_id, o.track_id, t.track_id) AS track_id,
+        |    coalesce(s.sim_score, 0) * 0.6 + coalesce(c.cf_score, 0) * 1.5
+        |      + coalesce(o.social_score, 0) * 0.5 + coalesce(t.trend_score, 0) * 0.2 AS score
+        |  FROM cand_sim s
+        |  FULL OUTER JOIN cand_cf c ON s.track_id = c.track_id
+        |  FULL OUTER JOIN cand_social o ON coalesce(s.track_id, c.track_id) = o.track_id
+        |  FULL OUTER JOIN cand_trend t ON coalesce(s.track_id, c.track_id, o.track_id) = t.track_id),
+        |top AS (
+        |  SELECT track_id, score FROM scored
+        |  WHERE track_id NOT IN (SELECT track_id FROM user_likes)
+        |  ORDER BY score DESC, track_id ASC LIMIT 5)
+        |SELECT track_id, score FROM top ORDER BY score DESC, track_id ASC""".stripMargin,
+
+    "q16_window_rank" ->
+      """WITH counts AS (
+        |  SELECT l_partkey AS track_id, count(*) AS play_count
+        |  FROM lineitem, (SELECT max(l_shipdate) AS mx FROM lineitem)
+        |  WHERE l_shipdate >= mx - INTERVAL 30 DAY GROUP BY 1),
+        |ranked AS (
+        |  SELECT p.p_brand, c.track_id, c.play_count,
+        |    row_number() OVER (PARTITION BY p.p_brand
+        |      ORDER BY c.play_count DESC, c.track_id ASC)::BIGINT AS rn
+        |  FROM counts c JOIN part p ON p.p_partkey = c.track_id)
+        |SELECT p_brand, rn, track_id, play_count FROM ranked WHERE rn <= 3
+        |ORDER BY p_brand, rn""".stripMargin,
+
+    "q17_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  (grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT AS grp,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY grp, returnflag, linestatus""".stripMargin,
+
+    "q18_date_parts" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year, month(o_orderdate)::BIGINT AS o_month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q19_scalar_strings" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_uc,
+        |  substr(p_name, 1, 8) AS name_prefix,
+        |  length(p_name)::BIGINT AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q20_sql_surface" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
 }

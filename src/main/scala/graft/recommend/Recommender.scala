@@ -1,0 +1,95 @@
+package graft.recommend
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.silver.Pipelines
+
+/** The reference's hybrid recommender (C# in-memory LINQ dataflow,
+  * MusicRecommendationService/Services/RecommendationService.cs:20–102),
+  * re-derived as one declarative DataFrame program (SURVEY.md §7.1 item 4):
+  *
+  *   symmetrized similarity lookups (J7) → four candidate generators
+  *   (CF, playlist-similarity, social 1-hop J8, normalized trending J9)
+  *   → full-outer merge on track_id → one fixed-order weighted expression
+  *   (A7) → anti-join liked (J6) → deterministic top-k (T4).
+  *
+  * The C# accumulator (`ApplyScores`, RecommendationService.cs:50–59) sums
+  * the four weighted contributions per track. We merge the four
+  * pre-aggregated candidate frames with full-outer joins and compute
+  *   `sim*0.6 + cf*1.5 + social*0.5 + trend*0.2`
+  * as ONE left-to-right expression instead of a group-sum over a union:
+  * each per-source score is an exact integer (or a single exact division),
+  * so the floating-point result is bit-identical regardless of engine or
+  * partial-aggregation order — a group-sum over a union would add the four
+  * doubles in nondeterministic order.
+  *
+  * Weights default to the reference's RecommendationSettings.cs:11–14
+  * (Similarity 0.6 / Trending 0.2 / Social 0.5 / CF 1.5). Tie-breaking is
+  * unspecified in the C# dictionary ordering — we define score desc,
+  * track_id asc (SURVEY.md §7.5 item 1).
+  *
+  * Scale: each candidate DF is pre-aggregated to (track, score) before the
+  * merge, so the outer joins touch at most |candidate tracks| rows per side
+  * (AQE broadcasts them); the liked-set anti-join and similarity probes are
+  * per-user filters that Catalyst pushes into the scans.
+  */
+object Recommender {
+
+  final case class Weights(similarity: Double = 0.6, trending: Double = 0.2,
+                           social: Double = 0.5, cf: Double = 1.5)
+
+  /** Candidates from a symmetrized similarity table probed by the user's
+    * liked tracks (RecommendationService.cs:63–65, :134–144): for each
+    * liked track, its neighbors, scores summed per neighbor. */
+  def similarityCandidates(symSim: DataFrame, userLikes: DataFrame): DataFrame =
+    symSim.join(userLikes.select(col("track_id").as("track_id_1")), Seq("track_id_1"))
+      .groupBy(col("track_id_2").as("track_id"))
+      .agg(sum(col("score")).as("score"))
+
+  /** Social 1-hop candidates (RecommendationService.cs:76–83): tracks liked
+    * by followed users, scored by how many followees like them. */
+  def socialCandidates(follows: DataFrame, likes: DataFrame, userId: Long): DataFrame =
+    follows.filter(col("user_id_a") === userId)
+      .join(likes, col("user_id_b") === col("user_id"))
+      .groupBy("track_id")
+      .agg(count(lit(1)).cast("double").as("score"))
+
+  /** Trending candidates, normalized by the global max play_count
+    * (RecommendationService.cs:86–93). */
+  def trendingCandidates(trendingDf: DataFrame): DataFrame =
+    Pipelines.normalizedTrending(trendingDf)
+      .select(col("track_id"), col("norm_score").as("score"))
+
+  /** Full hybrid scorer for one user. All four model inputs arrive
+    * pre-computed (they are silver tables in the reference architecture);
+    * `likes` is the bronze-derived like set.
+    */
+  def recommend(playlistSim: DataFrame, cfSim: DataFrame, trendingDf: DataFrame,
+                followsDf: DataFrame, likesDf: DataFrame, userId: Long,
+                k: Int = 5, w: Weights = Weights()): DataFrame = {
+    val userLikes = likesDf.filter(col("user_id") === userId).select("track_id")
+    val sim = similarityCandidates(Pipelines.symmetrize(playlistSim), userLikes)
+      .select(col("track_id"), col("score").cast("double").as("sim_score"))
+    val cf = similarityCandidates(Pipelines.symmetrize(cfSim), userLikes)
+      .select(col("track_id"), col("score").cast("double").as("cf_score"))
+    val social = socialCandidates(followsDf, likesDf, userId)
+      .select(col("track_id"), col("score").as("social_score"))
+    val trend = trendingCandidates(trendingDf)
+      .select(col("track_id"), col("score").as("trend_score"))
+
+    val merged = sim
+      .join(cf, Seq("track_id"), "full_outer")
+      .join(social, Seq("track_id"), "full_outer")
+      .join(trend, Seq("track_id"), "full_outer")
+      .select(col("track_id"),
+        (coalesce(col("sim_score"), lit(0d)) * w.similarity
+          + coalesce(col("cf_score"), lit(0d)) * w.cf
+          + coalesce(col("social_score"), lit(0d)) * w.social
+          + coalesce(col("trend_score"), lit(0d)) * w.trending).as("score"))
+
+    merged
+      .join(userLikes, Seq("track_id"), "left_anti")
+      .orderBy(col("score").desc, col("track_id").asc)
+      .limit(k)
+  }
+}
