@@ -1,0 +1,53 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.silver.Pipelines
+
+/** Dev-only scratch main for plan/perf experiments. Not part of the API. */
+object Explore {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[explore] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+    if (args.isEmpty) {
+      import graft.recommend.Recommender
+      // warm the JVM/scans
+      Tables.lineitem(spark, dir).count(); Tables.orders(spark, dir).count()
+      def q15(cacheLikes: Boolean, cacheSims: Boolean): Long = {
+        val li = Tables.lineitem(spark, dir)
+        val likes0 = Pipelines.likes(Tables.orders(spark, dir), li)
+        val likes = if (cacheLikes) likes0.cache() else likes0
+        def c(df: org.apache.spark.sql.DataFrame) = if (cacheSims) df.cache() else df
+        val n = Recommender.recommend(
+          playlistSim = c(Pipelines.playlistSimilarity(li)),
+          cfSim = c(Pipelines.collaborativeFiltering(likes)),
+          trendingDf = Pipelines.trending(li, Tables.part(spark, dir), 30),
+          followsDf = Pipelines.follows(Tables.customer(spark, dir)),
+          likesDf = likes, userId = SparkEntry.DemoUser, k = 5).count()
+        spark.catalog.clearCache()
+        n
+      }
+      time("q15 nocache")(q15(false, false))
+      time("q15 likes only")(q15(true, false))
+      time("q15 likes+sims")(q15(true, true))
+      time("q15 nocache again")(q15(false, false))
+    } else for (q <- args) {
+      if (sys.env.contains("EXPLORE_EXPLAIN"))
+        SparkEntry.queries(q)(spark, dir).explain("formatted")
+      time(q)(SparkEntry.queries(q)(spark, dir).count())
+    }
+    spark.stop()
+  }
+}

@@ -48,7 +48,10 @@ object SparkEntry {
           (sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0).as("sum_price"),
           (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
             .cast("long")) / 10000.0).as("sum_disc_price"),
-          (sum(col("l_quantity")).cast("long") / count(lit(1))).as("avg_qty"),
+          // round() on BOTH sides before the BIGINT cast — Spark's bare
+          // cast truncates while DuckDB's :: rounds, which diverges the
+          // moment a fractional quantity appears (ADVICE r1).
+          (round(sum(col("l_quantity"))).cast("long") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -96,12 +99,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("event_type"))),
 
-    // U1: union + distinct of both sides of the similarity pair table
+    // U1: union + distinct of both sides of the similarity pair table.
+    // Plan note: a track appears in some canonical pair iff one of its
+    // playlists holds ≥2 distinct tracks — so the membership answer needs
+    // a playlist-size aggregate and a semi-join, never the quadratic pair
+    // materialization the oracle SQL spells out. Same result set, linear
+    // plan (the oracle keeps the literal union-of-pair-sides definition).
     "q7_union_distinct" -> ((s, dir) => {
-      val sim = Pipelines.playlistSimilarity(T(s, dir, "lineitem"))
-      sim.select(col("track_id_1").as("track_id"))
-        .union(sim.select(col("track_id_2").as("track_id")))
-        .distinct()
+      val plt = Pipelines.playlistTracks(T(s, dir, "lineitem"))
+      val multi = plt.groupBy("playlist_id")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .select("playlist_id")
+      plt.join(multi, Seq("playlist_id"), "left_semi")
+        .select(col("track_id")).distinct()
         .orderBy(col("track_id"))
     }),
 
@@ -161,13 +171,18 @@ object SparkEntry {
         .select(col("track_id"), col("play_count"), col("norm_score"))
         .orderBy(col("track_id"))),
 
-    // Flagship: full hybrid recommender for DemoUser (§3.3 / §7.1 item 4)
+    // Flagship: full hybrid recommender for DemoUser (§3.3 / §7.1 item 4).
+    // `likes` feeds four consumers (cfSim, userLikes, social, anti-join)
+    // and each similarity frame is scanned twice by symmetrize() — cache
+    // them, mirroring the reference's reused-table cache (S13,
+    // MinioService.cs:37–57). Trending is cached inside
+    // normalizedTrending().
     "q15_hybrid_recommend" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
-      val likes = Pipelines.likes(T(s, dir, "orders"), li)
+      val likes = Pipelines.likes(T(s, dir, "orders"), li).cache()
       Recommender.recommend(
-        playlistSim = Pipelines.playlistSimilarity(li),
-        cfSim = Pipelines.collaborativeFiltering(likes),
+        playlistSim = Pipelines.playlistSimilarity(li).cache(),
+        cfSim = Pipelines.collaborativeFiltering(likes).cache(),
         trendingDf = Pipelines.trending(li, T(s, dir, "part"), 30),
         followsDf = Pipelines.follows(T(s, dir, "customer")),
         likesDf = likes,
@@ -244,7 +259,7 @@ object SparkEntry {
         |  sum(l_quantity) AS sum_qty,
         |  sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_price,
         |  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS sum_disc_price,
-        |  sum(l_quantity)::BIGINT / count(*) AS avg_qty,
+        |  round(sum(l_quantity))::BIGINT / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -276,10 +291,14 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY user_id, track_id""".stripMargin,
 
+    // The Spark side floors the nanosecond parquet timestamps to µs
+    // (Tables.events); compare at µs resolution here too, or an event
+    // within <1µs of the 7-day boundary diverges the two sides (ADVICE r1).
     "q6_recent_window" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events, (SELECT max(ts) AS mx FROM events)
-        |WHERE ts >= mx - INTERVAL 7 DAY
+      """WITH e AS (SELECT event_type, value, epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM e, (SELECT max(us) AS mx FROM e)
+        |WHERE us >= mx - 7::BIGINT * 86400 * 1000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q7_union_distinct" ->
@@ -361,8 +380,9 @@ object SparkEntry {
         |  play_count / (SELECT max(play_count) FROM counts) AS norm_score
         |FROM counts ORDER BY track_id""".stripMargin,
 
+    // DemoUser is interpolated so query and oracle can never desync.
     "q15_hybrid_recommend" ->
-      """WITH likes AS (
+      s"""WITH likes AS (
         |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS track_id
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |plt AS (SELECT DISTINCT l_orderkey AS playlist_id, l_partkey AS track_id FROM lineitem),
@@ -382,7 +402,7 @@ object SparkEntry {
         |  SELECT a.c_custkey AS user_id_a, b.c_custkey AS user_id_b
         |  FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
         |  WHERE a.c_custkey <> b.c_custkey AND abs(a.c_custkey - b.c_custkey) <= 2),
-        |user_likes AS (SELECT track_id FROM likes WHERE user_id = 7),
+        |user_likes AS (SELECT track_id FROM likes WHERE user_id = $DemoUser),
         |sym_playlist AS (
         |  SELECT track_id_1, track_id_2, score FROM playlist_sim
         |  UNION ALL SELECT track_id_2, track_id_1, score FROM playlist_sim),
@@ -398,7 +418,7 @@ object SparkEntry {
         |cand_social AS (
         |  SELECT l.track_id, count(*)::DOUBLE AS social_score
         |  FROM follows f JOIN likes l ON f.user_id_b = l.user_id
-        |  WHERE f.user_id_a = 7 GROUP BY 1),
+        |  WHERE f.user_id_a = $DemoUser GROUP BY 1),
         |cand_trend AS (
         |  SELECT track_id,
         |    play_count::DOUBLE / (SELECT max(play_count) FROM trending) AS trend_score

@@ -98,8 +98,13 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw
-    * longs (legacy conf) and floor-divide to microseconds with integer
-    * `div` — a double roundtrip would lose precision above 2^53 ns.
+    * longs (legacy conf) and divide to microseconds with integer `div`
+    * (truncation == floor for the post-epoch timestamps in this data; a
+    * double roundtrip would lose precision above 2^53 ns).
+    *
+    * The conf is set in the Verify/Bench session builders; the set here is
+    * a redundant safety for externally-built sessions (driver smoke check)
+    * — idempotent, and evaluated before any scan of this table is planned.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

