@@ -4,6 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.silver.Pipelines
 import graft.recommend.Recommender
+import graft.streaming.StreamIngest
+import graft.ingest.Ingest
+import graft.quality.Quality
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -245,7 +248,69 @@ object SparkEntry {
       s.sql(
         s"""SELECT l_returnflag, count(*) AS n
            |FROM parquet.`$dir/lineitem.parquet`
-           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // S6–S10: the streaming parse-and-persist job run end-to-end offline.
+    // JSON lines shaped like the reference's Kafka payload are derived
+    // deterministically from the events table, streamed through
+    // from_json + flatten into a checkpointed parquet sink
+    // (Trigger.AvailableNow), and the SINK is read back and aggregated —
+    // so the oracle checks the full source→parse→persist path.
+    "q21_stream_ingest" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      Tables.events(s, dir).select(to_json(struct(
+          col("user_id").as("requestedUserId"),
+          array((col("event_id") % 100).cast("int"),
+            (col("event_id") % 97).cast("int")).as("recommendations"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp")))
+          .as("value"))
+        .write.mode("overwrite").text(s"$base/in")
+      val sink = StreamIngest.runToCompletion(s,
+        StreamIngest.EventSource.Files(s"$base/in"),
+        s"$base/sink", s"$base/ckpt")
+      sink.groupBy(col("requestedUserId").as("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("aggregate(recommendations, 0L, (a, x) -> a + x)")).as("rec_sum"),
+          max(col("timestamp")).as("last_ts"),
+          countDistinct(col("event_date")).as("n_days"))
+        .orderBy(col("user_id"))
+    }),
+
+    // S1+S3+S4: batch ingest round-trip — orders → landing CSV →
+    // schema-enforced scan (FAILFAST, declared schema, assertSchema) →
+    // partitioned overwrite + pinned-schema append → read back →
+    // partition-pruned aggregate. The oracle runs over the ORIGINAL
+    // parquet, so any corruption in the CSV/partition round-trip fails
+    // the gate.
+    "q22_ingest_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+      Ingest.writeCsv(Tables.orders(s, dir), s"$base/landing")
+      val raw = Tables.assertSchema(
+        Ingest.readCsv(s, s"$base/landing", Tables.schemas("orders")), "orders")
+      val loaded = raw
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("o_month", month(col("o_orderdate")))
+      // deterministic initial/incremental split exercising both writers
+      Ingest.writePartitioned(loaded.filter(col("o_orderkey") % 10 =!= 0),
+        s"$base/bronze", Seq("o_year", "o_month"))
+      Ingest.append(loaded.filter(col("o_orderkey") % 10 === 0),
+        s"$base/bronze", Seq("o_year", "o_month"))
+      s.read.parquet(s"$base/bronze")
+        .filter(col("o_year") >= 1996) // prunes partition directories
+        .groupBy(col("o_year").cast("long").as("o_year"),
+          col("o_month").cast("long").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("revenue"))
+        .orderBy(col("o_year"), col("o_month"))
+    }),
+
+    // Quality gate (§5 item 4): the corrected GE suite evaluated in one
+    // aggregate pass over events; every check's violation count is
+    // independently recomputed by the oracle.
+    "q23_quality_gate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Quality.run(ev, Quality.eventsSuite(ev))
+    })
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -472,6 +537,43 @@ object SparkEntry {
 
     "q20_sql_surface" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Recomputes the payload derivation + aggregate straight from events:
+    // timestamps truncated to µs exactly like the Spark reader.
+    "q21_stream_ingest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    strftime(make_timestamp(epoch_ns(ts) // 1000), '%Y-%m-%dT%H:%M:%S.%f') AS tstr
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  sum(event_id % 100 + event_id % 97)::BIGINT AS rec_sum,
+        |  max(tstr) AS last_ts,
+        |  count(DISTINCT substr(tstr, 1, 10)) AS n_days
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q22_ingest_roundtrip" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year, month(o_orderdate)::BIGINT AS o_month,
+        |  count(*) AS n_orders,
+        |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS revenue
+        |FROM orders WHERE year(o_orderdate) >= 1996
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q23_quality_gate" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, count(DISTINCT event_id) AS de,
+        |    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_eid,
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_uid,
+        |    sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+        |      ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) AS bad_et
+        |  FROM events)
+        |SELECT check_name, violations, violations = 0 AS passed FROM (
+        |  SELECT 'columns_ordered' AS check_name, 0::BIGINT AS violations FROM m
+        |  UNION ALL SELECT 'non_empty', (CASE WHEN n = 0 THEN 1 ELSE 0 END)::BIGINT FROM m
+        |  UNION ALL SELECT 'not_null_event_id', null_eid::BIGINT FROM m
+        |  UNION ALL SELECT 'not_null_user_id', null_uid::BIGINT FROM m
+        |  UNION ALL SELECT 'unique_event_id', (n - de)::BIGINT FROM m
+        |  UNION ALL SELECT 'values_in_event_type', bad_et::BIGINT FROM m)
+        |ORDER BY check_name""".stripMargin
   )
 }

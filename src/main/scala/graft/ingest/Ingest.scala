@@ -1,0 +1,83 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch ingest: landing-zone CSV → schema-enforced scan → partitioned
+  * columnar write, plus incremental append — the reference's
+  * table-driven historical load and weekly append re-derived
+  * (process_historical_data.py:17–78; process_weekly_trends.py:33–39).
+  *
+  * Scale posture: this module owns the engine's partition-pruning story.
+  * Fact tables are written `partitionBy(year, month)` exactly like the
+  * reference bronze layout (process_historical_data.py:53, :75), so every
+  * downstream query with a time predicate prunes whole directories
+  * instead of scanning 100 TB. Appends pin the schema
+  * (`mergeSchema=false`, process_weekly_trends.py:39); overwrites are
+  * full-table replacement (offline parquet has no Delta
+  * `overwriteSchema`, SURVEY §7.3 — same query semantics).
+  */
+object Ingest {
+
+  /** One table of the reference's dict-driven ingest loop
+    * (process_historical_data.py:17–58): where it lands, its declared
+    * schema, derived columns, and the partition layout.
+    */
+  final case class TableSpec(
+      name: String,
+      schema: StructType,
+      derive: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      partitionCols: Seq[String] = Nil)
+
+  /** S1: header CSV scan with a declared schema — never inferred
+    * (process_historical_data.py:66). FAILFAST surfaces malformed rows as
+    * job failures instead of silent nulls (the quality-gate stance).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      // explicit µs-precision timestamps: the default formats drop
+      // sub-millisecond digits on write, breaking value round-trips.
+      // NTZ columns (parquet isAdjustedToUTC=false) use the NTZ option.
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .schema(schema)
+      .csv(path)
+
+  /** CSV writer used by round-trip tests and landing-zone simulation. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .mode(SaveMode.Overwrite)
+      .csv(path)
+
+  /** Apply a spec: scan, derive partition columns, validate shape. */
+  def load(spark: SparkSession, spec: TableSpec, path: String): DataFrame = {
+    val raw = readCsv(spark, path, spec.schema)
+    spec.derive.foldLeft(raw) { case (df, (name, expr)) => df.withColumn(name, expr) }
+  }
+
+  /** S3: partitioned overwrite (process_historical_data.py:75–78). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** S4: incremental append with schema pinned
+    * (process_weekly_trends.py:39). */
+  def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append).option("mergeSchema", "false")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Standard partition-column derivation for event-dated facts
+    * (process_historical_data.py:70–72). */
+  def dateParts(tsCol: String): Map[String, org.apache.spark.sql.Column] = Map(
+    "event_date" -> to_date(col(tsCol)),
+    "year" -> year(col(tsCol)),
+    "month" -> month(col(tsCol)))
+}
