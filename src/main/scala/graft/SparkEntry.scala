@@ -7,6 +7,9 @@ import graft.recommend.Recommender
 import graft.streaming.StreamIngest
 import graft.ingest.Ingest
 import graft.quality.Quality
+import graft.text.{Dedup, TextStats}
+import graft.vector.Similarity
+import graft.multimodal.Multimodal
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -310,10 +313,90 @@ object SparkEntry {
     "q23_quality_gate" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       Quality.run(ev, Quality.eventsSuite(ev))
-    })
+    }),
+
+    // ---- LLM-data-pipeline operators over documents / embeddings ----
+
+    // Exact dedup: content-hash groupBy, deterministic keep-first.
+    "q24_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir))
+        .orderBy(col("keep_doc_id"))),
+
+    // Exact n-gram (3-shingle) Jaccard near-dup pairs via inverted index —
+    // candidates only ever pair within a shingle bucket.
+    "q25_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), n = 3, threshold = 0.4)
+        .orderBy(col("doc_id_1"), col("doc_id_2"))),
+
+    // MinHash + banded LSH candidates, exact-Jaccard-verified. Shares the
+    // exact oracle: with b=32/r=2 the detection probability at the
+    // planted-duplicate Jaccard level (≥0.6 in this corpus; nothing lives
+    // in [0.2, 0.6)) is 1 − (1 − J²)³² ≥ 1 − 10⁻⁶.
+    "q26_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), n = 3, bands = 32, rows = 2,
+        threshold = 0.4)
+        .orderBy(col("doc_id_1"), col("doc_id_2"))),
+
+    // SimHash fingerprints + pigeonhole-banded Hamming pairs. xxhash64 is
+    // not reproducible in the oracle engine → rows-only check; the pair
+    // semantics are covered by unit tests instead.
+    // maxHamming=3 keeps precision 1.0 on this corpus (planted near-dups
+    // sit at distance 0–5, random pairs first appear at 4).
+    "q27_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.simhashPairs(docs, maxHamming = 3)
+        .orderBy(col("doc_id_1"), col("doc_id_2"))
+    }),
+
+    // Exact brute-force cosine top-k via the bounded-heap Aggregator —
+    // the ANN correctness baseline.
+    "q28_ann_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
+
+    // Sign-LSH bucketed ANN — the 100 TB path: deterministic hash-derived
+    // hyperplanes, bucket-equi-join instead of cross product. Not oracle-
+    // expressible (xxhash64 planes) → rows-only; recall vs q28 is asserted
+    // in unit tests.
+    "q29_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10, nbits = 4)
+    }),
+
+    // Text profile: token counting, quality scoring, language-ID
+    // heuristic, whitespace-canonical md5 fingerprint — one projection
+    // pass, every value recomputed by the oracle.
+    "q30_text_stats" -> ((s, dir) =>
+      TextStats.profile(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // Multimodal plumbing: binary payload + typed metadata →
+    // per-partition (stub) codec → fixed-width features → relational
+    // profile. The oracle recomputes the byte-level checksums from the
+    // source text.
+    "q31_multimodal" -> ((s, dir) =>
+      Multimodal.profileBySource(
+        Multimodal.extractFeatures(
+          Multimodal.toMedia(s, Tables.documents(s, dir)))))
   )
 
   // ----------------------------------------------------------- oracle SQL
+
+  /** Exact 3-gram-shingle Jaccard pairs at threshold 0.4 — shared by q25
+    * (exact inverted-index plan) and q26 (LSH-candidates + exact verify).
+    */
+  private val ngramJaccardOracle: String =
+    """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |       FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (SELECT d1, d2, i::DOUBLE / (ca.n + cb.n - i) AS jac FROM inter
+      |      JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2)
+      |SELECT d1 AS doc_id_1, d2 AS doc_id_2, round(jac, 4) AS jaccard
+      |FROM j WHERE jac >= 0.4 ORDER BY 1, 2""".stripMargin
 
   /** DuckDB-runnable ANSI SQL equivalents, table names = parquet basenames.
     * Column aliases match the Spark side exactly (driver sorts columns by
@@ -558,6 +641,67 @@ object SparkEntry {
         |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS revenue
         |FROM orders WHERE year(o_orderdate) >= 1996
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q24_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+
+    "q25_ngram_jaccard" -> ngramJaccardOracle,
+
+    // Same semantics as q25: LSH candidates are verified with the exact
+    // Jaccard, and nothing in this corpus sits in the recall-risky band.
+    "q26_minhash_lsh" -> ngramJaccardOracle,
+
+    "q28_ann_cosine" ->
+      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id, round(list_inner_product(v, qv) / (nrm * qnrm), 6) AS score
+        |      FROM n, q WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, vec_id, score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank::BIGINT AS rank, vec_id, score FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q30_text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, text, toks,
+        |  len(toks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars,
+        |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS punct_chars,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::BIGINT AS h_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist')))::BIGINT AS h_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est')))::BIGINT AS h_fr,
+        |  len(list_filter(toks, x -> x IN ('el','la','los','y','es')))::BIGINT AS h_es,
+        |  len(list_filter(toks, x -> x IN ('de','shi','le','zai','he')))::BIGINT AS h_zh
+        | FROM t),
+        |g AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS mx FROM b)
+        |SELECT doc_id, n_tokens, n_chars,
+        |  round(n_chars::DOUBLE / greatest(n_tokens, 1), 4) AS avg_token_len,
+        |  round(h_en::DOUBLE / greatest(n_tokens, 1), 4) AS stopword_ratio,
+        |  round(punct_chars::DOUBLE / greatest(n_chars, 1), 4) AS punct_ratio,
+        |  round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+        |    1.0 - least(punct_chars::DOUBLE / greatest(n_chars, 1), 0.5)
+        |        - CASE WHEN n_chars < 100 THEN 0.25 ELSE 0.0 END END, 4) AS quality_score,
+        |  CASE WHEN h_de = mx AND mx > 0 THEN 'de'
+        |       WHEN h_en = mx AND mx > 0 THEN 'en'
+        |       WHEN h_es = mx AND mx > 0 THEN 'es'
+        |       WHEN h_fr = mx AND mx > 0 THEN 'fr'
+        |       WHEN h_zh = mx AND mx > 0 THEN 'zh'
+        |       ELSE 'und' END AS lang_pred,
+        |  md5(array_to_string(toks, ' ')) AS fingerprint
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q31_multimodal" ->
+      """WITH ch AS (
+        |  SELECT doc_id, source, length(text)::BIGINT AS n_bytes,
+        |    ascii(substr(text, 1, 1))::BIGINT AS head_byte,
+        |    (SELECT coalesce(sum(ascii(c)), 0) FROM unnest(string_split(text, '')) AS u(c)) % 1000003 AS checksum
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes,
+        |  sum(checksum)::BIGINT AS checksum_sum, min(head_byte) AS min_head
+        |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q23_quality_gate" ->
       """WITH m AS (

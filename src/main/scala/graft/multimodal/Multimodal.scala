@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for LLM data pipelines: media payloads as
+  * opaque `binary` columns with a typed metadata struct, processed by
+  * batch-shaped per-partition feature extraction.
+  *
+  * The DECODE step is a deliberate stub (this environment ships no
+  * image/audio codecs): [[FakeCodec]] computes deterministic
+  * pseudo-features from the raw bytes. Everything around it — the
+  * (id, media_type, payload, meta) schema, the `Dataset[MediaRecord]`
+  * typed boundary, the mapPartitions batch shape, and the downstream
+  * relational aggregation — is the real production plumbing: swapping
+  * [[FakeCodec.decode]] for a JNI/codec call changes no plan shape.
+  *
+  * Scale: feature extraction is embarrassingly parallel per partition;
+  * payloads never cross a shuffle (features are extracted BEFORE any
+  * wide operation, so the shuffle carries fixed-width feature rows, not
+  * media bytes — the cardinal rule for multimodal pipelines).
+  */
+object Multimodal {
+
+  final case class MediaMeta(source: String, n_bytes: Long)
+  final case class MediaRecord(doc_id: Long, media_type: String,
+                               payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(doc_id: Long, source: String, n_bytes: Long,
+                                 head_byte: Long, checksum: Long)
+
+  /** STUB codec — stands in for image/audio decoding, which needs
+    * libraries absent from this environment. Deterministic on the payload
+    * bytes so results are reproducible and oracle-checkable.
+    */
+  object FakeCodec {
+    def decode(r: MediaRecord): MediaFeatures = {
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+      MediaFeatures(r.doc_id, r.meta.source, r.payload.length.toLong,
+        if (r.payload.nonEmpty) (r.payload(0) & 0xff).toLong else -1L,
+        sum % 1000003L)
+    }
+  }
+
+  /** Wrap a text corpus as media records: the text bytes stand in for an
+    * opaque payload. In production this column comes straight from the
+    * binary file source (`spark.read.format("binaryFile")`).
+    */
+  def toMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), lit("text/plain").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(col("source"), length(col("text")).cast("long").as("n_bytes")).as("meta"))
+      .as[MediaRecord]
+  }
+
+  /** Batch feature extraction: one codec invocation per record, iterated
+    * per partition (the JVM analogue of a vectorized-batch UDF — codec
+    * state could be initialized once per partition before the iterator
+    * is consumed).
+    */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition codec setup would go here (open decoder context once)
+      it.map(FakeCodec.decode)
+    }
+  }
+
+  /** Per-source corpus profile over extracted features — the relational
+    * side of the pipeline, operating on fixed-width rows only. */
+  def profileBySource(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("checksum")).as("checksum_sum"),
+        min(col("head_byte")).as("min_head"))
+      .orderBy(col("source"))
+}

@@ -1,0 +1,167 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.silver.Pipelines
+
+/** Document deduplication operators for LLM training-data pipelines
+  * (BASELINE north star; beyond the reference's own surface — its ROADMAP
+  * points this way, reference ROADMAP.md:85–90).
+  *
+  * Four tiers, cheapest first:
+  *   1. [[exact]] — content-hash groupBy; one shuffle on a 128-bit hash.
+  *   2. [[ngramJaccard]] — EXACT n-gram-shingle Jaccard over an inverted
+  *      shingle index; candidate pairs are generated per shingle bucket
+  *      (never all-pairs), so cost is Σ|bucket|², bounded by the group cap.
+  *   3. [[minhashLsh]] — MinHash signatures + banded LSH: candidate
+  *      generation shuffles on (band, band-hash) buckets only; survivors
+  *      are verified with the exact Jaccard, so precision is 1 and recall
+  *      is the standard 1−(1−J^r)^b curve (≥ 1−10⁻⁶ at J ≥ 0.6 with
+  *      b=32, r=2).
+  *   4. [[simhashPairs]] — 64-bit SimHash with pigeonhole banding for
+  *      Hamming-distance search.
+  *
+  * Scale posture: every stage is groupBy/explode/join on bounded keys; no
+  * all-pairs product ever materializes. Hot shingles (stop-shingles shared
+  * by millions of docs) are truncated by the same deterministic group cap
+  * as [[Pipelines.cooccurrence]].
+  */
+object Dedup {
+
+  /** Whitespace tokenization, lowercased — the shared normalization. */
+  def tokens(textCol: Column): Column = split(lower(textCol), "\\s+")
+
+  /** Distinct n-token shingles per document as an array column. */
+  def shingles(toksCol: String, n: Int): Column = {
+    val mk = (0 until n).map(k => s"$toksCol[i + $k]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    when(size(col(toksCol)) >= n,
+      array_distinct(expr(s"transform(sequence(0, size($toksCol) - $n), i -> $mk)")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: group documents by a content hash, keep the smallest id
+    * (deterministic keep-first). 100 TB shape: single hash-shuffle; the
+    * 128-bit md5 collapses arbitrarily long texts to a fixed-width key, so
+    * the shuffle never carries document bodies.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Inverted shingle index: one (doc_id, shingle) row per distinct
+    * shingle occurrence. */
+  def shingleIndex(docs: DataFrame, n: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shingles("toks", n)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs: candidates from the inverted
+    * index (a pair shares ≥1 shingle ⟺ Jaccard > 0 — no false negatives),
+    * intersection counted per pair, union from per-doc shingle counts.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.4): DataFrame = {
+    val sh = shingleIndex(docs, n).cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = Pipelines.cooccurrence(sh, "shingle", "doc_id")
+      .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"),
+        col("score").as("n_inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_id_1"), col("n_sh").as("n_1")), Seq("doc_id_1"))
+      .join(cnt.select(col("doc_id").as("doc_id_2"), col("n_sh").as("n_2")), Seq("doc_id_2"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_1") + col("n_2") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: k independent hash views of the shingle set,
+    * reduced with per-position min in ONE aggregation (k agg columns →
+    * one shuffle on doc_id; no per-seed explode).
+    */
+  def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
+    val hashed = sh.select(col("doc_id") +:
+      (0 until k).map(i => xxhash64(lit(i), col("shingle")).as(s"h$i")): _*)
+    val mins = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
+    hashed.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Banded LSH candidates + exact-Jaccard verification.
+    *
+    * Bands: signature split into `bands` slices of `rows` values; each
+    * slice hashes to a bucket key; only docs sharing a (band, bucket) are
+    * paired — the ONLY shuffle wider than a groupBy is on band buckets.
+    * Candidates are then verified with the true Jaccard from the shingle
+    * index, so the output contains no false positives.
+    */
+  def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 32, rows: Int = 2,
+                 threshold: Double = 0.4): DataFrame = {
+    val sh = shingleIndex(docs, n).cache()
+    val sigs = minhashSignatures(sh, bands * rows)
+    val bandKeys = sigs.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, $bands - 1), j -> hash(slice(sig, j * $rows + 1, $rows)))"))
+        .as(Seq("band", "bh")))
+      .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
+      .distinct()
+    val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id")
+      .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"))
+    val withSets = cand
+      .join(sh.groupBy(col("doc_id").as("doc_id_1"))
+        .agg(collect_set(col("shingle")).as("sh_1")), Seq("doc_id_1"))
+      .join(sh.groupBy(col("doc_id").as("doc_id_2"))
+        .agg(collect_set(col("shingle")).as("sh_2")), Seq("doc_id_2"))
+    withSets
+      .withColumn("n_inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("long"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_1")) + size(col("sh_2")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: Σ(±1) per bit position over token
+    * hashes, sign → bit. Computed with integer bit arithmetic inside one
+    * aggregate — no UDF, fully codegen'd.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    // per token, per bit i: +1 if bit set else -1; sum per doc; sign → bit
+    val bitSums = (0 until 64).map(i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, expr(s"CAST(1 AS BIGINT) << $i"))
+          .otherwise(0L)).reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using
+    * pigeonhole banding: split 64 bits into (maxHamming+1) chunks — any
+    * pair within distance d agrees on ≥1 chunk, so candidate generation
+    * shuffles on (chunk index, chunk value) buckets only. Candidates are
+    * verified with the exact popcount of the XOR.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sh = simhash(docs).cache()
+    val bandKeys = sh.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, $chunks - 1), j -> (simhash >> (j * $width)) & ${(1L << width) - 1})"))
+        .as(Seq("band", "bh")))
+      .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
+      .distinct()
+    val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id")
+      .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_id_1"), col("simhash").as("s1")), Seq("doc_id_1"))
+      .join(sh.select(col("doc_id").as("doc_id_2"), col("simhash").as("s2")), Seq("doc_id_2"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id_1"), col("doc_id_2"), col("hamming"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-document text analysis for LLM training-data pipelines: token
+  * counting, quality scoring, language identification, and content
+  * fingerprinting — all as codegen'd column expressions (no UDFs), so the
+  * whole profile is ONE narrow projection pass over the corpus: the 100 TB
+  * cost is exactly one scan of the text column.
+  */
+object TextStats {
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+    * Deterministic and SQL-expressible; real pipelines would swap in
+    * larger profiles — the operator shape (argmax over per-language hit
+    * ratios) is what matters at scale.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  private def toks(textCol: Column): Column = split(lower(textCol), "\\s+")
+
+  /** Count of tokens matching any word in `words`. */
+  private def hitCount(toksCol: Column, words: Seq[String]): Column =
+    size(expr(s"filter(__toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))"))
+      .cast("long")
+
+  /** Full text profile:
+    *   - n_tokens / n_chars / avg_token_len — token counting
+    *   - stopword_ratio, punct_ratio, quality_score — quality scoring
+    *     (length + stopword + punctuation heuristics, the standard cheap
+    *     pre-filter before model-based scoring)
+    *   - lang_pred — argmax over marker-lexicon hit ratios (deterministic
+    *     tie-break by language code)
+    *   - fingerprint — md5 over the normalized token stream (whitespace-
+    *     canonical content fingerprint; robust to spacing differences)
+    */
+  def profile(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val withToks = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__toks", toks(col("__text")))
+    val base = withToks
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_chars", length(col("__text")).cast("long"))
+      .withColumn("punct_chars",
+        (length(col("__text")) -
+          length(regexp_replace(col("__text"), "[\\p{Punct}]", ""))).cast("long"))
+    val withHits = langs.foldLeft(base)((df, l) =>
+      df.withColumn(s"__hits_$l", hitCount(col("__toks"), langMarkers(l))))
+    // argmax via greatest over (ratio, lang) structs is noisy; a CASE
+    // chain over sorted languages gives the deterministic first-max.
+    val best = langs.map(l => col(s"__hits_$l"))
+      .reduce((a, b) => greatest(a, b))
+    val langPred = langs.foldRight(lit("und"): Column)((l, acc) =>
+      when(col(s"__hits_$l") === best && best > 0, lit(l)).otherwise(acc))
+    withHits
+      .withColumn("avg_token_len",
+        round(col("n_chars").cast("double") / greatest(col("n_tokens"), lit(1L)), 4))
+      .withColumn("stopword_ratio",
+        round(col(s"__hits_en").cast("double") / greatest(col("n_tokens"), lit(1L)), 4))
+      .withColumn("punct_ratio",
+        round(col("punct_chars").cast("double") / greatest(col("n_chars"), lit(1L)), 4))
+      .withColumn("quality_score", round(
+        when(col("n_tokens") < 5, 0.0).otherwise(
+          lit(1.0)
+            - least(col("punct_chars").cast("double") / greatest(col("n_chars"), lit(1L)), lit(0.5))
+            - when(col("n_chars") < 100, 0.25).otherwise(0.0)), 4))
+      .withColumn("lang_pred", langPred)
+      .withColumn("fingerprint", md5(concat_ws(" ", col("__toks"))))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("avg_token_len"),
+        col("stopword_ratio"), col("punct_ratio"), col("quality_score"),
+        col("lang_pred"), col("fingerprint"))
+  }
+}

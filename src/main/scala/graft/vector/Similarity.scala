@@ -1,0 +1,123 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`) for LLM
+  * data pipelines: exact brute-force cosine top-k as the baseline, and a
+  * sign-LSH bucketed variant as the 100 TB path.
+  *
+  * Design notes (SURVEY §7.4):
+  *   - dot products / norms are higher-order column expressions
+  *     (`zip_with` + `aggregate`) — codegen'd, no UDF per element;
+  *   - the per-query top-k uses [[TopKAgg]], a bounded-heap typed
+  *     `Aggregator`: partial aggregation keeps ≤k candidates per
+  *     partition, so the shuffle carries |queries|·k rows instead of
+  *     |queries|·|vectors| — the difference between a sort of N·Q rows
+  *     and a merge of Q·k heaps at scale;
+  *   - scores are rounded before ranking and tie-broken by vec_id, so the
+  *     ranking is deterministic across engines and partial-agg orders.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two double arrays — the same
+    * left-to-right summation DuckDB's list_inner_product uses, so scores
+    * are bit-comparable across engines. */
+  def dot(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")
+
+  /** Embeddings with unit-precision prep: double-cast vector + norm. */
+  def prep(embeddings: DataFrame, idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol).as("vec_id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", sqrt(dot("v", "v")))
+
+  final case class Scored(query_id: Long, vec_id: Long, score: Double)
+
+  /** Bounded-heap top-k per group: the buffer never exceeds k entries,
+    * ordered by (score desc, vec_id asc). reduce/merge are associative and
+    * commutative, so Catalyst's partial aggregation is safe.
+    */
+  final class TopKAgg(k: Int) extends Aggregator[Scored, List[(Double, Long)], Seq[(Double, Long)]] {
+    private def best(xs: List[(Double, Long)]): List[(Double, Long)] =
+      xs.sortBy { case (s, id) => (-s, id) }.take(k)
+    def zero: List[(Double, Long)] = Nil
+    def reduce(buf: List[(Double, Long)], a: Scored): List[(Double, Long)] =
+      best((a.score, a.vec_id) :: buf)
+    def merge(b1: List[(Double, Long)], b2: List[(Double, Long)]): List[(Double, Long)] =
+      best(b1 ::: b2)
+    def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r
+    def bufferEncoder: Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Exact cosine top-k: every query vector scored against every data
+    * vector (the correctness baseline an ANN variant is measured against),
+    * reduced through the bounded-heap aggregator.
+    */
+  def cosineTopK(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
+                 k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val data = prep(embeddings)
+    val q = prep(queries).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = data.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot("v", "qv") / (col("norm") * col("qnorm")), 6).as("score"))
+      .as[Scored]
+    val agg = new TopKAgg(k).toColumn.name("top")
+    scored.groupByKey(_.query_id).agg(agg)
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "entry")))
+      .select(col("query_id"), (col("r") + 1).cast("long").as("rank"),
+        col("entry._2").as("vec_id"), col("entry._1").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Sign-LSH bucketed ANN — the scale path. `nbits` deterministic
+    * pseudo-random hyperplanes (components derived from xxhash64 of
+    * (plane, dimension) — no RNG state, reproducible on any cluster);
+    * vectors land in the bucket of their sign pattern and queries probe
+    * only their own bucket. Recall follows the LSH collision curve and is
+    * tunable via nbits; candidates within a bucket are scored exactly.
+    *
+    * Scale: signature computation is a projection pass; the only shuffle
+    * is the (bucket ⋈ bucket) equi-join. At 100 TB the bucket join
+    * replaces the full cross product with Σ|bucket|·|queries in bucket|.
+    */
+  def lshTopK(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
+              k: Int = 10, nbits: Int = 8): DataFrame = {
+    import spark.implicits._
+    def sig(df: DataFrame): DataFrame = {
+      // plane p component j ∈ [-0.5, 0.5): deterministic hash-derived
+      val planes = (0 until nbits).map(p =>
+        expr(s"aggregate(zip_with(v, sequence(0, size(v) - 1), " +
+          s"(x, j) -> x * ((CAST(xxhash64($p, j) % 1000 AS DOUBLE)) / 1000.0 - 0.5)), " +
+          s"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"))
+      df.withColumn("bucket",
+        planes.zipWithIndex.map { case (d, i) =>
+          when(d > 0, lit(1L << i)).otherwise(0L)
+        }.reduce(_ bitwiseOR _))
+    }
+    val data = sig(prep(embeddings))
+    val q = sig(prep(queries)).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("norm").as("qnorm"), col("bucket"))
+    val scored = data.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot("v", "qv") / (col("norm") * col("qnorm")), 6).as("score"))
+      .as[Scored]
+    val agg = new TopKAgg(k).toColumn.name("top")
+    scored.groupByKey(_.query_id).agg(agg)
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "entry")))
+      .select(col("query_id"), (col("r") + 1).cast("long").as("rank"),
+        col("entry._2").as("vec_id"), col("entry._1").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}
