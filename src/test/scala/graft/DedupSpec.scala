@@ -1,0 +1,63 @@
+package graft
+
+import graft.text.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toList.map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts and keeps the smallest id") {
+    val d = docs((1L, "a b c"), (3L, "a b c"), (2L, "x y z"))
+    val out = rows(Dedup.exact(d).select("keep_doc_id", "n_copies"))
+    assert(out == Seq(Seq(1L, 2L), Seq(2L, 1L)))
+  }
+
+  test("ngramJaccard: identical docs score 1.0, disjoint docs are absent") {
+    val d = docs(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), // identical
+      (3L, "p q r s t u")) // disjoint
+    val out = rows(Dedup.ngramJaccard(d, n = 3, threshold = 0.4))
+    assert(out == Seq(Seq(1L, 2L, 1.0)))
+  }
+
+  test("ngramJaccard computes the exact shingle Jaccard") {
+    // doc1 shingles: {a b c, b c d}; doc2: {a b c, b c x}
+    // intersection 1, union 3 → 1/3
+    val d = docs((1L, "a b c d"), (2L, "a b c x"))
+    val out = rows(Dedup.ngramJaccard(d, n = 3, threshold = 0.1))
+    assert(out == Seq(Seq(1L, 2L, 0.3333)))
+  }
+
+  test("minhashLsh finds the same high-similarity pairs as the exact op") {
+    val d = docs(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"), // near-dup of 1
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"))
+    val exact = rows(Dedup.ngramJaccard(d, threshold = 0.4).select("doc_id_1", "doc_id_2"))
+    val lsh = rows(Dedup.minhashLsh(d, threshold = 0.4).select("doc_id_1", "doc_id_2"))
+    assert(lsh == exact && lsh == Seq(Seq(1L, 2L)))
+  }
+
+  test("simhash: identical texts produce identical fingerprints") {
+    val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "zz yy xx qq"))
+    val fp = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("simhashPairs reports identical docs at hamming 0") {
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "qq ww ee rr tt yy uu ii"))
+    val out = rows(Dedup.simhashPairs(d, maxHamming = 3))
+    assert(out.contains(Seq(1L, 2L, 0L)))
+    assert(!out.exists(r => r(0) == 3L || r(1) == 3L))
+  }
+
+  test("shingles of a too-short doc are empty, not an error") {
+    val d = docs((1L, "one two"))
+    assert(Dedup.ngramJaccard(d, n = 3, threshold = 0.0).collect().isEmpty)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ingest.Ingest
+
+class IngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_ingest_test").toString
+
+  test("CSV round-trip preserves values including microsecond timestamps") {
+    val df = List(
+      (1L, "a", 1.5, java.time.LocalDateTime.parse("2024-03-01T10:20:30.123456")),
+      (2L, "b", -0.25, java.time.LocalDateTime.parse("1999-12-31T23:59:59.000001")))
+      .toDF("id", "name", "v", "ts")
+    val dir = tmp()
+    Ingest.writeCsv(df, s"$dir/csv")
+    val back = Ingest.readCsv(spark, s"$dir/csv", df.schema)
+    assert(rows(back) == rows(df))
+  }
+
+  test("FAILFAST surfaces malformed rows instead of nulling them") {
+    val dir = tmp()
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/bad"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/bad/x.csv"),
+      "id,v\n1,notanumber\n")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "double")
+    intercept[Exception] {
+      Ingest.readCsv(spark, s"$dir/bad", schema).collect()
+    }
+  }
+
+  test("partitioned write creates year/month directories and prunes on read") {
+    val df = List(
+      (1L, java.time.LocalDateTime.parse("2023-01-05T00:00:00")),
+      (2L, java.time.LocalDateTime.parse("2023-02-05T00:00:00")),
+      (3L, java.time.LocalDateTime.parse("2024-01-05T00:00:00")))
+      .toDF("id", "ts")
+      .withColumn("year", year(col("ts"))).withColumn("month", month(col("ts")))
+    val dir = tmp()
+    Ingest.writePartitioned(df, s"$dir/t", Seq("year", "month"))
+    val dirs = new java.io.File(s"$dir/t").listFiles().map(_.getName).filter(_.startsWith("year=")).sorted
+    assert(dirs.toSeq == Seq("year=2023", "year=2024"))
+    val pruned = spark.read.parquet(s"$dir/t").filter(col("year") === 2023)
+    assert(pruned.count() == 2)
+    // the filter must reach partition pruning, not a post-scan filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("year=2024"))
+  }
+
+  test("append adds rows without rewriting existing partitions") {
+    val dir = tmp()
+    val a = List((1L, 2023, 1)).toDF("id", "year", "month")
+    val b = List((2L, 2023, 2)).toDF("id", "year", "month")
+    Ingest.writePartitioned(a, s"$dir/t", Seq("year", "month"))
+    Ingest.append(b, s"$dir/t", Seq("year", "month"))
+    assert(spark.read.parquet(s"$dir/t").count() == 2)
+  }
+}

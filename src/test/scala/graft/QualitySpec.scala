@@ -1,0 +1,52 @@
+package graft
+
+import graft.quality.Quality
+
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val goodRows = List(
+    (1L, "2024-01-01T00:00:00", 10L, "click", 1.0, "{}"),
+    (2L, "2024-01-01T00:00:01", 11L, "view", 2.0, "{}"))
+
+  private def frame(rows: List[(Long, String, Long, String, Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("clean frame passes the gate and is returned unchanged") {
+    val df = frame(goodRows)
+    assert(Quality.gate(df, Quality.eventsSuite(df)).collect().length == 2)
+  }
+
+  test("run reports zero violations per check on a clean frame") {
+    val df = frame(goodRows)
+    val out = Quality.run(df, Quality.eventsSuite(df)).collect()
+    assert(out.length == 6 && out.forall(_.getBoolean(2)))
+  }
+
+  test("gate rejects a frame with a forbidden event_type, naming the check") {
+    val df = frame(goodRows :+ (3L, "2024-01-01T00:00:02", 12L, "BOGUS", 0.0, "{}"))
+    val e = intercept[IllegalStateException](Quality.gate(df, Quality.eventsSuite(df)))
+    assert(e.getMessage.contains("values_in_event_type"))
+  }
+
+  test("gate rejects null user ids and duplicate event ids together") {
+    val bad = List(
+      (1L, "t", 10L, "click", 1.0, "{}"),
+      (1L, "t", 10L, "click", 1.0, "{}")) // dup event_id
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e = intercept[IllegalStateException](Quality.gate(bad, Quality.eventsSuite(bad)))
+    assert(e.getMessage.contains("unique_event_id"))
+  }
+
+  test("gate rejects a misordered column list") {
+    val df = frame(goodRows).select("ts", "event_id", "user_id", "event_type", "value", "props")
+    val e = intercept[IllegalStateException](Quality.gate(df, Quality.eventsSuite(df)))
+    assert(e.getMessage.contains("columns_ordered"))
+  }
+
+  test("empty frame fails non_empty") {
+    val df = frame(Nil)
+    val e = intercept[IllegalStateException](Quality.gate(df, Quality.eventsSuite(df)))
+    assert(e.getMessage.contains("non_empty"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vector.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toList.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+
+  test("cosineTopK ranks by exact cosine with deterministic tie-break") {
+    val vs = emb(
+      (0L, Seq(1f, 0f)),   // query
+      (1L, Seq(1f, 0f)),   // cos 1.0
+      (2L, Seq(1f, 1f)),   // cos √2/2 ≈ 0.7071
+      (3L, Seq(0f, 1f)),   // cos 0
+      (4L, Seq(1f, 0f)))   // cos 1.0 — ties with 1, later id
+    val out = rows(Similarity.cosineTopK(spark, vs, vs.filter(col("vec_id") === 0), k = 3)
+      .select("rank", "vec_id", "score"))
+    assert(out == Seq(Seq(1L, 1L, 1.0), Seq(2L, 4L, 1.0), Seq(3L, 2L, 0.707107)))
+  }
+
+  test("TopKAgg buffer never exceeds k and merges correctly") {
+    val agg = new Similarity.TopKAgg(2)
+    val b = (1 to 10).foldLeft(agg.zero)((buf, i) =>
+      agg.reduce(buf, Similarity.Scored(0L, i.toLong, i.toDouble)))
+    assert(b.size == 2 && b.map(_._1) == List(10.0, 9.0))
+    val merged = agg.merge(b, List((20.0, 99L)))
+    assert(merged == List((20.0, 99L), (10.0, 10L)))
+  }
+
+  test("lshTopK: identical vectors share a bucket and rank first") {
+    val vs = emb(
+      (0L, Seq(1f, 2f, 3f, 4f)),
+      (1L, Seq(1f, 2f, 3f, 4f)),   // identical to query → same bucket, cos 1
+      (2L, Seq(-1f, -2f, -3f, -4f))) // opposite → different bucket
+    val out = rows(Similarity.lshTopK(spark, vs, vs.filter(col("vec_id") === 0),
+      k = 5, nbits = 4).select("vec_id", "score"))
+    assert(out.contains(Seq(1L, 1.0)))
+    assert(!out.exists(_.head == 2L))
+  }
+
+  test("lshTopK results are a subset of brute-force results with equal scores") {
+    val vs = emb((0 until 20).map(i =>
+      (i.toLong, Seq(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
+        math.sin(i * 0.3 + 1).toFloat))): _*)
+    val q = vs.filter(col("vec_id") < 2)
+    val exact = rows(Similarity.cosineTopK(spark, vs, q, k = 19)
+      .select("query_id", "vec_id", "score")).map(r => (r(0), r(1)) -> r(2)).toMap
+    val lsh = rows(Similarity.lshTopK(spark, vs, q, k = 19, nbits = 2)
+      .select("query_id", "vec_id", "score"))
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      assert(exact((r(0), r(1))) == r(2), s"score mismatch for ${r(0)}→${r(1)}")
+    }
+  }
+}

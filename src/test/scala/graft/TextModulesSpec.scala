@@ -1,0 +1,68 @@
+package graft
+
+import graft.text.TextStats
+import graft.multimodal.Multimodal
+
+class TextModulesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toList.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("profile counts tokens, chars and ratios exactly") {
+    val d = docs((1L, "the cat and the dog", "s"))
+    val r = TextStats.profile(d).collect().head
+    assert(r.getLong(1) == 5)          // n_tokens
+    assert(r.getLong(2) == 19)         // n_chars
+    assert(r.getDouble(3) == 3.8)      // avg_token_len
+    assert(r.getDouble(4) == 0.6)      // stopword_ratio: the, and, the
+    assert(r.getString(7) == "en")     // lang_pred
+  }
+
+  test("lang prediction follows marker-lexicon argmax with deterministic ties") {
+    val d = docs(
+      (1L, "der hund und die katze ist", "s"),
+      (2L, "le chat et la mer est", "s"),
+      (3L, "qqq www eee", "s")) // no markers → und
+    val out = TextStats.profile(d).select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "de", 2L -> "fr", 3L -> "und"))
+  }
+
+  test("fingerprint is whitespace-canonical") {
+    val d = docs((1L, "a b  c", "s"), (2L, "a b c", "s"))
+    val fps = TextStats.profile(d).select("fingerprint").collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("quality score penalizes short docs and caps punctuation penalty") {
+    val d = docs((1L, "one two", "s"), // < 5 tokens → 0
+      (2L, ("word " * 30).trim, "s"))  // long, clean → 1.0 - 0 - 0 = 1.0
+    val out = TextStats.profile(d).select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 1.0)
+  }
+
+  test("multimodal: stub codec features are deterministic byte functions") {
+    val rec = Multimodal.MediaRecord(1L, "text/plain", "AB".getBytes("UTF-8"),
+      Multimodal.MediaMeta("s", 2L))
+    val f = Multimodal.FakeCodec.decode(rec)
+    assert(f.n_bytes == 2 && f.head_byte == 65 && f.checksum == 65 + 66)
+  }
+
+  test("multimodal: empty payload decodes to sentinel head byte") {
+    val f = Multimodal.FakeCodec.decode(
+      Multimodal.MediaRecord(1L, "text/plain", Array.emptyByteArray,
+        Multimodal.MediaMeta("s", 0L)))
+    assert(f.head_byte == -1 && f.checksum == 0)
+  }
+
+  test("multimodal pipeline: features flow from payloads to a source profile") {
+    val d = docs((1L, "abc", "s1"), (2L, "de", "s1"), (3L, "x", "s2"))
+    val prof = rows(Multimodal.profileBySource(
+      Multimodal.extractFeatures(Multimodal.toMedia(spark, d))))
+    // s1: 2 docs, 5 bytes; s2: 1 doc, 1 byte
+    assert(prof.map(r => (r(0), r(1), r(2))) == Seq(("s1", 2L, 5L), ("s2", 1L, 1L)))
+  }
+}
