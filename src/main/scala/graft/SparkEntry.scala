@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.silver.Pipelines
 import graft.recommend.Recommender
-import graft.streaming.StreamIngest
+import graft.streaming.{StreamAgg, StreamIngest}
 import graft.ingest.Ingest
 import graft.quality.Quality
 import graft.text.{Dedup, TextStats}
@@ -178,17 +178,22 @@ object SparkEntry {
         .orderBy(col("track_id"))),
 
     // Flagship: full hybrid recommender for DemoUser (§3.3 / §7.1 item 4).
-    // `likes` feeds four consumers (cfSim, userLikes, social, anti-join)
-    // and each similarity frame is scanned twice by symmetrize() — cache
-    // them, mirroring the reference's reused-table cache (S13,
-    // MinioService.cs:37–57). Trending is cached inside
-    // normalizedTrending().
+    // `likes` feeds four consumers (cfSim, userLikes, social, anti-join) —
+    // cached, mirroring the reference's reused-table cache (S13,
+    // MinioService.cs:37–57). The similarity inputs use the PROBED pair
+    // generator: only pairs touching the user's like-set can contribute to
+    // the score join, so the full quadratic similarity tables are never
+    // materialized for a single-user query (scores for surviving pairs are
+    // identical — the oracle computes them from the full tables).
     "q15_hybrid_recommend" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
       val likes = Pipelines.likes(T(s, dir, "orders"), li).cache()
+      val userLikes = likes.filter(col("user_id") === DemoUser).select("track_id")
       Recommender.recommend(
-        playlistSim = Pipelines.playlistSimilarity(li).cache(),
-        cfSim = Pipelines.collaborativeFiltering(likes).cache(),
+        playlistSim = Pipelines.cooccurrenceProbed(
+          Pipelines.playlistTracks(li), "playlist_id", "track_id", userLikes),
+        cfSim = Pipelines.cooccurrenceProbed(
+          likes, "user_id", "track_id", userLikes),
         trendingDf = Pipelines.trending(li, T(s, dir, "part"), 30),
         followsDf = Pipelines.follows(T(s, dir, "customer")),
         likesDf = likes,
@@ -275,6 +280,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(expr("aggregate(recommendations, 0L, (a, x) -> a + x)")).as("rec_sum"),
           max(col("timestamp")).as("last_ts"),
+          // §2.8 to_timestamp: ISO-8601 string → timestamp → formatted
+          date_format(min(to_timestamp(col("timestamp"))),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
           countDistinct(col("event_date")).as("n_days"))
         .orderBy(col("user_id"))
     }),
@@ -291,6 +299,7 @@ object SparkEntry {
       val raw = Tables.assertSchema(
         Ingest.readCsv(s, s"$base/landing", Tables.schemas("orders")), "orders")
       val loaded = raw
+        .withColumn("o_date", to_date(col("o_orderdate"))) // §2.8 to_date
         .withColumn("o_year", year(col("o_orderdate")))
         .withColumn("o_month", month(col("o_orderdate")))
       // deterministic initial/incremental split exercising both writers
@@ -303,6 +312,7 @@ object SparkEntry {
         .groupBy(col("o_year").cast("long").as("o_year"),
           col("o_month").cast("long").as("o_month"))
         .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_date")).as("n_days"),
           (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("revenue"))
         .orderBy(col("o_year"), col("o_month"))
     }),
@@ -378,7 +388,33 @@ object SparkEntry {
     "q31_multimodal" -> ((s, dir) =>
       Multimodal.profileBySource(
         Multimodal.extractFeatures(
-          Multimodal.toMedia(s, Tables.documents(s, dir)))))
+          Multimodal.toMedia(s, Tables.documents(s, dir))))),
+
+    // §2.9 beyond-reference: watermarked event-time tumbling-window
+    // aggregation in append mode, run to completion over a bounded file
+    // source. A sentinel event 30 days past max(ts) pushes the final
+    // watermark beyond every real window, so exactly the real windows are
+    // emitted — deterministic despite append-mode semantics. Timestamps
+    // travel as epoch-µs longs to dodge JSON millisecond truncation.
+    "q32_stream_window" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_streamw").toString
+      val ev = Tables.events(s, dir)
+      val sentinel = ev.agg(max(col("ts")).as("mx"))
+        .select(lit(0L).as("user_id"), lit("__sentinel").as("event_type"),
+          (unix_micros(col("mx")) + lit(30L * 86400L * 1000000L)).as("ts_us"),
+          lit(0.0).as("value"))
+      ev.select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .unionByName(sentinel)
+        .select(to_json(struct(col("user_id"), col("event_type"),
+          col("ts_us"), col("value"))).as("value"))
+        .write.mode("overwrite").text(s"$base/in")
+      StreamAgg.runWindowedToCompletion(s, s"$base/in", s"$base/sink",
+          s"$base/ckpt", windowLength = "1 day", watermarkDelay = "1 minute")
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("window_day"),
+          col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("window_day"), col("event_type"))
+    })
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -626,18 +662,20 @@ object SparkEntry {
     // timestamps truncated to µs exactly like the Spark reader.
     "q21_stream_ingest" ->
       """WITH e AS (
-        |  SELECT user_id, event_id,
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
         |    strftime(make_timestamp(epoch_ns(ts) // 1000), '%Y-%m-%dT%H:%M:%S.%f') AS tstr
         |  FROM events)
         |SELECT user_id, count(*) AS n_events,
         |  sum(event_id % 100 + event_id % 97)::BIGINT AS rec_sum,
         |  max(tstr) AS last_ts,
+        |  strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |  count(DISTINCT substr(tstr, 1, 10)) AS n_days
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q22_ingest_roundtrip" ->
       """SELECT year(o_orderdate)::BIGINT AS o_year, month(o_orderdate)::BIGINT AS o_month,
         |  count(*) AS n_orders,
+        |  count(DISTINCT o_orderdate::DATE) AS n_days,
         |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS revenue
         |FROM orders WHERE year(o_orderdate) >= 1996
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -702,6 +740,12 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes,
         |  sum(checksum)::BIGINT AS checksum_sum, min(head_byte) AS min_head
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_stream_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, value FROM events)
+        |SELECT strftime(make_timestamp((us // 86400000000) * 86400000000), '%Y-%m-%d') AS window_day,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q23_quality_gate" ->
       """WITH m AS (

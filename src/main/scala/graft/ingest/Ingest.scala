@@ -61,9 +61,17 @@ object Ingest {
     spec.derive.foldLeft(raw) { case (df, (name, expr)) => df.withColumn(name, expr) }
   }
 
-  /** S3: partitioned overwrite (process_historical_data.py:75–78). */
+  /** S3: partitioned overwrite (process_historical_data.py:75–78).
+    *
+    * The frame is shuffled on the partition columns first so each output
+    * directory receives one file per shuffle partition that actually holds
+    * its keys instead of one file per upstream task — without this, a
+    * 1000-task job writing 500 partitions emits up to 500,000 tiny files,
+    * the classic lakehouse small-files failure.
+    */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = (if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df)
+      .write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 

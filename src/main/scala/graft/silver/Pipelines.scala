@@ -102,6 +102,42 @@ object Pipelines {
       .groupBy(col("track_id_1"), col("track_id_2"))
       .agg(count(lit(1)).as("score"))
 
+  /** Probe-pushdown co-occurrence: only pairs touching an item in `probe`
+    * are generated, with scores identical to the full [[cooccurrence]] for
+    * those pairs (per group: |its∩probe|·|its| candidates instead of
+    * |its|²/2).
+    *
+    * This is the single-user recommender's key scale lever: the hybrid
+    * scorer joins symmetrized similarities on the user's liked tracks
+    * (RecommendationService.cs:63–65), so pairs not touching the like-set
+    * can never contribute — push that probe INTO pair generation instead
+    * of materializing the full quadratic similarity table first. At 100 TB
+    * the probe set (≤ a few thousand likes) broadcasts; the fact table is
+    * still shuffled once on the grouping key, but the generated pair
+    * stream shrinks by orders of magnitude.
+    *
+    * Double-count guard: a pair with BOTH ends in the probe set would be
+    * generated from each end — the `a < b` residual keeps exactly one.
+    */
+  def cooccurrenceProbed(pairs: DataFrame, groupCol: String, itemCol: String,
+                         probe: DataFrame, maxGroupSize: Int = 10000): DataFrame = {
+    val probeSet = probe.select(col(probe.columns.head).as("p")).distinct()
+      .agg(sort_array(collect_set(col("p"))).as("probe_set"))
+    pairs.groupBy(col(groupCol).as("g"))
+      .agg(slice(sort_array(collect_set(col(itemCol))), 1, maxGroupSize).as("its"))
+      .crossJoin(broadcast(probeSet))
+      .withColumn("pl", array_intersect(col("its"), col("probe_set")))
+      .filter(size(col("pl")) > 0)
+      .select(col("its"), col("pl"), explode(col("pl")).as("a"))
+      .select(col("a"), col("pl"), explode(col("its")).as("b"))
+      .filter(col("a") =!= col("b") &&
+        (!array_contains(col("pl"), col("b")) || col("a") < col("b")))
+      .select(least(col("a"), col("b")).as("track_id_1"),
+        greatest(col("a"), col("b")).as("track_id_2"))
+      .groupBy(col("track_id_1"), col("track_id_2"))
+      .agg(count(lit(1)).as("score"))
+  }
+
   /** Playlist-based song similarity (process_song_similarity.py). */
   def playlistSimilarity(lineitem: DataFrame): DataFrame =
     cooccurrence(playlistTracks(lineitem), "playlist_id", "track_id")

@@ -98,6 +98,22 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** Kafka producer sink shape (S14, KafkaEventProducer.cs:42–65 /
+    * Program.cs:57–66): payload rows serialized back to JSON `value`
+    * records and written to a topic. Compiles against stock Spark; needs
+    * the spark-sql-kafka connector at runtime (same as the source).
+    * Avro + Schema Registry (the reference's second producer) is a wire-
+    * format concern the offline environment cannot exercise (no
+    * spark-avro module shipped); JSON is the semantic equivalent here.
+    */
+  def writeKafka(payload: DataFrame, bootstrapServers: String, topic: String): Unit =
+    payload
+      .select(to_json(struct(payload.columns.map(col): _*)).as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+
   /** Run the full job to completion over a bounded source: parse, persist,
     * optionally tee to console, await every query (S10,
     * process_recommendation_events.py:84 runs both sinks concurrently).

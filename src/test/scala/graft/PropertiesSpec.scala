@@ -62,6 +62,19 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("cooccurrenceProbed equals the full operator restricted to probe-touching pairs") {
+    samples(Gen.zip(pairGen, Gen.nonEmptyListOf(Gen.choose(1L, 8L))), n = 8)
+      .foreach { case (ps, probeRaw) =>
+        val probe = probeRaw.map(Tuple1(_)).toDF("track_id")
+        val full = Pipelines.cooccurrence(ps.toDF("g", "t"), "g", "t").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+          .filter { case ((a, b), _) => probeRaw.contains(a) || probeRaw.contains(b) }
+        val probed = Pipelines.cooccurrenceProbed(ps.toDF("g", "t"), "g", "t", probe)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(probed == full, s"probe=$probeRaw input=$ps")
+      }
+  }
+
   test("cooccurrence: additivity over group-disjoint unions") {
     samples(pairGen, n = 6).foreach { ps =>
       val left = ps

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamAgg
+import graft.streaming.StreamAgg.Event
+
+class StreamAggSpec extends SparkTestBase {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("sessionize closes a session when the gap is exceeded") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = s"sessions_${System.nanoTime()}"
+    val q = StreamAgg.sessionize(ms.toDS(), gapSeconds = 60, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // keep timestamps well above the initial watermark (epoch 0):
+      // events at ts <= watermark are dropped as late before reaching state
+      ms.addData(Event(1L, "click", ts(1000), 1.0), Event(1L, "click", ts(1030), 2.0))
+      q.processAllAvailable()
+      // gap of 300s > 60s closes the first session
+      ms.addData(Event(1L, "click", ts(1330), 5.0))
+      q.processAllAvailable()
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+      assert(out.contains((1L, 2L, 3.0)), s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+
+  test("sessionize emits separate sessions per user") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = s"sessions_${System.nanoTime()}"
+    val q = StreamAgg.sessionize(ms.toDS(), gapSeconds = 10, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      ms.addData(Event(1L, "a", ts(1000), 1.0), Event(2L, "b", ts(1005), 2.0))
+      q.processAllAvailable()
+      ms.addData(Event(1L, "a", ts(1100), 1.0), Event(2L, "b", ts(1100), 1.0))
+      q.processAllAvailable()
+      val out = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.toSet.contains((1L, 1L)) && out.toSet.contains((2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("windowed counts emit exactly the closed windows (sentinel advances watermark)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_streamagg").toString
+    val lines = Seq(
+      """{"user_id": 1, "event_type": "click", "ts_us": 0, "value": 1.0}""",
+      """{"user_id": 2, "event_type": "click", "ts_us": 1800000000, "value": 2.0}""",
+      """{"user_id": 3, "event_type": "view", "ts_us": 4000000000, "value": 4.0}""",
+      """{"user_id": 0, "event_type": "__sentinel", "ts_us": 999999000000, "value": 0.0}""")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/in/a.json"),
+      lines.mkString("\n"))
+    val out = StreamAgg.runWindowedToCompletion(spark, s"$base/in", s"$base/sink",
+      s"$base/ckpt", windowLength = "1 hour", watermarkDelay = "1 minute")
+    val got = rows(out.select(col("event_type"), col("n"), col("sum_value")))
+    // hour 0: two clicks (v=3.0); hour 1: one view (v=4.0); sentinel window unclosed
+    assert(got == Seq(Seq("click", 2L, 3.0), Seq("view", 1L, 4.0)))
+  }
+}
