@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product of two double arrays — the same
-    * left-to-right summation DuckDB's list_inner_product uses, so scores
-    * are bit-comparable across engines. */
+  /** Sequential-order dot product of two double arrays — the custom
+    * fused-loop expression ([[graft.functions.VectorDot]]); left-to-right
+    * summation matches both the equivalent
+    * `aggregate(zip_with(...))` composition and the oracle engine's
+    * list_inner_product, so scores are bit-identical across all three.
+    */
   def dot(a: String, b: String): org.apache.spark.sql.Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")
+    graft.functions.vector_dot(col(a), col(b))
 
   /** Embeddings with unit-precision prep: double-cast vector + norm. */
   def prep(embeddings: DataFrame, idCol: String = "vec_id",
@@ -77,6 +80,51 @@ object Similarity {
       .select(col("query_id"), (col("r") + 1).cast("long").as("rank"),
         col("entry._2").as("vec_id"), col("entry._1").as("score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-plane sign bits for deterministic hash-derived hyperplanes:
+    * plane p's component for dimension j is a pseudo-random value in
+    * [-0.5, 0.5) computed from xxhash64(p, j) — reproducible on any
+    * cluster, no RNG state shipped. */
+  private def planeBit(p: Int): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with(v, sequence(0, size(v) - 1), " +
+      s"(x, j) -> x * ((CAST(xxhash64($p, j) % 1000 AS DOUBLE)) / 1000.0 - 0.5)), " +
+      s"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)") > 0
+
+  /** Embedding-cosine near-duplicate pairs — the fifth dedup tier
+    * (semantic near-dup where text hashes can't see the similarity).
+    *
+    * Banded sign-LSH candidates + exact cosine verification: `bands`
+    * bands of `rowsPerBand` hyperplane bits; vectors pair only within a
+    * (band, bit-pattern) bucket, then candidates are scored exactly, so
+    * precision is 1.0. Recall = 1 − (1 − p^r)^b with p = 1 − θ/π; at
+    * cosine ≥ 0.95 the defaults give ≥ 0.999. Scale: the only wide op is
+    * the bucket-key groupBy — no all-pairs product at any size.
+    */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
+                       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val data = prep(embeddings).cache()
+    val nbits = bands * rowsPerBand
+    val withBits = data.withColumn("bits",
+      array((0 until nbits).map(p => planeBit(p).cast("int")): _*))
+    val bandKeys = withBits.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), j -> " +
+        s"slice(bits, j * $rowsPerBand + 1, $rowsPerBand))"))
+        .as(Seq("band", "bh")))
+      .select(col("vec_id"),
+        concat_ws(":", col("band") +: (0 until rowsPerBand).map(i =>
+          expr(s"bh[$i]")): _*).as("band_key"))
+      .distinct()
+    val cand = graft.silver.Pipelines.cooccurrence(bandKeys, "band_key", "vec_id")
+      .select(col("track_id_1").as("vec_id_1"), col("track_id_2").as("vec_id_2"))
+    cand
+      .join(data.select(col("vec_id").as("vec_id_1"), col("v").as("v1"),
+        col("norm").as("n1")), Seq("vec_id_1"))
+      .join(data.select(col("vec_id").as("vec_id_2"), col("v").as("v2"),
+        col("norm").as("n2")), Seq("vec_id_2"))
+      .withColumn("cosine", round(dot("v1", "v2") / (col("n1") * col("n2")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id_1"), col("vec_id_2"), col("cosine"))
   }
 
   /** Sign-LSH bucketed ANN — the scale path. `nbits` deterministic

@@ -41,6 +41,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(!out.exists(_.head == 2L))
   }
 
+  test("embeddingNearDup finds planted near-identical vectors, nothing else") {
+    val base = Seq(0.3f, -0.7f, 0.5f, 0.9f, -0.1f, 0.4f, 0.2f, -0.6f)
+    val nearDup = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val vs = emb(
+      (1L, base), (2L, nearDup),                       // planted pair, cos ≈ 1
+      (3L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),       // unrelated
+      (4L, base.map(-_)))                              // antipodal — cos = -1
+    val out = rows(Similarity.embeddingNearDup(vs, threshold = 0.95)
+      .select("vec_id_1", "vec_id_2"))
+    assert(out == Seq(Seq(1L, 2L)))
+  }
+
   test("lshTopK results are a subset of brute-force results with equal scores") {
     val vs = emb((0 until 20).map(i =>
       (i.toLong, Seq(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
