@@ -29,6 +29,10 @@ object SparkEntry {
     * exists at every scale factor (custkey range starts at 0). */
   val DemoUser = 7L
 
+  /** Track probed by the single-model endpoints (q33/q34); partkeys start
+    * at 0, so it exists at every scale factor. */
+  val DemoTrack = 1L
+
   private def T(s: SparkSession, dir: String, name: String) = name match {
     case "events" => Tables.events(s, dir) // ns→µs ts normalization
     case _        => Tables.load(s, dir, name)
@@ -390,6 +394,35 @@ object SparkEntry {
         Multimodal.extractFeatures(
           Multimodal.toMedia(s, Tables.documents(s, dir))))),
 
+    // Serving endpoint /recommendations/similar/{trackId}
+    // (RecommendationService.cs:104–152): symmetrized playlist-similarity
+    // lookup for one track, top-5. Uses the probed pair generator — for a
+    // one-track probe the full similarity table never materializes.
+    "q33_similar_tracks" -> ((s, dir) => {
+      val probe = s.range(DemoTrack, DemoTrack + 1).select(col("id").as("track_id"))
+      Pipelines.symmetrize(Pipelines.cooccurrenceProbed(
+          Pipelines.playlistTracks(T(s, dir, "lineitem")), "playlist_id", "track_id", probe))
+        .filter(col("track_id_1") === DemoTrack)
+        .groupBy(col("track_id_2").as("track_id"))
+        .agg(sum(col("score")).as("score"))
+        .orderBy(col("score").desc, col("track_id").asc)
+        .limit(5)
+    }),
+
+    // Serving endpoint /recommendations/collaborative/{trackId}
+    // (RecommendationService.cs:175–223): same probe over the CF pairs.
+    "q34_collab_similar" -> ((s, dir) => {
+      val probe = s.range(DemoTrack, DemoTrack + 1).select(col("id").as("track_id"))
+      val likes = Pipelines.likes(T(s, dir, "orders"), T(s, dir, "lineitem"))
+      Pipelines.symmetrize(Pipelines.cooccurrenceProbed(
+          likes, "user_id", "track_id", probe))
+        .filter(col("track_id_1") === DemoTrack)
+        .groupBy(col("track_id_2").as("track_id"))
+        .agg(sum(col("score")).as("score"))
+        .orderBy(col("score").desc, col("track_id").asc)
+        .limit(5)
+    }),
+
     // §2.9 beyond-reference: watermarked event-time tumbling-window
     // aggregation in append mode, run to completion over a bounded file
     // source. A sentinel event 30 days past max(ts) pushes the final
@@ -740,6 +773,30 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes,
         |  sum(checksum)::BIGINT AS checksum_sum, min(head_byte) AS min_head
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q33_similar_tracks" ->
+      s"""WITH plt AS (SELECT DISTINCT l_orderkey AS playlist_id, l_partkey AS track_id FROM lineitem),
+        |sim AS (
+        |  SELECT a.track_id AS t1, b.track_id AS t2, count(*) AS score
+        |  FROM plt a JOIN plt b ON a.playlist_id = b.playlist_id AND a.track_id < b.track_id
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT t1, t2, score FROM sim UNION ALL SELECT t2, t1, score FROM sim)
+        |SELECT t2 AS track_id, sum(score) ::BIGINT AS score
+        |FROM sym WHERE t1 = $DemoTrack
+        |GROUP BY 1 ORDER BY score DESC, track_id ASC LIMIT 5""".stripMargin,
+
+    "q34_collab_similar" ->
+      s"""WITH likes AS (
+        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS track_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |sim AS (
+        |  SELECT a.track_id AS t1, b.track_id AS t2, count(*) AS score
+        |  FROM likes a JOIN likes b ON a.user_id = b.user_id AND a.track_id < b.track_id
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT t1, t2, score FROM sim UNION ALL SELECT t2, t1, score FROM sim)
+        |SELECT t2 AS track_id, sum(score) ::BIGINT AS score
+        |FROM sym WHERE t1 = $DemoTrack
+        |GROUP BY 1 ORDER BY score DESC, track_id ASC LIMIT 5""".stripMargin,
 
     "q32_stream_window" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, value FROM events)
