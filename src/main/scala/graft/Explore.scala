@@ -8,20 +8,19 @@ object Explore {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"[explore] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
-    if (args.isEmpty) {
+    if (args.headOption.contains("entry")) {
+      // driver-style smoke check: flagship query on sf0.001, rows > 0
+      val n = SparkEntry.entry(spark).count()
+      println(s"[explore] entry rows=$n")
+      require(n > 0, "entry smoke check failed")
+    } else if (args.isEmpty) {
       import graft.recommend.Recommender
       // warm the JVM/scans
       Tables.lineitem(spark, dir).count(); Tables.orders(spark, dir).count()

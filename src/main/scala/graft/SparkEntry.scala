@@ -752,6 +752,9 @@ object SparkEntry {
         |  round(n_chars::DOUBLE / greatest(n_tokens, 1), 4) AS avg_token_len,
         |  round(h_en::DOUBLE / greatest(n_tokens, 1), 4) AS stopword_ratio,
         |  round(punct_chars::DOUBLE / greatest(n_chars, 1), 4) AS punct_ratio,
+        |  round(len(list_distinct(toks))::DOUBLE / greatest(n_tokens, 1), 4) AS unique_ratio,
+        |  round(list_max(list_transform(list_distinct(toks),
+        |    t -> len(list_filter(toks, x -> x = t))))::DOUBLE / greatest(n_tokens, 1), 4) AS top_token_ratio,
         |  round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
         |    1.0 - least(punct_chars::DOUBLE / greatest(n_chars, 1), 0.5)
         |        - CASE WHEN n_chars < 100 THEN 0.25 ELSE 0.0 END END, 4) AS quality_score,

@@ -70,10 +70,20 @@ object TextStats {
           lit(1.0)
             - least(col("punct_chars").cast("double") / greatest(col("n_chars"), lit(1L)), lit(0.5))
             - when(col("n_chars") < 100, 0.25).otherwise(0.0)), 4))
+      // repetition signals — the standard cheap filters for low-quality
+      // or template-generated training text
+      .withColumn("unique_ratio",
+        round(size(array_distinct(col("__toks"))).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 4))
+      .withColumn("top_token_ratio",
+        round(expr("array_max(transform(array_distinct(__toks), " +
+          "t -> size(filter(__toks, x -> x = t))))").cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 4))
       .withColumn("lang_pred", langPred)
       .withColumn("fingerprint", md5(concat_ws(" ", col("__toks"))))
       .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("avg_token_len"),
-        col("stopword_ratio"), col("punct_ratio"), col("quality_score"),
+        col("stopword_ratio"), col("punct_ratio"), col("unique_ratio"),
+        col("top_token_ratio"), col("quality_score"),
         col("lang_pred"), col("fingerprint"))
   }
 }

@@ -12,12 +12,17 @@ class TextModulesSpec extends SparkTestBase {
 
   test("profile counts tokens, chars and ratios exactly") {
     val d = docs((1L, "the cat and the dog", "s"))
-    val r = TextStats.profile(d).collect().head
-    assert(r.getLong(1) == 5)          // n_tokens
-    assert(r.getLong(2) == 19)         // n_chars
-    assert(r.getDouble(3) == 3.8)      // avg_token_len
-    assert(r.getDouble(4) == 0.6)      // stopword_ratio: the, and, the
-    assert(r.getString(7) == "en")     // lang_pred
+    val r = TextStats.profile(d)
+      .select("n_tokens", "n_chars", "avg_token_len", "stopword_ratio",
+        "unique_ratio", "top_token_ratio", "lang_pred")
+      .collect().head
+    assert(r.getLong(0) == 5)
+    assert(r.getLong(1) == 19)
+    assert(r.getDouble(2) == 3.8)
+    assert(r.getDouble(3) == 0.6)     // the, and, the
+    assert(r.getDouble(4) == 0.8)     // 4 distinct of 5 tokens
+    assert(r.getDouble(5) == 0.4)     // "the" twice
+    assert(r.getString(6) == "en")
   }
 
   test("lang prediction follows marker-lexicon argmax with deterministic ties") {
