@@ -82,6 +82,21 @@ object Ingest {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Bucketed table write: pre-shuffles rows into `numBuckets` by
+    * `bucketCol` at write time so equi-joins and aggregations on that key
+    * read co-located data and plan with NO exchange — the standing answer
+    * to "this join shuffles 100 TB every night". Bucketing requires the
+    * table catalog (`saveAsTable`), not a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Standard partition-column derivation for event-dated facts
     * (process_historical_data.py:70–72). */
   def dateParts(tsCol: String): Map[String, org.apache.spark.sql.Column] = Map(

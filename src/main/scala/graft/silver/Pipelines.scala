@@ -146,6 +146,24 @@ object Pipelines {
   def collaborativeFiltering(likesDf: DataFrame): DataFrame =
     cooccurrence(likesDf, "user_id", "track_id")
 
+  /** Salted two-stage aggregation for skew-hostile keys: rows are spread
+    * across `saltBuckets` sub-keys first (stage 1 shuffles on (key, salt),
+    * so one hot key lands on `saltBuckets` reducers instead of one), then
+    * the partials merge in a second, tiny aggregation. Results are exactly
+    * the plain `groupBy(key).count()` — the salt is an execution detail.
+    *
+    * Use when a known-skewed key (the celebrity user, the empty-string
+    * genre) would otherwise pin a single reducer at 100 TB; AQE's skew
+    * handling covers joins but not aggregations over a hot GROUP BY key.
+    */
+  def saltedCount(df: DataFrame, keyCol: String, saltBuckets: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__partial")).as("n"))
+
   /** Symmetrize canonical `t1 < t2` pairs into both directions — the C#
     * scorer registers both orders before probing
     * (RecommendationService.cs:225–236). Input MUST be canonical

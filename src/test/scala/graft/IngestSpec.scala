@@ -50,6 +50,30 @@ class IngestSpec extends SparkTestBase {
     assert(!plan.contains("year=2024"))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val a = (1L to 100L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "vb")
+    Ingest.writeBucketed(a, "graft_bkt_a", "k", 4)
+    Ingest.writeBucketed(b, "graft_bkt_b", "k", 4)
+    val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+    assert(joined.count() == 100)
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, s"bucketed join should not shuffle: ${shuffles.size} exchanges")
+  }
+
+  test("saltedCount matches plain groupBy counts exactly") {
+    import graft.silver.Pipelines
+    val df = (1L to 500L).map(i => (if (i % 5 == 0) 1L else i, "x")).toDF("k", "v")
+    val plain = df.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Pipelines.saltedCount(df, "k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
   test("append adds rows without rewriting existing partitions") {
     val dir = tmp()
     val a = List((1L, 2023, 1)).toDF("id", "year", "month")
