@@ -52,16 +52,24 @@ class IngestSpec extends SparkTestBase {
 
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // unique names: the in-memory catalog dies with the JVM but the
+    // warehouse directories survive, and saveAsTable refuses stale paths
+    val (ta, tb) = (s"graft_bkt_a_${System.nanoTime()}", s"graft_bkt_b_${System.nanoTime()}")
     val a = (1L to 100L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "vb")
-    Ingest.writeBucketed(a, "graft_bkt_a", "k", 4)
-    Ingest.writeBucketed(b, "graft_bkt_b", "k", 4)
-    val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
-    assert(joined.count() == 100)
-    val shuffles = joined.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeLike => e
+    try {
+      Ingest.writeBucketed(a, ta, "k", 4)
+      Ingest.writeBucketed(b, tb, "k", 4)
+      val joined = spark.table(ta).join(spark.table(tb), "k")
+      assert(joined.count() == 100)
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty, s"bucketed join should not shuffle: ${shuffles.size} exchanges")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ta")
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
     }
-    assert(shuffles.isEmpty, s"bucketed join should not shuffle: ${shuffles.size} exchanges")
   }
 
   test("saltedCount matches plain groupBy counts exactly") {
