@@ -34,7 +34,7 @@ object Ingest {
     * (process_historical_data.py:66). FAILFAST surfaces malformed rows as
     * job failures instead of silent nulls (the quality-gate stance).
     */
-  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  private def csvReader(spark: SparkSession, schema: StructType) =
     spark.read
       .option("header", "true")
       .option("mode", "FAILFAST")
@@ -44,7 +44,9 @@ object Ingest {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       .schema(schema)
-      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    csvReader(spark, schema).csv(path)
 
   /** CSV writer used by round-trip tests and landing-zone simulation. */
   def writeCsv(df: DataFrame, path: String): Unit =
@@ -80,6 +82,50 @@ object Ingest {
   def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Append).option("mergeSchema", "false")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Incremental landing-zone ingest with an idempotent processed-file
+    * manifest — the engine-side equivalent of the reference's Airflow
+    * Variable that tracks which weekly files were already loaded
+    * (dag_weekly_trends_ingestion.py:31–41, :65 expands one Spark job per
+    * NEW file). Lists the landing directory through the Hadoop FS API (so
+    * the same code addresses HDFS/S3 at scale), skips files the manifest
+    * records, appends only the new ones with the pinned schema, then
+    * rewrites the manifest. Re-running after success is a no-op;
+    * re-running after a crash between append and manifest write re-appends
+    * at most the crashed batch (at-least-once, like the reference's DAG).
+    *
+    * Returns the newly processed file paths.
+    */
+  def incrementalAppend(spark: SparkSession, landingDir: String,
+                        schema: StructType, tablePath: String,
+                        manifestPath: String,
+                        partitionCols: Seq[String] = Nil,
+                        derive: Map[String, org.apache.spark.sql.Column] = Map.empty): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(landingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val landed = fs.listStatus(new Path(landingDir)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
+    val mPath = new Path(manifestPath)
+    val processed: Set[String] =
+      if (fs.exists(mPath)) {
+        val in = fs.open(mPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+        finally in.close()
+      } else Set.empty
+    val fresh = landed.filterNot(processed)
+    if (fresh.nonEmpty) {
+      val df = derive.foldLeft(csvReader(spark, schema).csv(fresh: _*)) {
+        case (d, (n, e)) => d.withColumn(n, e)
+      }
+      append(df, tablePath, partitionCols)
+      val out = fs.create(mPath, true)
+      try out.write((processed ++ fresh).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    fresh
   }
 
   /** Bucketed table write: pre-shuffles rows into `numBuckets` by

@@ -82,6 +82,31 @@ class IngestSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("incrementalAppend processes each landing file exactly once") {
+    val dir = tmp()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "string")
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/landing"))
+    def drop(name: String, rows: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/landing/$name"), s"id,v\n$rows")
+    drop("week1.csv", "1,a\n2,b")
+    drop("week2.csv", "3,c")
+    val first = Ingest.incrementalAppend(spark, s"$dir/landing", schema,
+      s"$dir/table", s"$dir/manifest.txt")
+    assert(first.map(f => f.substring(f.lastIndexOf('/') + 1)) == Seq("week1.csv", "week2.csv"))
+    assert(spark.read.parquet(s"$dir/table").count() == 3)
+    // idempotent re-run: nothing new
+    assert(Ingest.incrementalAppend(spark, s"$dir/landing", schema,
+      s"$dir/table", s"$dir/manifest.txt").isEmpty)
+    assert(spark.read.parquet(s"$dir/table").count() == 3)
+    // a late-arriving file is picked up alone
+    drop("week3.csv", "4,d\n5,e")
+    val third = Ingest.incrementalAppend(spark, s"$dir/landing", schema,
+      s"$dir/table", s"$dir/manifest.txt")
+    assert(third.map(f => f.substring(f.lastIndexOf('/') + 1)) == Seq("week3.csv"))
+    assert(spark.read.parquet(s"$dir/table").count() == 5)
+  }
+
   test("append adds rows without rewriting existing partitions") {
     val dir = tmp()
     val a = List((1L, 2023, 1)).toDF("id", "year", "month")
