@@ -394,6 +394,16 @@ object SparkEntry {
         Multimodal.extractFeatures(
           Multimodal.toMedia(s, Tables.documents(s, dir))))),
 
+    // IVF ANN: deterministic centroid cells + nProbe probing, exact
+    // scoring inside probed cells. The oracle replays the identical
+    // algorithm (same centroids, same rounded-score tie-breaks), so this
+    // checks the whole assignment → probe → score dataflow.
+    "q35_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 5),
+        k = 10, nCentroids = 16, nProbe = 4)
+    }),
+
     // Serving endpoint /recommendations/similar/{trackId}
     // (RecommendationService.cs:104–152): symmetrized playlist-similarity
     // lookup for one track, top-5. Uses the probed pair generator — for a
@@ -776,6 +786,32 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes,
         |  sum(checksum)::BIGINT AS checksum_sum, min(head_byte) AS min_head
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q35_ann_ivf" ->
+      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d),
+        |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, cent_id, v, nrm FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v, x.nrm,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM n x, c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT query_id, cent_id, qv, qnrm FROM (
+        |    SELECT q.query_id, c.cent_id, q.qv, q.qnrm,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_inner_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM q, c) WHERE rn <= 4),
+        |s AS (SELECT p.query_id, a.vec_id,
+        |        round(list_inner_product(a.v, p.qv) / (a.nrm * p.qnrm), 6) AS score
+        |      FROM asg a JOIN probes p USING (cent_id)
+        |      WHERE a.vec_id <> p.query_id),
+        |r AS (SELECT query_id, vec_id, score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s)
+        |SELECT query_id, rank::BIGINT AS rank, vec_id, score FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q33_similar_tracks" ->
       s"""WITH plt AS (SELECT DISTINCT l_orderkey AS playlist_id, l_partkey AS track_id FROM lineitem),

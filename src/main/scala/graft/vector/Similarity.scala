@@ -127,6 +127,62 @@ object Similarity {
       .select(col("vec_id_1"), col("vec_id_2"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: vectors are assigned to their
+    * nearest-centroid cell once; a query scores only the cells of its
+    * `nProbe` nearest centroids. Exact scoring inside probed cells, so
+    * accuracy is governed purely by the probe count.
+    *
+    * Centroid "training" is deterministic here — the first `nCentroids`
+    * vectors by id stand in for a k-means pass (which would be an
+    * offline job upstream); everything downstream of training is the
+    * production dataflow. Scale: assignment is a broadcast of
+    * `nCentroids` rows against a pruned scan (one pass, no shuffle);
+    * probing shuffles on cell ids — Σ|probed cells| work per query
+    * instead of |vectors|.
+    */
+  def ivfTopK(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
+              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val data = prep(embeddings).cache()
+    val cents = broadcast(data.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm")))
+    def withCentScores(df: DataFrame): DataFrame =
+      df.crossJoin(cents)
+        .withColumn("__cs", round(dot("v", "cv") / (col("norm") * col("cnorm")), 6))
+    // data-side assignment via max_by: partial aggregation collapses the
+    // C centroid scores per vector map-side, so the shuffle carries N
+    // rows, not N×C (a window would shuffle the full product).
+    // Tie-break: highest score, then LOWEST centroid id (negated long).
+    val cells = withCentScores(data)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("v"), col("norm")),
+        struct(col("__cs"), (-col("cent_id")).cast("long"))).as("s"))
+      .select(col("vec_id"), col("s.cent_id"), col("s.v"), col("s.norm"))
+    // query-side probing keeps nProbe cells; queries are few — a window
+    // over |queries|·C rows is trivial at any scale
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cs").desc, col("cent_id").asc)
+    val probes = withCentScores(
+        prep(queries).select(col("vec_id").as("query_id"), col("v"), col("norm")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("cent_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = cells.join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot("v", "qv") / (col("norm") * col("qnorm")), 6).as("score"))
+      .as[Scored]
+    val agg = new TopKAgg(k).toColumn.name("top")
+    scored.groupByKey(_.query_id).agg(agg)
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "entry")))
+      .select(col("query_id"), (col("r") + 1).cast("long").as("rank"),
+        col("entry._2").as("vec_id"), col("entry._1").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Sign-LSH bucketed ANN — the scale path. `nbits` deterministic
     * pseudo-random hyperplanes (components derived from xxhash64 of
     * (plane, dimension) — no RNG state, reproducible on any cluster);

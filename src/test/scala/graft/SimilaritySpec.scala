@@ -53,6 +53,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(out == Seq(Seq(1L, 2L)))
   }
 
+  test("ivfTopK with full probing equals brute force exactly") {
+    val vs = emb((0 until 24).map(i =>
+      (i.toLong, Seq(math.sin(i * 1.3).toFloat, math.cos(i * 0.7).toFloat,
+        math.sin(i * 0.5 + 2).toFloat))): _*)
+    val q = vs.filter(col("vec_id") < 2)
+    val exact = rows(Similarity.cosineTopK(spark, vs, q, k = 5))
+    // nProbe == nCentroids: every cell probed → must match brute force
+    val ivf = rows(Similarity.ivfTopK(spark, vs, q, k = 5,
+      nCentroids = 4, nProbe = 4))
+    assert(ivf == exact)
+  }
+
   test("lshTopK results are a subset of brute-force results with equal scores") {
     val vs = emb((0 until 20).map(i =>
       (i.toLong, Seq(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
