@@ -30,7 +30,12 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => s""""$k":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // host load average: this container shares CPUs with other tenants
+    // and wall-clock varies up to 4x under contention — record the
+    // conditions alongside the numbers
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg":$load,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

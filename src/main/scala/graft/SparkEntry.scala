@@ -212,8 +212,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("play_count"))
       val w = Window.partitionBy(col("p_brand"))
         .orderBy(col("play_count").desc, col("track_id").asc)
-      counts.join(broadcast(T(s, dir, "part")
-          .select(col("p_partkey").as("track_id"), col("p_brand"))), Seq("track_id"))
+      // projected dim, no broadcast hint: AQE is the size guard
+      counts.join(T(s, dir, "part")
+          .select(col("p_partkey").as("track_id"), col("p_brand")), Seq("track_id"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("p_brand"), col("rn"), col("track_id"), col("play_count"))
