@@ -20,6 +20,19 @@ object Explore {
       val n = SparkEntry.entry(spark).count()
       println(s"[explore] entry rows=$n")
       require(n > 0, "entry smoke check failed")
+    } else if (args.headOption.contains("q12parts")) {
+      import graft.silver.Pipelines
+      val likes = Pipelines.likes(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+      time("likes build")(likes.count())
+      val grouped = likes.groupBy(col("user_id"))
+        .agg(slice(sort_array(collect_set(col("track_id"))), 1, 10000).as("its"))
+      time("grouped arrays")(grouped.count())
+      val pairs = grouped
+        .select(col("its"), posexplode(col("its")).as(Seq("i", "t1")))
+        .select(col("t1"), explode(expr("slice(its, i + 2, size(its))")).as("t2"))
+      time("raw pair stream")(pairs.count())
+      time("pair aggregate")(pairs.groupBy("t1", "t2").count().count())
+      time("full q12")(SparkEntry.queries("q12_collab_pairs")(spark, dir).count())
     } else if (args.isEmpty) {
       import graft.recommend.Recommender
       // warm the JVM/scans
