@@ -91,6 +91,43 @@ object StreamAgg {
       }
   }
 
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Running per-user totals via mapGroupsWithState (the one-output-per-
+    * key-per-batch sibling of [[sessionize]]): state is a single
+    * (count, sum) pair per user, emitted in Update mode after every
+    * micro-batch.
+    *
+    * `idleTimeoutMs` (opt-in) evicts keys idle that long, bounding the
+    * state store on an unbounded key space. It uses processing-time
+    * timeouts, which make the trigger schedule timeout-check batches
+    * even with no data — leave it off for bounded test runs
+    * (`processAllAvailable` never settles under continuous batches).
+    */
+  def runningTotals(events: Dataset[Event],
+                    idleTimeoutMs: Option[Long] = None): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    val conf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+               else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](conf) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserTotals]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0d))
+            val cur = it.foldLeft(prev)((acc, e) =>
+              UserTotals(uid, acc.n_events + 1, acc.sum_value + e.value))
+            state.update(cur)
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            cur
+          }
+      }
+  }
+
   /** Run a windowed aggregation over a bounded file source to completion
     * and return the emitted (closed) windows read back from the sink. */
   def runWindowedToCompletion(spark: SparkSession, inPath: String, outPath: String,

@@ -49,6 +49,26 @@ class StreamAggSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("runningTotals accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val name = s"totals_${System.nanoTime()}"
+    val q = StreamAgg.runningTotals(ms.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      ms.addData(Event(1L, "a", ts(1000), 1.0), Event(1L, "a", ts(1001), 2.0))
+      q.processAllAvailable()
+      ms.addData(Event(1L, "a", ts(1002), 4.0))
+      q.processAllAvailable()
+      val byBatch = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // batch 1 emitted (1, 2, 3.0); batch 2 carried state → (1, 3, 7.0)
+      assert(byBatch.contains((1L, 2L, 3.0)) && byBatch.contains((1L, 3L, 7.0)))
+    } finally q.stop()
+  }
+
   test("windowed counts emit exactly the closed windows (sentinel advances watermark)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
