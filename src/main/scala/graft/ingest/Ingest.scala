@@ -77,9 +77,29 @@ object Ingest {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
-  /** S4: incremental append with schema pinned
-    * (process_weekly_trends.py:39). */
+  /** S4: incremental append with the schema pinned
+    * (process_weekly_trends.py:39 sets `mergeSchema=false`, which Delta
+    * enforces at WRITE time; for plain parquet that option only affects
+    * reads, so a divergent append would silently land mixed-schema files
+    * — the worst kind of lake corruption. We enforce the pin explicitly:
+    * if the table exists, the incoming frame must match its column
+    * names and types, or the append is refused before any file lands.)
+    */
   def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+      val existing = spark.read.parquet(path).schema
+        .map(f => f.name -> f.dataType.simpleString).toMap
+      val incoming = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+      if (existing != incoming)
+        throw new IllegalStateException(
+          s"append schema mismatch for $path (mergeSchema is pinned false):\n" +
+            s"  table:    ${existing.toSeq.sorted.mkString(", ")}\n" +
+            s"  incoming: ${incoming.toSeq.sorted.mkString(", ")}")
+    }
     val w = df.write.mode(SaveMode.Append).option("mergeSchema", "false")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }

@@ -115,4 +115,17 @@ class IngestSpec extends SparkTestBase {
     Ingest.append(b, s"$dir/t", Seq("year", "month"))
     assert(spark.read.parquet(s"$dir/t").count() == 2)
   }
+
+  test("append refuses a divergent schema instead of landing mixed files") {
+    val dir = tmp()
+    val a = List((1L, "x")).toDF("id", "v")
+    Ingest.writePartitioned(a, s"$dir/t", Nil)
+    val widened = List((2L, "y", 3.5)).toDF("id", "v", "extra")
+    val e = intercept[IllegalStateException] {
+      Ingest.append(widened, s"$dir/t")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // table untouched by the refused append
+    assert(spark.read.parquet(s"$dir/t").count() == 1)
+  }
 }
