@@ -48,6 +48,17 @@ object Ingest {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     csvReader(spark, schema).csv(path)
 
+  /** JSON-lines batch scan with the same discipline as [[readCsv]]:
+    * declared schema, FAILFAST, explicit µs timestamp formats. The batch
+    * sibling of the streaming source's payload decode (S7). */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "FAILFAST")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .schema(schema)
+      .json(path)
+
   /** CSV writer used by round-trip tests and landing-zone simulation. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write

@@ -20,6 +20,14 @@ class IngestSpec extends SparkTestBase {
     assert(rows(back) == rows(df))
   }
 
+  test("JSON-lines round-trip preserves values with declared schema") {
+    val df = List((1L, "a", 2.5), (2L, "b", -1.0)).toDF("id", "name", "v")
+    val dir = tmp()
+    df.write.json(s"$dir/j")
+    val back = Ingest.readJson(spark, s"$dir/j", df.schema)
+    assert(rows(back) == rows(df))
+  }
+
   test("FAILFAST surfaces malformed rows instead of nulling them") {
     val dir = tmp()
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/bad"))

@@ -29,10 +29,12 @@ class TextModulesSpec extends SparkTestBase {
     val d = docs(
       (1L, "der hund und die katze ist", "s"),
       (2L, "le chat et la mer est", "s"),
-      (3L, "qqq www eee", "s")) // no markers → und
+      (3L, "qqq www eee", "s"),                 // no markers → und
+      (4L, "los gatos y el perro", "s"),        // es
+      (5L, "wo shi zai jia le he ni", "s"))     // zh (pinyin markers)
     val out = TextStats.profile(d).select("doc_id", "lang_pred").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out == Map(1L -> "de", 2L -> "fr", 3L -> "und"))
+    assert(out == Map(1L -> "de", 2L -> "fr", 3L -> "und", 4L -> "es", 5L -> "zh"))
   }
 
   test("fingerprint is whitespace-canonical") {
