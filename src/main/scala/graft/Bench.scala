@@ -19,12 +19,20 @@ object Bench {
     // whichever query happens to sort first
     try SparkEntry.queries("q20_sql_surface")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // min of N repetitions per query: this host shares CPUs with other
+    // tenants and single-shot wall-clock varies several-fold; the min is
+    // the standard noise-suppressed estimate. Reported via "repeats".
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable =>
-                  Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}") }
-      (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+      val runs = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable =>
+                    Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}") }
+        (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+      }
+      val err = runs.flatMap(_._2).headOption
+      (name, if (err.isEmpty) runs.map(_._1).min else -1.0, err)
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s""""$k":"${esc(m)}"""" }
@@ -35,7 +43,7 @@ object Bench {
     // conditions alongside the numbers
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg":$load,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg":$load,"repeats":$repeats,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

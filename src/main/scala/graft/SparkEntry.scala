@@ -395,6 +395,17 @@ object SparkEntry {
         Multimodal.extractFeatures(
           Multimodal.toMedia(s, Tables.documents(s, dir))))),
 
+    // §2.8 JSON functions over the events.props payload column:
+    // get_json_object extraction + typed aggregation (the batch sibling
+    // of the streaming from_json decode).
+    "q36_json_props" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"), col("k_bucket"))),
+
     // IVF ANN: deterministic centroid cells + nProbe probing, exact
     // scoring inside probed cells. The oracle replays the identical
     // algorithm (same centroids, same rounded-score tie-breaks), so this
@@ -787,6 +798,11 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes,
         |  sum(checksum)::BIGINT AS checksum_sum, min(head_byte) AS min_head
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q36_json_props" ->
+      """SELECT event_type, json_extract_string(props, '$.k')::BIGINT % 10 AS k_bucket,
+        |  count(*) AS n, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q35_ann_ivf" ->
       """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
