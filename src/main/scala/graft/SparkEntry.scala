@@ -786,7 +786,10 @@ object SparkEntry {
         |       WHEN h_fr = mx AND mx > 0 THEN 'fr'
         |       WHEN h_zh = mx AND mx > 0 THEN 'zh'
         |       ELSE 'und' END AS lang_pred,
-        |  md5(array_to_string(toks, ' ')) AS fingerprint
+        |  md5(array_to_string(toks, ' ')) AS fingerprint,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000000000037) AS rolling_hash
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "q31_multimodal" ->

@@ -81,9 +81,17 @@ object TextStats {
           greatest(col("n_tokens"), lit(1L)), 4))
       .withColumn("lang_pred", langPred)
       .withColumn("fingerprint", md5(concat_ws(" ", col("__toks"))))
+      // Karp-Rabin polynomial over the character stream: the incremental
+      // fingerprint a dedup shingler extends in O(1) per character. The
+      // modulus keeps acc*31 within int64 (DuckDB errors on overflow;
+      // Spark would silently wrap). Empty splits filtered for parity
+      // across engines' split semantics.
+      .withColumn("rolling_hash", expr(
+        "aggregate(filter(split(__text, ''), c -> c <> ''), CAST(0 AS BIGINT), " +
+          "(acc, c) -> (acc * 31 + ascii(c)) % 1000000000000037)"))
       .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("avg_token_len"),
         col("stopword_ratio"), col("punct_ratio"), col("unique_ratio"),
         col("top_token_ratio"), col("quality_score"),
-        col("lang_pred"), col("fingerprint"))
+        col("lang_pred"), col("fingerprint"), col("rolling_hash"))
   }
 }
