@@ -395,6 +395,16 @@ object SparkEntry {
         Multimodal.extractFeatures(
           Multimodal.toMedia(s, Tables.documents(s, dir))))),
 
+    // Deterministic train/val/test split over documents: md5-bucket
+    // thresholds, a pure function of the row key — reproducible on any
+    // cluster and stable as the corpus grows (unlike randomSplit). The
+    // oracle recomputes every assignment.
+    "q37_deterministic_split" -> ((s, dir) =>
+      graft.text.Splits.assign(Tables.documents(s, dir), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+        .orderBy(col("split"))),
+
     // §2.8 JSON functions over the events.props payload column:
     // get_json_object extraction + typed aggregation (the batch sibling
     // of the streaming from_json decode).
@@ -801,6 +811,16 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes,
         |  sum(checksum)::BIGINT AS checksum_sum, min(head_byte) AS min_head
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q37_deterministic_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bk
+        |  FROM documents)
+        |SELECT CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q36_json_props" ->
       """SELECT event_type, json_extract_string(props, '$.k')::BIGINT % 10 AS k_bucket,

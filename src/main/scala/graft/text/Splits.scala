@@ -1,0 +1,46 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * `randomSplit`/`sample` depend on partition layout and seed plumbing —
+  * rerun the job with different parallelism and rows migrate between
+  * train and test. Here the split is a pure function of a key: md5 of
+  * the key → 32-bit bucket → threshold ranges. Same row, same split, on
+  * any cluster, forever; adding data never reshuffles existing
+  * assignments (the property that keeps eval sets stable as a corpus
+  * grows).
+  *
+  * Leakage control: key on the unit that must not straddle splits — the
+  * document id for row-level splits, the source/site/author for
+  * group-cohesive splits (every row of a group lands in one split).
+  *
+  * Scale: one projection pass, no shuffle, no state.
+  */
+object Splits {
+
+  val Buckets = 10000
+
+  /** Stable bucket in [0, Buckets) from any key column. */
+  def bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % Buckets
+
+  /** Assign a split label per row. `fractions` are (label, weight) in
+    * priority order and should sum to ≤ 1; leftover buckets take the
+    * last label. */
+  def assign(df: DataFrame, keyCol: String,
+             fractions: Seq[(String, Double)] =
+               Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9)
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val thresholds = fractions.map(_._1).zip(cum.map(c => (c * Buckets).round))
+    val b = bucket(col(keyCol))
+    val label = thresholds.init.foldRight(lit(thresholds.last._1): Column) {
+      case ((name, upper), acc) => when(b < upper, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+}
