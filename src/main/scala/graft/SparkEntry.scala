@@ -395,6 +395,25 @@ object SparkEntry {
         Multimodal.extractFeatures(
           Multimodal.toMedia(s, Tables.documents(s, dir))))),
 
+    // Duplicate-cluster resolution: connected components over the exact
+    // near-dup pair graph (iterative min-label propagation; the oracle
+    // computes the same components with a recursive transitive closure).
+    "q38_dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+          Dedup.ngramJaccard(Tables.documents(s, dir), n = 3, threshold = 0.4))
+        .orderBy(col("doc_id"))),
+
+    // Stratified deterministic sampling by language — the training-
+    // mixture construction op; every kept row is recomputed by the
+    // oracle from the same md5-bucket rule.
+    "q39_stratified_sample" -> ((s, dir) =>
+      graft.text.Splits.sampleStratified(Tables.documents(s, dir),
+          strataCol = "lang", keyCol = "doc_id",
+          rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+        .orderBy(col("lang"))),
+
     // Deterministic train/val/test split over documents: md5-bucket
     // thresholds, a pure function of the row key — reproducible on any
     // cluster and stable as the corpus grows (unlike randomSplit). The
@@ -811,6 +830,37 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes,
         |  sum(checksum)::BIGINT AS checksum_sum, min(head_byte) AS min_head
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q38_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        |       FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM inter
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.4),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges)
+        |SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster_id,
+        |  least(n.doc_id, min(r.b)) = n.doc_id AS is_kept
+        |FROM nodes n JOIN reach r ON r.a = n.doc_id
+        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
+
+    "q39_stratified_sample" ->
+      """WITH kept AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bk,
+        |    round(CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+        |          WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.25 ELSE 0.0 END * 10000)::BIGINT AS thr
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM kept WHERE bk < thr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q37_deterministic_split" ->
       """WITH b AS (

@@ -121,6 +121,50 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair graph, labels = smallest reachable doc id. Dedup keeps ONE doc
+    * per CLUSTER (transitively: A≈B, B≈C ⇒ one survivor among {A,B,C}),
+    * which pairwise output alone cannot express.
+    *
+    * Algorithm: iterative min-label propagation — each round, every node
+    * takes the min of its own and its neighbors' labels; converges in
+    * O(component diameter) rounds. Each round is one distributed
+    * join+aggregate; the driver only reads the scalar changed-count to
+    * detect the fixpoint (standard Pregel-style control flow, not a data
+    * collect). Near-dup components are shallow (dozens of docs), so
+    * rounds stay single-digit at any corpus size.
+    *
+    * Returns (doc_id, cluster_id, is_kept) for every doc that appears in
+    * at least one pair; docs with no near-dups are trivially their own
+    * cluster and need no row.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    val e = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+    val edges = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).cache()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("label").as("nbr_label")), Seq("b"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_kept"))
+  }
+
   /** 64-bit SimHash per document: Σ(±1) per bit position over token
     * hashes, sign → bit. Computed with integer bit arithmetic inside one
     * aggregate — no UDF, fully codegen'd.

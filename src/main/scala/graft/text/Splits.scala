@@ -28,6 +28,24 @@ object Splits {
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long") % Buckets
 
+  /** Deterministic sample at `fraction`, a pure function of the key —
+    * the reproducible replacement for `df.sample` (stable under
+    * reruns, partitioning, and corpus growth). */
+  def sampleByKey(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(bucket(col(keyCol)) < (fraction * Buckets).round)
+
+  /** Stratified deterministic sampling: a different rate per stratum —
+    * the mixture-construction op (e.g. downsample web text to 10%, keep
+    * books at 100%) expressed as one filter, no shuffle. Strata absent
+    * from `rates` are dropped. */
+  def sampleStratified(df: DataFrame, strataCol: String, keyCol: String,
+                       rates: Map[String, Double]): DataFrame = {
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol)) < round(rate * Buckets).cast("long"))
+  }
+
   /** Assign a split label per row. `fractions` are (label, weight) in
     * priority order and should sum to ≤ 1; leftover buckets take the
     * last label. */

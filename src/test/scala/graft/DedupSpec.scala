@@ -56,6 +56,27 @@ class DedupSpec extends SparkTestBase {
     assert(!out.exists(r => r(0) == 3L || r(1) == 3L))
   }
 
+  test("duplicateClusters resolves transitive components to the min label") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3; {7,9}; 5-1 joins 5 into the first
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (1L, 5L))
+      .toDF("doc_id_1", "doc_id_2")
+    val out = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false), 5L -> (1L, false),
+      7L -> (7L, true), 9L -> (7L, false)))
+  }
+
+  test("duplicateClusters handles a long chain (diameter > 2)") {
+    import spark.implicits._
+    val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_id_1", "doc_id_2")
+    val out = Dedup.duplicateClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 9L).forall(out(_) == 1L))
+  }
+
   test("shingles of a too-short doc are empty, not an error") {
     val d = docs((1L, "one two"))
     assert(Dedup.ngramJaccard(d, n = 3, threshold = 0.0).collect().isEmpty)

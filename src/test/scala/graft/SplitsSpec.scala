@@ -31,6 +31,24 @@ class SplitsSpec extends SparkTestBase {
     assert(perGroup.forall(_.getLong(1) == 1L))
   }
 
+  test("sampleByKey is a subset-stable deterministic filter") {
+    val s10 = Splits.sampleByKey(docs, "doc_id", 0.1).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val s30 = Splits.sampleByKey(docs, "doc_id", 0.3).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s30), "smaller rate must be a subset of the larger")
+    assert(s10.size > 120 && s10.size < 280)
+  }
+
+  test("sampleStratified applies per-stratum rates and drops unknown strata") {
+    val d = (1L to 1000L).map(i => (i, if (i % 2 == 0) "a" else "zzz"))
+      .toDF("doc_id", "source")
+    val kept = Splits.sampleStratified(d, "source", "doc_id", Map("a" -> 0.5))
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("zzz"))
+    assert(kept("a") > 170 && kept("a") < 330)
+  }
+
   test("existing assignments are stable when the corpus grows") {
     val before = Splits.assign(docs, "doc_id").select("doc_id", "split")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
