@@ -395,6 +395,16 @@ object SparkEntry {
         Multimodal.extractFeatures(
           Multimodal.toMedia(s, Tables.documents(s, dir))))),
 
+    // Token-budget sequence packing (training-batch construction):
+    // bucketed running-sum pack assignment, profiled per bucket. The
+    // oracle replays the identical window arithmetic.
+    "q40_budget_packing" -> ((s, dir) =>
+      graft.text.Splits.packByBudget(Tables.documents(s, dir),
+          idCol = "doc_id", weightCol = "n_chars", budget = 2000, buckets = 8)
+        .groupBy(col("pack_bucket"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("pack_bucket"), col("pack_id"))),
+
     // Duplicate-cluster resolution: connected components over the exact
     // near-dup pair graph (iterative min-label propagation; the oracle
     // computes the same components with a recursive transitive closure).
@@ -830,6 +840,19 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes,
         |  sum(checksum)::BIGINT AS checksum_sum, min(head_byte) AS min_head
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q40_budget_packing" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000) % 8 AS pack_bucket
+        |  FROM documents),
+        |p AS (
+        |  SELECT pack_bucket, n_chars,
+        |    floor(coalesce(sum(n_chars) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)::BIGINT AS pack_id
+        |  FROM b)
+        |SELECT pack_bucket, pack_id, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q38_dedup_clusters" ->
       """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

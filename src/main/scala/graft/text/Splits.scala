@@ -46,6 +46,26 @@ object Splits {
     df.filter(bucket(col(keyCol)) < round(rate * Buckets).cast("long"))
   }
 
+  /** Approximate token-budget packing: assign documents to packs of
+    * ~`budget` total weight (tokens/chars) — training-batch construction.
+    * Docs are spread across `buckets` hash buckets (bounding any single
+    * task's window) and packed within a bucket by a running-sum window in
+    * deterministic id order: pack = floor(weight-before-me / budget).
+    * Packs can overshoot by at most one document — the standard
+    * approximation that keeps packing a single parallel window pass
+    * instead of a sequential fill.
+    */
+  def packByBudget(df: DataFrame, idCol: String, weightCol: String,
+                   budget: Long, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("pack_bucket", bucket(col(idCol)) % buckets)
+      .withColumn("__before", coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("__before") / budget))
+      .drop("__before")
+  }
+
   /** Assign a split label per row. `fractions` are (label, weight) in
     * priority order and should sum to ≤ 1; leftover buckets take the
     * last label. */

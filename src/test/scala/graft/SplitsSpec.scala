@@ -49,6 +49,22 @@ class SplitsSpec extends SparkTestBase {
     assert(kept("a") > 170 && kept("a") < 330)
   }
 
+  test("packByBudget fills packs to the budget with ≤ one-doc overshoot") {
+    val d = (1L to 300L).map(i => (i, 10L + i % 40)).toDF("doc_id", "n_chars")
+    val packed = Splits.packByBudget(d, "doc_id", "n_chars", budget = 200, buckets = 4)
+    val perPack = packed.groupBy("pack_bucket", "pack_id")
+      .agg(sum(col("n_chars")).as("w"), max(col("n_chars")).as("mx"),
+        count(lit(1)).as("n"))
+      .collect()
+    // every pack except possibly a bucket's last holds ≥ budget − max(doc)
+    // and overshoots by < its largest doc
+    perPack.foreach { r =>
+      assert(r.getLong(2) < 200 + r.getLong(3),
+        s"pack exceeded budget by a full doc: $r")
+    }
+    assert(packed.select("doc_id").distinct().count() == 300)
+  }
+
   test("existing assignments are stable when the corpus grows") {
     val before = Splits.assign(docs, "doc_id").select("doc_id", "split")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
