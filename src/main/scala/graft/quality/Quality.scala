@@ -85,4 +85,15 @@ object Quality {
     valuesIn("event_type", Seq("click", "view", "purchase", "signup", "error")),
     unique("event_id"),
     nonEmpty)
+
+  /** Corpus-ingest gate for the documents table: the checks an LLM data
+    * pipeline runs before dedup/scoring touches a batch. */
+  def documentsSuite(df: DataFrame): Seq[Expectation] = Seq(
+    columnsMatch(df, Seq("doc_id", "text", "lang", "source", "n_chars")),
+    notNull("doc_id"),
+    notNull("text"),
+    unique("doc_id"),
+    valuesIn("lang", Seq("en", "de", "fr", "es", "zh")),
+    between("n_chars", 1, 1e9),
+    nonEmpty)
 }

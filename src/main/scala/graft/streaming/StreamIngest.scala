@@ -89,6 +89,23 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** foreachBatch sink: hands each micro-batch to arbitrary batch-writer
+    * logic with its batch id — the shape used for idempotent upserts /
+    * partition overwrites where a plain append sink can't express the
+    * write (the Delta-MERGE pattern in the reference architecture's
+    * lineage). The batch id lets the writer deduplicate re-delivered
+    * batches after recovery.
+    */
+  def startForeachBatchSink(parsed: DataFrame, checkpointPath: String,
+                            trigger: Trigger = Trigger.AvailableNow())(
+      write: (DataFrame, Long) => Unit): StreamingQuery =
+    parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch(write)
+      .trigger(trigger)
+      .start()
+
   /** Debug console tap (S8, process_recommendation_events.py:70–74). */
   def startConsoleTap(parsed: DataFrame, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     parsed.writeStream

@@ -44,6 +44,17 @@ class QualitySpec extends SparkTestBase {
     assert(e.getMessage.contains("columns_ordered"))
   }
 
+  test("documents suite passes the real corpus and rejects an empty-lang batch") {
+    val good = List((1L, "hello world", "en", "s1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Quality.gate(good, Quality.documentsSuite(good)).count() == 1)
+    val bad = List((1L, "hello", "xx", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalStateException](
+      Quality.gate(bad, Quality.documentsSuite(bad)))
+    assert(e.getMessage.contains("values_in_lang"))
+  }
+
   test("empty frame fails non_empty") {
     val df = frame(Nil)
     val e = intercept[IllegalStateException](Quality.gate(df, Quality.eventsSuite(df)))

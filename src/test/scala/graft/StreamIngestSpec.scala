@@ -55,6 +55,26 @@ class StreamIngestSpec extends SparkTestBase {
     assert(out.count() == 1)
   }
 
+  test("foreachBatch sink receives each batch once with its id") {
+    val base = Files.createTempDirectory("graft_stream_test").toString
+    writeLines(s"$base/in", Seq(
+      """{"requestedUserId": 3, "recommendations": [1], "timestamp": "2024-03-03T00:00:00.000000"}"""))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val parsed = StreamIngest.parse(
+      StreamIngest.EventSource.Files(s"$base/in").load(TestSpark.spark))
+    val q = StreamIngest.startForeachBatchSink(parsed, s"$base/ckpt") {
+      (batch, id) => seen.add((id, batch.count()))
+    }
+    q.awaitTermination()
+    assert(seen.size == 1 && seen.peek()._2 == 1L)
+    // re-run against the same checkpoint: batch already committed → no redelivery
+    val q2 = StreamIngest.startForeachBatchSink(parsed, s"$base/ckpt") {
+      (batch, id) => seen.add((id, batch.count()))
+    }
+    q2.awaitTermination()
+    assert(seen.size == 1)
+  }
+
   test("the Kafka-shaped source constructs without a broker (compile-level path)") {
     val k = StreamIngest.EventSource.Kafka("broker:9092", "music_recommendations")
     assert(k.topic == "music_recommendations")
