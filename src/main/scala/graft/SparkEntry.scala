@@ -395,6 +395,26 @@ object SparkEntry {
         Multimodal.extractFeatures(
           Multimodal.toMedia(s, Tables.documents(s, dir))))),
 
+    // Capstone corpus pipeline: clean (PII redact + line dedup +
+    // whitespace canonicalize) → profile → deterministic split →
+    // per-(split, language) corpus statistics — the end-to-end
+    // training-data flow as one declarative plan; the oracle replays
+    // every stage. Quality scores aggregate as exact integer
+    // ten-thousandths so partial-agg order can't wiggle low bits.
+    "q41_corpus_pipeline" -> ((s, dir) => {
+      val cleaned = graft.text.TextClean.clean(Tables.documents(s, dir))
+      val prof = TextStats.profile(cleaned)
+      val split = graft.text.Splits.assign(cleaned, "doc_id")
+        .select(col("doc_id"), col("split"))
+      prof.join(split, Seq("doc_id"))
+        .groupBy(col("split"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(round(col("quality_score") * 10000).cast("long")) / 10000.0 /
+            count(lit(1))).as("avg_quality"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("split"), col("lang_pred"))
+    }),
+
     // Token-budget sequence packing (training-batch construction):
     // bucketed running-sum pack assignment, profiled per bucket. The
     // oracle replays the identical window arithmetic.
@@ -840,6 +860,54 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes,
         |  sum(checksum)::BIGINT AS checksum_sum, min(head_byte) AS min_head
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q41_corpus_pipeline" ->
+      """WITH cleaned AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      array_to_string(list_distinct(string_split(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(text, '[0-9A-Za-z._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |          '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+        |        chr(10))), chr(10)),
+        |      '\s+', ' ', 'g')) AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks FROM cleaned),
+        |b AS (SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars,
+        |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS punct_chars,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::BIGINT AS h_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist')))::BIGINT AS h_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est')))::BIGINT AS h_fr,
+        |  len(list_filter(toks, x -> x IN ('el','la','los','y','es')))::BIGINT AS h_es,
+        |  len(list_filter(toks, x -> x IN ('de','shi','le','zai','he')))::BIGINT AS h_zh
+        | FROM t),
+        |g AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS mx FROM b),
+        |prof AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+        |      1.0 - least(punct_chars::DOUBLE / greatest(n_chars, 1), 0.5)
+        |          - CASE WHEN n_chars < 100 THEN 0.25 ELSE 0.0 END END, 4) AS quality_score,
+        |    CASE WHEN h_de = mx AND mx > 0 THEN 'de'
+        |         WHEN h_en = mx AND mx > 0 THEN 'en'
+        |         WHEN h_es = mx AND mx > 0 THEN 'es'
+        |         WHEN h_fr = mx AND mx > 0 THEN 'fr'
+        |         WHEN h_zh = mx AND mx > 0 THEN 'zh'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM g),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+        |         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT sp.split, prof.lang_pred, count(*) AS n_docs,
+        |  sum(round(prof.quality_score * 10000)::BIGINT) / 10000.0 / count(*) AS avg_quality,
+        |  sum(prof.n_tokens)::BIGINT AS total_tokens
+        |FROM prof JOIN sp USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q40_budget_packing" ->
       """WITH b AS (
