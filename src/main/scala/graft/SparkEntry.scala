@@ -395,6 +395,31 @@ object SparkEntry {
         Multimodal.extractFeatures(
           Multimodal.toMedia(s, Tables.documents(s, dir))))),
 
+    // Sketch aggregation: HyperLogLog distinct counts. The sketch is
+    // order-independent (register-max merge), so the estimate is
+    // deterministic; the oracle pins the EXACT count and asserts the
+    // estimate lands within a 5% envelope (rsd is configured 1%, so the
+    // margin is wide) — the sketch-vs-exact contract, checked per group.
+    "q42_approx_distinct" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"),
+          (abs(approx_count_distinct(col("user_id"), rsd = 0.01) -
+            countDistinct(col("user_id"))).cast("double") /
+            countDistinct(col("user_id")) <= 0.05).as("within_5pct"))
+        .orderBy(col("event_type"))),
+
+    // Exact interpolated percentiles per group — Spark's percentile and
+    // the oracle's quantile_cont share linear-interpolation semantics.
+    "q43_percentiles" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(min(col("value")), 4).as("vmin"),
+          round(max(col("value")), 4).as("vmax"))
+        .orderBy(col("event_type"))),
+
     // Capstone corpus pipeline: clean (PII redact + line dedup +
     // whitespace canonicalize) → profile → deterministic split →
     // per-(split, language) corpus statistics — the end-to-end
@@ -860,6 +885,19 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes,
         |  sum(checksum)::BIGINT AS checksum_sum, min(head_byte) AS min_head
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q42_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+        |  true AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(min(value), 4) AS vmin,
+        |  round(max(value), 4) AS vmax
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q41_corpus_pipeline" ->
       """WITH cleaned AS (
