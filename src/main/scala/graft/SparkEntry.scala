@@ -395,6 +395,45 @@ object SparkEntry {
         Multimodal.extractFeatures(
           Multimodal.toMedia(s, Tables.documents(s, dir))))),
 
+    // Set operators beyond the reference's union (§2.7 notes it has no
+    // intersect/except): tracks listened in BOTH halves of the window vs
+    // only the first half.
+    "q44_set_ops" -> ((s, dir) => {
+      val recent = Pipelines.recentWindow(T(s, dir, "lineitem"), "l_shipdate", 30)
+      val older = Pipelines.recentWindow(T(s, dir, "lineitem"), "l_shipdate", 60)
+        .exceptAll(recent).select(col("l_partkey"))
+      val both = recent.select(col("l_partkey")).distinct()
+        .intersect(older.distinct())
+      val onlyRecent = recent.select(col("l_partkey")).distinct()
+        .except(older.distinct())
+      both.withColumn("category", lit("both"))
+        .unionByName(onlyRecent.withColumn("category", lit("recent_only")))
+        .select(col("category"), col("l_partkey").as("track_id"))
+        .orderBy(col("category"), col("track_id"))
+    }),
+
+    // Pivot: event counts spread across type columns per user decile.
+    "q45_pivot" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("user_decile", (col("user_id") % 10).cast("long"))
+        .groupBy(col("user_decile"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_decile"))),
+
+    // Cube: all grouping-set combinations over two dimensions.
+    "q46_cube" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("long").as("grp"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("grp"), col("n"))
+        .orderBy(col("grp"), col("returnflag"), col("linestatus"))),
+
     // Sketch aggregation: HyperLogLog distinct counts. The sketch is
     // order-independent (register-max merge), so the estimate is
     // deterministic; the oracle pins the EXACT count and asserts the
@@ -885,6 +924,37 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes,
         |  sum(checksum)::BIGINT AS checksum_sum, min(head_byte) AS min_head
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q44_set_ops" ->
+      """WITH mx AS (SELECT max(l_shipdate) AS m FROM lineitem),
+        |recent AS (SELECT DISTINCT l_partkey FROM lineitem, mx
+        |           WHERE l_shipdate >= m - INTERVAL 30 DAY),
+        |older AS (SELECT DISTINCT l_partkey FROM lineitem, mx
+        |          WHERE l_shipdate >= m - INTERVAL 60 DAY
+        |            AND l_shipdate < m - INTERVAL 30 DAY)
+        |SELECT 'both' AS category, l_partkey AS track_id
+        |FROM (SELECT l_partkey FROM recent INTERSECT SELECT l_partkey FROM older)
+        |UNION ALL
+        |SELECT 'recent_only', l_partkey
+        |FROM (SELECT l_partkey FROM recent EXCEPT SELECT l_partkey FROM older)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q45_pivot" ->
+      """SELECT user_id % 10 AS user_decile,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q46_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  (grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT AS grp,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY grp, returnflag, linestatus""".stripMargin,
 
     "q42_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
