@@ -141,8 +141,14 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
     val e = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
     val edges = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).cache()
+    // Each round's labels are localCheckpoint'd (eager), which TRUNCATES the
+    // logical plan at the materialized RDD. `cache()` alone does not: the
+    // analyzed plan still references the previous round's plan, so it
+    // doubles per round and planning itself OOMs the DRIVER once the
+    // component diameter passes ~8 — one long duplicate chain would kill a
+    // 100 TB run even though every executor step is tiny.
     var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
+      .withColumn("label", col("doc_id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
@@ -150,17 +156,20 @@ object Dedup {
         .join(labels.select(col("doc_id").as("b"), col("label").as("nbr_label")), Seq("b"))
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
+      val prev = labels
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .localCheckpoint()
+      val changed = next.join(prev.withColumnRenamed("label", "old"), Seq("doc_id"))
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    // The result depends only on the checkpointed labels, not on `edges`
+    // lineage — safe to release the edge cache before returning.
+    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_kept"))
   }
