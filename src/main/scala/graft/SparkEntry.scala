@@ -193,10 +193,10 @@ object SparkEntry {
       val li = T(s, dir, "lineitem")
       val likes = Pipelines.likes(T(s, dir, "orders"), li).cache()
       val userLikes = likes.filter(col("user_id") === DemoUser).select("track_id")
-      Recommender.recommend(
-        playlistSim = Pipelines.cooccurrenceProbed(
+      Recommender.recommendSym(
+        symPlaylistSim = Pipelines.cooccurrenceProbedSym(
           Pipelines.playlistTracks(li), "playlist_id", "track_id", userLikes),
-        cfSim = Pipelines.cooccurrenceProbed(
+        symCfSim = Pipelines.cooccurrenceProbedSym(
           likes, "user_id", "track_id", userLikes),
         trendingDf = Pipelines.trending(li, T(s, dir, "part"), 30),
         followsDf = Pipelines.follows(T(s, dir, "customer")),
@@ -545,8 +545,8 @@ object SparkEntry {
     // one-track probe the full similarity table never materializes.
     "q33_similar_tracks" -> ((s, dir) => {
       val probe = s.range(DemoTrack, DemoTrack + 1).select(col("id").as("track_id"))
-      Pipelines.symmetrize(Pipelines.cooccurrenceProbed(
-          Pipelines.playlistTracks(T(s, dir, "lineitem")), "playlist_id", "track_id", probe))
+      Pipelines.cooccurrenceProbedSym(
+          Pipelines.playlistTracks(T(s, dir, "lineitem")), "playlist_id", "track_id", probe)
         .filter(col("track_id_1") === DemoTrack)
         .groupBy(col("track_id_2").as("track_id"))
         .agg(sum(col("score")).as("score"))
@@ -559,8 +559,7 @@ object SparkEntry {
     "q34_collab_similar" -> ((s, dir) => {
       val probe = s.range(DemoTrack, DemoTrack + 1).select(col("id").as("track_id"))
       val likes = Pipelines.likes(T(s, dir, "orders"), T(s, dir, "lineitem"))
-      Pipelines.symmetrize(Pipelines.cooccurrenceProbed(
-          likes, "user_id", "track_id", probe))
+      Pipelines.cooccurrenceProbedSym(likes, "user_id", "track_id", probe)
         .filter(col("track_id_1") === DemoTrack)
         .groupBy(col("track_id_2").as("track_id"))
         .agg(sum(col("score")).as("score"))

@@ -75,6 +75,20 @@ class PropertiesSpec extends SparkTestBase {
       }
   }
 
+  test("cooccurrenceProbedSym equals symmetrize∘cooccurrenceProbed anchored on the probe") {
+    samples(Gen.zip(pairGen, Gen.nonEmptyListOf(Gen.choose(1L, 8L))), n = 8)
+      .foreach { case (ps, probeRaw) =>
+        val probe = probeRaw.map(Tuple1(_)).toDF("track_id")
+        val viaSym = Pipelines.symmetrize(
+            Pipelines.cooccurrenceProbed(ps.toDF("g", "t"), "g", "t", probe))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+          .filter { case ((a, _), _) => probeRaw.contains(a) }
+        val direct = Pipelines.cooccurrenceProbedSym(ps.toDF("g", "t"), "g", "t", probe)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(direct == viaSym, s"probe=$probeRaw input=$ps")
+      }
+  }
+
   test("cooccurrence: additivity over group-disjoint unions") {
     samples(pairGen, n = 6).foreach { ps =>
       val left = ps
