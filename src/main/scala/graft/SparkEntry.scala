@@ -450,6 +450,11 @@ object SparkEntry {
 
     // Exact interpolated percentiles per group — Spark's percentile and
     // the oracle's quantile_cont share linear-interpolation semantics.
+    // SCALE NOTE: exact percentile buffers every group's values in the
+    // aggregation buffer — fine for a bounded per-group cardinality,
+    // an executor OOM at 100 TB. q47_approx_percentiles is the 100 TB
+    // form (mergeable GK sketch, bounded memory); this exact variant
+    // stays registered as the semantics pin.
     "q43_percentiles" -> ((s, dir) =>
       T(s, dir, "events")
         .groupBy(col("event_type"))
@@ -457,6 +462,29 @@ object SparkEntry {
           round(expr("percentile(value, 0.95)"), 4).as("p95"),
           round(min(col("value")), 4).as("vmin"),
           round(max(col("value")), 4).as("vmax"))
+        .orderBy(col("event_type"))),
+
+    // Sketch percentiles: approx_percentile is a Greenwald–Khanna
+    // quantile summary — constant memory per group, mergeable across
+    // partials, so it scales where exact percentile (q43) cannot. Its
+    // guarantee is on RANK error (≤ N/accuracy, here 0.1%) independent
+    // of partial-merge order, so the oracle contract is the q42 envelope
+    // pattern on ranks: the sketch's p50 must land between the exact
+    // 45th and 55th percentile values (p95 between 90th and 99th) — true
+    // for any conforming sketch, regardless of value distribution. The
+    // exact columns exist to pin the oracle; a production 100 TB run
+    // would emit only the sketch columns.
+    "q47_approx_percentiles" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95_exact"),
+          expr("approx_percentile(value, 0.5, 1000)")
+            .between(expr("percentile(value, 0.45)"),
+              expr("percentile(value, 0.55)")).as("p50_in_env"),
+          expr("approx_percentile(value, 0.95, 1000)")
+            .between(expr("percentile(value, 0.90)"),
+              expr("percentile(value, 0.99)")).as("p95_in_env"))
         .orderBy(col("event_type"))),
 
     // Capstone corpus pipeline: clean (PII redact + line dedup +
@@ -966,6 +994,14 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(min(value), 4) AS vmin,
         |  round(max(value), 4) AS vmax
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_approx_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(value, 0.95), 4) AS p95_exact,
+        |  true AS p50_in_env,
+        |  true AS p95_in_env
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q41_corpus_pipeline" ->
