@@ -564,7 +564,7 @@ object SparkEntry {
     "q35_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 5),
-        k = 10, nCentroids = 16, nProbe = 4)
+        k = 10, nCentroids = 16, nProbe = 4, trainIterations = 2)
     }),
 
     // Serving endpoint /recommendations/similar/{trackId}
@@ -1111,10 +1111,42 @@ object SparkEntry {
         |  count(*) AS n, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // The oracle replays the two deterministic Lloyd's rounds: fixed-point
+    // integer micro-sums make the element-wise means exact on both engines,
+    // so the trained centroids — and every score derived from them —
+    // hash-match bit-for-bit.
     "q35_ann_ivf" ->
       """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d),
-        |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT vec_id, cent_id, v FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM n x, c0 c) WHERE rn = 1),
+        |e1 AS (SELECT cent_id, unnest(range(len(v))) AS j, unnest(v) AS x FROM a1),
+        |g1 AS (SELECT cent_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
+        |       FROM e1 GROUP BY 1, 2),
+        |m1 AS (SELECT cent_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
+        |       FROM g1 GROUP BY 1),
+        |c1 AS (SELECT c0.cent_id, COALESCE(m1.cv, c0.cv) AS cv,
+        |         sqrt(list_inner_product(COALESCE(m1.cv, c0.cv), COALESCE(m1.cv, c0.cv))) AS cnrm
+        |       FROM c0 LEFT JOIN m1 USING (cent_id)),
+        |a2 AS (
+        |  SELECT vec_id, cent_id, v FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM n x, c1 c) WHERE rn = 1),
+        |e2 AS (SELECT cent_id, unnest(range(len(v))) AS j, unnest(v) AS x FROM a2),
+        |g2 AS (SELECT cent_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
+        |       FROM e2 GROUP BY 1, 2),
+        |m2 AS (SELECT cent_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
+        |       FROM g2 GROUP BY 1),
+        |c AS (SELECT c1.cent_id, COALESCE(m2.cv, c1.cv) AS cv,
+        |        sqrt(list_inner_product(COALESCE(m2.cv, c1.cv), COALESCE(m2.cv, c1.cv))) AS cnrm
+        |      FROM c1 LEFT JOIN m2 USING (cent_id)),
         |asg AS (
         |  SELECT vec_id, cent_id, v, nrm FROM (
         |    SELECT x.vec_id, c.cent_id, x.v, x.nrm,

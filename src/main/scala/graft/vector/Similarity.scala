@@ -127,26 +127,83 @@ object Similarity {
       .select(col("vec_id_1"), col("vec_id_2"), col("cosine"))
   }
 
+  /** Deterministic Lloyd's k-means for IVF centroid training.
+    *
+    * Seeding is the first `nCentroids` vectors by id; each round assigns
+    * every vector to its max-cosine centroid (tie → lowest cent_id, the
+    * same rule as cell assignment) and recomputes each centroid as the
+    * element-wise mean of its members. The mean is computed in FIXED
+    * POINT — per-dimension sums of `round(x·10⁶)` longs — because integer
+    * addition is exactly associative/commutative: trained centroids are
+    * bit-identical for any partition count or partial-agg order, which is
+    * what lets the DuckDB oracle replay training and hash-match. Empty
+    * cells keep their previous centroid.
+    *
+    * Scale: assignment broadcasts C centroids against one pruned scan;
+    * the mean shuffles ≤ C·D·partitions tiny partial rows (posexplode is
+    * narrow, the groupBy combines map-side). Each round ends in a
+    * `localCheckpoint` so the loop's lineage stays constant-size (the
+    * duplicateClusters lesson, text/Dedup.scala).
+    */
+  def trainCentroids(embeddings: DataFrame, nCentroids: Int = 16,
+                     iterations: Int = 2): DataFrame = {
+    val data = prep(embeddings).cache()
+    var cents = data.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("long").as("cent_id"), col("v").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val c = broadcast(cents.withColumn("cnorm", sqrt(dot("cv", "cv"))))
+      val assigned = data.crossJoin(c)
+        .withColumn("__cs", round(dot("v", "cv") / (col("norm") * col("cnorm")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cent_id"), col("v")),
+          struct(col("__cs"), (-col("cent_id")).cast("long"))).as("s"))
+        .select(col("s.cent_id").as("cent_id"), col("s.v").as("v"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy(col("cent_id"), col("j"))
+        .agg(sum(round(col("x") * 1000000).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .groupBy(col("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, sx, n))), " +
+          "e -> CAST(e.sx AS DOUBLE) / (1000000.0 * e.n))").as("cv"))
+      cents = cents.select(col("cent_id"), col("cv").as("cv0"))
+        .join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cv"), col("cv0")).as("cv"))
+        .localCheckpoint()
+    }
+    data.unpersist()
+    cents
+  }
+
   /** IVF (inverted-file) ANN: vectors are assigned to their
     * nearest-centroid cell once; a query scores only the cells of its
     * `nProbe` nearest centroids. Exact scoring inside probed cells, so
     * accuracy is governed purely by the probe count.
     *
-    * Centroid "training" is deterministic here — the first `nCentroids`
-    * vectors by id stand in for a k-means pass (which would be an
-    * offline job upstream); everything downstream of training is the
-    * production dataflow. Scale: assignment is a broadcast of
-    * `nCentroids` rows against a pruned scan (one pass, no shuffle);
-    * probing shuffles on cell ids — Σ|probed cells| work per query
-    * instead of |vectors|.
+    * Centroids are either the first `nCentroids` vectors by id
+    * (`trainIterations = 0` — the cheap stand-in) or [[trainCentroids]]
+    * output (`trainIterations > 0` — deterministic Lloyd's rounds, the
+    * production form: recall at scale is governed by centroid quality).
+    * Everything downstream of training is the same dataflow. Scale:
+    * assignment is a broadcast of `nCentroids` rows against a pruned
+    * scan (one pass, no shuffle); probing shuffles on cell ids —
+    * Σ|probed cells| work per query instead of |vectors|.
     */
   def ivfTopK(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
-              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+              trainIterations: Int = 0): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val data = prep(embeddings).cache()
-    val cents = broadcast(data.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm")))
+    val centBase =
+      if (trainIterations > 0)
+        trainCentroids(embeddings, nCentroids, trainIterations)
+          .withColumn("cnorm", sqrt(dot("cv", "cv")))
+      else data.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("norm").as("cnorm"))
+    val cents = broadcast(centBase)
     def withCentScores(df: DataFrame): DataFrame =
       df.crossJoin(cents)
         .withColumn("__cs", round(dot("v", "cv") / (col("norm") * col("cnorm")), 6))

@@ -65,6 +65,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf == exact)
   }
 
+  test("ivfTopK with trained centroids and full probing still equals brute force") {
+    val vs = emb((0 until 24).map(i =>
+      (i.toLong, Seq(math.sin(i * 1.3).toFloat, math.cos(i * 0.7).toFloat,
+        math.sin(i * 0.5 + 2).toFloat))): _*)
+    val q = vs.filter(col("vec_id") < 2)
+    val exact = rows(Similarity.cosineTopK(spark, vs, q, k = 5))
+    val ivf = rows(Similarity.ivfTopK(spark, vs, q, k = 5,
+      nCentroids = 4, nProbe = 4, trainIterations = 2))
+    assert(ivf == exact)
+  }
+
+  test("trainCentroids improves IVF recall over first-N seeding on clustered data") {
+    // Four tight clusters around orthogonal axes; ids 0–3 ALL sit in
+    // cluster 0, so first-N-by-id seeding starts degenerate (every seed in
+    // one cluster) while two Lloyd's rounds should separate the cells.
+    def v(axis: Int, eps: Float): Seq[Float] =
+      (0 until 4).map(d =>
+        (if (d == axis) 1f else 0f) + (if (d == (axis + 1) % 4) eps else 0f))
+    val pts = (0 until 32).map { i =>
+      val axis = if (i < 4) 0 else i % 4
+      (i.toLong, v(axis, 0.01f * (i % 7 + 1)))
+    }
+    val vs = emb(pts: _*)
+    val q = vs.filter(col("vec_id") >= 28) // one query per cluster
+    def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      rows(df.select("query_id", "vec_id"))
+        .groupBy(_.head.asInstanceOf[Long])
+        .view.mapValues(_.map(_(1).asInstanceOf[Long]).toSet).toMap
+    val exact = topkSets(Similarity.cosineTopK(spark, vs, q, k = 5))
+    def recall(found: Map[Long, Set[Long]]): Double =
+      exact.map { case (qid, want) =>
+        found.getOrElse(qid, Set.empty).intersect(want).size.toDouble / want.size
+      }.sum / exact.size
+    val stub = recall(topkSets(Similarity.ivfTopK(spark, vs, q, k = 5,
+      nCentroids = 4, nProbe = 1)))
+    val trained = recall(topkSets(Similarity.ivfTopK(spark, vs, q, k = 5,
+      nCentroids = 4, nProbe = 1, trainIterations = 2)))
+    assert(trained >= stub, s"trained recall $trained < stub recall $stub")
+    assert(trained >= 0.9, s"trained recall $trained below 0.9")
+  }
+
   test("lshTopK results are a subset of brute-force results with equal scores") {
     val vs = emb((0 until 20).map(i =>
       (i.toLong, Seq(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
