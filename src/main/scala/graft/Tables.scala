@@ -98,21 +98,21 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw
-    * longs (legacy conf) and divide to microseconds with integer `div`
-    * (truncation == floor for the post-epoch timestamps in this data; a
-    * double roundtrip would lose precision above 2^53 ns).
+    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at BUILD time (Verify,
+    * Bench, and check.py all do) so the column arrives as raw nanosecond
+    * longs; this loader no longer mutates session conf as a side effect.
     *
-    * The conf is set in the Verify/Bench session builders; the set here is
-    * a redundant safety for externally-built sessions (driver smoke check)
-    * — idempotent, and evaluated before any scan of this table is planned.
+    * ns→µs uses FLOOR division via pmod — `div` truncates toward zero,
+    * which differs from floor for pre-epoch timestamps; pmod keeps the
+    * mapping monotone on the whole axis. The oracles compare at µs
+    * resolution (`epoch_ns(ts) // 1000`, floor) to match. A double
+    * roundtrip instead would lose precision above 2^53 ns.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
