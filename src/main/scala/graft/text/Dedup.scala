@@ -28,6 +28,19 @@ import graft.silver.Pipelines
   */
 object Dedup {
 
+  /** Run `body` over a cached frame, eagerly materialize its (small)
+    * result as a localCheckpoint, and release the cache before returning.
+    * Operators therefore hold NO session-lifetime cache: a `cache()` left
+    * behind is pinned by the CacheManager until explicitly unpersisted,
+    * so composing dedup calls in a long-lived session would accumulate
+    * full shingle indexes; the checkpointed result is owned by the
+    * returned frame and garbage-collected with it.
+    */
+  private def withCachedIndex(index: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+    val cached = index.cache()
+    try body(cached).localCheckpoint() finally cached.unpersist()
+  }
+
   /** Whitespace tokenization, lowercased — the shared normalization. */
   def tokens(textCol: Column): Column = split(lower(textCol), "\\s+")
 
@@ -60,20 +73,20 @@ object Dedup {
     * index (a pair shares ≥1 shingle ⟺ Jaccard > 0 — no false negatives),
     * intersection counted per pair, union from per-doc shingle counts.
     */
-  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.4): DataFrame = {
-    val sh = shingleIndex(docs, n).cache()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = Pipelines.cooccurrence(sh, "shingle", "doc_id")
-      .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"),
-        col("score").as("n_inter"))
-    inter
-      .join(cnt.select(col("doc_id").as("doc_id_1"), col("n_sh").as("n_1")), Seq("doc_id_1"))
-      .join(cnt.select(col("doc_id").as("doc_id_2"), col("n_sh").as("n_2")), Seq("doc_id_2"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_1") + col("n_2") - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
-  }
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.4): DataFrame =
+    withCachedIndex(shingleIndex(docs, n)) { sh =>
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = Pipelines.cooccurrence(sh, "shingle", "doc_id")
+        .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"),
+          col("score").as("n_inter"))
+      inter
+        .join(cnt.select(col("doc_id").as("doc_id_1"), col("n_sh").as("n_1")), Seq("doc_id_1"))
+        .join(cnt.select(col("doc_id").as("doc_id_2"), col("n_sh").as("n_2")), Seq("doc_id_2"))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_1") + col("n_2") - col("n_inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
+    }
 
   /** MinHash signatures: k independent hash views of the shingle set,
     * reduced with per-position min in ONE aggregation (k agg columns →
@@ -97,29 +110,29 @@ object Dedup {
     * index, so the output contains no false positives.
     */
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 32, rows: Int = 2,
-                 threshold: Double = 0.4): DataFrame = {
-    val sh = shingleIndex(docs, n).cache()
-    val sigs = minhashSignatures(sh, bands * rows)
-    val bandKeys = sigs.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, $bands - 1), j -> hash(slice(sig, j * $rows + 1, $rows)))"))
-        .as(Seq("band", "bh")))
-      .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
-      .distinct()
-    val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id")
-      .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"))
-    val withSets = cand
-      .join(sh.groupBy(col("doc_id").as("doc_id_1"))
-        .agg(collect_set(col("shingle")).as("sh_1")), Seq("doc_id_1"))
-      .join(sh.groupBy(col("doc_id").as("doc_id_2"))
-        .agg(collect_set(col("shingle")).as("sh_2")), Seq("doc_id_2"))
-    withSets
-      .withColumn("n_inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("long"))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (size(col("sh_1")) + size(col("sh_2")) - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
-  }
+                 threshold: Double = 0.4): DataFrame =
+    withCachedIndex(shingleIndex(docs, n)) { sh =>
+      val sigs = minhashSignatures(sh, bands * rows)
+      val bandKeys = sigs.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, $bands - 1), j -> hash(slice(sig, j * $rows + 1, $rows)))"))
+          .as(Seq("band", "bh")))
+        .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
+        .distinct()
+      val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id")
+        .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"))
+      val withSets = cand
+        .join(sh.groupBy(col("doc_id").as("doc_id_1"))
+          .agg(collect_set(col("shingle")).as("sh_1")), Seq("doc_id_1"))
+        .join(sh.groupBy(col("doc_id").as("doc_id_2"))
+          .agg(collect_set(col("shingle")).as("sh_2")), Seq("doc_id_2"))
+      withSets
+        .withColumn("n_inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("long"))
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (size(col("sh_1")) + size(col("sh_2")) - col("n_inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
+    }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair graph, labels = smallest reachable doc id. Dedup keeps ONE doc
@@ -201,20 +214,21 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    val sh = simhash(docs).cache()
-    val bandKeys = sh.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, $chunks - 1), j -> (simhash >> (j * $width)) & ${(1L << width) - 1})"))
-        .as(Seq("band", "bh")))
-      .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
-      .distinct()
-    val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id")
-      .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_id_1"), col("simhash").as("s1")), Seq("doc_id_1"))
-      .join(sh.select(col("doc_id").as("doc_id_2"), col("simhash").as("s2")), Seq("doc_id_2"))
-      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_id_1"), col("doc_id_2"), col("hamming"))
+    withCachedIndex(simhash(docs)) { sh =>
+      val bandKeys = sh.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, $chunks - 1), j -> (simhash >> (j * $width)) & ${(1L << width) - 1})"))
+          .as(Seq("band", "bh")))
+        .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
+        .distinct()
+      val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id")
+        .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_id_1"), col("simhash").as("s1")), Seq("doc_id_1"))
+        .join(sh.select(col("doc_id").as("doc_id_2"), col("simhash").as("s2")), Seq("doc_id_2"))
+        .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_id_1"), col("doc_id_2"), col("hamming"))
+    }
   }
 }

@@ -103,6 +103,9 @@ object Similarity {
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
                        bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    // cache → eager-checkpoint result → unpersist: the operator holds no
+    // session-lifetime cache (CacheManager pins cache() entries forever;
+    // the checkpointed result is GC'd with the returned frame)
     val data = prep(embeddings).cache()
     val nbits = bands * rowsPerBand
     val withBits = data.withColumn("bits",
@@ -117,7 +120,7 @@ object Similarity {
       .distinct()
     val cand = graft.silver.Pipelines.cooccurrence(bandKeys, "band_key", "vec_id")
       .select(col("track_id_1").as("vec_id_1"), col("track_id_2").as("vec_id_2"))
-    cand
+    val out = cand
       .join(data.select(col("vec_id").as("vec_id_1"), col("v").as("v1"),
         col("norm").as("n1")), Seq("vec_id_1"))
       .join(data.select(col("vec_id").as("vec_id_2"), col("v").as("v2"),
@@ -125,6 +128,9 @@ object Similarity {
       .withColumn("cosine", round(dot("v1", "v2") / (col("n1") * col("n2")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("vec_id_1"), col("vec_id_2"), col("cosine"))
+      .localCheckpoint()
+    data.unpersist()
+    out
   }
 
   /** Deterministic Lloyd's k-means for IVF centroid training.
@@ -232,12 +238,17 @@ object Similarity {
         round(dot("v", "qv") / (col("norm") * col("qnorm")), 6).as("score"))
       .as[Scored]
     val agg = new TopKAgg(k).toColumn.name("top")
-    scored.groupByKey(_.query_id).agg(agg)
+    // eager-checkpoint the (≤ |queries|·k row) result, then release the
+    // embeddings cache — the operator leaves no session-lifetime cache
+    val out = scored.groupByKey(_.query_id).agg(agg)
       .toDF("query_id", "top")
       .select(col("query_id"), posexplode(col("top")).as(Seq("r", "entry")))
       .select(col("query_id"), (col("r") + 1).cast("long").as("rank"),
         col("entry._2").as("vec_id"), col("entry._1").as("score"))
       .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint()
+    data.unpersist()
+    out
   }
 
   /** Sign-LSH bucketed ANN — the scale path. `nbits` deterministic

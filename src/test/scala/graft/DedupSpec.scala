@@ -81,4 +81,19 @@ class DedupSpec extends SparkTestBase {
     val d = docs((1L, "one two"))
     assert(Dedup.ngramJaccard(d, n = 3, threshold = 0.0).collect().isEmpty)
   }
+
+  test("dedup operators leave no session-lifetime cache behind") {
+    import org.apache.spark.sql.graftshim.CacheProbe
+    spark.catalog.clearCache()
+    val d = docs(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g zz"),
+      (3L, "p q r s t u v w"))
+    Dedup.ngramJaccard(d).count()
+    Dedup.minhashLsh(d).count()
+    Dedup.simhashPairs(d).count()
+    Dedup.duplicateClusters(Dedup.ngramJaccard(d)).count()
+    assert(CacheProbe.cacheManagerEmpty(spark),
+      "an internal cache() survived an operator call — CacheManager pins " +
+        "it for the session, so repeated calls would accumulate indexes")
+  }
 }
