@@ -330,6 +330,26 @@ object SparkEntry {
       Quality.run(ev, Quality.eventsSuite(ev))
     }),
 
+    // Corpus-ingest gate: the documents suite (the checks an LLM data
+    // pipeline runs before dedup/scoring touches a batch), one aggregate
+    // pass; the oracle recomputes every violation count.
+    "q49_documents_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Quality.run(d, Quality.documentsSuite(d))
+    }),
+
+    // Embedding-cosine near-dup pairs (the fifth dedup tier). This corpus
+    // has no planted near-identical vectors (max cosine ≈ 0.51 at
+    // sf0.01), so the threshold sits at the corpus's actual top band and
+    // the banding is 16 single-plane bands: a true pair is missed only if
+    // ALL 16 deterministic hyperplanes separate it (~(1−p)^16 ≈ 5·10⁻⁸ at
+    // cos 0.45), so the LSH output equals the exact pair set and the
+    // oracle can verify with a brute-force cross join.
+    "q48_embedding_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDup(Tables.embeddings(s, dir),
+          threshold = 0.45, bands = 16, rowsPerBand = 1)
+        .orderBy(col("vec_id_1"), col("vec_id_2"))),
+
     // ---- LLM-data-pipeline operators over documents / embeddings ----
 
     // Exact dedup: content-hash groupBy, deterministic keep-first.
@@ -1214,6 +1234,35 @@ object SparkEntry {
         |  UNION ALL SELECT 'not_null_user_id', null_uid::BIGINT FROM m
         |  UNION ALL SELECT 'unique_event_id', (n - de)::BIGINT FROM m
         |  UNION ALL SELECT 'values_in_event_type', bad_et::BIGINT FROM m)
-        |ORDER BY check_name""".stripMargin
+        |ORDER BY check_name""".stripMargin,
+
+    "q49_documents_quality" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, count(DISTINCT doc_id) AS dd,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_did,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+        |    sum(CASE WHEN lang IS NULL OR lang NOT IN
+        |      ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS bad_lang,
+        |    sum(CASE WHEN n_chars IS NULL OR n_chars < 1
+        |      OR n_chars > 1000000000.0 THEN 1 ELSE 0 END) AS bad_nc
+        |  FROM documents)
+        |SELECT check_name, violations, violations = 0 AS passed FROM (
+        |  SELECT 'between_n_chars' AS check_name, bad_nc::BIGINT AS violations FROM m
+        |  UNION ALL SELECT 'columns_ordered', 0::BIGINT FROM m
+        |  UNION ALL SELECT 'non_empty', (CASE WHEN n = 0 THEN 1 ELSE 0 END)::BIGINT FROM m
+        |  UNION ALL SELECT 'not_null_doc_id', null_did::BIGINT FROM m
+        |  UNION ALL SELECT 'not_null_text', null_text::BIGINT FROM m
+        |  UNION ALL SELECT 'unique_doc_id', (n - dd)::BIGINT FROM m
+        |  UNION ALL SELECT 'values_in_lang', bad_lang::BIGINT FROM m)
+        |ORDER BY check_name""".stripMargin,
+
+    "q48_embedding_neardup" ->
+      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d)
+        |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+        |ORDER BY vec_id_1, vec_id_2""".stripMargin
   )
 }
