@@ -191,7 +191,9 @@ object SparkEntry {
     // identical — the oracle computes them from the full tables).
     "q15_hybrid_recommend" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
-      val likes = Pipelines.likes(T(s, dir, "orders"), li).cache()
+      // localCheckpoint (not cache): materialized once for its four
+      // consumers, GC'd with the query — no session-lifetime cache pin
+      val likes = Pipelines.likes(T(s, dir, "orders"), li).localCheckpoint()
       val userLikes = likes.filter(col("user_id") === DemoUser).select("track_id")
       Recommender.recommendSym(
         symPlaylistSim = Pipelines.cooccurrenceProbedSym(
@@ -338,17 +340,27 @@ object SparkEntry {
       Quality.run(d, Quality.documentsSuite(d))
     }),
 
-    // Embedding-cosine near-dup pairs (the fifth dedup tier). This corpus
-    // has no planted near-identical vectors (max cosine ≈ 0.51 at
-    // sf0.01), so the threshold sits at the corpus's actual top band and
-    // the banding is 16 single-plane bands: a true pair is missed only if
-    // ALL 16 deterministic hyperplanes separate it (~(1−p)^16 ≈ 5·10⁻⁸ at
-    // cos 0.45), so the LSH output equals the exact pair set and the
-    // oracle can verify with a brute-force cross join.
-    "q48_embedding_neardup" -> ((s, dir) =>
-      Similarity.embeddingNearDup(Tables.embeddings(s, dir),
-          threshold = 0.45, bands = 16, rowsPerBand = 1)
-        .orderBy(col("vec_id_1"), col("vec_id_2"))),
+    // Embedding-cosine near-dup pairs (the fifth dedup tier) at the
+    // PRODUCTION operating point (θ=0.95, 8 bands × 4 planes — bounded
+    // buckets; a low threshold would force near-all-pairs buckets, which
+    // is exactly what LSH exists to avoid). The corpus has no
+    // near-identical vectors (max cosine ≈ 0.6), so near-dups are
+    // PLANTED deterministically: docs 0–19 reappear with id+10⁶ and the
+    // first component shifted +0.01 — cosine ≈ 0.9999, where the banding
+    // misses a pair with probability ~10⁻¹⁴. The oracle replays the
+    // planting (pure double arithmetic, identical on both engines) and
+    // verifies with a brute-force cross join.
+    "q48_embedding_neardup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          expr("concat(array(embedding[0] + 0.01d), slice(embedding, 2, size(embedding) - 1))")
+            .as("embedding"))
+      Similarity.embeddingNearDup(base.unionByName(planted), threshold = 0.95)
+        .orderBy(col("vec_id_1"), col("vec_id_2"))
+    }),
 
     // ---- LLM-data-pipeline operators over documents / embeddings ----
 
@@ -1257,12 +1269,18 @@ object SparkEntry {
         |ORDER BY check_name""".stripMargin,
 
     "q48_embedding_neardup" ->
-      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      """WITH b AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, v FROM b
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_prepend(v[1] + 0.01, v[2:]) AS v
+        |  FROM b WHERE vec_id < 20),
         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d)
         |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
         |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+        |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.95
         |ORDER BY vec_id_1, vec_id_2""".stripMargin
   )
 }

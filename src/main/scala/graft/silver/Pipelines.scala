@@ -259,7 +259,11 @@ object Pipelines {
     * cached frame, every stage fully parallel.
     */
   def normalizedTrending(trendingDf: DataFrame): DataFrame = {
-    val t = trendingDf.cache()
+    // localCheckpoint, not cache(): the (already aggregated, small) frame
+    // is materialized once for its two consumers and garbage-collected
+    // with the result — a cache() entry would stay pinned by the
+    // CacheManager for the whole session.
+    val t = trendingDf.localCheckpoint()
     t.crossJoin(broadcast(t.agg(max(col("play_count")).as("__max_pc"))))
       .withColumn("norm_score", col("play_count") / col("__max_pc"))
       .drop("__max_pc")

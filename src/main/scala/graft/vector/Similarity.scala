@@ -82,14 +82,31 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Per-plane sign bits for deterministic hash-derived hyperplanes:
-    * plane p's component for dimension j is a pseudo-random value in
-    * [-0.5, 0.5) computed from xxhash64(p, j) — reproducible on any
-    * cluster, no RNG state shipped. */
-  private def planeBit(p: Int): org.apache.spark.sql.Column =
-    expr(s"aggregate(zip_with(v, sequence(0, size(v) - 1), " +
-      s"(x, j) -> x * ((CAST(xxhash64($p, j) % 1000 AS DOUBLE)) / 1000.0 - 0.5)), " +
-      s"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)") > 0
+  /** Hyperplane p's components for `dim` dimensions: pseudo-random values
+    * in [-0.5, 0.5) derived from xxhash64(p, j) — reproducible on any
+    * cluster, no RNG state shipped. Replicated DRIVER-side (verified
+    * bit-equal to the SQL `xxhash64($p, j)` chain) so each plane is a
+    * LITERAL array: the per-row sign test is then one codegen'd fused
+    * [[dot]] instead of an interpreted zip_with/aggregate lambda chain —
+    * higher-order functions don't participate in whole-stage codegen and
+    * dominated the signature stage's cost.
+    */
+  private def plane(p: Int, dim: Int): Array[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.IntegerType
+    Array.tabulate(dim) { j =>
+      val h = XxHash64Function.hash(j, IntegerType,
+        XxHash64Function.hash(p, IntegerType, 42L))
+      (h % 1000L).toDouble / 1000.0 - 0.5
+    }
+  }
+
+  private def planeBit(p: Int, dim: Int): org.apache.spark.sql.Column =
+    graft.functions.vector_dot(col("v"), typedLit(plane(p, dim))) > 0
+
+  /** Vector width, read from one row (operators require a uniform dim). */
+  private def vecDim(df: DataFrame): Int =
+    df.select(size(col("v")).as("d")).take(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Embedding-cosine near-duplicate pairs — the fifth dedup tier
     * (semantic near-dup where text hashes can't see the similarity).
@@ -98,18 +115,24 @@ object Similarity {
     * bands of `rowsPerBand` hyperplane bits; vectors pair only within a
     * (band, bit-pattern) bucket, then candidates are scored exactly, so
     * precision is 1.0. Recall = 1 − (1 − p^r)^b with p = 1 − θ/π; at
-    * cosine ≥ 0.95 the defaults give ≥ 0.999. Scale: the only wide op is
-    * the bucket-key groupBy — no all-pairs product at any size.
+    * cosine ≥ 0.95 the defaults give ≈ 0.99 (≈ 1 − 10⁻⁷ for
+    * near-identical pairs). `rowsPerBand` trades recall at the threshold
+    * against candidate load: SHORT bands collide merely-correlated pairs
+    * (r = 4 on a clustered corpus admitted ~45% of ALL pairs as
+    * candidates; r = 8 cuts that ~25×), so widen bands before adding
+    * them. Scale: the only wide op is the bucket-key groupBy — no
+    * all-pairs product at any size.
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
-                       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+                       bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
     // cache → eager-checkpoint result → unpersist: the operator holds no
     // session-lifetime cache (CacheManager pins cache() entries forever;
     // the checkpointed result is GC'd with the returned frame)
     val data = prep(embeddings).cache()
     val nbits = bands * rowsPerBand
+    val dim = vecDim(data)
     val withBits = data.withColumn("bits",
-      array((0 until nbits).map(p => planeBit(p).cast("int")): _*))
+      array((0 until nbits).map(p => planeBit(p, dim).cast("int")): _*))
     val bandKeys = withBits.select(col("vec_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), j -> " +
         s"slice(bits, j * $rowsPerBand + 1, $rowsPerBand))"))
@@ -266,14 +289,10 @@ object Similarity {
               k: Int = 10, nbits: Int = 8): DataFrame = {
     import spark.implicits._
     def sig(df: DataFrame): DataFrame = {
-      // plane p component j ∈ [-0.5, 0.5): deterministic hash-derived
-      val planes = (0 until nbits).map(p =>
-        expr(s"aggregate(zip_with(v, sequence(0, size(v) - 1), " +
-          s"(x, j) -> x * ((CAST(xxhash64($p, j) % 1000 AS DOUBLE)) / 1000.0 - 0.5)), " +
-          s"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"))
+      val dim = vecDim(df)
       df.withColumn("bucket",
-        planes.zipWithIndex.map { case (d, i) =>
-          when(d > 0, lit(1L << i)).otherwise(0L)
+        (0 until nbits).map { i =>
+          when(planeBit(i, dim), lit(1L << i)).otherwise(0L)
         }.reduce(_ bitwiseOR _))
     }
     val data = sig(prep(embeddings))
