@@ -647,7 +647,10 @@ object SparkEntry {
           col("ts_us"), col("value"))).as("value"))
         .write.mode("overwrite").text(s"$base/in")
       StreamAgg.runWindowedToCompletion(s, s"$base/in", s"$base/sink",
-          s"$base/ckpt", windowLength = "1 day", watermarkDelay = "1 minute")
+          s"$base/ckpt", windowLength = "1 day", watermarkDelay = "1 minute",
+          // ~600 (day, type) windows: 8 state stores, not the batch
+          // shuffle default of 32 — each store commits files per batch
+          statePartitions = Some(8))
         .select(date_format(col("window_start"), "yyyy-MM-dd").as("window_day"),
           col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("window_day"), col("event_type"))

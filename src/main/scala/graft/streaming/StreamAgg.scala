@@ -129,23 +129,37 @@ object StreamAgg {
   }
 
   /** Run a windowed aggregation over a bounded file source to completion
-    * and return the emitted (closed) windows read back from the sink. */
+    * and return the emitted (closed) windows read back from the sink.
+    *
+    * `statePartitions` sizes the state store (a per-stream deploy
+    * decision: the partition count is PINNED into the checkpoint at first
+    * start, and every micro-batch commits one store file per partition —
+    * size it to key cardinality, not to the batch shuffle default). The
+    * session conf is set only for the duration of query start and
+    * restored after; the running query keeps the value it started with.
+    */
   def runWindowedToCompletion(spark: SparkSession, inPath: String, outPath: String,
                               checkpointPath: String, windowLength: String = "1 hour",
-                              watermarkDelay: String = "1 minute"): DataFrame = {
+                              watermarkDelay: String = "1 minute",
+                              statePartitions: Option[Int] = None): DataFrame = {
     // timestamps travel as epoch-µs longs: JSON timestamp parsing is
     // millisecond-bounded and would shift µs-precision boundary events
     val src = spark.readStream.schema(
         "user_id LONG, event_type STRING, ts_us LONG, value DOUBLE").json(inPath)
       .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
-    val q = windowedCounts(src, windowLength, watermarkDelay)
-      .writeStream
-      .format("parquet")
-      .outputMode("append")
-      .option("checkpointLocation", checkpointPath)
-      .option("path", outPath)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    val q = try {
+      windowedCounts(src, windowLength, watermarkDelay)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", checkpointPath)
+        .option("path", outPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(key, prev)
     q.awaitTermination()
     spark.read.schema(
       "window_start TIMESTAMP, event_type STRING, n LONG, sum_value DOUBLE")
