@@ -654,7 +654,44 @@ object SparkEntry {
         .select(date_format(col("window_start"), "yyyy-MM-dd").as("window_day"),
           col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("window_day"), col("event_type"))
-    })
+    }),
+
+    // §2.9 beyond-reference: streaming deduplication. The event stream is
+    // redelivered in full (every event TWICE — the at-least-once shape);
+    // dropDuplicatesWithinWatermark keeps one row per event_id with state
+    // bounded by the watermark. The read-back aggregate matches the
+    // DISTINCT batch oracle, and n == n_distinct per group proves exactly
+    // one copy survived. Money-style exact integer sums keep the value
+    // aggregation order-independent.
+    "q50_stream_dedup" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_streamd").toString
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      ev.unionByName(ev)
+        .select(to_json(struct(col("event_id"), col("user_id"),
+          col("event_type"), col("ts_us"), col("value"))).as("value"))
+        .write.mode("overwrite").text(s"$base/in")
+      StreamAgg.runDedupToCompletion(s, s"$base/in", s"$base/sink",
+          s"$base/ckpt", statePartitions = Some(8))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          (sum(round(col("value") * 10000, 0).cast("long")) / 10000.0).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Corpus statistics: exact top-k 3-gram document frequencies (the
+    // heavy-hitters pass a training-data pipeline runs to find boilerplate
+    // shingles worth stripping). One shuffle of the inverted shingle
+    // index with map-side partial counts — hot shingles combine before
+    // the wire — then TakeOrdered for the top-k; ties are totally ordered
+    // by (count desc, shingle asc).
+    "q51_top_ngrams" -> ((s, dir) =>
+      Dedup.shingleIndex(Tables.documents(s, dir), n = 3)
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("shingle").asc)
+        .limit(20))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1227,6 +1264,20 @@ object SparkEntry {
         |SELECT t2 AS track_id, sum(score) ::BIGINT AS score
         |FROM sym WHERE t1 = $DemoTrack
         |GROUP BY 1 ORDER BY score DESC, track_id ASC LIMIT 5""".stripMargin,
+
+    "q51_top_ngrams" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        |       FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i))
+        |SELECT shingle, count(*) AS n_docs FROM sh
+        |GROUP BY 1 ORDER BY n_docs DESC, shingle ASC LIMIT 20""".stripMargin,
+
+    "q50_stream_dedup" ->
+      """WITH e AS (SELECT DISTINCT event_id, event_type, value FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  sum(round(value * 10000)::BIGINT)::BIGINT / 10000.0 AS sum_value
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q32_stream_window" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, value FROM events)

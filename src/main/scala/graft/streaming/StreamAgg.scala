@@ -128,6 +128,52 @@ object StreamAgg {
       }
   }
 
+  /** Streaming deduplication on a key, state bounded by the watermark:
+    * `dropDuplicatesWithinWatermark` keeps one row per `keyCol` and
+    * evicts a key's state once the watermark passes its event time plus
+    * the delay — the streaming form of exact dedup (§2.1 of the dedup
+    * family), and the op every at-least-once ingest pipeline needs in
+    * front of its sink. Without the watermark bound the key state would
+    * grow with the stream forever.
+    */
+  def dedupedEvents(events: DataFrame, keyCol: String = "event_id",
+                    watermarkDelay: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Run [[dedupedEvents]] over a bounded file source to completion and
+    * return the deduplicated rows read back from the sink. Same
+    * epoch-µs-long timestamp transport and state-sizing contract as
+    * [[runWindowedToCompletion]].
+    */
+  def runDedupToCompletion(spark: SparkSession, inPath: String, outPath: String,
+                           checkpointPath: String, keyCol: String = "event_id",
+                           watermarkDelay: String = "1 minute",
+                           statePartitions: Option[Int] = None): DataFrame = {
+    val src = spark.readStream.schema(
+        "event_id LONG, user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
+      .json(inPath)
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    val q = try {
+      dedupedEvents(src, keyCol, watermarkDelay)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", checkpointPath)
+        .option("path", outPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(key, prev)
+    q.awaitTermination()
+    spark.read.schema(
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+      .parquet(outPath)
+  }
+
   /** Run a windowed aggregation over a bounded file source to completion
     * and return the emitted (closed) windows read back from the sink.
     *

@@ -69,6 +69,25 @@ class StreamAggSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one copy per key, including across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_streamdd").toString
+    def line(id: Long, us: Long, v: Double) =
+      s"""{"event_id": $id, "user_id": 1, "event_type": "click", "ts_us": $us, "value": $v}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+    // duplicate of id=1 within the same file AND a cross-file duplicate of
+    // id=2 (files may land in distinct micro-batches — state must carry)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/in/a.json"),
+      Seq(line(1, 1000000000L, 1.0), line(1, 1000000000L, 1.0),
+        line(2, 1001000000L, 2.0)).mkString("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/in/b.json"),
+      Seq(line(2, 1001000000L, 2.0), line(3, 1002000000L, 4.0)).mkString("\n"))
+    val out = StreamAgg.runDedupToCompletion(spark, s"$base/in", s"$base/sink",
+      s"$base/ckpt", watermarkDelay = "10 minutes")
+    val got = rows(out.select(col("event_id"), col("value")).orderBy(col("event_id")))
+    assert(got == Seq(Seq(1L, 1.0), Seq(2L, 2.0), Seq(3L, 4.0)), s"got $got")
+  }
+
   test("windowed counts emit exactly the closed windows (sentinel advances watermark)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
