@@ -680,6 +680,29 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // As-of (point-in-time) join: every event is enriched with the
+    // user's most recent order state at the event's date — the
+    // feature-store temporal-correctness primitive. Versions are
+    // pre-aggregated to one row per (user, date) (the operator's
+    // uniqueness contract); the oracle is DuckDB's NATIVE ASOF LEFT
+    // JOIN, so two independent as-of implementations must agree row
+    // count, match count, and matched-value sum per event type.
+    "q52_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("ev_date"), col("event_type"))
+      val vers = Tables.orders(s, dir)
+        .select(col("o_custkey").as("user_id"),
+          to_date(col("o_orderdate")).as("v_date"), col("o_totalprice"))
+        .groupBy(col("user_id"), col("v_date"))
+        .agg(max(round(col("o_totalprice") * 100, 0).cast("long")).as("price_cents"))
+      graft.operators.AsOfJoin.backward(ev, vers, "user_id", "ev_date", "v_date")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("price_cents").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          (sum(coalesce(col("price_cents"), lit(0L))) / 100.0).as("matched_price"))
+        .orderBy(col("event_type"))
+    }),
+
     // Corpus statistics: exact top-k 3-gram document frequencies (the
     // heavy-hitters pass a training-data pipeline runs to find boilerplate
     // shingles worth stripping). One shuffle of the inverted shingle
@@ -1264,6 +1287,19 @@ object SparkEntry {
         |SELECT t2 AS track_id, sum(score) ::BIGINT AS score
         |FROM sym WHERE t1 = $DemoTrack
         |GROUP BY 1 ORDER BY score DESC, track_id ASC LIMIT 5""".stripMargin,
+
+    "q52_asof_join" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000)::DATE AS ev_date,
+        |             event_type FROM events),
+        |v AS (SELECT o_custkey AS user_id, o_orderdate::DATE AS v_date,
+        |        max(round(o_totalprice * 100)::BIGINT) AS price_cents
+        |      FROM orders GROUP BY 1, 2),
+        |j AS (SELECT e.event_type, v.price_cents
+        |      FROM e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ev_date >= v.v_date)
+        |SELECT event_type, count(*) AS n,
+        |  sum(CASE WHEN price_cents IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+        |  sum(COALESCE(price_cents, 0))::BIGINT / 100.0 AS matched_price
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q51_top_ngrams" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
