@@ -714,7 +714,63 @@ object SparkEntry {
         .groupBy(col("shingle"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("shingle").asc)
-        .limit(20))
+        .limit(20)),
+
+    // §2.5 breadth: the analytic-window family beyond row_number —
+    // rank/dense_rank (gap vs no-gap tie numbering), lag/lead (temporal
+    // deltas), and a running frame sum. One window partition spec, so the
+    // whole family shares a single exchange+sort per key.
+    "q53_window_family" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val wRank = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_type"), col("event_id"))
+      T(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value"), 4).as("value"))
+        .select(col("user_id"), col("event_id"),
+          rank().over(wRank).cast("long").as("type_rank"),
+          dense_rank().over(wRank).cast("long").as("type_dense_rank"),
+          (col("us") - lag(col("us"), 1).over(w)).as("us_since_prev"),
+          lead(col("event_id"), 1).over(w).as("next_event_id"),
+          sum(round(col("value") * 10000, 0).cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_value_e4"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // §2.8 breadth: string-function family — regexp_extract, pad/trim,
+    // translate, repeat/reverse, split+element access, instr — computed
+    // in one projection pass (all codegen'd scalar expressions).
+    "q54_string_family" -> ((s, dir) =>
+      T(s, dir, "part")
+        .filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          lpad(col("p_brand"), 12, "_").as("brand_padded"),
+          translate(col("p_type"), "aeiou", "AEIOU").as("type_vowels"),
+          reverse(col("p_brand")).as("brand_rev"),
+          repeat(lit("ab"), 3).as("repeated"),
+          split(col("p_name"), " ").getItem(0).as("name_head"),
+          instr(col("p_name"), "a").cast("long").as("first_a"),
+          trim(lit("  x  ")).as("trimmed"))
+        .orderBy(col("p_partkey"))),
+
+    // §2.8 breadth: datetime family — date_trunc, quarter/dayofweek/
+    // dayofyear, add_months, last_day, datediff against the max-anchor.
+    "q55_datetime_family" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+        .orderBy(col("o_orderkey")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1287,6 +1343,40 @@ object SparkEntry {
         |SELECT t2 AS track_id, sum(score) ::BIGINT AS score
         |FROM sym WHERE t1 = $DemoTrack
         |GROUP BY 1 ORDER BY score DESC, track_id ASC LIMIT 5""".stripMargin,
+
+    "q53_window_family" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us,
+        |             round(value, 4) AS value FROM events WHERE user_id < 50)
+        |SELECT user_id, event_id,
+        |  rank() OVER (PARTITION BY user_id ORDER BY event_type, event_id)::BIGINT AS type_rank,
+        |  dense_rank() OVER (PARTITION BY user_id ORDER BY event_type, event_id)::BIGINT AS type_dense_rank,
+        |  us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS us_since_prev,
+        |  lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_event_id,
+        |  sum(round(value * 10000)::BIGINT) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS running_value_e4
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "q54_string_family" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  lpad(p_brand, 12, '_') AS brand_padded,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+        |  reverse(p_brand) AS brand_rev,
+        |  repeat('ab', 3) AS repeated,
+        |  string_split(p_name, ' ')[1] AS name_head,
+        |  instr(p_name, 'a')::BIGINT AS first_a,
+        |  trim('  x  ') AS trimmed
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    "q55_datetime_family" ->
+      """SELECT o_orderkey,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  quarter(o_orderdate)::BIGINT AS q,
+        |  (dayofweek(o_orderdate) + 1)::BIGINT AS dow,
+        |  dayofyear(o_orderdate)::BIGINT AS doy,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
 
     "q52_asof_join" ->
       """WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000)::DATE AS ev_date,
