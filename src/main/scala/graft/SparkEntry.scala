@@ -568,6 +568,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
         .orderBy(col("lang"))),
 
+    // Temperature-rebalanced mixture (α = 0.5): rates derived from the
+    // corpus's own language counts — sqrt is correctly rounded under
+    // IEEE 754, so the rate and every keep/drop decision is bit-identical
+    // to the oracle's recomputation. The largest language samples at 1.0;
+    // low-resource languages are upweighted relative to proportional.
+    "q56_temperature_mixture" -> ((s, dir) =>
+      graft.text.Splits.sampleTemperatureHalf(Tables.documents(s, dir),
+          strataCol = "lang", keyCol = "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_doc_id"))
+        .orderBy(col("lang"))),
+
     // Deterministic train/val/test split over documents: md5-bucket
     // thresholds, a pure function of the row key — reproducible on any
     // cluster and stable as the corpus grows (unlike randomSplit). The
@@ -1246,6 +1258,17 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id
         |FROM kept WHERE bk < thr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q56_temperature_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT lang, sqrt(n::DOUBLE / (SELECT max(n) FROM c)) AS rate FROM c),
+        |kept AS (
+        |  SELECT d.lang, d.doc_id
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+        |        < round(r.rate * 10000)::BIGINT)
+        |SELECT lang, count(*) AS n_kept, sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q37_deterministic_split" ->
       """WITH b AS (

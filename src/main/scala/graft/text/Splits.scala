@@ -46,6 +46,29 @@ object Splits {
     df.filter(bucket(col(keyCol)) < round(rate * Buckets).cast("long"))
   }
 
+  /** Temperature-rebalanced mixture sampling: the multilingual-corpus
+    * rebalancing rule (sample stratum l at rate ∝ (n_l / n_max)^α) that
+    * upweights low-resource strata as α → 0 while keeping the largest
+    * stratum at rate 1. Counts are a one-pass aggregate broadcast back
+    * onto the corpus; the kept-row decision stays the pure md5-bucket
+    * function (stable under reruns and corpus growth between recounts).
+    *
+    * α is fixed at 0.5 because sqrt is CORRECTLY ROUNDED under IEEE 754 —
+    * the rate, and therefore every keep/drop decision, is bit-identical
+    * on any engine (an arbitrary pow(x, α) carries cross-libm ulp risk an
+    * oracle comparison cannot tolerate).
+    */
+  def sampleTemperatureHalf(df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val withMax = counts.crossJoin(
+      broadcast(counts.agg(max(col("__n")).as("__nmax"))))
+      .select(col(strataCol),
+        sqrt(col("__n").cast("double") / col("__nmax")).as("__rate"))
+    df.join(broadcast(withMax), Seq(strataCol))
+      .filter(bucket(col(keyCol)) < round(col("__rate") * Buckets).cast("long"))
+      .drop("__rate")
+  }
+
   /** Approximate token-budget packing: assign documents to packs of
     * ~`budget` total weight (tokens/chars) — training-batch construction.
     * Docs are spread across `buckets` hash buckets (bounding any single

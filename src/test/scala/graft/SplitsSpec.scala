@@ -49,6 +49,17 @@ class SplitsSpec extends SparkTestBase {
     assert(kept("a") > 170 && kept("a") < 330)
   }
 
+  test("sampleTemperatureHalf keeps the largest stratum whole and upweights small ones") {
+    // 800 "en" vs 200 "zh": proportional sampling keeps zh at 25% of en;
+    // α=0.5 keeps en at rate 1.0 and zh at sqrt(200/800) = 0.5
+    val d = (1L to 1000L).map(i => (i, if (i <= 800) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val kept = Splits.sampleTemperatureHalf(d, "lang", "doc_id")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") == 800L, s"largest stratum must sample at 1.0, got $kept")
+    assert(kept("zh") > 60 && kept("zh") < 140, s"zh should land near 100, got $kept")
+  }
+
   test("packByBudget fills packs to the budget with ≤ one-doc overshoot") {
     val d = (1L to 300L).map(i => (i, 10L + i % 40)).toDF("doc_id", "n_chars")
     val packed = Splits.packByBudget(d, "doc_id", "n_chars", budget = 200, buckets = 4)
