@@ -19,6 +19,34 @@ class AsOfJoinSpec extends SparkTestBase {
       Seq("d", null), Seq("e", 30L)))
   }
 
+  test("backward matches a reference in-memory as-of computation on random inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      probes <- Gen.listOf(Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L)))
+      vers <- Gen.listOf(Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L)))
+    } yield (probes, vers)
+    (1 to 8).flatMap(i => gen.apply(Gen.Parameters.default.withSize(15), Seed(i.toLong)))
+      .foreach { case (probesRaw, versRaw) =>
+        val probes = probesRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        // right must be unique per (key, time): keep max payload per slot
+        val vers = versRaw.groupBy(identity).keys.toList
+          .map { case (k, t) => (k, t, k * 100 + t) }
+        val expected = probes.map { case (k, t, i) =>
+          val best = vers.filter(v => v._1 == k && v._2 <= t)
+            .sortBy(_._2).lastOption.map(_._3)
+          i -> best
+        }.toMap
+        val got = AsOfJoin.backward(
+            probes.toDF("k", "t", "pid"), vers.toDF("k", "vt", "v"),
+            "k", "t", "vt")
+          .select("pid", "v").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toMap
+        assert(got == expected, s"probes=$probes vers=$vers")
+      }
+  }
+
   test("backward keeps every probe row exactly once and all left columns") {
     val probes = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("k", "t", "tag")
     val vers = Seq((9L, 0L, 5L)).toDF("k", "vt", "v") // no overlapping key
