@@ -728,6 +728,23 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("shingle").asc)
         .limit(20)),
 
+    // Banded range join (§2.3 breadth): customer–supplier pairs whose
+    // account balances sit within 5 cents. A raw |a−b| theta join plans
+    // as a nested-loop cross product; the banded form explodes each left
+    // row to 3 value buckets and hash-joins — linear plus true matches.
+    // Balances scale to exact cents so the residual compare is integral.
+    "q57_range_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("c_cents"))
+      val su = T(s, dir, "supplier").select(col("s_suppkey"),
+        round(col("s_acctbal") * 100, 0).cast("long").as("s_cents"))
+      graft.operators.RangeJoin.within(c, su, "c_cents", "s_cents", 5L)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("c_custkey")).as("sum_custkey"),
+          sum(col("s_suppkey")).as("sum_suppkey"),
+          sum(abs(col("c_cents") - col("s_cents"))).as("sum_dist"))
+    }),
+
     // §2.5 breadth: the analytic-window family beyond row_number —
     // rank/dense_rank (gap vs no-gap tie numbering), lag/lead (temporal
     // deltas), and a running frame sum. One window partition spec, so the
@@ -1366,6 +1383,15 @@ object SparkEntry {
         |SELECT t2 AS track_id, sum(score) ::BIGINT AS score
         |FROM sym WHERE t1 = $DemoTrack
         |GROUP BY 1 ORDER BY score DESC, track_id ASC LIMIT 5""".stripMargin,
+
+    "q57_range_join" ->
+      """WITH c AS (SELECT c_custkey, round(c_acctbal * 100)::BIGINT AS c_cents FROM customer),
+        |s AS (SELECT s_suppkey, round(s_acctbal * 100)::BIGINT AS s_cents FROM supplier)
+        |SELECT count(*) AS n_pairs,
+        |  sum(c_custkey)::BIGINT AS sum_custkey,
+        |  sum(s_suppkey)::BIGINT AS sum_suppkey,
+        |  sum(abs(c_cents - s_cents))::BIGINT AS sum_dist
+        |FROM c JOIN s ON abs(c_cents - s_cents) <= 5""".stripMargin,
 
     "q53_window_family" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us,

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("within matches the brute-force theta join on random inputs, negatives included") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.zip(Gen.listOf(Gen.choose(-50L, 50L)), Gen.listOf(Gen.choose(-50L, 50L)))
+    (1 to 8).flatMap(i => gen.apply(Gen.Parameters.default.withSize(20), Seed(i.toLong)))
+      .foreach { case (ls, rs) =>
+        val tol = 7L
+        val left = ls.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+        val right = rs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+        val expected = (for {
+          (lv, li) <- ls.zipWithIndex; (rv, ri) <- rs.zipWithIndex
+          if math.abs(lv - rv) <= tol
+        } yield (li.toLong, ri.toLong)).toSet
+        val got = RangeJoin.within(left, right, "lv", "rv", tol)
+          .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.length == got.toSet.size, s"duplicate pairs: ls=$ls rs=$rs")
+        assert(got.toSet == expected, s"ls=$ls rs=$rs")
+      }
+  }
+
+  test("boundary values exactly at the tolerance are included") {
+    val left = Seq((1L, 0L)).toDF("lid", "lv")
+    val right = Seq((1L, 7L), (2L, 8L), (3L, -7L), (4L, -8L)).toDF("rid", "rv")
+    val got = RangeJoin.within(left, right, "lv", "rv", 7L)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+}
