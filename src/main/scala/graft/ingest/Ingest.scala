@@ -180,4 +180,33 @@ object Ingest {
     "event_date" -> to_date(col(tsCol)),
     "year" -> year(col(tsCol)),
     "month" -> month(col(tsCol)))
+
+  /** Small-file compaction: rewrite a parquet table into files of
+    * ~`targetFileBytes`, preserving content exactly. Streaming sinks and
+    * frequent small appends leave thousands of KB-sized files per
+    * directory; at 100 TB the resulting scan-task explosion (one task per
+    * tiny file) and namenode pressure dominate query cost long before
+    * CPU does — periodic compaction is the standing fix.
+    *
+    * The rewrite goes to a sibling temp directory first and is swapped in
+    * with two renames (write never overlaps the live read of the same
+    * path); file count = ceil(current bytes / target), coalesce (no
+    * shuffle) since output count only shrinks. Returns the new file
+    * count.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new Path(path)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(path + "_compact_tmp")
+    val dead = new Path(path + "_compact_old")
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.rename(new Path(path), dead), s"compact: could not retire $path")
+    require(fs.rename(tmp, new Path(path)), s"compact: could not install $tmp")
+    fs.delete(dead, true)
+    nFiles
+  }
 }

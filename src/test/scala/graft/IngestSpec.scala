@@ -124,6 +124,21 @@ class IngestSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/t").count() == 2)
   }
 
+  test("compact collapses a sprayed table into few files with identical content") {
+    val dir = tmp()
+    val d = (1L to 2000L).map(i => (i, s"row_$i")).toDF("id", "v")
+    d.repartition(64).write.parquet(s"$dir/t") // the small-files spray
+    def files() = new java.io.File(s"$dir/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() == 64)
+    val before = spark.read.parquet(s"$dir/t").collect().map(_.toSeq).toSet
+    val n = Ingest.compact(spark, s"$dir/t", targetFileBytes = 10L * 1024 * 1024)
+    assert(files() == n && n < 8, s"still ${files()} files (reported $n)")
+    assert(spark.read.parquet(s"$dir/t").collect().map(_.toSeq).toSet == before)
+    assert(!new java.io.File(s"$dir/t_compact_tmp").exists())
+    assert(!new java.io.File(s"$dir/t_compact_old").exists())
+  }
+
   test("append refuses a divergent schema instead of landing mixed files") {
     val dir = tmp()
     val a = List((1L, "x")).toDF("id", "v")
