@@ -728,6 +728,28 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("shingle").asc)
         .limit(20)),
 
+    // §2.9 stream-static enrichment: the event stream joined against the
+    // static customer dimension inside the stream (stateless, broadcast
+    // per micro-batch), persisted, and aggregated per nation. The oracle
+    // is the equivalent batch join — stream-static semantics ARE batch
+    // semantics per micro-batch, which this checks end-to-end.
+    "q58_stream_enrich" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_streame").toString
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .select(to_json(struct(col("event_id"), col("user_id"),
+          col("event_type"), col("ts_us"), col("value"))).as("value"))
+        .write.mode("overwrite").text(s"$base/in")
+      val dim = T(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      StreamAgg.runEnrichToCompletion(s, s"$base/in", dim, "user_id",
+          s"$base/sink", s"$base/ckpt")
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 10000, 0).cast("long")) / 10000.0).as("sum_value"))
+        .orderBy(col("nation"))
+    }),
+
     // Banded range join (§2.3 breadth): customer–supplier pairs whose
     // account balances sit within 5 cents. A raw |a−b| theta join plans
     // as a nested-loop cross product; the banded form explodes each left
@@ -1383,6 +1405,12 @@ object SparkEntry {
         |SELECT t2 AS track_id, sum(score) ::BIGINT AS score
         |FROM sym WHERE t1 = $DemoTrack
         |GROUP BY 1 ORDER BY score DESC, track_id ASC LIMIT 5""".stripMargin,
+
+    "q58_stream_enrich" ->
+      """SELECT c_nationkey::BIGINT AS nation, count(*) AS n,
+        |  sum(round(value * 10000)::BIGINT)::BIGINT / 10000.0 AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q57_range_join" ->
       """WITH c AS (SELECT c_custkey, round(c_acctbal * 100)::BIGINT AS c_cents FROM customer),

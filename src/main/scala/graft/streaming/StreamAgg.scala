@@ -174,6 +174,38 @@ object StreamAgg {
       .parquet(outPath)
   }
 
+  /** Stream-static enrichment: join a streaming fact against a static
+    * dimension frame — stateless (no watermark, no state store; the dim
+    * is re-planned per micro-batch, so a dim refresh between batches is
+    * picked up). The broadcast hint keeps each micro-batch a map-side
+    * join; at 100 TB of stream the dim side is the ONLY thing that must
+    * fit in executor memory.
+    */
+  def enrichedEvents(events: DataFrame, dim: DataFrame,
+                     joinKey: String): DataFrame =
+    events.join(broadcast(dim), Seq(joinKey))
+
+  /** Run [[enrichedEvents]] over a bounded file source to completion and
+    * return the enriched rows read back from the sink. */
+  def runEnrichToCompletion(spark: SparkSession, inPath: String, dim: DataFrame,
+                            joinKey: String, outPath: String,
+                            checkpointPath: String): DataFrame = {
+    val src = spark.readStream.schema(
+        "event_id LONG, user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
+      .json(inPath)
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val q = enrichedEvents(src, dim, joinKey)
+      .writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .option("path", outPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   /** Run a windowed aggregation over a bounded file source to completion
     * and return the emitted (closed) windows read back from the sink.
     *
