@@ -728,6 +728,24 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("shingle").asc)
         .limit(20)),
 
+    // BPE-ish token counting: the GPT-2 pretokenizer regex (contractions,
+    // space-prefixed letter/digit/symbol runs, whitespace runs) without
+    // the trailing-space lookahead — RE2 (the oracle's engine) supports
+    // no lookarounds, and both engines share leftmost-first alternation,
+    // so counts agree exactly. The whitespace count rides along as the
+    // cheap lower bound a budgeter would sanity-check against.
+    "q59_bpe_tokens" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("lang"),
+          regexp_count(col("text"),
+            lit("'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"))
+            .cast("long").as("n_bpe"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_ws"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("total_bpe_tokens"),
+          sum(col("n_ws")).as("total_ws_tokens"))
+        .orderBy(col("lang"))),
+
     // §2.9 stream-static enrichment: the event stream joined against the
     // static customer dimension inside the stream (stateless, broadcast
     // per micro-batch), persisted, and aggregated per nation. The oracle
@@ -1405,6 +1423,18 @@ object SparkEntry {
         |SELECT t2 AS track_id, sum(score) ::BIGINT AS score
         |FROM sym WHERE t1 = $DemoTrack
         |GROUP BY 1 ORDER BY score DESC, track_id ASC LIMIT 5""".stripMargin,
+
+    "q59_bpe_tokens" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text,
+        |      '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe,
+        |    len(string_split_regex(text, '\s+')) AS n_ws
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(n_bpe)::BIGINT AS total_bpe_tokens,
+        |  sum(n_ws)::BIGINT AS total_ws_tokens
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q58_stream_enrich" ->
       """SELECT c_nationkey::BIGINT AS nation, count(*) AS n,
