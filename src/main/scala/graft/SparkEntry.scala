@@ -384,11 +384,11 @@ object SparkEntry {
         threshold = 0.4)
         .orderBy(col("doc_id_1"), col("doc_id_2"))),
 
-    // SimHash fingerprints + pigeonhole-banded Hamming pairs. xxhash64 is
-    // not reproducible in the oracle engine → rows-only check; the pair
-    // semantics are covered by unit tests instead.
-    // maxHamming=3 keeps precision 1.0 on this corpus (planted near-dups
-    // sit at distance 0–5, random pairs first appear at 4).
+    // SimHash fingerprints + pigeonhole-banded Hamming pairs. The token
+    // hash is the md5-derived 60-bit form (Dedup.SimhashBits) precisely
+    // so the ORACLE can recompute every fingerprint — pigeonhole banding
+    // is lossless, so the banded pair set must equal the oracle's
+    // brute-force hamming ≤ 3 pair set bit-for-bit.
     "q27_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.simhashPairs(docs, maxHamming = 3)
@@ -403,9 +403,11 @@ object SparkEntry {
     }),
 
     // Sign-LSH bucketed ANN — the 100 TB path: deterministic hash-derived
-    // hyperplanes, bucket-equi-join instead of cross product. Not oracle-
-    // expressible (xxhash64 planes) → rows-only; recall vs q28 is asserted
-    // in unit tests.
+    // hyperplanes, bucket-equi-join instead of cross product. The plane
+    // components are interpolated into the oracle SQL as exact rational
+    // literals (k/1000 − 1/2 — both engines perform the identical
+    // correctly-rounded double ops), so the oracle rebuilds the SAME
+    // buckets and the result is fully hash-checked.
     "q29_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10, nbits = 4)
@@ -1423,6 +1425,51 @@ object SparkEntry {
         |SELECT t2 AS track_id, sum(score) ::BIGINT AS score
         |FROM sym WHERE t1 = $DemoTrack
         |GROUP BY 1 ORDER BY score DESC, track_id ASC LIMIT 5""".stripMargin,
+
+    // Generated oracle: 60 per-bit sign sums over the md5-derived token
+    // hash, then brute-force hamming ≤ 3 over all pairs (the banded
+    // operator must equal it — pigeonhole banding is lossless).
+    "q27_simhash" -> {
+      val bitSums = (0 until graft.text.Dedup.SimhashBits).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+      val bits = (0 until graft.text.Dedup.SimhashBits).map(i =>
+        s"(CASE WHEN b$i > 0 THEN 1::BIGINT << $i ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+         |  FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok),
+         |sums AS (SELECT doc_id, $bitSums FROM h GROUP BY 1),
+         |sh AS (SELECT doc_id, $bits AS simhash FROM sums),
+         |p AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_id_1, doc_id_2, hamming FROM p WHERE hamming <= 3
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin
+    },
+
+    // Generated oracle: the 4 hyperplanes embedded as exact rational
+    // component lists; bucket = sign-bit pattern; then the same
+    // bucket-join + top-k as the operator.
+    "q29_ann_lsh" -> {
+      val planes = (0 until 4).map(p =>
+        Similarity.planeMicro(p, 64)
+          .map(r => s"(${r}.0/1000.0 - 0.5)").mkString("[", ", ", "]"))
+      val bucketExpr = planes.zipWithIndex.map { case (pl, i) =>
+        s"(CASE WHEN list_inner_product(v, $pl) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d),
+         |s AS (SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM n),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM s WHERE vec_id < 5),
+         |sc AS (SELECT q.query_id, s.vec_id,
+         |         round(list_inner_product(s.v, q.qv) / (s.nrm * q.qnrm), 6) AS score
+         |       FROM s JOIN q USING (bucket) WHERE s.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, score,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, rank::BIGINT AS rank, vec_id, score FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "q59_bpe_tokens" ->
       """WITH t AS (

@@ -187,33 +187,44 @@ object Dedup {
         (col("doc_id") === col("label")).as("is_kept"))
   }
 
-  /** 64-bit SimHash per document: Σ(±1) per bit position over token
+  /** SimHash fingerprint width. 60 bits, not 64: the per-token hash is
+    * the top 15 hex digits of md5, which BOTH engines can compute (the
+    * oracle engine lacks xxhash64) while staying inside a signed 64-bit
+    * long — the fingerprint, and therefore the whole near-dup pair set,
+    * is independently recomputable by the DuckDB oracle. */
+  val SimhashBits = 60
+
+  /** Oracle-recomputable 60-bit token hash (see [[SimhashBits]]). */
+  def tokenHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash per document: Σ(±1) per bit position over token
     * hashes, sign → bit. Computed with integer bit arithmetic inside one
     * aggregate — no UDF, fully codegen'd.
     */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("token"))
-      .withColumn("h", xxhash64(col("token")))
+      .withColumn("h", tokenHash60(col("token")))
     // per token, per bit i: +1 if bit set else -1; sum per doc; sign → bit
-    val bitSums = (0 until 64).map(i =>
+    val bitSums = (0 until SimhashBits).map(i =>
       sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
     tok.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, expr(s"CAST(1 AS BIGINT) << $i"))
+        (0 until SimhashBits).map(i => when(col(s"b$i") > 0, expr(s"CAST(1 AS BIGINT) << $i"))
           .otherwise(0L)).reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using
-    * pigeonhole banding: split 64 bits into (maxHamming+1) chunks — any
-    * pair within distance d agrees on ≥1 chunk, so candidate generation
-    * shuffles on (chunk index, chunk value) buckets only. Candidates are
-    * verified with the exact popcount of the XOR.
+    * pigeonhole banding: split the fingerprint into (maxHamming+1)
+    * chunks — any pair within distance d agrees on ≥1 chunk, so candidate
+    * generation shuffles on (chunk index, chunk value) buckets only.
+    * Candidates are verified with the exact popcount of the XOR.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
-    val width = 64 / chunks
+    val width = SimhashBits / chunks
     withCachedIndex(simhash(docs)) { sh =>
       val bandKeys = sh.select(col("doc_id"),
         posexplode(expr(

@@ -91,15 +91,21 @@ object Similarity {
     * higher-order functions don't participate in whole-stage codegen and
     * dominated the signature stage's cost.
     */
-  private def plane(p: Int, dim: Int): Array[Double] = {
+  /** The integer remainders behind [[plane]] — exposed so the oracle SQL
+    * can embed each component as the exact rational `k/1000 − 1/2` (both
+    * engines then perform identical correctly-rounded double ops and
+    * rebuild the same buckets). */
+  private[graft] def planeMicro(p: Int, dim: Int): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.IntegerType
     Array.tabulate(dim) { j =>
-      val h = XxHash64Function.hash(j, IntegerType,
-        XxHash64Function.hash(p, IntegerType, 42L))
-      (h % 1000L).toDouble / 1000.0 - 0.5
+      XxHash64Function.hash(j, IntegerType,
+        XxHash64Function.hash(p, IntegerType, 42L)) % 1000L
     }
   }
+
+  private def plane(p: Int, dim: Int): Array[Double] =
+    planeMicro(p, dim).map(_.toDouble / 1000.0 - 0.5)
 
   private def planeBit(p: Int, dim: Int): org.apache.spark.sql.Column =
     graft.functions.vector_dot(col("v"), typedLit(plane(p, dim))) > 0
