@@ -341,13 +341,14 @@ object SparkEntry {
     }),
 
     // Embedding-cosine near-dup pairs (the fifth dedup tier) at the
-    // PRODUCTION operating point (θ=0.95, 8 bands × 4 planes — bounded
+    // PRODUCTION operating point (θ=0.95, 8 bands × 8 planes — bounded
     // buckets; a low threshold would force near-all-pairs buckets, which
     // is exactly what LSH exists to avoid). The corpus has no
     // near-identical vectors (max cosine ≈ 0.6), so near-dups are
     // PLANTED deterministically: docs 0–19 reappear with id+10⁶ and the
-    // first component shifted +0.01 — cosine ≈ 0.9999, where the banding
-    // misses a pair with probability ~10⁻¹⁴. The oracle replays the
+    // first component shifted +0.01 — cosine ≈ 0.9999, where an 8-plane
+    // band agrees with probability 0.9955⁸ ≈ 0.96 and all 8 bands miss
+    // with probability (1−0.96)⁸ ≈ 10⁻¹¹. The oracle replays the
     // planting (pure double arithmetic, identical on both engines) and
     // verifies with a brute-force cross join.
     "q48_embedding_neardup" -> ((s, dir) => {

@@ -188,25 +188,34 @@ object Ingest {
     * tiny file) and namenode pressure dominate query cost long before
     * CPU does — periodic compaction is the standing fix.
     *
-    * The rewrite goes to a sibling temp directory first and is swapped in
-    * with two renames (write never overlaps the live read of the same
-    * path); file count = ceil(current bytes / target), coalesce (no
-    * shuffle) since output count only shrinks. Returns the new file
+    * The rewrite goes to a sibling temp directory first, then swaps in
+    * with two renames. The swap is NOT atomic — a crash between the two
+    * renames leaves the table at `path + "_compact_old"` until restored
+    * (true atomicity needs a metastore/table-format pointer swap, out of
+    * scope for bare paths); stale staging dirs from a crashed earlier run
+    * are deleted up front so a retry always starts clean. Output files =
+    * min(input partitions, ceil(bytes / target)) — coalesce only shrinks,
+    * which is the compaction direction. Returns the actual new file
     * count.
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(new Path(path)).getLength
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "_compact_tmp")
     val dead = new Path(path + "_compact_old")
+    require(fs.exists(live), s"compact: $path does not exist" +
+      (if (fs.exists(dead)) s" — a previous run crashed mid-swap; restore from $dead" else ""))
+    fs.delete(tmp, true)
+    fs.delete(dead, true)
+    val totalBytes = fs.getContentSummary(live).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(path).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    require(fs.rename(new Path(path), dead), s"compact: could not retire $path")
-    require(fs.rename(tmp, new Path(path)), s"compact: could not install $tmp")
+    require(fs.rename(live, dead), s"compact: could not retire $path")
+    require(fs.rename(tmp, live), s"compact: could not install $tmp")
     fs.delete(dead, true)
-    nFiles
+    fs.listStatus(live).count(_.getPath.getName.endsWith(".parquet"))
   }
 }

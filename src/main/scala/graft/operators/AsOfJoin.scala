@@ -47,12 +47,19 @@ object AsOfJoin {
       lCols.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__m")) ++
         payload.map(c => lit(null).cast(rTypes(c)).as(c)): _*)
-    val rPrep = right.select(
-      lCols.map(c =>
-        if (c == keyCol) col(keyCol)
-        else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__m")) ++
-        payload.map(col): _*)
+    val rPrep = right
+      // SQL ASOF semantics (and the DuckDB oracle): NULL never matches —
+      // a null-key or null-time version must not seed any partition's
+      // carry. Null-key/null-time PROBES need no filter: a null key forms
+      // a version-free partition and a null time sorts before every
+      // version, so both null-extend naturally.
+      .filter(col(keyCol).isNotNull && col(rightTime).isNotNull)
+      .select(
+        lCols.map(c =>
+          if (c == keyCol) col(keyCol)
+          else lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(col(rightTime).as("__t"), lit(0).as("__m")) ++
+          payload.map(col): _*)
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__t").asc, col("__m").asc)

@@ -28,6 +28,9 @@ object RangeJoin {
   def within(left: DataFrame, right: DataFrame, leftVal: String,
              rightVal: String, tol: Long): DataFrame = {
     require(tol > 0, s"tolerance must be positive, got $tol")
+    val shared = left.columns.intersect(right.columns)
+    require(shared.isEmpty,
+      s"left/right column collision (rename before joining): ${shared.mkString(",")}")
     def bucketOf(c: String) = (col(c) - pmod(col(c), lit(tol))) / tol
     val lb = left.withColumn("__b",
       explode(array(bucketOf(leftVal) - 1, bucketOf(leftVal), bucketOf(leftVal) + 1)))

@@ -142,6 +142,40 @@ object StreamAgg {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Shared bounded-run plumbing for the three `run*ToCompletion`
+    * drivers: the epoch-µs JSON event source (timestamps travel as longs
+    * — JSON timestamp parsing is millisecond-bounded and would shift
+    * µs-precision boundary events) and the checkpointed parquet
+    * AvailableNow sink, with the state-store sizing conf scoped around
+    * query start (the running query keeps the value it started with;
+    * the count is pinned into the checkpoint).
+    */
+  private def jsonEventSource(spark: SparkSession, inPath: String,
+                              schema: String): DataFrame =
+    spark.readStream.schema(schema).json(inPath)
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+
+  private def runToParquet(spark: SparkSession, df: DataFrame, outPath: String,
+                           checkpointPath: String,
+                           statePartitions: Option[Int]): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    val q = try {
+      df.writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", checkpointPath)
+        .option("path", outPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(key, prev)
+    q.awaitTermination()
+  }
+
+  private val EventWithIdSchema =
+    "event_id LONG, user_id LONG, event_type STRING, ts_us LONG, value DOUBLE"
+
   /** Run [[dedupedEvents]] over a bounded file source to completion and
     * return the deduplicated rows read back from the sink. Same
     * epoch-µs-long timestamp transport and state-sizing contract as
@@ -151,24 +185,9 @@ object StreamAgg {
                            checkpointPath: String, keyCol: String = "event_id",
                            watermarkDelay: String = "1 minute",
                            statePartitions: Option[Int] = None): DataFrame = {
-    val src = spark.readStream.schema(
-        "event_id LONG, user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
-      .json(inPath)
-      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
-    val q = try {
-      dedupedEvents(src, keyCol, watermarkDelay)
-        .writeStream
-        .format("parquet")
-        .outputMode("append")
-        .option("checkpointLocation", checkpointPath)
-        .option("path", outPath)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set(key, prev)
-    q.awaitTermination()
+    val src = jsonEventSource(spark, inPath, EventWithIdSchema)
+    runToParquet(spark, dedupedEvents(src, keyCol, watermarkDelay),
+      outPath, checkpointPath, statePartitions)
     spark.read.schema(
       "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
       .parquet(outPath)
@@ -186,23 +205,14 @@ object StreamAgg {
     events.join(broadcast(dim), Seq(joinKey))
 
   /** Run [[enrichedEvents]] over a bounded file source to completion and
-    * return the enriched rows read back from the sink. */
+    * return the enriched rows read back from the sink (stateless — no
+    * state store, so no statePartitions knob). */
   def runEnrichToCompletion(spark: SparkSession, inPath: String, dim: DataFrame,
                             joinKey: String, outPath: String,
                             checkpointPath: String): DataFrame = {
-    val src = spark.readStream.schema(
-        "event_id LONG, user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
-      .json(inPath)
-      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
-    val q = enrichedEvents(src, dim, joinKey)
-      .writeStream
-      .format("parquet")
-      .outputMode("append")
-      .option("checkpointLocation", checkpointPath)
-      .option("path", outPath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val src = jsonEventSource(spark, inPath, EventWithIdSchema)
+    runToParquet(spark, enrichedEvents(src, dim, joinKey),
+      outPath, checkpointPath, statePartitions = None)
     spark.read.parquet(outPath)
   }
 
@@ -220,25 +230,10 @@ object StreamAgg {
                               checkpointPath: String, windowLength: String = "1 hour",
                               watermarkDelay: String = "1 minute",
                               statePartitions: Option[Int] = None): DataFrame = {
-    // timestamps travel as epoch-µs longs: JSON timestamp parsing is
-    // millisecond-bounded and would shift µs-precision boundary events
-    val src = spark.readStream.schema(
-        "user_id LONG, event_type STRING, ts_us LONG, value DOUBLE").json(inPath)
-      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
-    val q = try {
-      windowedCounts(src, windowLength, watermarkDelay)
-        .writeStream
-        .format("parquet")
-        .outputMode("append")
-        .option("checkpointLocation", checkpointPath)
-        .option("path", outPath)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set(key, prev)
-    q.awaitTermination()
+    val src = jsonEventSource(spark, inPath,
+      "user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
+    runToParquet(spark, windowedCounts(src, windowLength, watermarkDelay),
+      outPath, checkpointPath, statePartitions)
     spark.read.schema(
       "window_start TIMESTAMP, event_type STRING, n LONG, sum_value DOUBLE")
       .parquet(outPath)

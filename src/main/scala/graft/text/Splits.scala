@@ -59,7 +59,11 @@ object Splits {
     * oracle comparison cannot tolerate).
     */
   def sampleTemperatureHalf(df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
+    // checkpointed so the corpus is scanned ONCE for the counts — the
+    // max-rate derivation reads the materialized (tiny) frame, not a
+    // second full aggregation of df
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
     val withMax = counts.crossJoin(
       broadcast(counts.agg(max(col("__n")).as("__nmax"))))
       .select(col(strataCol),

@@ -131,10 +131,12 @@ object Similarity {
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
                        bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
-    // cache → eager-checkpoint result → unpersist: the operator holds no
+    // cache → eager-checkpoint result → unpersist (in a finally, so a
+    // failed job can't leak the entry): the operator holds no
     // session-lifetime cache (CacheManager pins cache() entries forever;
     // the checkpointed result is GC'd with the returned frame)
     val data = prep(embeddings).cache()
+    try {
     val nbits = bands * rowsPerBand
     val dim = vecDim(data)
     val withBits = data.withColumn("bits",
@@ -149,7 +151,7 @@ object Similarity {
       .distinct()
     val cand = graft.silver.Pipelines.cooccurrence(bandKeys, "band_key", "vec_id")
       .select(col("track_id_1").as("vec_id_1"), col("track_id_2").as("vec_id_2"))
-    val out = cand
+    cand
       .join(data.select(col("vec_id").as("vec_id_1"), col("v").as("v1"),
         col("norm").as("n1")), Seq("vec_id_1"))
       .join(data.select(col("vec_id").as("vec_id_2"), col("v").as("v2"),
@@ -158,8 +160,7 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("vec_id_1"), col("vec_id_2"), col("cosine"))
       .localCheckpoint()
-    data.unpersist()
-    out
+    } finally data.unpersist()
   }
 
   /** Deterministic Lloyd's k-means for IVF centroid training.
@@ -183,6 +184,18 @@ object Similarity {
   def trainCentroids(embeddings: DataFrame, nCentroids: Int = 16,
                      iterations: Int = 2): DataFrame = {
     val data = prep(embeddings).cache()
+    try trainCentroidsPrepped(data, nCentroids, iterations)
+    finally data.unpersist()
+  }
+
+  /** [[trainCentroids]] over an ALREADY-prepped (and typically cached)
+    * frame. Does NOT manage `data`'s cache lifecycle: the CacheManager
+    * dedupes identical plans, so if this method unpersisted its input it
+    * would evict the very entry a caller like [[ivfTopK]] still relies on
+    * for its post-training stages — the caller owns the cache.
+    */
+  private def trainCentroidsPrepped(data: DataFrame, nCentroids: Int,
+                                    iterations: Int): DataFrame = {
     var cents = data.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("long").as("cent_id"), col("v").as("cv"))
       .localCheckpoint()
@@ -207,7 +220,6 @@ object Similarity {
         .select(col("cent_id"), coalesce(col("cv"), col("cv0")).as("cv"))
         .localCheckpoint()
     }
-    data.unpersist()
     cents
   }
 
@@ -231,9 +243,14 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val data = prep(embeddings).cache()
+    try {
+    // training reuses THIS cache (trainCentroidsPrepped does not manage
+    // it): calling the public trainCentroids here would cache the same
+    // logical plan, get deduped to this entry by the CacheManager, and
+    // unpersist it out from under the post-training stages
     val centBase =
       if (trainIterations > 0)
-        trainCentroids(embeddings, nCentroids, trainIterations)
+        trainCentroidsPrepped(data, nCentroids, trainIterations)
           .withColumn("cnorm", sqrt(dot("cv", "cv")))
       else data.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"),
@@ -267,17 +284,17 @@ object Similarity {
         round(dot("v", "qv") / (col("norm") * col("qnorm")), 6).as("score"))
       .as[Scored]
     val agg = new TopKAgg(k).toColumn.name("top")
-    // eager-checkpoint the (≤ |queries|·k row) result, then release the
-    // embeddings cache — the operator leaves no session-lifetime cache
-    val out = scored.groupByKey(_.query_id).agg(agg)
+    // eager-checkpoint the (≤ |queries|·k row) result; the finally
+    // releases the embeddings cache even when a job in here fails —
+    // the operator leaves no session-lifetime cache either way
+    scored.groupByKey(_.query_id).agg(agg)
       .toDF("query_id", "top")
       .select(col("query_id"), posexplode(col("top")).as(Seq("r", "entry")))
       .select(col("query_id"), (col("r") + 1).cast("long").as("rank"),
         col("entry._2").as("vec_id"), col("entry._1").as("score"))
       .orderBy(col("query_id"), col("rank"))
       .localCheckpoint()
-    data.unpersist()
-    out
+    } finally data.unpersist()
   }
 
   /** Sign-LSH bucketed ANN — the scale path. `nbits` deterministic

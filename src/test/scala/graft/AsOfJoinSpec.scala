@@ -47,6 +47,23 @@ class AsOfJoinSpec extends SparkTestBase {
       }
   }
 
+  test("NULL keys and times never match, per SQL ASOF semantics") {
+    val probes = Seq(
+      (Some(1L), Some(5L), "ok"),      // normal probe
+      (None, Some(5L), "nullkey"),     // null key → no version can match
+      (Some(1L), None, "nulltime"))    // null probe time → no version precedes
+      .toDF("k", "t", "tag")
+    val vers = Seq(
+      (Some(1L), Some(0L), 10L),       // normal version
+      (None, Some(0L), 66L),           // null-key version must seed nothing
+      (Some(1L), None, 77L))           // null-time version must seed nothing
+      .toDF("k", "vt", "v")
+    val got = rows(AsOfJoin.backward(probes, vers, "k", "t", "vt")
+      .select("tag", "v").orderBy("tag"))
+    assert(got == Seq(Seq("nullkey", null), Seq("nulltime", null), Seq("ok", 10L)),
+      s"got $got")
+  }
+
   test("backward keeps every probe row exactly once and all left columns") {
     val probes = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("k", "t", "tag")
     val vers = Seq((9L, 0L, 5L)).toDF("k", "vt", "v") // no overlapping key
