@@ -830,6 +830,27 @@ object SparkEntry {
           trim(lit("  x  ")).as("trimmed"))
         .orderBy(col("p_partkey"))),
 
+    // §2.8 breadth: array + conditional families — size/sort/distinct/
+    // contains/element access over split arrays (joined back to strings
+    // so the hash compare stays scalar; distinct is sorted because
+    // first-occurrence order is engine-specific), and
+    // greatest/least/nullif/coalesce over numerics.
+    "q60_array_conditional" -> ((s, dir) =>
+      T(s, dir, "part")
+        .filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"), split(col("p_name"), " ").as("words"),
+          col("p_size").cast("long").as("ps"))
+        .select(col("p_partkey"),
+          size(col("words")).cast("long").as("n_words"),
+          array_join(sort_array(col("words")), ",").as("sorted_words"),
+          array_join(array_sort(array_distinct(col("words"))), ",").as("distinct_words"),
+          array_contains(col("words"), "green").as("has_green"),
+          element_at(col("words"), 1).as("w1"),
+          greatest(col("ps"), lit(25L)).as("size_hi"),
+          least(col("ps"), lit(25L)).as("size_lo"),
+          coalesce(nullif(col("ps"), lit(25L)), lit(-1L)).as("size_nn"))
+        .orderBy(col("p_partkey"))),
+
     // §2.8 breadth: datetime family — date_trunc, quarter/dayofweek/
     // dayofyear, add_months, last_day, datediff against the max-anchor.
     "q55_datetime_family" -> ((s, dir) =>
@@ -1522,6 +1543,21 @@ object SparkEntry {
         |  instr(p_name, 'a')::BIGINT AS first_a,
         |  trim('  x  ') AS trimmed
         |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    "q60_array_conditional" ->
+      """WITH w AS (SELECT p_partkey, p_size::BIGINT AS ps,
+        |             string_split(p_name, ' ') AS words
+        |           FROM part WHERE p_partkey <= 500)
+        |SELECT p_partkey,
+        |  len(words)::BIGINT AS n_words,
+        |  array_to_string(list_sort(words), ',') AS sorted_words,
+        |  array_to_string(list_sort(list_distinct(words)), ',') AS distinct_words,
+        |  list_contains(words, 'green') AS has_green,
+        |  words[1] AS w1,
+        |  greatest(ps, 25) AS size_hi,
+        |  least(ps, 25) AS size_lo,
+        |  coalesce(nullif(ps, 25), -1) AS size_nn
+        |FROM w ORDER BY p_partkey""".stripMargin,
 
     "q55_datetime_family" ->
       """SELECT o_orderkey,
