@@ -830,6 +830,56 @@ object SparkEntry {
           trim(lit("  x  ")).as("trimmed"))
         .orderBy(col("p_partkey"))),
 
+    // §2.5 breadth: distribution-rank window functions. percent_rank and
+    // cume_dist are exact small-integer ratios ((rank−1)/(n−1), n/m) —
+    // double division of identical operands is deterministic across
+    // engines; ntile's remainder distribution is SQL-standard in both.
+    "q61_window_distribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 400)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.5 breadth: value-navigation window functions with an EXPLICIT
+    // rows frame on both sides (default frames differ subtly between
+    // engines; pinning ROWS removes the ambiguity).
+    "q62_window_navigation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, dir, "events")
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), col("event_id"),
+          first(col("event_id")).over(w).as("first_event"),
+          last(col("event_id")).over(w).as("last_event"),
+          nth_value(col("event_id"), 2).over(w).as("second_event"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // §2.4 breadth: conditional/boolean aggregates — count_if-style
+    // filtered counts, bool_and/bool_or, and exact-cent conditional sums.
+    "q63_conditional_agg" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") > 150000, 1L).otherwise(0L)).as("n_big"),
+          (sum(when(col("o_orderpriority") === "1-URGENT",
+            round(col("o_totalprice") * 100, 0).cast("long")).otherwise(0L)) / 100.0)
+            .as("urgent_revenue"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"))
+        .orderBy(col("o_orderstatus"))),
+
     // §2.8 breadth: array + conditional families — size/sort/distinct/
     // contains/element access over split arrays (joined back to strings
     // so the hash compare stays scalar; distinct is sorted because
@@ -1543,6 +1593,41 @@ object SparkEntry {
         |  instr(p_name, 'a')::BIGINT AS first_a,
         |  trim('  x  ') AS trimmed
         |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    "q61_window_distribution" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |             l_returnflag, l_quantity
+        |           FROM lineitem WHERE l_orderkey <= 400)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  (ntile(4) OVER w)::BIGINT AS quartile
+        |FROM l
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q62_window_navigation" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE user_id < 40)
+        |SELECT user_id, event_id,
+        |  first_value(event_id) OVER w AS first_event,
+        |  last_value(event_id) OVER w AS last_event,
+        |  nth_value(event_id, 2) OVER w AS second_event
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q63_conditional_agg" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)::BIGINT AS n_big,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN round(o_totalprice * 100)::BIGINT ELSE 0 END)::BIGINT / 100.0
+        |    AS urgent_revenue,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q60_array_conditional" ->
       """WITH w AS (SELECT p_partkey, p_size::BIGINT AS ps,
