@@ -830,6 +830,25 @@ object SparkEntry {
           trim(lit("  x  ")).as("trimmed"))
         .orderBy(col("p_partkey"))),
 
+    // §2.9 stream-stream interval join (the attribution join): views
+    // joined to the click they preceded within an hour, per user, with
+    // watermarks bounding both sides' state. Inner interval joins emit
+    // exactly the matched pairs, so the oracle is the equivalent batch
+    // range join over the same µs timestamps.
+    "q64_stream_interval_join" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_streamj").toString
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .select(to_json(struct(col("event_id"), col("user_id"),
+          col("event_type"), col("ts_us"), col("value"))).as("value"))
+        .write.mode("overwrite").text(s"$base/in")
+      StreamAgg.runIntervalJoinToCompletion(s, s"$base/in", s"$base/sink",
+          s"$base/ckpt", intervalSeconds = 3600, statePartitions = Some(8))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("click_id")).as("sum_click_id"),
+          sum(col("view_id")).as("sum_view_id"))
+    }),
+
     // §2.5 breadth: distribution-rank window functions. percent_rank and
     // cume_dist are exact small-integer ratios ((rank−1)/(n−1), n/m) —
     // double division of identical operands is deterministic across
@@ -1593,6 +1612,16 @@ object SparkEntry {
         |  instr(p_name, 'a')::BIGINT AS first_a,
         |  trim('  x  ') AS trimmed
         |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    "q64_stream_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, us AS cus FROM e WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, us AS vus FROM e WHERE event_type = 'view')
+        |SELECT count(*) AS n_pairs,
+        |  sum(click_id)::BIGINT AS sum_click_id,
+        |  sum(view_id)::BIGINT AS sum_view_id
+        |FROM c JOIN v USING (user_id)
+        |WHERE vus >= cus - 3600000000::BIGINT AND vus <= cus""".stripMargin,
 
     "q61_window_distribution" ->
       """WITH l AS (SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,

@@ -216,6 +216,45 @@ object StreamAgg {
     spark.read.parquet(outPath)
   }
 
+  /** Stream-stream interval join: views attributed to the click they
+    * preceded within `intervalSeconds`, per user — the event-attribution
+    * join every analytics pipeline runs. Both sides carry watermarks and
+    * the join condition carries the event-time range, so each side's
+    * buffered state is evicted once the watermark passes the interval:
+    * state is bounded by (delay + interval) of stream time, never the
+    * stream's history.
+    */
+  def intervalJoined(clicks: DataFrame, views: DataFrame,
+                     intervalSeconds: Long = 3600,
+                     watermarkDelay: String = "1 minute"): DataFrame =
+    clicks
+      .withWatermark("click_ts", watermarkDelay)
+      .join(views.withWatermark("view_ts", watermarkDelay),
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $intervalSeconds SECONDS") &&
+          col("view_ts") <= col("click_ts"))
+
+  /** Run [[intervalJoined]] over a bounded file source to completion:
+    * the event file is read as TWO streams (clicks and views) from the
+    * same source, joined, persisted, and read back. */
+  def runIntervalJoinToCompletion(spark: SparkSession, inPath: String,
+                                  outPath: String, checkpointPath: String,
+                                  intervalSeconds: Long = 3600,
+                                  statePartitions: Option[Int] = None): DataFrame = {
+    def side(eventType: String) =
+      jsonEventSource(spark, inPath, EventWithIdSchema)
+        .filter(col("event_type") === eventType)
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val views = side("view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+    runToParquet(spark, intervalJoined(clicks, views, intervalSeconds),
+      outPath, checkpointPath, statePartitions)
+    spark.read.parquet(outPath)
+  }
+
   /** Run a windowed aggregation over a bounded file source to completion
     * and return the emitted (closed) windows read back from the sink.
     *
