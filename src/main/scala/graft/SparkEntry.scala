@@ -33,6 +33,26 @@ object SparkEntry {
     * at 0, so it exists at every scale factor. */
   val DemoTrack = 1L
 
+  /** Embedding width of the test fixture (TESTDATA.md). The operators
+    * derive it at runtime (Similarity.vecDim); the q29 oracle needs it
+    * STATICALLY to embed plane literals of the right length — one shared
+    * constant instead of a magic 64 inside the SQL builder. */
+  val EmbeddingDim = 64
+
+  /** Shared staging for the streaming queries (q50/q58/q64): events as
+    * JSON lines with timestamps as epoch-µs longs (JSON timestamp
+    * parsing is millisecond-bounded and would shift µs-precision
+    * boundary events). */
+  private def stageEventsJson(s: SparkSession, dir: String, base: String,
+                              doubled: Boolean = false): Unit = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    (if (doubled) ev.unionByName(ev) else ev)
+      .select(to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"), col("value"))).as("value"))
+      .write.mode("overwrite").text(s"$base/in")
+  }
+
   private def T(s: SparkSession, dir: String, name: String) = name match {
     case "events" => Tables.events(s, dir) // ns→µs ts normalization
     case _        => Tables.load(s, dir, name)
@@ -680,12 +700,7 @@ object SparkEntry {
     // aggregation order-independent.
     "q50_stream_dedup" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_streamd").toString
-      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
-        col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
-      ev.unionByName(ev)
-        .select(to_json(struct(col("event_id"), col("user_id"),
-          col("event_type"), col("ts_us"), col("value"))).as("value"))
-        .write.mode("overwrite").text(s"$base/in")
+      stageEventsJson(s, dir, base, doubled = true)
       StreamAgg.runDedupToCompletion(s, s"$base/in", s"$base/sink",
           s"$base/ckpt", statePartitions = Some(8))
         .groupBy(col("event_type"))
@@ -734,16 +749,19 @@ object SparkEntry {
     // BPE-ish token counting: the GPT-2 pretokenizer regex (contractions,
     // space-prefixed letter/digit/symbol runs, whitespace runs) without
     // the trailing-space lookahead — RE2 (the oracle's engine) supports
-    // no lookarounds, and both engines share leftmost-first alternation,
-    // so counts agree exactly. The whitespace count rides along as the
-    // cheap lower bound a budgeter would sanity-check against.
+    // no lookarounds, and both engines share leftmost-first alternation.
+    // Whitespace is the EXPLICIT class [ \t\n\r\f], not \s: Java's \s
+    // includes vertical tab where RE2's does not, and the explicit class
+    // is the same set in both engines, so counts agree on ANY input.
+    // The whitespace count rides along as the cheap lower bound a
+    // budgeter would sanity-check against.
     "q59_bpe_tokens" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("lang"),
           regexp_count(col("text"),
-            lit("'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"))
+            lit("'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|[ \\t\\n\\r\\f]+"))
             .cast("long").as("n_bpe"),
-          size(split(col("text"), "\\s+")).cast("long").as("n_ws"))
+          size(split(col("text"), "[ \\t\\n\\r\\f]+")).cast("long").as("n_ws"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("total_bpe_tokens"),
           sum(col("n_ws")).as("total_ws_tokens"))
@@ -756,11 +774,7 @@ object SparkEntry {
     // semantics per micro-batch, which this checks end-to-end.
     "q58_stream_enrich" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_streame").toString
-      Tables.events(s, dir).select(col("event_id"), col("user_id"),
-          col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
-        .select(to_json(struct(col("event_id"), col("user_id"),
-          col("event_type"), col("ts_us"), col("value"))).as("value"))
-        .write.mode("overwrite").text(s"$base/in")
+      stageEventsJson(s, dir, base)
       val dim = T(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_nationkey"))
       StreamAgg.runEnrichToCompletion(s, s"$base/in", dim, "user_id",
@@ -837,11 +851,7 @@ object SparkEntry {
     // range join over the same µs timestamps.
     "q64_stream_interval_join" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_streamj").toString
-      Tables.events(s, dir).select(col("event_id"), col("user_id"),
-          col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
-        .select(to_json(struct(col("event_id"), col("user_id"),
-          col("event_type"), col("ts_us"), col("value"))).as("value"))
-        .write.mode("overwrite").text(s"$base/in")
+      stageEventsJson(s, dir, base)
       StreamAgg.runIntervalJoinToCompletion(s, s"$base/in", s"$base/sink",
           s"$base/ckpt", intervalSeconds = 3600, statePartitions = Some(8))
         .agg(count(lit(1)).as("n_pairs"),
@@ -1543,7 +1553,7 @@ object SparkEntry {
     // bucket-join + top-k as the operator.
     "q29_ann_lsh" -> {
       val planes = (0 until 4).map(p =>
-        Similarity.planeMicro(p, 64)
+        Similarity.planeMicro(p, EmbeddingDim)
           .map(r => s"(${r}.0/1000.0 - 0.5)").mkString("[", ", ", "]"))
       val bucketExpr = planes.zipWithIndex.map { case (pl, i) =>
         s"(CASE WHEN list_inner_product(v, $pl) > 0 THEN ${1L << i} ELSE 0 END)"
@@ -1566,8 +1576,8 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT lang,
         |    len(regexp_extract_all(text,
-        |      '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe,
-        |    len(string_split_regex(text, '\s+')) AS n_ws
+        |      '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+')) AS n_bpe,
+        |    len(string_split_regex(text, '[ \t\n\r\f]+')) AS n_ws
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
         |  sum(n_bpe)::BIGINT AS total_bpe_tokens,

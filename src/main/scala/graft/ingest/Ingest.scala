@@ -188,34 +188,52 @@ object Ingest {
     * tiny file) and namenode pressure dominate query cost long before
     * CPU does — periodic compaction is the standing fix.
     *
-    * The rewrite goes to a sibling temp directory first, then swaps in
-    * with two renames. The swap is NOT atomic — a crash between the two
-    * renames leaves the table at `path + "_compact_old"` until restored
+    * Hive-partitioned tables (the module's own primary layout) are
+    * compacted PER LEAF PARTITION DIRECTORY, preserving the directory
+    * structure — and with it partition pruning and the append contract; a
+    * whole-table rewrite would flatten `year=/month=` into loose files.
+    * Each leaf rewrite goes to a sibling temp directory first, then swaps
+    * in with two renames. The swap is NOT atomic — a crash between the
+    * two renames leaves that leaf at `<leaf>_compact_old` until restored
     * (true atomicity needs a metastore/table-format pointer swap, out of
     * scope for bare paths); stale staging dirs from a crashed earlier run
-    * are deleted up front so a retry always starts clean. Output files =
-    * min(input partitions, ceil(bytes / target)) — coalesce only shrinks,
-    * which is the compaction direction. Returns the actual new file
-    * count.
+    * are deleted up front so a retry always starts clean. The rewrite
+    * uses `repartition` (one shuffle) rather than `coalesce`, which would
+    * collapse the SCAN's parallelism to the output file count and
+    * serialize the whole rewrite on a large cluster. Returns the actual
+    * new data-file count.
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     import org.apache.hadoop.fs.Path
-    val live = new Path(path)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + "_compact_tmp")
-    val dead = new Path(path + "_compact_old")
-    require(fs.exists(live), s"compact: $path does not exist" +
-      (if (fs.exists(dead)) s" — a previous run crashed mid-swap; restore from $dead" else ""))
-    fs.delete(tmp, true)
-    fs.delete(dead, true)
-    val totalBytes = fs.getContentSummary(live).getLength
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(path).coalesce(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    require(fs.rename(live, dead), s"compact: could not retire $path")
-    require(fs.rename(tmp, live), s"compact: could not install $tmp")
-    fs.delete(dead, true)
-    fs.listStatus(live).count(_.getPath.getName.endsWith(".parquet"))
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"compact: $path does not exist")
+
+    // leaf data dirs: recurse through partition (`col=value`) directories
+    def leaves(p: Path): Seq[Path] = {
+      val parts = fs.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (parts.isEmpty) Seq(p) else parts.toSeq.flatMap(s => leaves(s.getPath))
+    }
+
+    def compactLeaf(leaf: Path): Int = {
+      val tmp = new Path(leaf.toString + "_compact_tmp")
+      val dead = new Path(leaf.toString + "_compact_old")
+      require(fs.exists(leaf) || !fs.exists(dead),
+        s"compact: a previous run crashed mid-swap; restore $leaf from $dead")
+      fs.delete(tmp, true)
+      fs.delete(dead, true)
+      val totalBytes = fs.getContentSummary(leaf).getLength
+      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      spark.read.parquet(leaf.toString).repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      require(fs.rename(leaf, dead), s"compact: could not retire $leaf")
+      require(fs.rename(tmp, leaf), s"compact: could not install $tmp")
+      fs.delete(dead, true)
+      fs.listStatus(leaf).count(_.getPath.getName.endsWith(".parquet"))
+    }
+
+    leaves(root).map(compactLeaf).sum
   }
 }

@@ -211,9 +211,11 @@ object StreamAgg {
                             joinKey: String, outPath: String,
                             checkpointPath: String): DataFrame = {
     val src = jsonEventSource(spark, inPath, EventWithIdSchema)
-    runToParquet(spark, enrichedEvents(src, dim, joinKey),
-      outPath, checkpointPath, statePartitions = None)
-    spark.read.parquet(outPath)
+    val joined = enrichedEvents(src, dim, joinKey)
+    runToParquet(spark, joined, outPath, checkpointPath, statePartitions = None)
+    // explicit schema from the streaming plan: an all-miss join writes
+    // zero files and schema inference on the bare sink would throw
+    spark.read.schema(joined.schema).parquet(outPath)
   }
 
   /** Stream-stream interval join: views attributed to the click they
@@ -250,9 +252,11 @@ object StreamAgg {
     val views = side("view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
         col("ts").as("view_ts"))
-    runToParquet(spark, intervalJoined(clicks, views, intervalSeconds),
-      outPath, checkpointPath, statePartitions)
-    spark.read.parquet(outPath)
+    val joined = intervalJoined(clicks, views, intervalSeconds)
+    runToParquet(spark, joined, outPath, checkpointPath, statePartitions)
+    // explicit schema: a no-match interval join writes zero files and
+    // schema inference on the bare sink would throw
+    spark.read.schema(joined.schema).parquet(outPath)
   }
 
   /** Run a windowed aggregation over a bounded file source to completion

@@ -139,6 +139,27 @@ class IngestSpec extends SparkTestBase {
     assert(!new java.io.File(s"$dir/t_compact_old").exists())
   }
 
+  test("compact preserves a Hive-partitioned layout and its pruning") {
+    val dir = tmp()
+    val d = (1L to 1200L).map(i => (i, s"r$i", 2020 + (i % 3).toInt)).toDF("id", "v", "year")
+    d.repartition(16).write.partitionBy("year").parquet(s"$dir/t") // 16 files per leaf
+    val before = spark.read.parquet(s"$dir/t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    Ingest.compact(spark, s"$dir/t", targetFileBytes = 10L * 1024 * 1024)
+    val root = new java.io.File(s"$dir/t")
+    val leafDirs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("year="))
+    assert(leafDirs.length == 3, s"partition dirs lost: ${root.listFiles().map(_.getName).toSeq}")
+    assert(!root.listFiles().exists(f => f.getName.endsWith(".parquet")),
+      "data files leaked into the table root — layout flattened")
+    leafDirs.foreach { leaf =>
+      assert(leaf.listFiles().count(_.getName.endsWith(".parquet")) < 4,
+        s"${leaf.getName} still sprayed")
+    }
+    val after = spark.read.parquet(s"$dir/t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(after == before)
+  }
+
   test("append refuses a divergent schema instead of landing mixed files") {
     val dir = tmp()
     val a = List((1L, "x")).toDF("id", "v")
