@@ -844,6 +844,33 @@ object SparkEntry {
           trim(lit("  x  ")).as("trimmed"))
         .orderBy(col("p_partkey"))),
 
+    // SQL surface depth: explicit GROUPING SETS (the general form rollup
+    // and cube specialize) — exercised through spark.sql so the SQL
+    // parser path is covered, with the grouping-id disambiguator.
+    "q65_grouping_sets" -> ((s, dir) =>
+      s.sql(
+        s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           |  coalesce(l_linestatus, 'ALL') AS linestatus,
+           |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS grp,
+           |  count(*) AS n, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+           |FROM parquet.`$dir/lineitem.parquet`
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+           |ORDER BY grp, returnflag, linestatus""".stripMargin)),
+
+    // SQL surface depth: correlated EXISTS / NOT EXISTS — Catalyst
+    // decorrelates both into semi/anti joins (the .explain shows no
+    // per-row subquery); the oracle runs the IDENTICAL SQL text.
+    "q66_correlated_exists" -> ((s, dir) =>
+      s.sql(
+        s"""SELECT c.c_custkey, c.c_name
+           |FROM parquet.`$dir/customer.parquet` c
+           |WHERE EXISTS (SELECT 1 FROM parquet.`$dir/orders.parquet` o
+           |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+           |  AND NOT EXISTS (SELECT 1 FROM parquet.`$dir/orders.parquet` o
+           |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+           |                    AND o.o_totalprice < 50000)
+           |ORDER BY c.c_custkey""".stripMargin)),
+
     // §2.9 stream-stream interval join (the attribution join): views
     // joined to the click they preceded within an hour, per user, with
     // watermarks bounding both sides' state. Inner interval joins emit
@@ -1622,6 +1649,25 @@ object SparkEntry {
         |  instr(p_name, 'a')::BIGINT AS first_a,
         |  trim('  x  ') AS trimmed
         |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    "q65_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  (grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT AS grp,
+        |  count(*) AS n, round(sum(l_quantity))::BIGINT AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY grp, returnflag, linestatus""".stripMargin,
+
+    "q66_correlated_exists" ->
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice < 50000)
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "q64_stream_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),

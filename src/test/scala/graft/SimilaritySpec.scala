@@ -106,6 +106,12 @@ class SimilaritySpec extends SparkTestBase {
     assert(trained >= 0.9, s"trained recall $trained below 0.9")
   }
 
+  test("empty inputs return empty frames, not errors (vecDim guard)") {
+    val none = emb()
+    assert(Similarity.embeddingNearDup(none, threshold = 0.9).count() == 0)
+    assert(Similarity.lshTopK(spark, none, none, k = 3, nbits = 4).count() == 0)
+  }
+
   test("lshTopK results are a subset of brute-force results with equal scores") {
     val vs = emb((0 until 20).map(i =>
       (i.toLong, Seq(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
