@@ -844,6 +844,33 @@ object SparkEntry {
           trim(lit("  x  ")).as("trimmed"))
         .orderBy(col("p_partkey"))),
 
+    // Count–min sketch heavy-hitter counts (completing the sketch family:
+    // HLL q42, GK quantiles q47, CMS here). The sketch is built by the
+    // codegen'd built-in aggregate (seeded → deterministic; counter adds
+    // are merge-order independent), collected — it IS the aggregate, a
+    // few KB — and probed driver-side. The oracle pins exact counts and
+    // the CMS's defining envelope: estimates never undercount, and
+    // overcount by at most ε·N (ε = 0.001).
+    "q67_countmin" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+      val bytes = ev.agg(count_min_sketch(col("user_id"),
+          lit(0.001), lit(0.99), lit(42)).as("sk"))
+        .head.getAs[Array[Byte]]("sk")
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val total = ev.count()
+      val est = (0L until 5L).map(u => (u, cms.estimateCount(u))).toDF("user_id", "est")
+      ev.filter(col("user_id") < 5)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .join(broadcast(est), Seq("user_id"))
+        .select(col("user_id"), col("n_exact"),
+          (col("est") >= col("n_exact")).as("overcount_ok"),
+          (col("est") <= col("n_exact") + lit((0.001 * total).toLong)).as("within_eps"))
+        .orderBy(col("user_id"))
+    }),
+
     // SQL surface depth: explicit GROUPING SETS (the general form rollup
     // and cube specialize) — exercised through spark.sql so the SQL
     // parser path is covered, with the grouping-id disambiguator.
@@ -1649,6 +1676,11 @@ object SparkEntry {
         |  instr(p_name, 'a')::BIGINT AS first_a,
         |  trim('  x  ') AS trimmed
         |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    "q67_countmin" ->
+      """SELECT user_id, count(*) AS n_exact,
+        |  true AS overcount_ok, true AS within_eps
+        |FROM events WHERE user_id < 5 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q65_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
