@@ -844,6 +844,27 @@ object SparkEntry {
           trim(lit("  x  ")).as("trimmed"))
         .orderBy(col("p_partkey"))),
 
+    // §2.8 JSON round-trip fidelity: events serialized with to_json and
+    // parsed back with from_json (the batch siblings of the streaming
+    // S7 decode), then aggregated — the oracle computes the same
+    // aggregates from the ORIGINAL columns, so any loss in the
+    // serialize→parse cycle (double shortest-round-trip printing,
+    // long/string fidelity) fails the gate.
+    "q68_json_roundtrip" -> ((s, dir) => {
+      val js = T(s, dir, "events")
+        .select(to_json(struct(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))).as("j"))
+      js.select(from_json(col("j"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id LONG, user_id LONG, event_type STRING, value DOUBLE")).as("s"))
+        .select(col("s.event_id").as("event_id"), col("s.event_type").as("event_type"),
+          col("s.value").as("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+          (sum(round(col("value") * 10000, 0).cast("long")) / 10000.0).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Count–min sketch heavy-hitter counts (completing the sketch family:
     // HLL q42, GK quantiles q47, CMS here). The sketch is built by the
     // codegen'd built-in aggregate (seeded → deterministic; counter adds
@@ -1676,6 +1697,12 @@ object SparkEntry {
         |  instr(p_name, 'a')::BIGINT AS first_a,
         |  trim('  x  ') AS trimmed
         |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    "q68_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(event_id)::BIGINT AS sum_id,
+        |  sum(round(value * 10000)::BIGINT)::BIGINT / 10000.0 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q67_countmin" ->
       """SELECT user_id, count(*) AS n_exact,
