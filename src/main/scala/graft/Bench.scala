@@ -34,7 +34,11 @@ object Bench {
       val err = runs.flatMap(_._2).headOption
       (name, if (err.isEmpty) runs.map(_._1).min else -1.0, err)
     }
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // millisecond precision: full-precision doubles ballooned the line to
+    // ~2.7 KB at 68 queries and the driver's fixed-size tail capture
+    // truncated it (BENCH_r03 "parsed": null) — keep the ONE line small
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s""""$k":${ms(v)}""" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s""""$k":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
@@ -43,7 +47,7 @@ object Bench {
     // conditions alongside the numbers
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg":$load,"repeats":$repeats,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"load_avg":${ms(load)},"repeats":$repeats,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

@@ -50,6 +50,14 @@ object SparkEntry {
     (if (doubled) ev.unionByName(ev) else ev)
       .select(to_json(struct(col("event_id"), col("user_id"),
         col("event_type"), col("ts_us"), col("value"))).as("value"))
+      // ONE staged file: the watermarked consumers (q50/q64) tolerate no
+      // batch splits — if the file source ever put a late event's every
+      // copy in a later micro-batch than one that advanced the watermark
+      // past it, the row would be dropped and the oracle gate would fail.
+      // One file ⇒ one AvailableNow batch ⇒ watermark advances only after
+      // all data is in state. (Fixture-sized data; a production stream
+      // sets the watermark delay from the real disorder bound instead.)
+      .coalesce(1)
       .write.mode("overwrite").text(s"$base/in")
   }
 
@@ -680,6 +688,10 @@ object SparkEntry {
         .unionByName(sentinel)
         .select(to_json(struct(col("user_id"), col("event_type"),
           col("ts_us"), col("value"))).as("value"))
+        // one file ⇒ one micro-batch: the sentinel must not be processed
+        // in an earlier batch than any real event, or the advanced
+        // watermark drops them as late (see stageEventsJson)
+        .coalesce(1)
         .write.mode("overwrite").text(s"$base/in")
       StreamAgg.runWindowedToCompletion(s, s"$base/in", s"$base/sink",
           s"$base/ckpt", windowLength = "1 day", watermarkDelay = "1 minute",
@@ -1026,7 +1038,7 @@ object SparkEntry {
     * (exact inverted-index plan) and q26 (LSH-candidates + exact verify).
     */
   private val ngramJaccardOracle: String =
-    """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+    """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
       |       FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1307,7 +1319,7 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
 
     "q30_text_stats" ->
-      """WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
         |b AS (SELECT doc_id, text, toks,
         |  len(toks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars,
         |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS punct_chars,
@@ -1411,11 +1423,11 @@ object SparkEntry {
         |          regexp_replace(
         |            regexp_replace(text, '[0-9A-Za-z._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
-        |          '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+        |          '\+?[0-9][0-9()\- \t\n\r\f]{7,}[0-9]', '<PHONE>', 'g'),
         |        chr(10))), chr(10)),
-        |      '\s+', ' ', 'g')) AS text
+        |      '[ \t\n\r\f]+', ' ', 'g')) AS text
         |  FROM documents),
-        |t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks FROM cleaned),
+        |t AS (SELECT doc_id, text, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM cleaned),
         |b AS (SELECT doc_id,
         |  len(toks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars,
         |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS punct_chars,
@@ -1464,7 +1476,7 @@ object SparkEntry {
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q38_dedup_clusters" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
         |       FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1611,7 +1623,7 @@ object SparkEntry {
       val bits = (0 until graft.text.Dedup.SimhashBits).map(i =>
         s"(CASE WHEN b$i > 0 THEN 1::BIGINT << $i ELSE 0 END)").mkString(" + ")
       s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+')) AS token
          |  FROM documents),
          |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok),
          |sums AS (SELECT doc_id, $bitSums FROM h GROUP BY 1),
@@ -1812,7 +1824,7 @@ object SparkEntry {
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q51_top_ngrams" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
         |       FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i))
         |SELECT shingle, count(*) AS n_docs FROM sh

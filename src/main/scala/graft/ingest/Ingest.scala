@@ -194,10 +194,15 @@ object Ingest {
     * whole-table rewrite would flatten `year=/month=` into loose files.
     * Each leaf rewrite goes to a sibling temp directory first, then swaps
     * in with two renames. The swap is NOT atomic — a crash between the
-    * two renames leaves that leaf at `<leaf>_compact_old` until restored
-    * (true atomicity needs a metastore/table-format pointer swap, out of
-    * scope for bare paths); stale staging dirs from a crashed earlier run
-    * are deleted up front so a retry always starts clean. The rewrite
+    * two renames leaves that leaf at `<leaf>_compact_old` (true atomicity
+    * needs a metastore/table-format pointer swap, out of scope for bare
+    * paths) — so every run begins with a recovery sweep: an orphaned
+    * `<leaf>_compact_old` whose `<leaf>` is missing is renamed back into
+    * place (it holds the original data), one whose `<leaf>` exists is a
+    * completed swap's leftover and is deleted, and stale `_compact_tmp`
+    * staging dirs are always deleted. Staging dirs are never treated as
+    * partition leaves themselves (their names contain `=` only because
+    * the leaf's does). The rewrite
     * uses `repartition` (one shuffle) rather than `coalesce`, which would
     * collapse the SCAN's parallelism to the output file count and
     * serialize the whole rewrite on a large cluster. Returns the actual
@@ -210,18 +215,41 @@ object Ingest {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"compact: $path does not exist")
 
-    // leaf data dirs: recurse through partition (`col=value`) directories
+    val TmpSuffix = "_compact_tmp"
+    val OldSuffix = "_compact_old"
+    def isStaging(p: Path): Boolean =
+      p.getName.endsWith(TmpSuffix) || p.getName.endsWith(OldSuffix)
+
+    // Recovery sweep for a crashed earlier run (see scaladoc): restore
+    // orphaned `_compact_old` dirs whose real leaf is gone, drop the
+    // leftovers of completed swaps, and clear all `_compact_tmp` staging.
+    def recover(p: Path): Unit = {
+      val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      dirs.filter(_.getName.endsWith(OldSuffix)).foreach { dead =>
+        val leaf = new Path(dead.getParent, dead.getName.stripSuffix(OldSuffix))
+        if (!fs.exists(leaf))
+          require(fs.rename(dead, leaf), s"compact: could not restore $leaf from $dead")
+        else fs.delete(dead, true)
+      }
+      dirs.filter(_.getName.endsWith(TmpSuffix)).foreach(t => fs.delete(t, true))
+      fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("=") && !isStaging(s.getPath))
+        .foreach(s => recover(s.getPath))
+    }
+    recover(root)
+
+    // leaf data dirs: recurse through partition (`col=value`) directories,
+    // never descending into compaction staging dirs (their names contain
+    // `=` only because the leaf's does)
     def leaves(p: Path): Seq[Path] = {
       val parts = fs.listStatus(p).filter(s =>
-        s.isDirectory && s.getPath.getName.contains("="))
+        s.isDirectory && s.getPath.getName.contains("=") && !isStaging(s.getPath))
       if (parts.isEmpty) Seq(p) else parts.toSeq.flatMap(s => leaves(s.getPath))
     }
 
     def compactLeaf(leaf: Path): Int = {
-      val tmp = new Path(leaf.toString + "_compact_tmp")
-      val dead = new Path(leaf.toString + "_compact_old")
-      require(fs.exists(leaf) || !fs.exists(dead),
-        s"compact: a previous run crashed mid-swap; restore $leaf from $dead")
+      val tmp = new Path(leaf.toString + TmpSuffix)
+      val dead = new Path(leaf.toString + OldSuffix)
       fs.delete(tmp, true)
       fs.delete(dead, true)
       val totalBytes = fs.getContentSummary(leaf).getLength

@@ -39,6 +39,11 @@ object AsOfJoin {
     val lCols = left.columns
     require(payload.intersect(lCols).isEmpty,
       s"payload/left column collision: ${payload.intersect(lCols).mkString(",")}")
+    val reservedClash = (left.columns ++ right.columns).distinct
+      .intersect(Seq("__t", "__m"))
+    require(reservedClash.isEmpty,
+      s"reserved internal column names in input (rename before joining): " +
+        reservedClash.mkString(","))
     val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
 
     // aligned union: left rows carry null payloads, version rows carry

@@ -31,7 +31,10 @@ object RangeJoin {
     val shared = left.columns.intersect(right.columns)
     require(shared.isEmpty,
       s"left/right column collision (rename before joining): ${shared.mkString(",")}")
-    def bucketOf(c: String) = (col(c) - pmod(col(c), lit(tol))) / tol
+    // integral `div` keeps the join key a LONG: Column `/` promotes to
+    // DOUBLE, where buckets beyond 2^53·tol collide or shift and the join
+    // silently returns wrong pairs
+    def bucketOf(c: String) = expr(s"((`$c` - pmod(`$c`, $tol)) div $tol)")
     val lb = left.withColumn("__b",
       explode(array(bucketOf(leftVal) - 1, bucketOf(leftVal), bucketOf(leftVal) + 1)))
     val rb = right.withColumn("__b", bucketOf(rightVal))

@@ -42,7 +42,10 @@ object Dedup {
   }
 
   /** Whitespace tokenization, lowercased — the shared normalization. */
-  def tokens(textCol: Column): Column = split(lower(textCol), "\\s+")
+  // explicit whitespace class, NOT \s: Java's \s includes U+000B vertical
+  // tab while RE2's (the DuckDB oracle's) does not — the one character on
+  // which the two engines' tokenizations diverge
+  def tokens(textCol: Column): Column = split(lower(textCol), "[ \\t\\n\\r\\f]+")
 
   /** Distinct n-token shingles per document as an array column. */
   def shingles(toksCol: String, n: Int): Column = {

@@ -14,7 +14,9 @@ object TextClean {
     * port to RE2-based engines): emails, international-ish phone
     * sequences, IPv4 addresses. */
   val EmailRe = "[0-9A-Za-z._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+  // explicit whitespace class, not \s: Java's \s includes U+000B, RE2's
+  // does not — the explicit class means identical matches in both engines
+  val PhoneRe = "\\+?[0-9][0-9()\\- \\t\\n\\r\\f]{7,}[0-9]"
   val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   /** Replace emails/phones/IPs with typed placeholder tokens. */
@@ -35,7 +37,7 @@ object TextClean {
   /** Collapse runs of whitespace to single spaces and trim — the
     * canonicalization that makes fingerprints spacing-insensitive. */
   def collapseWhitespace(textCol: Column): Column =
-    trim(regexp_replace(textCol, "\\s+", " "))
+    trim(regexp_replace(textCol, "[ \\t\\n\\r\\f]+", " "))
 
   /** Remove duplicate lines WITHIN a document, keeping first occurrence
     * in order (boilerplate killer: nav bars, repeated footers). */

@@ -23,7 +23,8 @@ object TextStats {
     "es" -> Seq("el", "la", "los", "y", "es"),
     "zh" -> Seq("de", "shi", "le", "zai", "he"))
 
-  private def toks(textCol: Column): Column = split(lower(textCol), "\\s+")
+  // explicit class, not \s — Java vs RE2 disagree on U+000B (see Dedup.tokens)
+  private def toks(textCol: Column): Column = split(lower(textCol), "[ \\t\\n\\r\\f]+")
 
   /** Count of tokens matching any word in `words`. */
   private def hitCount(toksCol: Column, words: Seq[String]): Column =

@@ -71,4 +71,17 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.columns.toSeq == Seq("k", "t", "tag", "v"))
     assert(out.count() == 2 && out.filter($"v".isNull).count() == 2)
   }
+  test("reserved internal column names are rejected up front") {
+    val probes = Seq((1L, 1L, 0L)).toDF("k", "t", "__t")
+    val vers = Seq((1L, 0L, 5L)).toDF("k", "vt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(probes, vers, "k", "t", "vt")
+    }
+    assert(e.getMessage.contains("__t"))
+    val vers2 = Seq((1L, 0L, 5L)).toDF("k", "vt", "__m")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(probes.select($"k", $"t"), vers2, "k", "t", "vt")
+    }
+    assert(e2.getMessage.contains("__m"))
+  }
 }

@@ -77,6 +77,16 @@ class DedupSpec extends SparkTestBase {
     assert((1L to 9L).forall(out(_) == 1L))
   }
 
+  test("tokens uses the explicit whitespace class: U+000B stays inside a token") {
+    // Java \\s+ would split on the vertical tab; RE2 (the DuckDB oracle's
+    // engine) would not — the explicit class keeps both engines identical
+    import spark.implicits._
+    val got = Seq("a\u000Bb c").toDF("text")
+      .select(Dedup.tokens(org.apache.spark.sql.functions.col("text")))
+      .as[Seq[String]].head()
+    assert(got == Seq("a\u000bb", "c"), s"got $got")
+  }
+
   test("shingles of a too-short doc are empty, not an error") {
     val d = docs((1L, "one two"))
     assert(Dedup.ngramJaccard(d, n = 3, threshold = 0.0).collect().isEmpty)

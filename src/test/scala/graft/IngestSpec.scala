@@ -160,6 +160,33 @@ class IngestSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  test("compact recovers a partitioned table from a crash between the two renames") {
+    val dir = tmp()
+    val d = (1L to 600L).map(i => (i, s"r$i", 2020 + (i % 2).toInt)).toDF("id", "v", "year")
+    d.repartition(8).write.partitionBy("year").parquet(s"$dir/t")
+    val before = spark.read.parquet(s"$dir/t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+    // simulate the worst crash point: leaf retired to _compact_old, the
+    // compacted tmp not yet installed — the real leaf is GONE
+    val root = new java.io.File(s"$dir/t")
+    val leaf = new java.io.File(root, "year=2020")
+    val dead = new java.io.File(root, "year=2020_compact_old")
+    val tmpStage = new java.io.File(root, "year=2021_compact_tmp")
+    assert(leaf.renameTo(dead))
+    tmpStage.mkdir() // stale staging from the same crashed run
+
+    val n = Ingest.compact(spark, s"$dir/t", targetFileBytes = 10L * 1024 * 1024)
+    assert(n > 0)
+    // recovery restored the retired leaf, cleared all staging, and the
+    // staging dirs were never compacted as if they were partition leaves
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("year=2020", "year=2021"), s"unexpected table dirs: $dirs")
+    val after = spark.read.parquet(s"$dir/t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(after == before, "crash recovery lost or duplicated rows")
+  }
+
   test("append refuses a divergent schema instead of landing mixed files") {
     val dir = tmp()
     val a = List((1L, "x")).toDF("id", "v")

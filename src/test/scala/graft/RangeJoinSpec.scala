@@ -25,6 +25,18 @@ class RangeJoinSpec extends SparkTestBase {
       }
   }
 
+  test("bucket keys stay exact beyond double precision (values past 2^53)") {
+    // with a DOUBLE bucket key, values around 2^60 collapse to the same
+    // rounded bucket or shift by one — the join silently drops/adds pairs
+    val base = 1L << 60
+    val left = Seq((1L, base), (2L, base + 100L)).toDF("lid", "lv")
+    val right = Seq((10L, base + 3L), (20L, base + 97L), (30L, base + 50L))
+      .toDF("rid", "rv")
+    val got = RangeJoin.within(left, right, "lv", "rv", 5L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 20L)))
+  }
+
   test("boundary values exactly at the tolerance are included") {
     val left = Seq((1L, 0L)).toDF("lid", "lv")
     val right = Seq((1L, 7L), (2L, 8L), (3L, -7L), (4L, -8L)).toDF("rid", "rv")
