@@ -1029,7 +1029,83 @@ object SparkEntry {
           dayofyear(col("o_orderdate")).cast("long").as("doy"),
           date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
           date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
-        .orderBy(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))),
+
+    // Batch gap-based sessionization (islands): new session when the gap
+    // to the user's previous event exceeds 30 min — the offline twin of
+    // the streaming sessionizer, one user-keyed shuffle total.
+    "q69_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.stats(
+        T(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us")),
+        "user_id", "us", "event_id", gapUs = 30L * 60 * 1000000L)
+        .orderBy(col("user_id"), col("session_no"))),
+
+    // Latest-wins keyed upsert (MERGE shape on bare tables): orders act
+    // as a CDC change stream over the customer balance snapshot;
+    // precedence = (order date, order key), base rows lose to any update.
+    "q70_upsert_merge" -> ((s, dir) => {
+      val base = T(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_acctbal").as("balance"),
+          lit(0L).as("v_ts"), lit(0L).as("v_id"))
+      val upd = T(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_totalprice").as("balance"),
+          date_format(col("o_orderdate"), "yyyyMMdd").cast("long").as("v_ts"),
+          col("o_orderkey").as("v_id"))
+      graft.operators.Merge.upsert(base, upd, Seq("user_id"), Seq("v_ts", "v_id"))
+        .orderBy(col("user_id"))
+    }),
+
+    // SCD2 history build: order-status change log per customer collapsed
+    // into validity intervals [valid_from, valid_to), open on current.
+    "q71_scd2_history" -> ((s, dir) =>
+      graft.operators.Merge.scd2(
+        T(s, dir, "orders").select(col("o_custkey").as("user_id"),
+          col("o_orderstatus").as("status"),
+          date_format(col("o_orderdate"), "yyyyMMdd").cast("long").as("ts"),
+          col("o_orderkey").as("tie")),
+        Seq("user_id"), "ts", "tie", Seq("status"))
+        .select(col("user_id"), col("status"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("status"))),
+
+    // TF-IDF top terms per document with the division-only rarity score
+    // (tf·N)/df — engine-deterministic where ln(N/df) is not (see
+    // Relevance scaladoc).
+    "q72_tfidf_topterms" -> ((s, dir) =>
+      graft.text.Relevance.tfidfTopTerms(T(s, dir, "documents"), k = 5)
+        .orderBy(col("doc_id"), col("rn"))),
+
+    // Bloom-filter runtime-prefiltered semi-join: high-balance suppliers'
+    // lineitems — the bloom discards non-matching fact rows BEFORE the
+    // exchange, the residual semi-join makes the result exact, so the
+    // oracle is the plain semi-join.
+    "q73_bloom_semi_join" -> ((s, dir) => {
+      val dim = T(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+      graft.operators.BloomJoin.semiJoin(
+          T(s, dir, "lineitem"), "l_suppkey", dim, "s_suppkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Fixed-point integer PageRank (3 rounds) over the follows graph —
+    // bit-reproducible ranks (see graph/PageRank scaladoc); the oracle
+    // replays the same 3 rounds in unrolled integer SQL.
+    "q74_pagerank" -> ((s, dir) =>
+      graft.graph.PageRank.ranks(
+          graft.silver.Pipelines.follows(T(s, dir, "customer")),
+          "user_id_a", "user_id_b", iterations = 3)
+        .orderBy(col("rank_fp").desc, col("id"))
+        .limit(100)
+        .select(col("id").as("user_id"), col("rank_fp"))),
+
+    // Salted two-stage aggregation: results identical to the plain
+    // groupBy count (the salt is an execution detail against hot keys),
+    // which is exactly what the oracle checks.
+    "q75_salted_count" -> ((s, dir) =>
+      graft.silver.Pipelines.saltedCount(T(s, dir, "events"), "event_type")
+        .orderBy(col("event_type")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1048,6 +1124,32 @@ object SparkEntry {
       |      JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2)
       |SELECT d1 AS doc_id_1, d2 AS doc_id_2, round(jac, 4) AS jaccard
       |FROM j WHERE jac >= 0.4 ORDER BY 1, 2""".stripMargin
+
+  /** q74 oracle: the follows edge list plus `n` unrolled fixed-point
+    * PageRank rounds (graph/PageRank.scala semantics — `//` floor and
+    * Spark `div` truncation agree on the non-negative operands here).
+    * Built programmatically so every round is literally identical.
+    */
+  private def pagerankOracle(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, sum((r.r * 85) // (100 * d.outdeg))::BIGINT AS cin
+         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r${i - 1} r ON r.id = e.src GROUP BY 1),
+         |r$i AS (SELECT nd.id, 150000000::BIGINT + coalesce(c.cin, 0) AS r
+         |  FROM nodes nd LEFT JOIN c$i c ON c.id = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS (SELECT c_custkey AS src, c_nationkey AS nk,
+       |    unnest([c_custkey - 2, c_custkey - 1, c_custkey + 1, c_custkey + 2]) AS dst
+       |  FROM customer),
+       |edges AS (SELECT cand.src, cand.dst FROM cand
+       |  JOIN customer c2 ON c2.c_nationkey = cand.nk AND c2.c_custkey = cand.dst),
+       |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |r0 AS (SELECT id, 1000000000::BIGINT AS r FROM nodes),
+       |$rounds
+       |SELECT id AS user_id, r AS rank_fp FROM r$n
+       |ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin
+  }
 
   /** DuckDB-runnable ANSI SQL equivalents, table names = parquet basenames.
     * Column aliases match the Spark side exactly (driver sorts columns by
@@ -1893,6 +1995,76 @@ object SparkEntry {
         |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.95
-        |ORDER BY vec_id_1, vec_id_2""".stripMargin
+        |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+
+    "q69_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS nb
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us,
+        |    sum(nb) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+        |  FROM f)
+        |SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS duration_us
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, session_no""".stripMargin,
+
+    "q70_upsert_merge" ->
+      """WITH base AS (SELECT c_custkey AS user_id, c_acctbal AS balance,
+        |    0::BIGINT AS v_ts, 0::BIGINT AS v_id, 0 AS pri FROM customer),
+        |upd AS (SELECT o_custkey, o_totalprice,
+        |    strftime(o_orderdate, '%Y%m%d')::BIGINT, o_orderkey, 1 FROM orders),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |r AS (SELECT user_id, balance, v_ts, v_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY pri DESC, v_ts DESC, v_id DESC) AS rn
+        |  FROM allr)
+        |SELECT user_id, balance, v_ts, v_id FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q71_scd2_history" ->
+      """WITH c AS (SELECT o_custkey AS user_id, o_orderstatus AS status,
+        |    strftime(o_orderdate, '%Y%m%d')::BIGINT AS ts, o_orderkey AS tie FROM orders),
+        |f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR status IS DISTINCT FROM lag(status) OVER w THEN 1 ELSE 0 END AS nb
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, tie)),
+        |g AS (SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY ts, tie
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS run FROM f),
+        |r AS (SELECT user_id, run, min(status) AS status, min(ts) AS valid_from
+        |  FROM g GROUP BY 1, 2),
+        |o AS (SELECT user_id, status, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+        |  FROM r)
+        |SELECT user_id, status, valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM o ORDER BY user_id, valid_from, status""".stripMargin,
+
+    "q72_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |s AS (SELECT doc_id, token, tf, df, (tf * n.n)::DOUBLE / df AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, token ASC)::BIGINT AS rn FROM s)
+        |SELECT doc_id, rn, token, tf, df, score FROM r WHERE rn <= 5
+        |ORDER BY doc_id, rn""".stripMargin,
+
+    // the bloom is a pre-filter with an exact residual verify, so the
+    // oracle is the plain semi-join aggregate
+    "q73_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q74_pagerank" -> pagerankOracle(3),
+
+    // salted aggregation is execution-equivalent to the plain groupBy
+    "q75_salted_count" ->
+      """SELECT event_type, count(*)::BIGINT AS n FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
