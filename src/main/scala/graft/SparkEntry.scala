@@ -1105,7 +1105,27 @@ object SparkEntry {
     // which is exactly what the oracle checks.
     "q75_salted_count" -> ((s, dir) =>
       graft.silver.Pipelines.saltedCount(T(s, dir, "events"), "event_type")
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // Z-order layout audit: Morton-interleave (l_partkey, l_suppkey) with
+    // the custom fused-loop z_value expression, bucket by equal-width
+    // z ranges (max-anchored, fully parallel — no global window), and
+    // report each bucket's min/max on BOTH dims. Tight per-bucket ranges
+    // on both columns at once is the property that makes z-ordered files
+    // skippable for either filter — the oracle recomputes the interleave
+    // with unrolled bit arithmetic.
+    "q76_zorder_layout" -> ((s, dir) => {
+      val zt = T(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          graft.functions.z_value(col("l_partkey"), col("l_suppkey"), 16).as("z"))
+      zt.crossJoin(broadcast(zt.agg(max(col("z")).as("__mz"))))
+        .withColumn("z_bucket", expr("z div ((__mz div 64) + 1)"))
+        .groupBy(col("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+        .orderBy(col("z_bucket"))
+    })
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1149,6 +1169,21 @@ object SparkEntry {
        |$rounds
        |SELECT id AS user_id, r AS rank_fp FROM r$n
        |ORDER BY rank_fp DESC, id LIMIT 100""".stripMargin
+  }
+
+  /** q76 oracle: the Morton interleave recomputed with `bits` unrolled
+    * shift-mask-or terms per dimension (functions/ZValue.scala semantics),
+    * then the same max-anchored equal-width bucketing. */
+  private def zorderOracle(bits: Int): String = {
+    val zx = (0 until bits).map(i => s"(((l_partkey >> $i) & 1) << ${2 * i})").mkString(" | ")
+    val zy = (0 until bits).map(i => s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})").mkString(" | ")
+    s"""WITH zt AS (SELECT l_partkey, l_suppkey, ($zx) | ($zy) AS z FROM lineitem),
+       |m AS (SELECT max(z) AS mz FROM zt)
+       |SELECT z // ((m.mz // 64) + 1) AS z_bucket, count(*)::BIGINT AS n,
+       |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+       |FROM zt CROSS JOIN m
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** DuckDB-runnable ANSI SQL equivalents, table names = parquet basenames.
@@ -2065,6 +2100,8 @@ object SparkEntry {
     // salted aggregation is execution-equivalent to the plain groupBy
     "q75_salted_count" ->
       """SELECT event_type, count(*)::BIGINT AS n FROM events
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q76_zorder_layout" -> zorderOracle(16)
   )
 }
