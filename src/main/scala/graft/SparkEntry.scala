@@ -1107,6 +1107,45 @@ object SparkEntry {
       graft.silver.Pipelines.saltedCount(T(s, dir, "events"), "event_type")
         .orderBy(col("event_type"))),
 
+    // §2.4 breadth: statistical aggregates — mean / variance / stddev /
+    // covariance / correlation. NOT the streaming built-ins: those merge
+    // M2 partials in partition order and drift in the last ulps between
+    // engines (and between runs). Instead: exact integer moment sums
+    // (per-row products fit a long; sums are decimal38/HUGEINT — exact),
+    // each cast to double ONCE, then the textbook formulas using only
+    // correctly-rounded IEEE ops (+,-,*,/,sqrt) in an identical
+    // expression tree — bit-equal on any engine at any parallelism.
+    "q77_stats_family" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      T(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100, 0).cast("long").as("x"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"),
+          sum((col("y") * col("y")).cast(d38)).as("syy"),
+          sum((col("x") * col("y")).cast(d38)).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+          col("sxx").cast("double").as("sxxd"), col("syy").cast("double").as("syyd"),
+          col("sxy").cast("double").as("sxyd"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sxd") / col("nd")).as("mean_x"),
+          ((col("nd") * col("sxxd") - col("sxd") * col("sxd"))
+            / (col("nd") * (col("nd") - 1))).as("var_x"),
+          sqrt((col("nd") * col("sxxd") - col("sxd") * col("sxd"))
+            / (col("nd") * (col("nd") - 1))).as("std_x"),
+          ((col("nd") * col("sxyd") - col("sxd") * col("syd"))
+            / (col("nd") * (col("nd") - 1))).as("covar_xy"),
+          ((col("nd") * col("sxyd") - col("sxd") * col("syd"))
+            / sqrt((col("nd") * col("sxxd") - col("sxd") * col("sxd"))
+              * (col("nd") * col("syyd") - col("syd") * col("syd")))).as("corr_xy"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Z-order layout audit: Morton-interleave (l_partkey, l_suppkey) with
     // the custom fused-loop z_value expression, bucket by equal-width
     // z ranges (max-anchored, fully parallel — no global window), and
@@ -2102,6 +2141,28 @@ object SparkEntry {
       """SELECT event_type, count(*)::BIGINT AS n FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q76_zorder_layout" -> zorderOracle(16)
+    "q76_zorder_layout" -> zorderOracle(16),
+
+    // exact integer moment sums, one double cast per sum, identical
+    // formula text — see the q77 query comment
+    "q77_stats_family" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    round(l_quantity * 100)::BIGINT AS x,
+        |    round(l_extendedprice * 100)::BIGINT AS y FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM b GROUP BY 1),
+        |d AS (SELECT l_returnflag, n, n::DOUBLE AS nd,
+        |    sx::DOUBLE AS sxd, sy::DOUBLE AS syd, sxx::DOUBLE AS sxxd,
+        |    syy::DOUBLE AS syyd, sxy::DOUBLE AS sxyd FROM a)
+        |SELECT l_returnflag, n,
+        |  sxd / nd AS mean_x,
+        |  (nd * sxxd - sxd * sxd) / (nd * (nd - 1)) AS var_x,
+        |  sqrt((nd * sxxd - sxd * sxd) / (nd * (nd - 1))) AS std_x,
+        |  (nd * sxyd - sxd * syd) / (nd * (nd - 1)) AS covar_xy,
+        |  (nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd)
+        |    * (nd * syyd - syd * syd)) AS corr_xy
+        |FROM d ORDER BY l_returnflag""".stripMargin
   )
 }
