@@ -1107,6 +1107,49 @@ object SparkEntry {
       graft.silver.Pipelines.saltedCount(T(s, dir, "events"), "event_type")
         .orderBy(col("event_type"))),
 
+    // Triangle count over the follows graph with degree-based edge
+    // orientation (the hub-proof plan — see graph/Triangles scaladoc);
+    // the oracle counts the same triangles with the id-ordered 3-way
+    // self-join, which is fine at oracle scale.
+    "q78_triangles" -> ((s, dir) =>
+      graft.graph.Triangles.triangleCount(
+        graft.silver.Pipelines.follows(T(s, dir, "customer")),
+        "user_id_a", "user_id_b")),
+
+    // Edit-distance ≤ 1 vocabulary pairs via FastSS deletion-neighborhood
+    // banding + exact levenshtein verify; the oracle brute-forces the
+    // vocab cross join, which the operator must match exactly — banding
+    // loses nothing at distance ≤ 1. The synthetic corpus is built from a
+    // closed template vocabulary with no natural distance-1 pairs, so a
+    // deterministic single-insertion typo of every word is planted on
+    // both sides (the q48 planted-fixture pattern) to exercise the
+    // recall path.
+    "q79_editdist_pairs" -> ((s, dir) => {
+      val v = graft.text.Fuzzy.vocabulary(
+        T(s, dir, "documents"), minLen = 4, maxLen = 12)
+      val planted = v.select(concat(col("w"), lit("x")).as("w"))
+      graft.text.Fuzzy.editDistancePairs(v.unionByName(planted).distinct())
+        .orderBy(col("w1"), col("w2"))
+    }),
+
+    // Ordered funnel view → click → purchase: stage i counts users whose
+    // first stage-i event strictly follows their first qualifying
+    // stage-(i−1) event.
+    "q80_funnel" -> ((s, dir) =>
+      graft.analytics.Behavior.funnel(
+        T(s, dir, "events").select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us")),
+        "user_id", "event_type", "us", Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))),
+
+    // Cohort retention: users by first-activity day, distinct-counted at
+    // each day offset ≤ 7.
+    "q81_retention" -> ((s, dir) =>
+      graft.analytics.Behavior.retention(
+        T(s, dir, "events").select(col("user_id"), unix_micros(col("ts")).as("us")),
+        "user_id", "us", maxOffsetDays = 7)
+        .orderBy(col("cohort_day"), col("day_offset"))),
+
     // §2.4 breadth: statistical aggregates — mean / variance / stddev /
     // covariance / correlation. NOT the streaming built-ins: those merge
     // M2 partials in partition order and drift in the last ulps between
@@ -2142,6 +2185,54 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q76_zorder_layout" -> zorderOracle(16),
+
+    // id-ordered 3-way self-join triangle count — equals the engine's
+    // degree-oriented count (both count each triangle exactly once)
+    "q78_triangles" ->
+      """WITH cand AS (SELECT c_custkey AS s, c_nationkey AS nk,
+        |    unnest([c_custkey - 2, c_custkey - 1, c_custkey + 1, c_custkey + 2]) AS d
+        |  FROM customer),
+        |e AS (SELECT cand.s, cand.d FROM cand
+        |  JOIN customer c2 ON c2.c_nationkey = cand.nk AND c2.c_custkey = cand.d),
+        |ue AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e WHERE s <> d)
+        |SELECT count(*)::BIGINT AS n_triangles
+        |FROM ue e1 JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+        |           JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin,
+
+    "q79_editdist_pairs" ->
+      """WITH v0 AS (SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) BETWEEN 4 AND 12),
+        |v AS (SELECT w FROM v0 UNION SELECT w || 'x' FROM v0)
+        |SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w)::BIGINT AS dist
+        |FROM v a JOIN v b ON a.w < b.w
+        |  AND abs(length(a.w) - length(b.w)) <= 1
+        |WHERE levenshtein(a.w, b.w) <= 1
+        |ORDER BY w1, w2""".stripMargin,
+
+    "q80_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s1.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 0::BIGINT AS stage_idx, 'view' AS stage,
+        |    (SELECT count(*) FROM s0)::BIGINT AS n_users
+        |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2))
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q81_retention" ->
+      """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(DISTINCT e.user_id)::BIGINT AS n_users
+        |FROM e JOIN c USING (user_id)
+        |WHERE day - cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     // exact integer moment sums, one double cast per sum, identical
     // formula text — see the q77 query comment

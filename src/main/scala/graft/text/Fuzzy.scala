@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.silver.Pipelines
+
+/** Fuzzy (edit-distance) string similarity join over a vocabulary — the
+  * typo-clustering / vocab-normalization step of a text pipeline
+  * (BASELINE north star, same family as [[Dedup]]'s near-dup tiers).
+  *
+  * Candidate generation is FastSS deletion-neighborhood banding: every
+  * word keys on itself plus each single-character deletion variant. Two
+  * words at Levenshtein distance ≤ 1 ALWAYS share a key (substitution →
+  * same position deleted; insert/delete → the shorter word IS a deletion
+  * variant of the longer), so recall is exact; survivors are verified
+  * with the true levenshtein, so precision is exact too. The shuffle is
+  * on deletion keys only — bucket sizes are bounded by |alphabet|·len
+  * look-alikes, never the vocabulary size, where the naive approach is a
+  * quadratic cross join of the whole vocab.
+  */
+object Fuzzy {
+
+  /** All single-deletion variants of column `c` (one per position), via a
+    * higher-order transform — vocabulary-sized input, not corpus-sized,
+    * so the non-codegen lambda is off the hot path. */
+  private def deletionVariants(c: String): Column =
+    expr(s"transform(sequence(1, length($c)), i -> " +
+      s"concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))))")
+
+  /** Distinct token vocabulary of `docs.textCol`, length-bounded. */
+  def vocabulary(docs: DataFrame, minLen: Int, maxLen: Int,
+                 textCol: String = "text"): DataFrame =
+    docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")).between(minLen, maxLen))
+      .distinct()
+
+  /** Unordered vocab pairs (w1 < w2) at Levenshtein distance ≤ 1. */
+  def editDistancePairs(vocab: DataFrame): DataFrame = {
+    val keyed = vocab
+      .select(col("w"), explode(array_union(deletionVariants("w"),
+        array(col("w")))).as("k"))
+    val cand = Pipelines.cooccurrence(keyed, "k", "w")
+      .select(col("track_id_1").as("w1"), col("track_id_2").as("w2"))
+    cand
+      .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("w1"), col("w2"), col("dist"))
+  }
+}
