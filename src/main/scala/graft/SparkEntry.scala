@@ -1107,6 +1107,55 @@ object SparkEntry {
       graft.silver.Pipelines.saltedCount(T(s, dir, "events"), "event_type")
         .orderBy(col("event_type"))),
 
+    // Bounded-hop BFS from a seed set over the follows graph: exact hop
+    // distances, frontier-only expansion per round; the oracle replays
+    // the same 3 unrolled rounds.
+    "q82_bfs_hops" -> ((s, dir) =>
+      graft.graph.Paths.bfs(
+        graft.silver.Pipelines.follows(T(s, dir, "customer")),
+        "user_id_a", "user_id_b",
+        T(s, dir, "customer").filter(col("c_custkey") <= 5).select(col("c_custkey")),
+        maxHops = 3)
+        .select(col("id").as("user_id"), col("dist"))
+        .orderBy(col("dist"), col("user_id"))),
+
+    // Manifest-tracked incremental ingest (the Airflow-parity path, §3.2):
+    // batch 1 lands, a REPLAYED batch 1 is a no-op (the manifest gate),
+    // batch 2 lands from a second landing dir into the same table — the
+    // final table must hold every customer exactly once, which is
+    // exactly what the oracle aggregate checks.
+    "q83_incremental_ingest" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_incr").toString
+      val c = Tables.customer(s, dir)
+      val schema = Tables.schemas("customer")
+      Ingest.writeCsv(c.filter(col("c_custkey") % 3 =!= 0), s"$base/landing1")
+      Ingest.incrementalAppend(s, s"$base/landing1", schema, s"$base/t", s"$base/manifest.txt")
+      // replay: every file already in the manifest — must append nothing
+      Ingest.incrementalAppend(s, s"$base/landing1", schema, s"$base/t", s"$base/manifest.txt")
+      Ingest.writeCsv(c.filter(col("c_custkey") % 3 === 0), s"$base/landing2")
+      Ingest.incrementalAppend(s, s"$base/landing2", schema, s"$base/t", s"$base/manifest.txt")
+      s.read.schema(schema).parquet(s"$base/t")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("c_acctbal") * 100, 0).cast("long")) / 100.0).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // The registered SQL-view surface (§3.4 parity): serving-style SQL
+    // over the silver views — trending tracks joined with their
+    // similarity-partner counts.
+    "q84_views_sql" -> ((s, dir) => {
+      graft.Views.register(s, dir)
+      s.sql(
+        """SELECT t.track_id, t.play_count,
+          |  CAST(coalesce(s.n_sim, 0) AS BIGINT) AS n_sim
+          |FROM weekly_trending_tracks t
+          |LEFT JOIN (SELECT track_id_1 AS track_id, count(*) AS n_sim
+          |           FROM song_similarity_by_playlist GROUP BY track_id_1) s
+          |  ON s.track_id = t.track_id
+          |ORDER BY t.play_count DESC, t.track_id LIMIT 20""".stripMargin)
+    }),
+
     // Triangle count over the follows graph with degree-based edge
     // orientation (the hub-proof plan — see graph/Triangles scaladoc);
     // the oracle counts the same triangles with the id-ordered 3-way
@@ -1266,6 +1315,27 @@ object SparkEntry {
        |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
        |FROM zt CROSS JOIN m
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q82 oracle: `n` unrolled BFS rounds over the follows edges —
+    * frontier from the previous round's dist=k−1 slice, min-merged into
+    * the visited set (graph/Paths.scala semantics). */
+  private def bfsOracle(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""f$i AS (SELECT DISTINCT e.dst AS id FROM edges e
+         |  JOIN v${i - 1} v ON v.id = e.src AND v.dist = ${i - 1}),
+         |v$i AS (SELECT id, min(dist)::BIGINT AS dist FROM (
+         |    SELECT id, dist FROM v${i - 1}
+         |    UNION ALL SELECT id, $i AS dist FROM f$i) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS (SELECT c_custkey AS src, c_nationkey AS nk,
+       |    unnest([c_custkey - 2, c_custkey - 1, c_custkey + 1, c_custkey + 2]) AS dst
+       |  FROM customer),
+       |edges AS (SELECT cand.src, cand.dst FROM cand
+       |  JOIN customer c2 ON c2.c_nationkey = cand.nk AND c2.c_custkey = cand.dst),
+       |v0 AS (SELECT c_custkey AS id, 0::BIGINT AS dist FROM customer WHERE c_custkey <= 5),
+       |$rounds
+       |SELECT id AS user_id, dist FROM v$n ORDER BY dist, user_id""".stripMargin
   }
 
   /** DuckDB-runnable ANSI SQL equivalents, table names = parquet basenames.
@@ -2185,6 +2255,33 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q76_zorder_layout" -> zorderOracle(16),
+
+    "q82_bfs_hops" -> bfsOracle(3),
+
+    // the final table must hold every customer exactly once — a doubled
+    // batch-1 (manifest failure) or a dropped batch-2 both break this
+    "q83_incremental_ingest" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n,
+        |  sum(round(c_acctbal * 100)::BIGINT)::BIGINT / 100.0 AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q84_views_sql" ->
+      """WITH counts AS (
+        |  SELECT l_partkey AS track_id, count(*) AS play_count
+        |  FROM lineitem, (SELECT max(l_shipdate) AS mx FROM lineitem)
+        |  WHERE l_shipdate >= mx - INTERVAL 30 DAY GROUP BY 1),
+        |trend AS (SELECT c.track_id, c.play_count
+        |  FROM counts c JOIN part p ON p.p_partkey = c.track_id),
+        |plt AS (SELECT DISTINCT l_orderkey AS playlist_id, l_partkey AS track_id
+        |  FROM lineitem),
+        |-- one row per DISTINCT pair (the similarity table's grain), not
+        |-- one per shared playlist
+        |sim AS (SELECT a.track_id AS t1, count(DISTINCT b.track_id) AS n_sim
+        |  FROM plt a JOIN plt b ON a.playlist_id = b.playlist_id AND a.track_id < b.track_id
+        |  GROUP BY 1)
+        |SELECT t.track_id, t.play_count, coalesce(s.n_sim, 0)::BIGINT AS n_sim
+        |FROM trend t LEFT JOIN sim s ON s.t1 = t.track_id
+        |ORDER BY t.play_count DESC, t.track_id LIMIT 20""".stripMargin,
 
     // id-ordered 3-way self-join triangle count — equals the engine's
     // degree-oriented count (both count each triangle exactly once)
