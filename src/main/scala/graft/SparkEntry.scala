@@ -1107,6 +1107,60 @@ object SparkEntry {
       graft.silver.Pipelines.saltedCount(T(s, dir, "events"), "event_type")
         .orderBy(col("event_type"))),
 
+    // Equi-width histogram in exact integer arithmetic: min/max anchors
+    // via broadcast (no global window), cent-scaled integer bucket math —
+    // the width_bucket shape without its float boundary hazards.
+    "q85_histogram" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      o.crossJoin(broadcast(o.agg(min(col("cents")).as("__lo"),
+          max(col("cents")).as("__hi"))))
+        .withColumn("bucket", expr("(cents - __lo) div (((__hi - __lo) div 20) + 1)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+        .orderBy(col("bucket"))
+    }),
+
+    // §2.5 breadth: RANGE window frame over event time — trailing 1-day
+    // sum per user. RANGE includes ALL peers of the current order value,
+    // so equal-timestamp ties need no tie-break to stay deterministic;
+    // values are summed as exact 1e-4-unit integers.
+    "q86_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-86400000000L, 0)
+      T(s, dir, "events")
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          round(col("value") * 10000, 0).cast("long").as("v4"))
+        .withColumn("trailing_1d", sum(col("v4")).over(w))
+        .select(col("user_id"), col("event_id"), col("us"), col("trailing_1d"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // §2.7 breadth: UNPIVOT via the stack generator — wide → long over
+    // the part attributes (the inverse of q45's pivot).
+    "q87_unpivot" -> ((s, dir) =>
+      T(s, dir, "part").filter(col("p_partkey") <= 300)
+        .selectExpr("p_partkey",
+          "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (attr, val)")
+        .orderBy(col("p_partkey"), col("attr"))),
+
+    // §2.9: streaming upsert through foreachBatch + Merge.upsert — the
+    // staged payload carries EVERY event twice (at-least-once delivery),
+    // and the keyed MERGE collapses the duplicates, so the final table
+    // equals the distinct batch table the oracle aggregates.
+    "q88_stream_upsert" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+      stageEventsJson(s, dir, base, doubled = true)
+      StreamAgg.runUpsertToCompletion(s, s"$base/in", s"$base/table", s"$base/ckpt")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 10000, 0).cast("long")) / 10000.0).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Bounded-hop BFS from a seed set over the follows graph: exact hop
     // distances, frontier-only expansion per round; the oracle replays
     // the same 3 unrolled rounds.
@@ -2257,6 +2311,36 @@ object SparkEntry {
     "q76_zorder_layout" -> zorderOracle(16),
 
     "q82_bfs_hops" -> bfsOracle(3),
+
+    "q85_histogram" ->
+      """WITH o AS (SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |m AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o)
+        |SELECT (cents - lo) // (((hi - lo) // 20) + 1) AS bucket,
+        |  count(*)::BIGINT AS n, min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM o CROSS JOIN m
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q86_range_frame" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |    round(value * 10000)::BIGINT AS v4
+        |  FROM events WHERE user_id < 40)
+        |SELECT user_id, event_id, us,
+        |  sum(v4) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)::BIGINT AS trailing_1d
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "q87_unpivot" ->
+      """SELECT p_partkey, 'size' AS attr, p_size::DOUBLE AS val
+        |FROM part WHERE p_partkey <= 300
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice', p_retailprice FROM part WHERE p_partkey <= 300
+        |ORDER BY p_partkey, attr""".stripMargin,
+
+    // the doubled staged payload collapses to one row per event_id
+    "q88_stream_upsert" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(round(value * 10000)::BIGINT)::BIGINT / 10000.0 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the final table must hold every customer exactly once — a doubled
     // batch-1 (manifest failure) or a dropped batch-2 both break this

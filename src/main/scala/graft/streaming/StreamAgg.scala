@@ -218,6 +218,36 @@ object StreamAgg {
     spark.read.schema(joined.schema).parquet(outPath)
   }
 
+  /** Streaming upsert sink: each micro-batch is MERGEd into a keyed
+    * parquet table through foreachBatch + [[graft.operators.Merge.upsert]]
+    * — the Delta-MERGE landing pattern of the reference
+    * (process_recommendation_events.py's sink lineage) on bare paths.
+    * Re-delivered rows (at-least-once sources, doubled payloads)
+    * collapse to one row per key; the current table is eagerly
+    * localCheckpoint'd before the overwrite so the read and the rewrite
+    * of the same path never interleave. Returns the final table.
+    */
+  def runUpsertToCompletion(spark: SparkSession, inPath: String,
+                            tablePath: String, checkpointPath: String,
+                            keyCol: String = "event_id"): DataFrame = {
+    val src = jsonEventSource(spark, inPath, EventWithIdSchema)
+    val q = StreamIngest.startForeachBatchSink(src, checkpointPath) { (batch, _) =>
+      val s = batch.sparkSession
+      val p = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base =
+        if (fs.exists(p)) s.read.schema(batch.schema).parquet(tablePath).localCheckpoint()
+        else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+      graft.operators.Merge.upsert(base, batch, Seq(keyCol), Seq("ts"))
+        .localCheckpoint() // materialize BEFORE overwriting the path just read
+        .write.mode("overwrite").parquet(tablePath)
+    }
+    q.awaitTermination()
+    spark.read.schema(
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+      .parquet(tablePath)
+  }
+
   /** Stream-stream interval join: views attributed to the click they
     * preceded within `intervalSeconds`, per user — the event-attribution
     * join every analytics pipeline runs. Both sides carry watermarks and
