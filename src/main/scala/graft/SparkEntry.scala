@@ -1107,6 +1107,22 @@ object SparkEntry {
       graft.silver.Pipelines.saltedCount(T(s, dir, "events"), "event_type")
         .orderBy(col("event_type"))),
 
+    // Calendar dimension generation + zero-filled time series: a
+    // sequence() generator spans [min, max] order dates, left-joined
+    // with per-day counts — gap days surface as explicit zeros instead
+    // of silently missing rows (the difference between a chart with
+    // holes and a wrong chart). The generator runs on the one-row
+    // bounds frame; the calendar is dimension-sized at any SF.
+    "q89_calendar_fill" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(to_date(col("o_orderdate")).as("d"))
+      val cal = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      cal.join(o.groupBy(col("d")).agg(count(lit(1)).as("n")), Seq("d"), "left")
+        .na.fill(0L, Seq("n"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("n"))
+        .orderBy(col("day"))
+    }),
+
     // Equi-width histogram in exact integer arithmetic: min/max anchors
     // via broadcast (no global window), cent-scaled integer bucket math —
     // the width_bucket shape without its float boundary hazards.
@@ -2335,6 +2351,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT p_partkey, 'retailprice', p_retailprice FROM part WHERE p_partkey <= 300
         |ORDER BY p_partkey, attr""".stripMargin,
+
+    "q89_calendar_fill" ->
+      """WITH o AS (SELECT o_orderdate::DATE AS d FROM orders),
+        |m AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
+        |cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM m),
+        |c AS (SELECT d, count(*)::BIGINT AS n FROM o GROUP BY 1)
+        |SELECT strftime(cal.d, '%Y-%m-%d') AS day, coalesce(c.n, 0)::BIGINT AS n
+        |FROM cal LEFT JOIN c USING (d) ORDER BY day""".stripMargin,
 
     // the doubled staged payload collapses to one row per event_id
     "q88_stream_upsert" ->
