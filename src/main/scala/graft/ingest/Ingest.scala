@@ -174,6 +174,28 @@ object Ingest {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Parquet write with file-level BLOOM FILTERS on selected columns —
+    * the point-lookup complement to partition pruning: at 100 TB an
+    * equality probe on a high-cardinality key (event_id, doc_id) cannot
+    * prune partitions, but per-row-group bloom filters let the scan skip
+    * row groups that provably lack the key, so a needle query touches a
+    * handful of pages instead of the whole table. Spark's vectorized
+    * parquet reader consults these filters for pushed-down equality
+    * predicates automatically; the cost is a few bits per distinct value
+    * at write time. `sortBy` the key first (e.g. via [[writePartitioned]]
+    * on a sorted frame) to ALSO tighten min/max stats — bloom and
+    * zone-map skipping compose.
+    */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     expectedDistinct: Long = 1000000L): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    val configured = bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedDistinct.toString)
+    }
+    configured.parquet(path)
+  }
+
   /** Standard partition-column derivation for event-dated facts
     * (process_historical_data.py:70–72). */
   def dateParts(tsCol: String): Map[String, org.apache.spark.sql.Column] = Map(

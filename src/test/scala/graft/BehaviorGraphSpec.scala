@@ -82,6 +82,22 @@ class BehaviorGraphSpec extends SparkTestBase {
 
   // ------------------------------------------------------------ retention
 
+  test("empty inputs degrade to empty (or zero-count) results, not errors") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("s", "d")
+    assert(Triangles.triangleCount(noEdges, "s", "d").head().getLong(0) == 0L)
+    assert(graft.graph.PageRank.ranks(noEdges, "s", "d").count() == 0L)
+    val noEvents = Seq.empty[(Long, String, Long)].toDF("user_id", "event_type", "us")
+    val funnelOut = Behavior.funnel(noEvents, "user_id", "event_type", "us",
+      Seq("view", "click")).collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(funnelOut == Map("view" -> 0L, "click" -> 0L))
+    assert(Behavior.retention(noEvents.select($"user_id", $"us"), "user_id", "us").count() == 0L)
+    assert(Fuzzy.editDistancePairs(Seq.empty[String].toDF("w")).count() == 0L)
+    val noSess = Seq.empty[(Long, Long, Long)].toDF("user_id", "event_id", "us")
+    assert(graft.operators.Sessionize.stats(noSess, "user_id", "us", "event_id", 1L).count() == 0L)
+    val noLog = Seq.empty[(Long, Long, Long, String)].toDF("k", "ts", "tie", "status")
+    assert(graft.operators.Merge.scd2(noLog, Seq("k"), "ts", "tie", Seq("status")).count() == 0L)
+  }
+
   test("retention counts distinct users per cohort and offset, bounded") {
     val day = 86400000000L
     val ev = Seq(

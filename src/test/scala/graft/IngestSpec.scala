@@ -187,6 +187,33 @@ class IngestSpec extends SparkTestBase {
     assert(after == before, "crash recovery lost or duplicated rows")
   }
 
+  test("writeWithBloom lands parquet bloom filters that the scan can use") {
+    val dir = tmp()
+    val d = (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v")
+    Ingest.writeWithBloom(d, s"$dir/t", Seq("id"), expectedDistinct = 5000L)
+    // content survives the roundtrip and equality probes stay correct
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 5000L)
+    assert(back.filter($"id" === 4321L).collect().map(_.getString(1)).toSeq == Seq("v4321"))
+    // the filter actually landed in the files: parquet footers record a
+    // bloom filter offset for the id column chunk
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(s"$dir/t"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(part, spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size).map(cols.get)
+        .map(c => c.getPath.toDotString -> (c.getBloomFilterOffset >= 0)).toMap
+      assert(byName("id"), "no bloom filter offset recorded for id")
+      assert(!byName("v"), "bloom filter unexpectedly written for v")
+    } finally reader.close()
+  }
+
   test("append refuses a divergent schema instead of landing mixed files") {
     val dir = tmp()
     val a = List((1L, "x")).toDF("id", "v")
