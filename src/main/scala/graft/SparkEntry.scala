@@ -1107,6 +1107,24 @@ object SparkEntry {
       graft.silver.Pipelines.saltedCount(T(s, dir, "events"), "event_type")
         .orderBy(col("event_type"))),
 
+    // Ordered sequence assembly: each user's full event-type sequence in
+    // strict event-time order — Spark has no ordered string_agg, so the
+    // idiom is sort_array over collect_list of a (time, tie, payload)
+    // struct (struct sort is lexicographic by field position, making the
+    // order total and partition-independent). This is the assembly step
+    // that turns an event log into sequence-model training examples.
+    "q90_sequence_assembly" -> ((s, dir) =>
+      T(s, dir, "events").filter(col("user_id") < 60)
+        .select(col("user_id"), struct(unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("e"))).as("seq"))
+        .select(col("user_id"),
+          size(col("seq")).cast("long").as("n_events"),
+          concat_ws(",", expr("transform(seq, x -> x.event_type)")).as("sequence"),
+          col("seq").getItem(0).getField("event_type").as("first_type"))
+        .orderBy(col("user_id"))),
+
     // Calendar dimension generation + zero-filled time series: a
     // sequence() generator spans [min, max] order dates, left-joined
     // with per-day counts — gap days surface as explicit zeros instead
@@ -2351,6 +2369,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT p_partkey, 'retailprice', p_retailprice FROM part WHERE p_partkey <= 300
         |ORDER BY p_partkey, attr""".stripMargin,
+
+    "q90_sequence_assembly" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+        |  FROM events WHERE user_id < 60)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  string_agg(event_type, ',' ORDER BY us, event_id) AS sequence,
+        |  first(event_type ORDER BY us, event_id) AS first_type
+        |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "q89_calendar_fill" ->
       """WITH o AS (SELECT o_orderdate::DATE AS d FROM orders),
