@@ -1107,6 +1107,13 @@ object SparkEntry {
       graft.silver.Pipelines.saltedCount(T(s, dir, "events"), "event_type")
         .orderBy(col("event_type"))),
 
+    // Document chunking: overlapping 50-token windows every 40 tokens
+    // (10-token overlap) — the example-prep step between cleaning and
+    // packing; embarrassingly parallel, no shuffle.
+    "q91_doc_chunks" -> ((s, dir) =>
+      graft.text.Chunker.chunks(T(s, dir, "documents"), chunkSize = 50, stride = 40)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // Ordered sequence assembly: each user's full event-type sequence in
     // strict event-time order — Spark has no ordered string_agg, so the
     // idiom is sort_array over collect_list of a (time, tie, payload)
@@ -2369,6 +2376,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT p_partkey, 'retailprice', p_retailprice FROM part WHERE p_partkey <= 300
         |ORDER BY p_partkey, attr""".stripMargin,
+
+    "q91_doc_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks
+        |  FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |    unnest(generate_series(0, greatest(len(toks) - 1, 0), 40)) AS start
+        |  FROM tok),
+        |c AS (SELECT doc_id, (start // 40)::BIGINT AS chunk_id,
+        |    toks[start + 1 : start + 50] AS chunk FROM st)
+        |SELECT doc_id, chunk_id, len(chunk)::BIGINT AS n_tokens,
+        |  array_to_string(chunk, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q90_sequence_assembly" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
