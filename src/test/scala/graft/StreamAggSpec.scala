@@ -7,6 +7,23 @@ import graft.streaming.StreamAgg.Event
 
 class StreamAggSpec extends SparkTestBase {
 
+  test("streaming upsert: doubled delivery collapses; checkpointed re-run re-merges nothing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_spec").toString
+    Seq((1L, 10L, "click", 100L, 1.5), (1L, 10L, "click", 100L, 1.5), // same event twice
+        (2L, 11L, "view", 200L, 2.5))
+      .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+      .toJSON.coalesce(1).write.mode("overwrite").text(s"$base/in")
+    val t1 = StreamAgg.runUpsertToCompletion(spark, s"$base/in", s"$base/t", s"$base/ckpt")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    assert(t1 == Set((1L, 1.5), (2L, 2.5)), s"got $t1")
+    // re-run against the SAME checkpoint: the batch is already committed,
+    // so foreachBatch must not fire again and the table stays identical
+    val t2 = StreamAgg.runUpsertToCompletion(spark, s"$base/in", s"$base/t", s"$base/ckpt")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    assert(t2 == t1)
+  }
+
   private def ts(sec: Long) = new Timestamp(sec * 1000)
 
   test("sessionize closes a session when the gap is exceeded") {
