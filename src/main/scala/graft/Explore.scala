@@ -33,6 +33,44 @@ object Explore {
       time("raw pair stream")(pairs.count())
       time("pair aggregate")(pairs.groupBy("t1", "t2").count().count())
       time("full q12")(SparkEntry.queries("q12_collab_pairs")(spark, dir).count())
+    } else if (args.headOption.contains("q26parts")) {
+      import graft.text.Dedup
+      import graft.functions.minhash_sig_ngrams
+      val docs = Tables.documents(spark, dir)
+      time("warm docs scan")(docs.count())
+      val sigs = docs.select(col("doc_id"),
+        minhash_sig_ngrams(Dedup.tokens(col("text")), 3, 64).as("sig"))
+        .filter(col("sig").isNotNull)
+      time("fused signatures")(sigs.count())
+      val bandKeys = sigs.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 31), j -> hash(slice(sig, j * 2 + 1, 2)))"))
+          .as(Seq("band", "bh")))
+        .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
+      val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id")
+      time("candidates (sig+band+cooccur)")(cand.count())
+      time("full q26")(SparkEntry.queries("q26_minhash_lsh")(spark, dir).count())
+      time("full q26 again")(SparkEntry.queries("q26_minhash_lsh")(spark, dir).count())
+      time("full q25")(SparkEntry.queries("q25_ngram_jaccard")(spark, dir).count())
+      time("full q27")(SparkEntry.queries("q27_simhash")(spark, dir).count())
+    } else if (args.headOption.contains("shingleAB")) {
+      import graft.text.Dedup
+      val docs = Tables.documents(spark, dir)
+      time("warm docs scan")(docs.count())
+      val sqlForm = expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN array_distinct(transform(sequence(0, size(toks) - 3),
+          |       i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
+          |  ELSE array()
+          |END""".stripMargin)
+      def toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      for (_ <- 1 to 3) {
+        time("sql-form shingle explode")(
+          toks.select(col("doc_id"), explode(sqlForm).as("sh")).count())
+        time("ngrams shingle explode")(
+          toks.select(col("doc_id"),
+            explode(graft.functions.ngrams(col("toks"), 3)).as("sh")).count())
+      }
     } else if (args.isEmpty) {
       import graft.recommend.Recommender
       // warm the JVM/scans

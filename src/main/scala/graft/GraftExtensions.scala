@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{VectorDot, ZValue}
+import graft.functions.{MinHashSig, MinHashSigNgrams, NGrams, SimHash60, VectorDot, ZValue}
 
 /** Session extension wiring for the engine's custom Catalyst surface
   * (installed with
@@ -15,11 +15,16 @@ import graft.functions.{VectorDot, ZValue}
   * DataFrame API ([[graft.functions.dot]]), and `z_value` (Morton
   * interleave) for multi-dimensional layout clustering.
   *
-  * These two expressions are the library's only custom Catalyst code —
+  * Also registers the row-local text fingerprints `minhash_sig`,
+  * `minhash_sig_ngrams`, `ngrams`, and `simhash60`, which replace
+  * explode + wide-aggregate (and interpreted HOF shingling) pipelines
+  * with one fused pass per document.
+  *
+  * These expressions are the library's only custom Catalyst code —
   * everything else in SURVEY §2 rides the built-in operator set by design
   * (§7.3): a custom expression enters only where the composable form
-  * leaves per-row allocations or an unfoldable expression tree in a
-  * provably hot loop.
+  * leaves per-row allocations, an unfoldable expression tree, or an
+  * avoidable explode+shuffle in a provably hot loop.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -42,6 +47,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"z_value bits must be an integer literal, got $other")
         } else 21
         ZValue(children.head, children(1), bits)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_sig expects (shingles, k)")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig k must be an integer literal, got $other")
+        }
+        MinHashSig(children.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig_ngrams"),
+      new ExpressionInfo(classOf[MinHashSigNgrams].getName, "minhash_sig_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "minhash_sig_ngrams expects (toks, n, k)")
+        val Seq(n, k) = children.tail.map {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig_ngrams n and k must be integer literals, got $other")
+        }
+        MinHashSigNgrams(children.head, n, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "ngrams expects (toks, n)")
+        val n = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"ngrams n must be an integer literal, got $other")
+        }
+        NGrams(children.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash60 expects exactly 1 argument")
+        SimHash60(children.head)
       }))
   }
 }

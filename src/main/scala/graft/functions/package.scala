@@ -15,4 +15,21 @@ package object functions {
   /** Morton (Z-order) interleave of two bigint columns' low `bits` bits. */
   def z_value(x: Column, y: Column, bits: Int = 21): Column =
     ColumnShim.column(ZValue(ColumnShim.expression(x), ColumnShim.expression(y), bits))
+
+  /** k-view MinHash signature of an `array<string>` shingle column. */
+  def minhash_sig(shingles: Column, k: Int): Column =
+    ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), k))
+
+  /** k-view MinHash signature of the n-token shingle set, fused straight
+    * over the token array (no shingle strings materialize). */
+  def minhash_sig_ngrams(toks: Column, n: Int, k: Int): Column =
+    ColumnShim.column(MinHashSigNgrams(ColumnShim.expression(toks), n, k))
+
+  /** Distinct space-joined n-token shingles (compiled `ngrams`). */
+  def ngrams(toks: Column, n: Int): Column =
+    ColumnShim.column(NGrams(ColumnShim.expression(toks), n))
+
+  /** 60-bit SimHash fingerprint of an `array<string>` token column. */
+  def simhash60(toks: Column): Column =
+    ColumnShim.column(SimHash60(ColumnShim.expression(toks)))
 }

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.{minhash_sig, minhash_sig_ngrams, ngrams, simhash60}
 import graft.silver.Pipelines
 
 /** Document deduplication operators for LLM training-data pipelines
@@ -47,14 +48,13 @@ object Dedup {
   // which the two engines' tokenizations diverge
   def tokens(textCol: Column): Column = split(lower(textCol), "[ \\t\\n\\r\\f]+")
 
-  /** Distinct n-token shingles per document as an array column. */
-  def shingles(toksCol: String, n: Int): Column = {
-    val mk = (0 until n).map(k => s"$toksCol[i + $k]")
-      .mkString("concat_ws(' ', ", ", ", ")")
-    when(size(col(toksCol)) >= n,
-      array_distinct(expr(s"transform(sequence(0, size($toksCol) - $n), i -> $mk)")))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct n-token shingles per document as an array column — the
+    * compiled [[graft.functions.NGrams]] expression (byte-identical to
+    * `array_distinct(transform(sequence(...), i -> concat_ws(' ', ...)))`
+    * but one fused pass instead of interpreted lambdas; a too-short doc
+    * yields an empty array).
+    */
+  def shingles(toksCol: String, n: Int): Column = ngrams(col(toksCol), n)
 
   /** Exact dedup: group documents by a content hash, keep the smallest id
     * (deterministic keep-first). 100 TB shape: single hash-shuffle; the
@@ -91,51 +91,74 @@ object Dedup {
         .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
     }
 
-  /** MinHash signatures: k independent hash views of the shingle set,
-    * reduced with per-position min in ONE aggregation (k agg columns →
-    * one shuffle on doc_id; no per-seed explode).
+  /** Per-document distinct shingle ARRAYS — the row-local form of
+    * [[shingleIndex]] (no explode): one (doc_id, shingle-array) row per
+    * document with ≥1 shingle.
     */
-  def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
-    val hashed = sh.select(col("doc_id") +:
-      (0 until k).map(i => xxhash64(lit(i), col("shingle")).as(s"h$i")): _*)
-    val mins = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
-    hashed.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  def docShingles(docs: DataFrame, n: Int = 3,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), shingles("toks", n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** MinHash signatures per document, computed ROW-LOCALLY by the fused
+    * [[graft.functions.MinHashSig]] expression: one base hash per shingle
+    * plus k multiply-shift views, no explode, no aggregation, no shuffle.
+    * (Round 4 replaces the explode + k-hash-column + k-way min-aggregate
+    * pipeline, whose wide groupBy dominated q26.)
+    */
+  def minhashSignatures(docSh: DataFrame, k: Int = 64): DataFrame =
+    docSh.select(col("doc_id"), minhash_sig(col("sh"), k).as("sig"))
 
   /** Banded LSH candidates + exact-Jaccard verification.
     *
+    * Corpus side: signatures come STRAIGHT off the token arrays via the
+    * fused [[graft.functions.MinHashSigNgrams]] expression — no shingle
+    * strings, no explode, no aggregation; one streaming projection pass.
     * Bands: signature split into `bands` slices of `rows` values; each
     * slice hashes to a bucket key; only docs sharing a (band, bucket) are
-    * paired — the ONLY shuffle wider than a groupBy is on band buckets.
-    * Candidates are then verified with the true Jaccard from the shingle
-    * index, so the output contains no false positives.
+    * paired, so the candidate stage shuffles band buckets only.
+    *
+    * Verify side: candidates are few (LSH's whole point), so shingle
+    * ARRAYS are materialized only for documents that appear in some
+    * candidate pair — a broadcast-semi-join pushdown before the shingle
+    * expression — then pairs are checked with the true Jaccard. Output
+    * therefore has no false positives, and the expensive per-doc set
+    * construction scales with |candidates|, not |corpus|.
     */
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 32, rows: Int = 2,
-                 threshold: Double = 0.4): DataFrame =
-    withCachedIndex(shingleIndex(docs, n)) { sh =>
-      val sigs = minhashSignatures(sh, bands * rows)
-      val bandKeys = sigs.select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, $bands - 1), j -> hash(slice(sig, j * $rows + 1, $rows)))"))
-          .as(Seq("band", "bh")))
-        .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
-        .distinct()
-      val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id")
-        .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"))
-      val withSets = cand
-        .join(sh.groupBy(col("doc_id").as("doc_id_1"))
-          .agg(collect_set(col("shingle")).as("sh_1")), Seq("doc_id_1"))
-        .join(sh.groupBy(col("doc_id").as("doc_id_2"))
-          .agg(collect_set(col("shingle")).as("sh_2")), Seq("doc_id_2"))
-      withSets
+                 threshold: Double = 0.4): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), minhash_sig_ngrams(tokens(col("text")), n, bands * rows).as("sig"))
+      .filter(col("sig").isNotNull)
+    // band index is part of the key, so keys are already distinct per
+    // doc, and cooccurrence's collect_set dedups defensively — no
+    // .distinct() shuffle needed here
+    val bandKeys = sigs.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, $bands - 1), j -> hash(slice(sig, j * $rows + 1, $rows)))"))
+        .as(Seq("band", "bh")))
+      .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
+    // eagerly materialized: consumed three times below (two verify joins +
+    // the candidate-id semi-join), and it is small by construction
+    val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id")
+      .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"))
+      .localCheckpoint()
+    val candIds = cand.select(col("doc_id_1").as("doc_id"))
+      .unionByName(cand.select(col("doc_id_2").as("doc_id")))
+      .distinct()
+    val candSh = docShingles(docs.join(candIds, Seq("doc_id"), "left_semi"), n)
+    withCachedIndex(candSh) { base =>
+      cand
+        .join(base.select(col("doc_id").as("doc_id_1"), col("sh").as("sh_1")), Seq("doc_id_1"))
+        .join(base.select(col("doc_id").as("doc_id_2"), col("sh").as("sh_2")), Seq("doc_id_2"))
         .withColumn("n_inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("long"))
         .withColumn("jaccard", col("n_inter").cast("double") /
           (size(col("sh_1")) + size(col("sh_2")) - col("n_inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
     }
+  }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair graph, labels = smallest reachable doc id. Dedup keeps ONE doc
@@ -202,22 +225,15 @@ object Dedup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** 60-bit SimHash per document: Σ(±1) per bit position over token
-    * hashes, sign → bit. Computed with integer bit arithmetic inside one
-    * aggregate — no UDF, fully codegen'd.
+    * hashes (duplicates included), sign → bit. Computed ROW-LOCALLY by
+    * the fused [[graft.functions.SimHash60]] expression — bit-identical
+    * to the relational explode + 60-conditional-sum-aggregate form (the
+    * oracle recomputes the same definition in SQL), but one pass per
+    * document with no explode and no shuffle.
     */
-  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as("token"))
-      .withColumn("h", tokenHash60(col("token")))
-    // per token, per bit i: +1 if bit set else -1; sum per doc; sign → bit
-    val bitSums = (0 until SimhashBits).map(i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
-    tok.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimhashBits).map(i => when(col(s"b$i") > 0, expr(s"CAST(1 AS BIGINT) << $i"))
-          .otherwise(0L)).reduce(_ bitwiseOR _).as("simhash"))
-  }
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), simhash60(tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using
     * pigeonhole banding: split the fingerprint into (maxHamming+1)
@@ -233,8 +249,9 @@ object Dedup {
         posexplode(expr(
           s"transform(sequence(0, $chunks - 1), j -> (simhash >> (j * $width)) & ${(1L << width) - 1})"))
           .as(Seq("band", "bh")))
+        // band index is in the key → distinct per doc already; cooccurrence
+        // collect_set dedups defensively — no extra shuffle
         .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
-        .distinct()
       val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id")
         .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"))
       cand
