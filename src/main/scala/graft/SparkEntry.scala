@@ -1114,6 +1114,14 @@ object SparkEntry {
       graft.text.Chunker.chunks(T(s, dir, "documents"), chunkSize = 50, stride = 40)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Gopher-style structural repetition filters: duplicate-line
+    // fractions + top-bigram concentration per document — the quality
+    // rules that catch boilerplate/templated text which token-level
+    // ratios (q30) miss.
+    "q92_repetition_quality" -> ((s, dir) =>
+      TextStats.lineRepetition(T(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // Ordered sequence assembly: each user's full event-type sequence in
     // strict event-time order — Spark has no ordered string_agg, so the
     // idiom is sort_array over collect_list of a (time, tie, payload)
@@ -2376,6 +2384,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT p_partkey, 'retailprice', p_retailprice FROM part WHERE p_partkey <= 300
         |ORDER BY p_partkey, attr""".stripMargin,
+
+    "q92_repetition_quality" ->
+      """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+        |lc AS (SELECT doc_id, line, count(*)::BIGINT AS cnt, length(line)::BIGINT AS len
+        |  FROM l GROUP BY 1, 2),
+        |la AS (SELECT doc_id,
+        |    sum(cnt)::BIGINT AS n_lines,
+        |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_lines,
+        |    sum(len * cnt)::BIGINT AS line_chars,
+        |    sum(CASE WHEN cnt > 1 THEN len * cnt ELSE 0 END)::BIGINT AS dup_line_chars
+        |  FROM lc GROUP BY 1),
+        |tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      g -> toks[g] || ' ' || toks[g + 1])) AS bigram
+        |  FROM tok WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, max(cnt)::BIGINT AS top_cnt, sum(cnt)::BIGINT AS n_bigrams
+        |  FROM bc GROUP BY 1)
+        |SELECT la.doc_id, la.n_lines,
+        |  round(la.dup_lines::DOUBLE / la.n_lines, 4) AS dup_line_fraction,
+        |  round(la.dup_line_chars::DOUBLE / greatest(la.line_chars, 1), 4)
+        |    AS dup_line_char_fraction,
+        |  round(coalesce(ba.top_cnt::DOUBLE / ba.n_bigrams, 0), 4) AS top_bigram_fraction
+        |FROM la LEFT JOIN ba USING (doc_id) ORDER BY la.doc_id""".stripMargin,
 
     "q91_doc_chunks" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks

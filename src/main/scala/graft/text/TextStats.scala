@@ -95,4 +95,59 @@ object TextStats {
         col("top_token_ratio"), col("quality_score"),
         col("lang_pred"), col("fingerprint"), col("rolling_hash"))
   }
+
+  /** Structural repetition metrics — the line- and n-gram-level quality
+    * filters (Gopher/C4-style: Rae et al. 2021 §A1.1 "repetition" rules)
+    * that catch boilerplate, templated spam, and scraper loops which
+    * token-level ratios in [[profile]] miss:
+    *
+    *   - `dup_line_fraction` — fraction of LINE OCCURRENCES whose line
+    *     appears more than once in the document
+    *   - `dup_line_char_fraction` — fraction of characters inside those
+    *     duplicated lines
+    *   - `top_bigram_fraction` — share of all token-bigram occurrences
+    *     taken by the most frequent bigram (concentration ⇒ repetition)
+    *
+    * Shape at 100 TB: one explode + count per (doc, line) and per
+    * (doc, bigram) — both shuffles are keyed by doc-id-plus-content, so
+    * they partition with the corpus; per-doc state in the final aggregate
+    * is a handful of counters. Docs with fewer than 2 tokens have no
+    * bigrams → `top_bigram_fraction` 0 (left join + fill).
+    */
+  def lineRepetition(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val lineCounts = base
+      .select(col("doc_id"), explode(split(col("__text"), "\n")).as("line"))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("line")).cast("long"))
+    val lineAgg = lineCounts.groupBy("doc_id").agg(
+      sum(col("cnt")).as("n_lines"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_lines"),
+      sum(col("len") * col("cnt")).as("line_chars"),
+      sum(when(col("cnt") > 1, col("len") * col("cnt")).otherwise(0L)).as("dup_line_chars"))
+    // bigram OCCURRENCES (not distinct — concentration needs counts)
+    val bigramCounts = base
+      .select(col("doc_id"), toks(col("__text")).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(__toks) - 2), " +
+          "i -> concat_ws(' ', __toks[i], __toks[i + 1]))")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    val bigramAgg = bigramCounts.groupBy("doc_id").agg(
+      max(col("cnt")).as("top_bigram_cnt"),
+      sum(col("cnt")).as("n_bigrams"))
+    lineAgg.join(bigramAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        round(col("dup_lines").cast("double") / col("n_lines"), 4)
+          .as("dup_line_fraction"),
+        round(col("dup_line_chars").cast("double") /
+          greatest(col("line_chars"), lit(1L)), 4).as("dup_line_char_fraction"),
+        round(coalesce(col("top_bigram_cnt").cast("double") / col("n_bigrams"), lit(0.0)), 4)
+          .as("top_bigram_fraction"))
+  }
 }

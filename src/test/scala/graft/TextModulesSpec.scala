@@ -72,4 +72,30 @@ class TextModulesSpec extends SparkTestBase {
     // s1: 2 docs, 5 bytes; s2: 1 doc, 1 byte
     assert(prof.map(r => (r(0), r(1), r(2))) == Seq(("s1", 2L, 5L), ("s2", 1L, 1L)))
   }
+
+  test("lineRepetition computes duplicate-line fractions exactly") {
+    // doc 1: 4 lines, "aa" twice (2 chars each), "b", "ccc" once →
+    //   dup_line_fraction 2/4, dup chars 4 of 4+1+3=8
+    // doc 2: no duplicate lines
+    val d = docs(
+      (1L, "aa\nb\naa\nccc", "s"),
+      (2L, "x\ny", "s"))
+    val out = TextStats.lineRepetition(d).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 4L)
+    assert(r1.getDouble(2) == 0.5)
+    assert(r1.getDouble(3) == 0.5)
+    val r2 = out(1)
+    assert(r2.getLong(1) == 2L && r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
+  }
+
+  test("lineRepetition: top-bigram concentration and the too-short guard") {
+    // doc 1 tokens: a b a b a → bigrams: "a b","b a","a b","b a" →
+    //   top "a b" = 2 of 4 → 0.5
+    // doc 2: single token → no bigrams → 0.0
+    val d = docs((1L, "a b a b a", "s"), (2L, "only", "s"))
+    val out = TextStats.lineRepetition(d).orderBy("doc_id").collect()
+    assert(out(0).getDouble(4) == 0.5)
+    assert(out(1).getDouble(4) == 0.0)
+  }
 }
