@@ -1122,6 +1122,17 @@ object SparkEntry {
       TextStats.lineRepetition(T(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // Train/eval decontamination: training docs sharing any 5-gram with
+    // the (deterministically split) test corpus — broadcast eval shingle
+    // set, training side never shuffles.
+    "q93_decontamination" -> ((s, dir) => {
+      val assigned = graft.text.Splits.assign(T(s, dir, "documents"), "doc_id")
+      graft.text.Decontaminate.overlaps(
+          assigned.filter(col("split") === "train"),
+          assigned.filter(col("split") === "test"), n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Ordered sequence assembly: each user's full event-type sequence in
     // strict event-time order — Spark has no ordered string_agg, so the
     // idiom is sort_array over collect_list of a (time, tie, payload)
@@ -2384,6 +2395,28 @@ object SparkEntry {
         |UNION ALL
         |SELECT p_partkey, 'retailprice', p_retailprice FROM part WHERE p_partkey <= 300
         |ORDER BY p_partkey, attr""".stripMargin,
+
+    "q93_decontamination" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bk
+        |  FROM documents),
+        |a AS (SELECT doc_id, text,
+        |    CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b WHERE bk < 8000 OR bk >= 9000),
+        |tok AS (SELECT doc_id, split,
+        |    string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM a),
+        |sh AS (SELECT doc_id, split,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+        |      g -> toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] || ' ' ||
+        |           toks[g+3] || ' ' || toks[g+4]))) AS shingle
+        |  FROM tok WHERE len(toks) >= 5),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test')
+        |SELECT s.doc_id, count(*)::BIGINT AS n_shared
+        |FROM sh s JOIN ev USING (shingle)
+        |WHERE s.split = 'train'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

@@ -89,6 +89,17 @@ class TextModulesSpec extends SparkTestBase {
     assert(r2.getLong(1) == 2L && r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
   }
 
+  test("decontamination flags exactly the train docs sharing an n-gram with eval") {
+    val train = docs(
+      (1L, "a b c d e f g", "s"),   // shares "a b c d e" with eval doc 10
+      (2L, "p q r s t u v", "s"))   // clean
+    val eval = docs((10L, "z a b c d e zz", "s"))
+    val out = rows(graft.text.Decontaminate.overlaps(train, eval, n = 5))
+    // train doc 1 shingles: {a b c d e, b c d e f, c d e f g};
+    // eval: {z a b c d, a b c d e, b c d e zz} → one shared shingle
+    assert(out == Seq(Seq(1L, 1L)))
+  }
+
   test("lineRepetition: top-bigram concentration and the too-short guard") {
     // doc 1 tokens: a b a b a → bigrams: "a b","b a","a b","b a" →
     //   top "a b" = 2 of 4 → 0.5
