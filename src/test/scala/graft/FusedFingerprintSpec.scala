@@ -131,6 +131,56 @@ class FusedFingerprintSpec extends SparkTestBase {
     assert(out.find(_.getLong(0) == 3L).get.isNullAt(1))
   }
 
+  test("property: fused forms equal relational forms on random unicode token arrays") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // multi-byte UTF-8, zero-length tokens, and whitespace-free symbols —
+    // the byte-assembly paths must agree with concat_ws/md5 on all of them
+    val tokenGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.const(""),
+      Gen.oneOf("héllo", "日本語", "Ω≈ç√", "emoji🙂", "ß", "ñaño"))
+    val arrGen = Gen.listOfN(12, tokenGen)
+    val cases = (1 to 10).flatMap(i =>
+      arrGen.apply(Gen.Parameters.default, Seed(i.toLong))).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts) }
+    val d = cases.toDF("id", "toks")
+    val sqlNgrams = expr(
+      """CASE WHEN size(toks) >= 3
+        |  THEN array_distinct(transform(sequence(0, size(toks) - 3),
+        |       i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
+        |  ELSE array()
+        |END""".stripMargin)
+    val out = d.select(col("id"),
+      graft.functions.ngrams(col("toks"), 3).as("ng_fused"), sqlNgrams.as("ng_sql"),
+      graft.functions.minhash_sig_ngrams(col("toks"), 3, 16).as("mh_fused"),
+      minhash_sig(sqlNgrams, 16).as("mh_sql"),
+      simhash60(col("toks")).as("sh_fused"))
+      .collect()
+    // simhash relational replay, driver-side, from the documented definition
+    def md5Top60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    cases.foreach { case (id, ts) =>
+      val r = out.find(_.getLong(0) == id).get
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"ngrams mismatch id=$id")
+      if (r.isNullAt(3) || r.isNullAt(4))
+        assert(r.isNullAt(3) && r.isNullAt(4), s"minhash null mismatch id=$id")
+      else assert(r.getSeq[Long](3) == r.getSeq[Long](4), s"minhash mismatch id=$id")
+      val sums = new Array[Int](60)
+      ts.foreach { t =>
+        val h = md5Top60(t)
+        (0 until 60).foreach(i => sums(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1))
+      }
+      val want = (0 until 60).foldLeft(0L)((acc, i) =>
+        if (sums(i) > 0) acc | (1L << i) else acc)
+      assert(r.getLong(5) == want, s"simhash mismatch id=$id")
+    }
+  }
+
   test("minhash_sig and simhash60 are registered for SQL text") {
     val base = spark
     SparkSession.clearActiveSession()
