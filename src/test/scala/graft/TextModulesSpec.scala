@@ -89,6 +89,14 @@ class TextModulesSpec extends SparkTestBase {
     assert(r2.getLong(1) == 2L && r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
   }
 
+  test("lineRepetition and decontamination tolerate empty inputs") {
+    val none = docs()
+    assert(TextStats.lineRepetition(none).count() == 0)
+    val some = docs((1L, "a b c d e f", "s"))
+    assert(graft.text.Decontaminate.overlaps(some, none).count() == 0)
+    assert(graft.text.Decontaminate.overlaps(none, some).count() == 0)
+  }
+
   test("decontamination flags exactly the train docs sharing an n-gram with eval") {
     val train = docs(
       (1L, "a b c d e f g", "s"),   // shares "a b c d e" with eval doc 10
