@@ -1122,6 +1122,37 @@ object SparkEntry {
       TextStats.lineRepetition(T(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // Capstone v2 — the full preprocessing funnel a pretraining corpus
+    // runs through, with per-stage survivor counts: raw → exact dedup
+    // (keep-first) → structural repetition filter (q92 metrics) →
+    // deterministic split → n-gram decontamination of the train split
+    // (q93). Every stage is a semi/anti join on doc_id against a
+    // filter-stage output, so document BODIES flow through exactly one
+    // scan pipeline; the funnel report is six rows.
+    "q94_preprocess_funnel" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val keep = Dedup.exact(docs).select(col("keep_doc_id").as("doc_id"))
+      val deduped = docs.join(keep, Seq("doc_id"), "left_semi")
+      val repOk = TextStats.lineRepetition(deduped)
+        .filter(col("dup_line_fraction") <= 0.2 && col("top_bigram_fraction") <= 0.08)
+        .select("doc_id")
+      val quality = deduped.join(repOk, Seq("doc_id"), "left_semi")
+      val assigned = graft.text.Splits.assign(quality, "doc_id")
+      val train = assigned.filter(col("split") === "train")
+      val contaminated = graft.text.Decontaminate.overlaps(
+        train, assigned.filter(col("split") === "test"), n = 5).select("doc_id")
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .select(lit(name).as("stage"), col("n_docs"), col("total_chars"))
+      stage("0_raw", docs)
+        .unionByName(stage("1_dedup", deduped))
+        .unionByName(stage("2_quality", quality))
+        .unionByName(stage("3_train", train.join(contaminated, Seq("doc_id"), "left_anti")))
+        .unionByName(stage("3_val", assigned.filter(col("split") === "val")))
+        .unionByName(stage("3_test", assigned.filter(col("split") === "test")))
+        .orderBy(col("stage"))
+    }),
+
     // Train/eval decontamination: training docs sharing any 5-gram with
     // the (deterministically split) test corpus — broadcast eval shingle
     // set, training side never shuffles.
@@ -2395,6 +2426,55 @@ object SparkEntry {
         |UNION ALL
         |SELECT p_partkey, 'retailprice', p_retailprice FROM part WHERE p_partkey <= 300
         |ORDER BY p_partkey, attr""".stripMargin,
+
+    "q94_preprocess_funnel" ->
+      """WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d1 AS (SELECT d.doc_id, d.text, d.n_chars FROM documents d JOIN dd USING (doc_id)),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d1),
+        |lc AS (SELECT doc_id, line, count(*)::BIGINT AS cnt, length(line)::BIGINT AS len
+        |  FROM l GROUP BY 1, 2),
+        |la AS (SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+        |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_lines
+        |  FROM lc GROUP BY 1),
+        |tk AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM d1),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      g -> toks[g] || ' ' || toks[g + 1])) AS bigram
+        |  FROM tk WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, max(cnt)::BIGINT AS top_cnt, sum(cnt)::BIGINT AS n_bigrams
+        |  FROM bc GROUP BY 1),
+        |rep AS (SELECT la.doc_id FROM la LEFT JOIN ba USING (doc_id)
+        |  WHERE round(la.dup_lines::DOUBLE / la.n_lines, 4) <= 0.2
+        |    AND round(coalesce(ba.top_cnt::DOUBLE / ba.n_bigrams, 0), 4) <= 0.08),
+        |d2 AS (SELECT d1.doc_id, d1.text, d1.n_chars FROM d1 JOIN rep USING (doc_id)),
+        |asn AS (SELECT doc_id, text, n_chars,
+        |    CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text, n_chars,
+        |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bk FROM d2)),
+        |tok5 AS (SELECT doc_id, split,
+        |    string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks
+        |  FROM asn WHERE split IN ('train', 'test')),
+        |sh AS (SELECT doc_id, split,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+        |      g -> toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] || ' ' ||
+        |           toks[g+3] || ' ' || toks[g+4]))) AS shingle
+        |  FROM tok5 WHERE len(toks) >= 5),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
+        |cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+        |  WHERE s.split = 'train')
+        |SELECT '0_raw' AS stage, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars FROM documents
+        |UNION ALL SELECT '1_dedup', count(*)::BIGINT, sum(n_chars)::BIGINT FROM d1
+        |UNION ALL SELECT '2_quality', count(*)::BIGINT, sum(n_chars)::BIGINT FROM d2
+        |UNION ALL SELECT '3_train', count(*)::BIGINT, sum(n_chars)::BIGINT FROM asn
+        |  WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM cont)
+        |UNION ALL SELECT '3_val', count(*)::BIGINT, sum(n_chars)::BIGINT FROM asn
+        |  WHERE split = 'val'
+        |UNION ALL SELECT '3_test', count(*)::BIGINT, sum(n_chars)::BIGINT FROM asn
+        |  WHERE split = 'test'
+        |ORDER BY stage""".stripMargin,
 
     "q93_decontamination" ->
       """WITH b AS (
