@@ -1122,6 +1122,14 @@ object SparkEntry {
       TextStats.lineRepetition(T(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // Cross-document repeated-substring excision (Lee et al. 2022 style,
+    // fixed 10-token windows): windows occurring more than once anywhere
+    // in the corpus are cut except at their globally-first occurrence;
+    // per-doc cut windows merge into maximal spans.
+    "q95_substring_dedup" -> ((s, dir) =>
+      Dedup.repeatedSpans(T(s, dir, "documents"), n = 10)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // Capstone v2 — the full preprocessing funnel a pretraining corpus
     // runs through, with per-stage survivor counts: raw → exact dedup
     // (keep-first) → structural repetition filter (q92 metrics) →
@@ -2426,6 +2434,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT p_partkey, 'retailprice', p_retailprice FROM part WHERE p_partkey <= 300
         |ORDER BY p_partkey, attr""".stripMargin,
+
+    "q95_substring_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS gpos
+        |  FROM tok WHERE len(toks) >= 10),
+        |wh AS (SELECT doc_id, (gpos - 1)::BIGINT AS pos,
+        |    md5(array_to_string(toks[gpos : gpos + 9], ' ')) AS h FROM g),
+        |r AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM wh),
+        |c AS (SELECT doc_id, pos AS s, pos + 10 AS e FROM r WHERE rn > 1),
+        |m AS (SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM c),
+        |i AS (SELECT doc_id, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY doc_id ORDER BY s
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m)
+        |SELECT doc_id, min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+        |  (max(e) - min(s))::BIGINT AS n_tokens
+        |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
 
     "q94_preprocess_funnel" ->
       """WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

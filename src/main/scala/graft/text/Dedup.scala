@@ -213,6 +213,51 @@ object Dedup {
         (col("doc_id") === col("label")).as("is_kept"))
   }
 
+  /** Cross-document repeated-substring excision (the substring-level
+    * dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", simplified to fixed n-token windows):
+    * every n-token window that occurs MORE THAN ONCE in the corpus —
+    * across documents or repeated within one — is cut everywhere except
+    * its globally first occurrence (smallest (doc_id, pos)), and per
+    * document the cut windows are merged into maximal spans
+    * `(doc_id, span_start, span_end, n_tokens)` over token positions.
+    *
+    * Plan shape: one posexplode of windows (stride 1), the duplicate
+    * test is ONE shuffle on the window's md5 (128-bit key — window TEXT
+    * never crosses the wire beyond its own row), and span merging is a
+    * per-document window pass (running-max island merge). At 100 TB the
+    * only wide operation is the window-hash shuffle, which partial
+    * row_number cannot skip but whose rows are (hash, doc, pos) only.
+    */
+  def repeatedSpans(docs: DataFrame, n: Int = 10,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+        .as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos"), md5(col("win")).as("h"))
+    val byOccurrence = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val cuts = wins
+      .withColumn("rn", row_number().over(byOccurrence))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + n).as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevMaxEnd = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    cuts
+      .withColumn("new_island",
+        when(col("s") > coalesce(prevMaxEnd, lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start")).cast("long").as("n_tokens"))
+  }
+
   /** SimHash fingerprint width. 60 bits, not 64: the per-token hash is
     * the top 15 hex digits of md5, which BOTH engines can compute (the
     * oracle engine lacks xxhash64) while staying inside a signed 64-bit

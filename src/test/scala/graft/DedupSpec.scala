@@ -77,6 +77,32 @@ class DedupSpec extends SparkTestBase {
     assert((1L to 9L).forall(out(_) == 1L))
   }
 
+  test("repeatedSpans cuts every occurrence except the globally first") {
+    // docs 1 and 2 share the 3-token run "a b c"; doc 1 is first → doc 2 cut
+    val d = docs(
+      (1L, "a b c x y z"),
+      (2L, "p q a b c r"))
+    val out = rows(Dedup.repeatedSpans(d, n = 3))
+    assert(out == Seq(Seq(2L, 2L, 5L, 3L)))
+  }
+
+  test("repeatedSpans merges overlapping cut windows into maximal spans") {
+    // doc 2 repeats doc 1's "a b c d": windows (a b c) and (b c d) both
+    // duplicate → cut spans [1,4) and [2,5) merge to [1,5)
+    val d = docs(
+      (1L, "a b c d"),
+      (2L, "z a b c d"))
+    val out = rows(Dedup.repeatedSpans(d, n = 3))
+    assert(out == Seq(Seq(2L, 1L, 5L, 4L)))
+  }
+
+  test("repeatedSpans also cuts repeats WITHIN one document, keeping the first") {
+    // "m n o" occurs at pos 0 and pos 3 of the same doc
+    val d = docs((7L, "m n o m n o"))
+    val out = rows(Dedup.repeatedSpans(d, n = 3))
+    assert(out == Seq(Seq(7L, 3L, 6L, 3L)))
+  }
+
   test("tokens uses the explicit whitespace class: U+000B stays inside a token") {
     // Java \\s+ would split on the vertical tab; RE2 (the DuckDB oracle's
     // engine) would not — the explicit class keeps both engines identical
