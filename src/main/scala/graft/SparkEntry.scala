@@ -1130,6 +1130,12 @@ object SparkEntry {
       Dedup.repeatedSpans(T(s, dir, "documents"), n = 10)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // Applying q95: rebuild every document with its repeated windows cut
+    // (keep-first), reporting before/after token counts + cleaned text.
+    "q96_substring_excise" -> ((s, dir) =>
+      Dedup.exciseRepeats(T(s, dir, "documents"), n = 10)
+        .orderBy(col("doc_id"))),
+
     // Capstone v2 — the full preprocessing funnel a pretraining corpus
     // runs through, with per-stage survivor counts: raw → exact dedup
     // (keep-first) → structural repetition filter (q92 metrics) →
@@ -2434,6 +2440,35 @@ object SparkEntry {
         |UNION ALL
         |SELECT p_partkey, 'retailprice', p_retailprice FROM part WHERE p_partkey <= 300
         |ORDER BY p_partkey, attr""".stripMargin,
+
+    "q96_substring_excise" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS gpos
+        |  FROM tok WHERE len(toks) >= 10),
+        |wh AS (SELECT doc_id, (gpos - 1)::BIGINT AS pos,
+        |    md5(array_to_string(toks[gpos : gpos + 9], ' ')) AS h FROM g),
+        |r AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM wh),
+        |c AS (SELECT doc_id, pos AS s, pos + 10 AS e FROM r WHERE rn > 1),
+        |m AS (SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM c),
+        |i AS (SELECT doc_id, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY doc_id ORDER BY s
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m),
+        |sp AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM i GROUP BY doc_id, island),
+        |pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS gp FROM tok),
+        |kept AS (SELECT p.doc_id, p.gp, p.toks[p.gp] AS tkn FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = p.doc_id AND p.gp - 1 >= sp.ss AND p.gp - 1 < sp.se)),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens_after,
+        |    string_agg(tkn, ' ' ORDER BY gp) AS clean_text FROM kept GROUP BY 1)
+        |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens_before,
+        |  coalesce(a.n_tokens_after, 0)::BIGINT AS n_tokens_after,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "q95_substring_dedup" ->
       """WITH tok AS (SELECT doc_id,

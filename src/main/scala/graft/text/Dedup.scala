@@ -258,6 +258,31 @@ object Dedup {
         (col("span_end") - col("span_start")).cast("long").as("n_tokens"))
   }
 
+  /** Apply [[repeatedSpans]]: rebuild each document's token stream with
+    * every cut span removed (keeping the corpus's single first occurrence
+    * of each repeated window). Output text is the whitespace-normalized,
+    * lowercased token stream — the same normalization every operator in
+    * this module keys on. Docs with no cuts pass through the cheap
+    * `cuts IS NULL` branch; the index-lambda rebuild runs only for the
+    * (rare) documents that actually lose spans.
+    */
+  def exciseRepeats(docs: DataFrame, n: Int = 10,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cuts = repeatedSpans(docs, n, textCol, idCol)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("cuts"))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("cuts").isNull, col("toks")).otherwise(expr(
+        "filter(transform(toks, (t, i) -> " +
+          "IF(exists(cuts, c -> i >= c.span_start AND i < c.span_end), NULL, t)), " +
+          "x -> x IS NOT NULL)")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens_before"),
+        size(col("kept")).cast("long").as("n_tokens_after"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** SimHash fingerprint width. 60 bits, not 64: the per-token hash is
     * the top 15 hex digits of md5, which BOTH engines can compute (the
     * oracle engine lacks xxhash64) while staying inside a signed 64-bit

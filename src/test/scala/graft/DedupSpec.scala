@@ -103,6 +103,18 @@ class DedupSpec extends SparkTestBase {
     assert(out == Seq(Seq(7L, 3L, 6L, 3L)))
   }
 
+  test("exciseRepeats removes exactly the cut spans and keeps clean docs intact") {
+    val d = docs(
+      (1L, "a b c d"),      // first occurrence — untouched
+      (2L, "z a b c d"),    // loses the merged span [1,5)
+      (3L, "u v w x"))      // clean
+    val out = rows(Dedup.exciseRepeats(d, n = 3))
+    assert(out == Seq(
+      Seq(1L, 4L, 4L, "a b c d"),
+      Seq(2L, 5L, 1L, "z"),
+      Seq(3L, 4L, 4L, "u v w x")))
+  }
+
   test("tokens uses the explicit whitespace class: U+000B stays inside a token") {
     // Java \\s+ would split on the vertical tab; RE2 (the DuckDB oracle's
     // engine) would not — the explicit class keeps both engines identical

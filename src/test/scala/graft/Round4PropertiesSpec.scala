@@ -130,4 +130,39 @@ class Round4PropertiesSpec extends SparkTestBase {
       assert(got == want, s"vocab=$ws")
     }
   }
+
+  // ------------------------------------------------- repeated substrings
+
+  // tiny alphabet + short docs → plenty of cross-doc window collisions
+  private val corpusGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(5, Gen.listOfN(12, Gen.oneOf("x", "y")).map(_.mkString(" ")))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("repeatedSpans == brute-force keep-first window excision") {
+    val n = 3
+    samples(corpusGen).foreach { corpus =>
+      // brute force: every (doc, pos) window except the globally-first
+      // occurrence of its text is cut; merge overlapping cuts per doc
+      val wins = for {
+        (id, text) <- corpus
+        toks = text.split(" ")
+        pos <- 0 to toks.length - n
+      } yield (id, pos, toks.slice(pos, pos + n).mkString(" "))
+      val first = wins.groupBy(_._3).view.mapValues(_.minBy(w => (w._1, w._2))).toMap
+      val cuts = wins.filterNot(w => first(w._3) == w)
+        .map(w => (w._1, w._2, w._2 + n))
+      val want = cuts.groupBy(_._1).flatMap { case (id, cs) =>
+        cs.sortBy(_._2).foldLeft(List.empty[(Long, Int, Int)]) {
+          case (acc, (_, s, e)) => acc match {
+            case (aid, as, ae) :: rest if s <= ae => (aid, as, math.max(ae, e)) :: rest
+            case _ => (id, s, e) :: acc
+          }
+        }
+      }.map { case (id, s, e) => (id, s.toLong, e.toLong, (e - s).toLong) }.toSet
+      val got = graft.text.Dedup.repeatedSpans(
+          corpus.toDF("doc_id", "text"), n = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"corpus=$corpus")
+    }
+  }
 }
