@@ -70,9 +70,9 @@ class IngestSpec extends SparkTestBase {
       Ingest.writeBucketed(b, tb, "k", 4)
       val joined = spark.table(ta).join(spark.table(tb), "k")
       assert(joined.count() == 100)
-      val shuffles = joined.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeLike => e
-      }
+      // executedPlanNodes, not a plain collect: TreeNode.collect cannot
+      // see through AQE wrappers and would pass this vacuously
+      val shuffles = executedPlanNodes(joined).filter(_.isInstanceOf[ShuffleExchangeLike])
       assert(shuffles.isEmpty, s"bucketed join should not shuffle: ${shuffles.size} exchanges")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $ta")

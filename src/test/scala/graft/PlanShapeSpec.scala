@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.functions._
+import graft.functions.minhash_sig_ngrams
+import graft.text.{Decontaminate, Dedup}
+
+/** Physical-plan-shape assertions for the scale claims the scaladocs
+  * make: where this library says "no shuffle" or "broadcast", the plan
+  * must actually say so. These are the CI teeth behind PLAN_AUDIT.md.
+  */
+class PlanShapeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def shuffles(df: DataFrame): Seq[SparkPlan] =
+    executedPlanNodes(df).filter(_.isInstanceOf[ShuffleExchangeLike])
+
+  private def broadcasts(df: DataFrame): Seq[SparkPlan] =
+    executedPlanNodes(df).filter(_.isInstanceOf[BroadcastExchangeLike])
+
+  private def docs(rows: (Long, String)*) = rows.toList.toDF("doc_id", "text")
+
+  test("fused MinHash signature path is a pure projection: no shuffle, no generate") {
+    val d = docs((1L, "a b c d e"), (2L, "f g h i j"))
+    val sigs = d.select(col("doc_id"),
+      minhash_sig_ngrams(Dedup.tokens(col("text")), 3, 16).as("sig"))
+      .filter(col("sig").isNotNull)
+    assert(shuffles(sigs).isEmpty, "signature stage must not shuffle")
+    val plan = sigs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), "signature stage must not explode rows")
+  }
+
+  test("fused SimHash path is a pure projection: no shuffle, no generate") {
+    val d = docs((1L, "a b c"), (2L, "d e f"))
+    val fp = Dedup.simhash(d)
+    assert(shuffles(fp).isEmpty, "simhash must not shuffle")
+    assert(!fp.queryExecution.executedPlan.toString.contains("Generate"))
+  }
+
+  test("decontamination broadcasts the eval shingle set; training side joins map-side") {
+    val train = docs((1L, "a b c d e f g"), (2L, "p q r s t u v"))
+    val eval = docs((10L, "z a b c d e zz"))
+    val out = Decontaminate.overlaps(train, eval, n = 5)
+    assert(broadcasts(out).nonEmpty, "eval shingles must broadcast")
+    // only the eval-side distinct and the final per-doc aggregation may
+    // shuffle — the training corpus itself reaches no exchange
+    assert(shuffles(out).size <= 2,
+      s"expected <=2 shuffles (eval distinct + result agg), got ${shuffles(out).size}")
+  }
+
+  test("repeatedSpans has exactly two shuffles: window-hash rank and per-doc merge") {
+    val d = docs((1L, "a b c d e"), (2L, "z a b c d"))
+    val out = Dedup.repeatedSpans(d, n = 3)
+    assert(shuffles(out).size == 2,
+      s"expected the (hash) and (doc) exchanges only, got ${shuffles(out).size}")
+  }
+
+  test("trending filter reaches the parquet scan as a pushed filter") {
+    // written-to-parquet roundtrip so the scan is a real FileSourceScan
+    val dir = java.nio.file.Files.createTempDirectory("planshape").toString
+    (1L to 50L).map(i => (i, if (i % 2 == 0) "complete_listen" else "skip"))
+      .toDF("track_id", "event_type").write.mode("overwrite").parquet(s"$dir/e")
+    val q = spark.read.parquet(s"$dir/e")
+      .filter(col("event_type") === "complete_listen")
+      .select(col("track_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
+      "equality filter must be pushed to the scan")
+    assert(plan.contains("ReadSchema") && !plan.substring(plan.indexOf("ReadSchema"))
+      .takeWhile(_ != '\n').contains("extra"), "scan must prune to consumed columns")
+  }
+}

@@ -27,4 +27,25 @@ abstract class SparkTestBase extends AnyFunSuite {
     df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
 
   def rowSet(df: DataFrame): Set[Seq[Any]] = df.collect().toSet.map((r: Row) => r.toSeq)
+
+  /** Every node of the FINAL (post-AQE) physical plan. TreeNode.collect
+    * does not descend through AdaptiveSparkPlanExec / QueryStageExec
+    * (they have no tree children), so plan-shape assertions written with
+    * a plain collect pass vacuously on adaptive plans; this executes the
+    * frame and walks through the wrappers explicitly.
+    */
+  def executedPlanNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val inner: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(walk)
+    }
+    df.count()
+    walk(df.queryExecution.executedPlan)
+  }
 }
