@@ -78,20 +78,28 @@ object MinHashSigNgrams {
     var w = 0
     while (w + n <= m) {
       // a zero-length token still counts as a joined part (concat_ws
-      // separates every NON-NULL part), so track "first part" explicitly
-      var len = 0
+      // separates every NON-NULL part), so track "first part" explicitly.
+      // Long arithmetic: n huge tokens can push a single window past
+      // Int.MaxValue, where Int accumulation would wrap and either
+      // allocate a negative-size array or skip the grow branch entirely
+      var lenL = 0L
       var first = true
       var j = w
       while (j < w + n) {
         val t = tb(j)
         if (t != null) {
-          len += (if (first) 0 else 1) + t.length
+          lenL += (if (first) 0L else 1L) + t.length
           first = false
         }
         j += 1
       }
+      if (lenL > Int.MaxValue - 16)
+        throw new IllegalArgumentException(
+          s"$lenL-byte shingle window exceeds the 2 GiB buffer limit; " +
+            "shorten tokens or reduce n")
+      val len = lenL.toInt
       if (buf.length < len) {
-        buf = new Array[Byte](java.lang.Integer.highestOneBit(len) << 1)
+        buf = new Array[Byte](math.min(len.toLong * 2, (Int.MaxValue - 16).toLong).toInt)
         buffers.set(buf)
       }
       var off = 0

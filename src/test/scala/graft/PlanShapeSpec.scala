@@ -58,17 +58,24 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("trending filter reaches the parquet scan as a pushed filter") {
-    // written-to-parquet roundtrip so the scan is a real FileSourceScan
+    // written-to-parquet roundtrip so the scan is a real FileSourceScan;
+    // the table carries an UNCONSUMED column so pruning has something to
+    // actually prune (otherwise the assertion is vacuous)
     val dir = java.nio.file.Files.createTempDirectory("planshape").toString
-    (1L to 50L).map(i => (i, if (i % 2 == 0) "complete_listen" else "skip"))
-      .toDF("track_id", "event_type").write.mode("overwrite").parquet(s"$dir/e")
+    (1L to 50L).map(i => (i, if (i % 2 == 0) "complete_listen" else "skip", s"extra$i"))
+      .toDF("track_id", "event_type", "unused_payload")
+      .write.mode("overwrite").parquet(s"$dir/e")
     val q = spark.read.parquet(s"$dir/e")
       .filter(col("event_type") === "complete_listen")
       .select(col("track_id"))
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
-      "equality filter must be pushed to the scan")
-    assert(plan.contains("ReadSchema") && !plan.substring(plan.indexOf("ReadSchema"))
-      .takeWhile(_ != '\n').contains("extra"), "scan must prune to consumed columns")
+    // the filter must appear INSIDE the PushedFilters bracket, not merely
+    // anywhere in the plan text (a post-scan Filter also prints the name)
+    val pushed = plan.substring(plan.indexOf("PushedFilters: [") + 16).takeWhile(_ != ']')
+    assert(pushed.contains("event_type"),
+      s"equality filter must be pushed to the scan, got PushedFilters [$pushed]")
+    val readSchema = plan.substring(plan.indexOf("ReadSchema: ")).takeWhile(_ != '\n')
+    assert(!readSchema.contains("unused_payload"),
+      s"scan must prune the unconsumed column, got $readSchema")
   }
 }

@@ -45,7 +45,11 @@ abstract class SparkTestBase extends AnyFunSuite {
       }
       p +: inner.flatMap(walk)
     }
-    df.count()
+    // collect(), NOT count(): count() builds a NEW QueryExecution over an
+    // added aggregate, leaving THIS df's adaptive plan unexecuted — the
+    // walk would then see only the initial plan and AQE-inserted nodes
+    // (skew shuffles, runtime broadcasts) would be invisible
+    df.collect()
     walk(df.queryExecution.executedPlan)
   }
 }
