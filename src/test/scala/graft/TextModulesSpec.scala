@@ -108,6 +108,17 @@ class TextModulesSpec extends SparkTestBase {
     assert(out == Seq(Seq(1L, 1L)))
   }
 
+  test("overlapsBloom returns exactly the broadcast-exact decontamination result") {
+    val train = docs(
+      (1L, "a b c d e f g", "s"),
+      (2L, "p q r s t u v", "s"),
+      (3L, "z a b c d e zz more stuff here", "s"))
+    val eval = docs((10L, "z a b c d e zz", "s"), (11L, "q r s t u extra", "s"))
+    val exact = rows(graft.text.Decontaminate.overlaps(train, eval, n = 5))
+    val bloom = rows(graft.text.Decontaminate.overlapsBloom(train, eval, n = 5))
+    assert(bloom == exact && exact.nonEmpty)
+  }
+
   test("lineRepetition: top-bigram concentration and the too-short guard") {
     // doc 1 tokens: a b a b a → bigrams: "a b","b a","a b","b a" →
     //   top "a b" = 2 of 4 → 0.5
