@@ -37,7 +37,11 @@ object Bench {
     // millisecond precision: full-precision doubles ballooned the line to
     // ~2.7 KB at 68 queries and the driver's fixed-size tail capture
     // truncated it (BENCH_r03 "parsed": null) — keep the ONE line small
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator formats with the default locale,
+    // which renders a comma decimal separator on e.g. de_DE JVMs —
+    // malformed JSON, the exact parse failure the precision cap fixed
+    def ms(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s""""$k":${ms(v)}""" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s""""$k":"${esc(m)}"""" }
       .mkString("{", ",", "}")

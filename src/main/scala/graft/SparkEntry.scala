@@ -1067,7 +1067,12 @@ object SparkEntry {
         Seq("user_id"), "ts", "tie", Seq("status"))
         .select(col("user_id"), col("status"), col("valid_from"),
           col("valid_to"), col("is_current"))
-        .orderBy(col("user_id"), col("valid_from"), col("status"))),
+        // valid_to in the sort (nulls last, explicitly — engine defaults
+        // differ): (user_id, valid_from, status) alone is NOT total when
+        // same-date runs alternate statuses (F, P, F on one date yields
+        // two (user, date, F) rows differing only in valid_to)
+        .orderBy(col("user_id"), col("valid_from"), col("status"),
+          col("valid_to").asc_nulls_last)),
 
     // TF-IDF top terms per document with the division-only rarity score
     // (tf·N)/df — engine-deterministic where ln(N/df) is not (see
@@ -2383,7 +2388,7 @@ object SparkEntry {
         |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
         |  FROM r)
         |SELECT user_id, status, valid_from, valid_to, valid_to IS NULL AS is_current
-        |FROM o ORDER BY user_id, valid_from, status""".stripMargin,
+        |FROM o ORDER BY user_id, valid_from, status, valid_to ASC NULLS LAST""".stripMargin,
 
     "q72_tfidf_topterms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS token

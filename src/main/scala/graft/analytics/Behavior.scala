@@ -25,8 +25,14 @@ object Behavior {
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    // each round localCheckpoints `reached`: stage i's plan would
+    // otherwise embed stages 1..i−1, so evaluating the unioned output
+    // re-runs every prefix — an S-stage funnel would scan `events`
+    // O(S²/2) times (the duplicateClusters lineage lesson; PageRank and
+    // BFS already truncate per round)
     var reached = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      .localCheckpoint()
     var out = reached.agg(lit(0L).as("stage_idx"), lit(stages.head).as("stage"),
       count(lit(1)).as("n_users"))
     stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
@@ -34,6 +40,7 @@ object Behavior {
         .join(reached.select(col(userCol), col("__t").as("__prev")), Seq(userCol))
         .filter(col(tsCol) > col("__prev"))
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        .localCheckpoint()
       out = out.unionByName(reached.agg(lit(i.toLong).as("stage_idx"),
         lit(stage).as("stage"), count(lit(1)).as("n_users")))
     }

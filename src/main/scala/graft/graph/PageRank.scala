@@ -46,6 +46,15 @@ object PageRank {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct().localCheckpoint()
+    // Overflow guard: a node's rank_fp is bounded by the total mass
+    // N·Scale, and the per-edge contribution computes rank_fp * 85 in
+    // Long — for N ≳ 10^8 a sufficiently concentrated hub could wrap
+    // NEGATIVE silently (an oracle engine promoting to 128-bit would
+    // not, silently diverging). Fail loudly at the boundary; larger
+    // graphs should run with a smaller Scale.
+    val n = nodes.count()
+    require(n <= Long.MaxValue / 85 / Scale,
+      s"PageRank fixed-point: $n nodes can overflow Long at Scale=$Scale; reduce Scale")
     var ranks = nodes.withColumn("rank_fp", lit(Scale))
     for (_ <- 1 to iterations) {
       val contribs = ed

@@ -235,10 +235,27 @@ object Ingest {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(root), s"compact: $path does not exist")
 
     val TmpSuffix = "_compact_tmp"
     val OldSuffix = "_compact_old"
+
+    // Root-level recovery FIRST, before the existence check: for an
+    // UNPARTITIONED table the leaf is the root itself, so its staging
+    // dirs are SIBLINGS of the root — outside any sweep that only lists
+    // the root's children — and a crash between the two renames leaves
+    // the root missing entirely. Restore it from `<path>_compact_old`
+    // (which holds the original data) or the orphaned sweep below can
+    // never run and the data sits stranded.
+    locally {
+      val rootOld = new Path(root.toString + OldSuffix)
+      val rootTmp = new Path(root.toString + TmpSuffix)
+      if (!fs.exists(root) && fs.exists(rootOld))
+        require(fs.rename(rootOld, root), s"compact: could not restore $root from $rootOld")
+      else if (fs.exists(root) && fs.exists(rootOld))
+        fs.delete(rootOld, true) // completed swap's leftover
+      if (fs.exists(rootTmp)) fs.delete(rootTmp, true)
+    }
+    require(fs.exists(root), s"compact: $path does not exist")
     def isStaging(p: Path): Boolean =
       p.getName.endsWith(TmpSuffix) || p.getName.endsWith(OldSuffix)
 

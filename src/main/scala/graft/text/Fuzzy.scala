@@ -39,7 +39,14 @@ object Fuzzy {
     val keyed = vocab
       .select(col("w"), explode(array_union(deletionVariants("w"),
         array(col("w")))).as("k"))
-    val cand = Pipelines.cooccurrence(keyed, "k", "w")
+    // maxGroupSize = unbounded: cooccurrence's default 10^4 cap protects
+    // runaway pair tasks, but here it would silently DROP distance-1
+    // pairs whenever one deletion-key bucket exceeds it (plausible on a
+    // large-alphabet vocabulary), breaking the exact-recall contract —
+    // prefer a slow task over a wrong answer; bucket size is bounded by
+    // |alphabet|·len look-alikes, so the quadratic term stays capped by
+    // the vocabulary's shape, not an arbitrary constant
+    val cand = Pipelines.cooccurrence(keyed, "k", "w", maxGroupSize = Int.MaxValue)
       .select(col("track_id_1").as("w1"), col("track_id_2").as("w2"))
     cand
       .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))

@@ -160,6 +160,31 @@ class IngestSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  test("compact recovers an UNPARTITIONED table whose root vanished mid-swap") {
+    val dir = tmp()
+    val d = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "v")
+    d.repartition(8).write.parquet(s"$dir/t")
+    val before = spark.read.parquet(s"$dir/t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // worst crash point for the root-as-leaf case: the TABLE ITSELF is
+    // retired to <path>_compact_old and the compacted tmp never landed —
+    // the root is gone and the staging dirs are SIBLINGS of it
+    val root = new java.io.File(s"$dir/t")
+    val dead = new java.io.File(s"$dir/t_compact_old")
+    val tmpStage = new java.io.File(s"$dir/t_compact_tmp")
+    assert(root.renameTo(dead))
+    tmpStage.mkdir()
+
+    val n = Ingest.compact(spark, s"$dir/t", targetFileBytes = 10L * 1024 * 1024)
+    assert(n > 0)
+    assert(root.exists() && !dead.exists() && !tmpStage.exists(),
+      "root-level recovery must restore the table and clear sibling staging")
+    val after = spark.read.parquet(s"$dir/t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "crash recovery lost or duplicated rows")
+  }
+
   test("compact recovers a partitioned table from a crash between the two renames") {
     val dir = tmp()
     val d = (1L to 600L).map(i => (i, s"r$i", 2020 + (i % 2).toInt)).toDF("id", "v", "year")
