@@ -57,6 +57,30 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the (hash) and (doc) exchanges only, got ${shuffles(out).size}")
   }
 
+  test("cooccurrence pair generation shuffles the input once plus the pair aggregate") {
+    val pt = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L))
+      .toDF("playlist_id", "track_id")
+    val pairs = graft.silver.Pipelines.cooccurrence(pt, "playlist_id", "track_id")
+    // ONE input shuffle (groupBy key) + ONE pair-count aggregate — the
+    // whole point of the grouped-generator rewrite vs the two join-side
+    // exchanges + sorts of a self-join
+    assert(shuffles(pairs).size == 2,
+      s"expected group + pair-agg exchanges only, got ${shuffles(pairs).size}")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "pair generation must not plan a join")
+  }
+
+  test("brute-force cosine scoring broadcasts the query side, never the corpus") {
+    val emb = (1L to 30L).map(i => (i, Array.fill(4)(i.toDouble))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array.fill(4)(1.0))).toDF("vec_id", "embedding")
+    val top = graft.vector.Similarity.cosineTopK(spark, emb, q, k = 3)
+    assert(broadcasts(top).nonEmpty, "query side must broadcast")
+    val plan = executedPlanNodes(top).mkString("\n")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus must stream through a broadcast join, not a shuffled join")
+  }
+
   test("trending filter reaches the parquet scan as a pushed filter") {
     // written-to-parquet roundtrip so the scan is a real FileSourceScan;
     // the table carries an UNCONSUMED column so pruning has something to
