@@ -44,10 +44,26 @@ object SparkEntry {
     * parsing is millisecond-bounded and would shift µs-precision
     * boundary events). */
   private def stageEventsJson(s: SparkSession, dir: String, base: String,
-                              doubled: Boolean = false): Unit = {
+                              doubled: Boolean = false,
+                              sentinels: Boolean = false): Unit = {
+    import s.implicits._
     val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
       col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
-    (if (doubled) ev.unionByName(ev) else ev)
+    // far-future sentinel rows (user_id −1, filtered from results) on
+    // BOTH streams of a two-stream consumer: the global watermark is the
+    // MIN across inputs, and outer joins / final-state flushes only emit
+    // rows the watermark has passed — the sentinels push it past every
+    // real event so the bounded-run output is exactly the batch oracle's
+    val withSentinels =
+      if (!sentinels) ev
+      else {
+        val far = ev.agg(max(col("ts_us"))).head.getLong(0) + 86400000000L
+        ev.unionByName(Seq(
+          (-1L, -1L, "click", far, 0.0),
+          (-2L, -1L, "view", far, 0.0))
+          .toDF("event_id", "user_id", "event_type", "ts_us", "value"))
+      }
+    (if (doubled) withSentinels.unionByName(withSentinels) else withSentinels)
       .select(to_json(struct(col("event_id"), col("user_id"),
         col("event_type"), col("ts_us"), col("value"))).as("value"))
       // ONE staged file: the watermarked consumers (q50/q64) tolerate no
@@ -944,6 +960,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("click_id")).as("sum_click_id"),
           sum(col("view_id")).as("sum_view_id"))
+    }),
+
+    // §2.9 LEFT OUTER stream-stream interval join: unattributed clicks
+    // are emitted null-padded once the watermark closes their join
+    // window. Sentinel rows (user −1, filtered here) push the final
+    // watermark past every real click so the bounded run emits the
+    // complete outer result the batch oracle computes.
+    "q97_stream_outer_interval" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_streamoj").toString
+      stageEventsJson(s, dir, base, sentinels = true)
+      StreamAgg.runOuterIntervalJoinToCompletion(s, s"$base/in", s"$base/sink",
+          s"$base/ckpt", intervalSeconds = 3600, statePartitions = Some(8))
+        .filter(col("user_id") >= 0)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("view_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          sum(col("click_id")).as("sum_click_id"),
+          sum(coalesce(col("view_id"), lit(0L))).as("sum_view_id"))
     }),
 
     // §2.5 breadth: distribution-rank window functions. percent_rank and
@@ -2192,6 +2225,17 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
         |                    AND o.o_totalprice < 50000)
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q97_stream_outer_interval" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, us AS cus FROM e WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, us AS vus FROM e WHERE event_type = 'view')
+        |SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unmatched,
+        |  sum(click_id)::BIGINT AS sum_click_id,
+        |  sum(coalesce(view_id, 0))::BIGINT AS sum_view_id
+        |FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |  AND vus >= cus - 3600000000::BIGINT AND vus <= cus""".stripMargin,
 
     "q64_stream_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),

@@ -266,6 +266,39 @@ object StreamAgg {
           col("view_ts") >= col("click_ts") - expr(s"INTERVAL $intervalSeconds SECONDS") &&
           col("view_ts") <= col("click_ts"))
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoined]],
+    * but clicks with no attributable view are ALSO emitted, null-padded —
+    * once the watermark proves no qualifying view can still arrive (the
+    * click's join window has closed on event time). Unmatched-row emission
+    * rides the no-data micro-batch Spark runs after a watermark advance;
+    * rows younger than the final watermark stay in state unemitted, which
+    * is why the oracle-gated query stages a far-future sentinel on BOTH
+    * streams (the global watermark is the MIN across inputs).
+    */
+  def intervalJoinedOuter(clicks: DataFrame, views: DataFrame,
+                          intervalSeconds: Long = 3600,
+                          watermarkDelay: String = "1 minute"): DataFrame =
+    clicks
+      .withWatermark("click_ts", watermarkDelay)
+      .join(views.withWatermark("view_ts", watermarkDelay),
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $intervalSeconds SECONDS") &&
+          col("view_ts") <= col("click_ts"),
+        "leftOuter")
+
+  private def intervalSides(spark: SparkSession, inPath: String):
+      (DataFrame, DataFrame) = {
+    def side(eventType: String) =
+      jsonEventSource(spark, inPath, EventWithIdSchema)
+        .filter(col("event_type") === eventType)
+    (side("click")
+       .select(col("event_id").as("click_id"), col("user_id"),
+         col("ts").as("click_ts")),
+     side("view")
+       .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+         col("ts").as("view_ts")))
+  }
+
   /** Run [[intervalJoined]] over a bounded file source to completion:
     * the event file is read as TWO streams (clicks and views) from the
     * same source, joined, persisted, and read back. */
@@ -273,19 +306,22 @@ object StreamAgg {
                                   outPath: String, checkpointPath: String,
                                   intervalSeconds: Long = 3600,
                                   statePartitions: Option[Int] = None): DataFrame = {
-    def side(eventType: String) =
-      jsonEventSource(spark, inPath, EventWithIdSchema)
-        .filter(col("event_type") === eventType)
-    val clicks = side("click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-    val views = side("view")
-      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
-        col("ts").as("view_ts"))
+    val (clicks, views) = intervalSides(spark, inPath)
     val joined = intervalJoined(clicks, views, intervalSeconds)
     runToParquet(spark, joined, outPath, checkpointPath, statePartitions)
     // explicit schema: a no-match interval join writes zero files and
     // schema inference on the bare sink would throw
+    spark.read.schema(joined.schema).parquet(outPath)
+  }
+
+  /** [[runIntervalJoinToCompletion]]'s left-outer sibling. */
+  def runOuterIntervalJoinToCompletion(spark: SparkSession, inPath: String,
+                                       outPath: String, checkpointPath: String,
+                                       intervalSeconds: Long = 3600,
+                                       statePartitions: Option[Int] = None): DataFrame = {
+    val (clicks, views) = intervalSides(spark, inPath)
+    val joined = intervalJoinedOuter(clicks, views, intervalSeconds)
+    runToParquet(spark, joined, outPath, checkpointPath, statePartitions)
     spark.read.schema(joined.schema).parquet(outPath)
   }
 
