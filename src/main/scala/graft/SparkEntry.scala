@@ -2025,7 +2025,7 @@ object SparkEntry {
     "q35_ann_ivf" ->
       """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d),
-        |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
         |a1 AS (
         |  SELECT vec_id, cent_id, v FROM (
         |    SELECT x.vec_id, c.cent_id, x.v,

@@ -163,6 +163,12 @@ object Pipelines {
     * filtered to groups that intersect it. */
   private def probedGroups(pairs: DataFrame, groupCol: String, itemCol: String,
                            probe: DataFrame, maxGroupSize: Int): DataFrame = {
+    // fail fast on a multi-column probe: silently taking columns.head
+    // would probe on whatever column happens to be first (e.g. user_id
+    // of an unprojected likes frame) and return a wrong-but-plausible
+    // similarity table instead of an analysis error
+    require(probe.columns.length == 1,
+      s"probe must be a single-column frame of item ids, got ${probe.columns.mkString(", ")}")
     val probeSet = probe.select(col(probe.columns.head).as("p")).distinct()
       .agg(sort_array(collect_set(col("p"))).as("probe_set"))
     pairs.groupBy(col(groupCol).as("g"))

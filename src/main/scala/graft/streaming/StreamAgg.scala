@@ -155,6 +155,17 @@ object StreamAgg {
     spark.readStream.schema(schema).json(inPath)
       .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
 
+  /** Read a bounded run's sink with the expected schema; a run whose
+    * source held zero records commits no batch and never creates the
+    * sink path — return an empty frame instead of throwing. */
+  private def readSink(spark: SparkSession, outPath: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(outPath)
+  }
+
   private def runToParquet(spark: SparkSession, df: DataFrame, outPath: String,
                            checkpointPath: String,
                            statePartitions: Option[Int]): Unit = {
@@ -188,9 +199,8 @@ object StreamAgg {
     val src = jsonEventSource(spark, inPath, EventWithIdSchema)
     runToParquet(spark, dedupedEvents(src, keyCol, watermarkDelay),
       outPath, checkpointPath, statePartitions)
-    spark.read.schema(
-      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
-      .parquet(outPath)
+    readSink(spark, outPath, org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP"))
   }
 
   /** Stream-static enrichment: join a streaming fact against a static
@@ -215,7 +225,7 @@ object StreamAgg {
     runToParquet(spark, joined, outPath, checkpointPath, statePartitions = None)
     // explicit schema from the streaming plan: an all-miss join writes
     // zero files and schema inference on the bare sink would throw
-    spark.read.schema(joined.schema).parquet(outPath)
+    readSink(spark, outPath, joined.schema)
   }
 
   /** Streaming upsert sink: each micro-batch is MERGEd into a keyed
@@ -243,9 +253,8 @@ object StreamAgg {
         .write.mode("overwrite").parquet(tablePath)
     }
     q.awaitTermination()
-    spark.read.schema(
-      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
-      .parquet(tablePath)
+    readSink(spark, tablePath, org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP"))
   }
 
   /** Stream-stream interval join: views attributed to the click they
@@ -311,7 +320,7 @@ object StreamAgg {
     runToParquet(spark, joined, outPath, checkpointPath, statePartitions)
     // explicit schema: a no-match interval join writes zero files and
     // schema inference on the bare sink would throw
-    spark.read.schema(joined.schema).parquet(outPath)
+    readSink(spark, outPath, joined.schema)
   }
 
   /** [[runIntervalJoinToCompletion]]'s left-outer sibling. */
@@ -322,7 +331,7 @@ object StreamAgg {
     val (clicks, views) = intervalSides(spark, inPath)
     val joined = intervalJoinedOuter(clicks, views, intervalSeconds)
     runToParquet(spark, joined, outPath, checkpointPath, statePartitions)
-    spark.read.schema(joined.schema).parquet(outPath)
+    readSink(spark, outPath, joined.schema)
   }
 
   /** Run a windowed aggregation over a bounded file source to completion
@@ -343,8 +352,7 @@ object StreamAgg {
       "user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
     runToParquet(spark, windowedCounts(src, windowLength, watermarkDelay),
       outPath, checkpointPath, statePartitions)
-    spark.read.schema(
-      "window_start TIMESTAMP, event_type STRING, n LONG, sum_value DOUBLE")
-      .parquet(outPath)
+    readSink(spark, outPath, org.apache.spark.sql.types.StructType.fromDDL(
+      "window_start TIMESTAMP, event_type STRING, n LONG, sum_value DOUBLE"))
   }
 }

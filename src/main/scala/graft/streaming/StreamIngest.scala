@@ -78,12 +78,16 @@ object StreamIngest {
       .withColumn("event_date", substring(col("timestamp"), 1, 10))
 
   /** Checkpointed append sink (S9, process_recommendation_events.py:78–82;
-    * parquet stands in for Delta offline per SURVEY §7.3). */
+    * parquet stands in for Delta offline per SURVEY §7.3). Partitioned by
+    * `event_date` — the reason parse() derives the column at all: the
+    * bronze table prunes on date at read time (scaladoc's claimed layout,
+    * which an unpartitioned sink would silently not deliver). */
   def startSink(parsed: DataFrame, outPath: String, checkpointPath: String,
                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     parsed.writeStream
       .format("parquet")
       .outputMode("append")
+      .partitionBy("event_date")
       .option("checkpointLocation", checkpointPath)
       .option("path", outPath)
       .trigger(trigger)
@@ -143,6 +147,12 @@ object StreamIngest {
     val tap = if (consoleTap) Some(startConsoleTap(parsed)) else None
     sink.awaitTermination()
     tap.foreach(_.awaitTermination())
-    spark.read.schema(payloadSchema.add("event_date", StringType)).parquet(outPath)
+    val schema = payloadSchema.add("event_date", StringType)
+    // a bounded source with ZERO records commits no batch, so the parquet
+    // sink never creates outPath — return an empty frame, don't throw
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(outPath)
   }
 }

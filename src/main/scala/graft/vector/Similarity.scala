@@ -30,12 +30,19 @@ object Similarity {
   def dot(a: String, b: String): org.apache.spark.sql.Column =
     graft.functions.vector_dot(col(a), col(b))
 
-  /** Embeddings with unit-precision prep: double-cast vector + norm. */
+  /** Embeddings with unit-precision prep: double-cast vector + norm.
+    * Zero-norm vectors (empty/padded inputs) are EXCLUDED: a zero vector
+    * has no direction, its cosine is 0/0 = NaN, and Spark's NaN-is-
+    * largest comparison semantics would let `NaN >= threshold` pass a
+    * near-dup filter — false pairs with no similarity at all. Every
+    * cosine operator in this module shares this contract.
+    */
   def prep(embeddings: DataFrame, idCol: String = "vec_id",
            vecCol: String = "embedding"): DataFrame =
     embeddings.select(col(idCol).as("vec_id"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", sqrt(dot("v", "v")))
+      .filter(col("norm") > 0)
 
   final case class Scored(query_id: Long, vec_id: Long, score: Double)
 
@@ -73,6 +80,15 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(dot("v", "qv") / (col("norm") * col("qnorm")), 6).as("score"))
       .as[Scored]
+    rankTopK(scored, k)
+  }
+
+  /** Shared top-k materialization: bounded-heap aggregate → exploded
+    * (query_id, rank, vec_id, score) rows, rank 1-based, deterministic
+    * (score desc, vec_id asc) order — the single definition of the
+    * ranking contract for all three ANN variants. */
+  private def rankTopK(scored: org.apache.spark.sql.Dataset[Scored], k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
     val agg = new TopKAgg(k).toColumn.name("top")
     scored.groupByKey(_.query_id).agg(agg)
       .toDF("query_id", "top")
@@ -130,7 +146,8 @@ object Similarity {
     * all-pairs product at any size.
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
-                       bands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
+                       bands: Int = 8, rowsPerBand: Int = 8,
+                       maxBucket: Int = 10000): DataFrame = {
     // cache → eager-checkpoint result → unpersist (in a finally, so a
     // failed job can't leak the entry): the operator holds no
     // session-lifetime cache (CacheManager pins cache() entries forever;
@@ -149,7 +166,14 @@ object Similarity {
         concat_ws(":", col("band") +: (0 until rowsPerBand).map(i =>
           expr(s"bh[$i]")): _*).as("band_key"))
       .distinct()
-    val cand = graft.silver.Pipelines.cooccurrence(bandKeys, "band_key", "vec_id")
+    // maxBucket bounds a hot bucket's quadratic pair fan-out. UNLIKE the
+    // edit-distance join (whose buckets are alphabet-bounded), an LSH
+    // bucket of >maxBucket near-identical vectors is a real possibility
+    // on a boilerplate-heavy corpus, and truncation then silently reports
+    // the overflow as unique — raise maxBucket (or pre-shard with exact
+    // dedup) when the corpus can contain duplicate clusters that large
+    val cand = graft.silver.Pipelines.cooccurrence(bandKeys, "band_key", "vec_id",
+        maxGroupSize = maxBucket)
       .select(col("track_id_1").as("vec_id_1"), col("track_id_2").as("vec_id_2"))
     cand
       .join(data.select(col("vec_id").as("vec_id_1"), col("v").as("v1"),
@@ -196,7 +220,10 @@ object Similarity {
     */
   private def trainCentroidsPrepped(data: DataFrame, nCentroids: Int,
                                     iterations: Int): DataFrame = {
-    var cents = data.filter(col("vec_id") < nCentroids)
+    // the nCentroids SMALLEST ids (orderBy + limit), not `id < n`: the
+    // latter silently seeds fewer — or zero — centroids on 1-based,
+    // sparse, or hash-derived id spaces
+    var cents = data.orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").cast("long").as("cent_id"), col("v").as("cv"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
@@ -252,7 +279,7 @@ object Similarity {
       if (trainIterations > 0)
         trainCentroidsPrepped(data, nCentroids, trainIterations)
           .withColumn("cnorm", sqrt(dot("cv", "cv")))
-      else data.filter(col("vec_id") < nCentroids)
+      else data.orderBy(col("vec_id")).limit(nCentroids) // smallest n ids (see trainCentroidsPrepped)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"),
           col("norm").as("cnorm"))
     val cents = broadcast(centBase)
@@ -283,17 +310,10 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(dot("v", "qv") / (col("norm") * col("qnorm")), 6).as("score"))
       .as[Scored]
-    val agg = new TopKAgg(k).toColumn.name("top")
     // eager-checkpoint the (≤ |queries|·k row) result; the finally
     // releases the embeddings cache even when a job in here fails —
     // the operator leaves no session-lifetime cache either way
-    scored.groupByKey(_.query_id).agg(agg)
-      .toDF("query_id", "top")
-      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "entry")))
-      .select(col("query_id"), (col("r") + 1).cast("long").as("rank"),
-        col("entry._2").as("vec_id"), col("entry._1").as("score"))
-      .orderBy(col("query_id"), col("rank"))
-      .localCheckpoint()
+    rankTopK(scored, k).localCheckpoint()
     } finally data.unpersist()
   }
 
@@ -326,12 +346,6 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(dot("v", "qv") / (col("norm") * col("qnorm")), 6).as("score"))
       .as[Scored]
-    val agg = new TopKAgg(k).toColumn.name("top")
-    scored.groupByKey(_.query_id).agg(agg)
-      .toDF("query_id", "top")
-      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "entry")))
-      .select(col("query_id"), (col("r") + 1).cast("long").as("rank"),
-        col("entry._2").as("vec_id"), col("entry._1").as("score"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
 }
