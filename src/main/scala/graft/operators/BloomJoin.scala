@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
 
 /** Bloom-filter runtime pre-filtered semi-join — the "runtime filter" /
   * dynamic-partition-pruning pattern: build a compact bloom filter over
@@ -15,69 +18,63 @@ import org.apache.spark.sql.functions._
   * Why this shape at 100 TB: a plain semi-join shuffles every fact row
   * that MIGHT match; with a bloom pre-filter the fact scan discards
   * (1 − fpp) of the non-matching rows before the exchange, so shuffle
-  * volume tracks the true match rate, not the table size. This is
-  * exactly what Spark's own InjectRuntimeFilter does for eligible plans —
-  * expressed here as an explicit operator so it applies to any
-  * DataFrame, not only where the optimizer's heuristics fire.
+  * volume tracks the true match rate, not the table size.
   *
-  * The filter itself is built distributed (per-word `bit_or` partials —
-  * ONE aggregation over the dim keys) and only the finished ~`numBits/64`
-  * longs land on the driver: that is the broadcast of the build side,
-  * identical in role (and size) to the bloom Spark broadcasts for its
-  * runtime filters. The membership test is pure integer bit arithmetic on
-  * a literal array — fully codegen'd, no UDF, no per-row join.
+  * The filter is Spark's own: `BloomFilterAggregate` builds the sketch
+  * distributed (mergeable partials, one aggregation over the dim keys)
+  * and `BloomFilterMightContain` probes it — the same expression pair
+  * `InjectRuntimeFilter` wires up for eligible plans, expressed here as
+  * an explicit operator so it applies to any DataFrame, not only where
+  * the optimizer's heuristics fire. The built filter reaches the probe
+  * side as a SCALAR SUBQUERY result, not a plan literal: a 2^26-bit
+  * (8 MB) filter adds bytes to the executed subquery result, not to the
+  * plan tree or the generated code, so sizing the filter to a 100 TB dim
+  * side never bloats the driver's plan. (The previous revision embedded
+  * the bitset as a `lit(Array[Long])` — correct at 2^16 bits, a plan
+  * bomb at 2^30.)
   */
 object BloomJoin {
 
-  /** Number of 64-bit words backing a filter of `numBits` bits. */
-  private def words(numBits: Int): Int = (numBits + 63) / 64
+  private def hash64(key: Column): Column =
+    ColumnShim.column(new XxHash64(Seq(ColumnShim.expression(key))))
 
-  /** k hash positions for a key column: xxhash64 seeded per probe index,
-    * reduced mod `numBits`. pmod keeps the position non-negative on the
-    * full hash range. */
-  private def positions(key: Column, numBits: Int, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(s => pmod(xxhash64(lit(s), key), lit(numBits.toLong)))
-
-  /** 1L << (column) — the DSL `shiftleft` only accepts a literal count. */
-  private def oneShl(n: Column): Column = call_function("shiftleft", lit(1L), n.cast("int"))
-
-  /** Build the filter over `dim.dimKey`: Array of numBits/64 longs.
-    * One distributed aggregation (explode k positions → per-word bit_or);
-    * the collect is the fixed-size broadcast of the finished filter, NOT
-    * a data collect — its size is `numBits/64` regardless of dim rows.
+  /** Aggregate column building the serialized bloom sketch over
+    * `xxhash64(key)`. Mergeable constant-size partials; the finished
+    * sketch is one binary value. `numBits` is capped by
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 2^26).
     */
-  def build(dim: DataFrame, dimKey: String, numBits: Int, numHashes: Int): Array[Long] = {
-    val w = words(numBits)
-    val posCol = explode(array(positions(col(dimKey), numBits, numHashes): _*)).as("pos")
-    val wordBits = dim.select(posCol)
-      .select((col("pos") / 64).cast("int").as("word"),
-        oneShl(pmod(col("pos"), lit(64L))).as("bit"))
-      .groupBy("word").agg(bit_or(col("bit")).as("bits"))
-      .collect()
-    val arr = new Array[Long](w)
-    wordBits.foreach(r => arr(r.getAs[Int]("word")) = r.getAs[Long]("bits"))
-    arr
+  def bloomAgg(key: Column, expectedItems: Long, numBits: Long): Column =
+    ColumnShim.column(new BloomFilterAggregate(
+      ColumnShim.expression(hash64(key)),
+      ColumnShim.expression(lit(expectedItems)),
+      ColumnShim.expression(lit(numBits))).toAggregateExpression())
+
+  /** A one-row-one-column plan producing the finished bloom sketch over
+    * `dim.dimKey`, exposed as a scalar-subquery Column: usable in any
+    * probe-side `filter` without materializing the sketch in the plan.
+    * An empty dim yields a null sketch → `mightContain` is null → the
+    * filter keeps nothing, which is the correct empty-dim semi-join.
+    */
+  def bloomOf(dim: DataFrame, dimKey: String, expectedItems: Long, numBits: Long): Column = {
+    val built = dim.select(bloomAgg(col(dimKey), expectedItems, numBits).as("bloom"))
+    ColumnShim.column(ScalarSubquery(built.queryExecution.analyzed))
   }
 
-  /** The codegen'd membership predicate for `key` against a built filter. */
-  def mightContain(key: Column, filter: Array[Long], numBits: Int, numHashes: Int): Column = {
-    val bitsLit = lit(filter)
-    positions(key, numBits, numHashes).map { p =>
-      (element_at(bitsLit, (p / 64).cast("int") + 1)
-        .bitwiseAND(oneShl(pmod(p, lit(64L))))) =!= 0L
-    }.reduce(_ && _)
-  }
+  /** Codegen'd membership probe of `key` against a built sketch column
+    * (a [[bloomOf]] subquery, or any foldable binary sketch). */
+  def mightContain(bloom: Column, key: Column): Column =
+    ColumnShim.column(BloomFilterMightContain(
+      ColumnShim.expression(bloom), ColumnShim.expression(hash64(key))))
 
   /** Exact semi-join of `fact` against `dim`'s keys, bloom-pre-filtered.
     * The residual left-semi join removes the filter's false positives, so
     * the result equals `fact ⋉ dim` exactly — the bloom only shrinks what
-    * reaches the exchange. Defaults: 2^16 bits / 5 hashes ≈ 1.5e-5 fpp at
-    * 1.5k keys; size the bits to ~10× the expected key count.
+    * reaches the exchange. Size `expectedItems` to the dim-side distinct
+    * key count and `numBits` to ~10× that (fpp ≈ 1%@10 bits/key).
     */
   def semiJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
-               numBits: Int = 1 << 16, numHashes: Int = 5): DataFrame = {
-    val filter = build(dim, dimKey, numBits, numHashes)
-    fact.filter(mightContain(col(factKey), filter, numBits, numHashes))
+               expectedItems: Long = 1L << 13, numBits: Long = 1L << 16): DataFrame = {
+    fact.filter(mightContain(bloomOf(dim, dimKey, expectedItems, numBits), col(factKey)))
       .join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_semi")
   }
 }

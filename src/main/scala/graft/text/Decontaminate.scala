@@ -36,21 +36,22 @@ object Decontaminate {
   }
 
   /** [[overlaps]] for an eval corpus too large to broadcast whole: a
-    * bloom filter over the eval shingles (fixed `numBits/64`-long bitset
-    * however many shingles it summarizes) pre-filters the training
-    * shingle stream IN the scan pipeline, and the survivors — the true
-    * matches plus the fpp sliver — go through the exact semi-join. The
-    * result is EXACTLY `overlaps` (no false positives survive the
-    * residual join, no false negatives exist in a bloom), with the
-    * training-side shuffle now sized by the contamination rate instead
-    * of the eval corpus's broadcastability.
+    * bloom sketch over the eval shingles (built distributed by Spark's
+    * `BloomFilterAggregate`, delivered to the probe side as a scalar-
+    * subquery result — never a plan literal, however many bits it holds)
+    * pre-filters the training shingle stream IN the scan pipeline, and
+    * the survivors — the true matches plus the fpp sliver — go through
+    * the exact semi-join. The result is EXACTLY `overlaps` (no false
+    * positives survive the residual join, no false negatives exist in a
+    * bloom), with the training-side shuffle now sized by the
+    * contamination rate instead of the eval corpus's broadcastability.
     */
   def overlapsBloom(train: DataFrame, eval: DataFrame, n: Int = 5,
-                    numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+                    expectedItems: Long = 1L << 17, numBits: Long = 1L << 20): DataFrame = {
     val evalShingles = Dedup.shingleIndex(eval, n).select(col("shingle")).distinct()
     graft.operators.BloomJoin.semiJoin(
         Dedup.shingleIndex(train, n), "shingle", evalShingles, "shingle",
-        numBits, numHashes)
+        expectedItems, numBits)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -9,7 +9,7 @@ class BloomJoinSpec extends SparkTestBase {
   test("semiJoin equals the plain semi-join exactly (false positives removed)") {
     val fact = (1L to 2000L).map(i => (i, i % 97)).toDF("id", "key")
     val dim = Seq(3L, 7L, 11L, 96L).toDF("dkey")
-    val got = BloomJoin.semiJoin(fact, "key", dim, "dkey", numBits = 256, numHashes = 3)
+    val got = BloomJoin.semiJoin(fact, "key", dim, "dkey", expectedItems = 8, numBits = 256)
       .select("id").collect().map(_.getLong(0)).toSet
     val want = fact.join(dim.select(col("dkey").as("key")), Seq("key"), "left_semi")
       .select("id").collect().map(_.getLong(0)).toSet
@@ -18,10 +18,10 @@ class BloomJoinSpec extends SparkTestBase {
 
   test("the bloom pre-filter has no false negatives and real selectivity") {
     val dim = (0L until 500L).map(k => k * 13).toDF("dkey")
-    val filter = BloomJoin.build(dim, "dkey", numBits = 1 << 14, numHashes = 5)
+    val bloom = BloomJoin.bloomOf(dim, "dkey", expectedItems = 500, numBits = 1L << 14)
     val probes = (0L until 5000L).toDF("key")
     val kept = probes
-      .filter(BloomJoin.mightContain(col("key"), filter, 1 << 14, 5))
+      .filter(BloomJoin.mightContain(bloom, col("key")))
       .collect().map(_.getLong(0)).toSet
     val truth = (0L until 500L).map(_ * 13).filter(_ < 5000L).toSet
     assert(truth.subsetOf(kept), "bloom dropped a true key — impossible for a correct bloom")
@@ -30,9 +30,28 @@ class BloomJoinSpec extends SparkTestBase {
     assert(kept.size <= truth.size + 462, s"filter too dense: ${kept.size} kept")
   }
 
-  test("mightContain is an empty-dim constant false, so the semi-join is empty") {
+  test("mightContain is null on an empty dim, so the semi-join is empty") {
     val fact = (1L to 50L).toDF("key")
     val dim = Seq.empty[Long].toDF("dkey")
     assert(BloomJoin.semiJoin(fact, "key", dim, "dkey").count() == 0L)
+  }
+
+  test("a 2^26-bit filter stays out of the plan: subquery-backed, no literal bloat") {
+    // 2^26 bits = 8 MB of sketch. Embedded as a plan literal that is a
+    // multi-MB constant copied into every plan string and task; as a
+    // scalar-subquery result it costs the plan NOTHING beyond the
+    // subquery node. Assert both correctness and plan size.
+    val fact = (1L to 10000L).map(i => (i, i % 1009)).toDF("id", "key")
+    val dim = (0L until 400L).map(_ * 2 + 1).toDF("dkey")
+    val joined = BloomJoin.semiJoin(fact, "key", dim, "dkey",
+      expectedItems = 1L << 22, numBits = 1L << 26)
+    val got = joined.select("id").collect().map(_.getLong(0)).toSet
+    val want = fact.join(dim.select(col("dkey").as("key")), Seq("key"), "left_semi")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    val planChars = joined.queryExecution.executedPlan.toString.length
+    // 8 MB of bitset rendered into the plan would be >8e6 chars; the
+    // subquery form stays in the tens of KB regardless of numBits.
+    assert(planChars < 100000, s"plan string unexpectedly large: $planChars chars")
   }
 }
