@@ -93,11 +93,19 @@ object Pipelines {
     * 10^4 caps a group at 5·10^7 pairs, bounded work per task. Test-scale
     * groups are orders of magnitude below the cap, so capped and uncapped
     * results are identical at every tested SF.
+    *
+    * Truncation is never silent: every run surfaces the number of
+    * over-cap groups as an observed metric (see [[capGroups]]), and
+    * `failOnOverflow = true` turns the first over-cap group into a task
+    * error instead — the right default wherever a truncated pair set
+    * would be a WRONG answer rather than a bounded approximation.
     */
   def cooccurrence(pairs: DataFrame, groupCol: String, itemCol: String,
-                   maxGroupSize: Int = 10000): DataFrame =
-    pairs.groupBy(col(groupCol).as("g"))
-      .agg(slice(sort_array(collect_set(col(itemCol))), 1, maxGroupSize).as("its"))
+                   maxGroupSize: Int = 10000,
+                   failOnOverflow: Boolean = false): DataFrame =
+    capGroups(pairs.groupBy(col(groupCol).as("g"))
+        .agg(sort_array(collect_set(col(itemCol))).as("its")),
+        "its", maxGroupSize, failOnOverflow, "cooccurrence")
       .select(col("its"), posexplode(col("its")).as(Seq("i", "track_id_1")))
       // slice is 1-based: items strictly after position i+1 → all j > i
       .select(col("track_id_1"),
@@ -123,8 +131,9 @@ object Pipelines {
     * generated from each end — the `a < b` residual keeps exactly one.
     */
   def cooccurrenceProbed(pairs: DataFrame, groupCol: String, itemCol: String,
-                         probe: DataFrame, maxGroupSize: Int = 10000): DataFrame =
-    probedGroups(pairs, groupCol, itemCol, probe, maxGroupSize)
+                         probe: DataFrame, maxGroupSize: Int = 10000,
+                         failOnOverflow: Boolean = false): DataFrame =
+    probedGroups(pairs, groupCol, itemCol, probe, maxGroupSize, failOnOverflow)
       .select(col("its"), col("pl"), explode(col("pl")).as("a"))
       .select(col("a"), col("pl"), explode(col("its")).as("b"))
       // Double-count guard: a pair with BOTH ends in the probe set would be
@@ -150,8 +159,9 @@ object Pipelines {
     * table's anchored slice row-for-row and score-for-score.
     */
   def cooccurrenceProbedSym(pairs: DataFrame, groupCol: String, itemCol: String,
-                            probe: DataFrame, maxGroupSize: Int = 10000): DataFrame =
-    probedGroups(pairs, groupCol, itemCol, probe, maxGroupSize)
+                            probe: DataFrame, maxGroupSize: Int = 10000,
+                            failOnOverflow: Boolean = false): DataFrame =
+    probedGroups(pairs, groupCol, itemCol, probe, maxGroupSize, failOnOverflow)
       .select(col("its"), explode(col("pl")).as("track_id_1"))
       .select(col("track_id_1"), explode(col("its")).as("track_id_2"))
       .filter(col("track_id_1") =!= col("track_id_2"))
@@ -162,7 +172,8 @@ object Pipelines {
     * item arrays, cross-joined with the broadcast one-row probe set and
     * filtered to groups that intersect it. */
   private def probedGroups(pairs: DataFrame, groupCol: String, itemCol: String,
-                           probe: DataFrame, maxGroupSize: Int): DataFrame = {
+                           probe: DataFrame, maxGroupSize: Int,
+                           failOnOverflow: Boolean = false): DataFrame = {
     // fail fast on a multi-column probe: silently taking columns.head
     // would probe on whatever column happens to be first (e.g. user_id
     // of an unprojected likes frame) and return a wrong-but-plausible
@@ -171,20 +182,69 @@ object Pipelines {
       s"probe must be a single-column frame of item ids, got ${probe.columns.mkString(", ")}")
     val probeSet = probe.select(col(probe.columns.head).as("p")).distinct()
       .agg(sort_array(collect_set(col("p"))).as("probe_set"))
-    pairs.groupBy(col(groupCol).as("g"))
-      .agg(slice(sort_array(collect_set(col(itemCol))), 1, maxGroupSize).as("its"))
+    capGroups(pairs.groupBy(col(groupCol).as("g"))
+        .agg(sort_array(collect_set(col(itemCol))).as("its")),
+        "its", maxGroupSize, failOnOverflow, "cooccurrenceProbed")
       .crossJoin(broadcast(probeSet))
       .withColumn("pl", array_intersect(col("its"), col("probe_set")))
       .filter(size(col("pl")) > 0)
   }
 
-  /** Playlist-based song similarity (process_song_similarity.py). */
-  def playlistSimilarity(lineitem: DataFrame): DataFrame =
-    cooccurrence(playlistTracks(lineitem), "playlist_id", "track_id")
+  /** Suffix source for unique observed-metric names: a query may contain
+    * several capped generators (q15 builds two probed similarity tables),
+    * and Spark requires CollectMetrics names to be unique per query. */
+  private val capId = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Collaborative filtering pairs (process_collaborative_filtering.py). */
+  /** Post-aggregation group-size guard — the one place cap truncation
+    * happens, and it is never silent:
+    *
+    *  - every run emits an observed metric
+    *    `graft.<opName>.caps#<n>` with `truncated_groups` = number of
+    *    groups over `maxGroupSize` (readable from
+    *    `df.queryExecution.observedMetrics` after any action, and by any
+    *    `QueryExecutionListener` in production), so a binding cap shows
+    *    up in monitoring instead of silently under-reporting pairs;
+    *  - with `failOnOverflow = true` the first over-cap group raises a
+    *    task error naming the cap, for callers whose contract makes a
+    *    truncated group a WRONG answer (exact-recall joins, dedup
+    *    verification) rather than a bounded approximation.
+    *
+    * At every tested SF the caps never bind (capped == uncapped is
+    * asserted in PipelinesSpec), which is exactly why the counter has to
+    * exist: the day a cap binds at production scale must be observable.
+    */
+  private def capGroups(grouped: DataFrame, setCol: String, maxGroupSize: Int,
+                        failOnOverflow: Boolean, opName: String): DataFrame = {
+    val over = size(col(setCol)) > maxGroupSize
+    val sliced = slice(col(setCol), 1, maxGroupSize)
+    val guarded =
+      if (failOnOverflow)
+        when(over, raise_error(concat(
+          lit(s"$opName: group exceeds maxGroupSize=$maxGroupSize (size="),
+          size(col(setCol)).cast("string"),
+          lit(") — raise the cap, pre-shard the hot key, or opt into truncation"))))
+          .otherwise(sliced)
+      else sliced
+    grouped
+      .withColumn("__truncated", over.cast("long"))
+      .withColumn(setCol, guarded)
+      .observe(s"graft.$opName.caps#${capId.incrementAndGet()}",
+        sum(col("__truncated")).as("truncated_groups"))
+      .drop("__truncated")
+  }
+
+  /** Playlist-based song similarity (process_song_similarity.py).
+    * `failOnOverflow = true`: the reference computes the UNCAPPED pair
+    * table, so a binding cap here is a wrong materialized table, not a
+    * bounded approximation — error loudly rather than under-count. */
+  def playlistSimilarity(lineitem: DataFrame): DataFrame =
+    cooccurrence(playlistTracks(lineitem), "playlist_id", "track_id",
+      failOnOverflow = true)
+
+  /** Collaborative filtering pairs (process_collaborative_filtering.py).
+    * Same overflow contract as [[playlistSimilarity]]. */
   def collaborativeFiltering(likesDf: DataFrame): DataFrame =
-    cooccurrence(likesDf, "user_id", "track_id")
+    cooccurrence(likesDf, "user_id", "track_id", failOnOverflow = true)
 
   /** Salted two-stage aggregation for skew-hostile keys: rows are spread
     * across `saltBuckets` sub-keys first (stage 1 shuffles on (key, salt),

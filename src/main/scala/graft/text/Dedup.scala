@@ -140,8 +140,11 @@ object Dedup {
         .as(Seq("band", "bh")))
       .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
     // eagerly materialized: consumed three times below (two verify joins +
-    // the candidate-id semi-join), and it is small by construction
-    val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id")
+    // the candidate-id semi-join), and it is small by construction.
+    // failOnOverflow: a truncated LSH bucket silently reports its overflow
+    // docs as unique — a wrong dedup answer, so overflow is an error
+    val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id",
+        failOnOverflow = true)
       .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"))
       .localCheckpoint()
     val candIds = cand.select(col("doc_id_1").as("doc_id"))
@@ -322,7 +325,10 @@ object Dedup {
         // band index is in the key → distinct per doc already; cooccurrence
         // collect_set dedups defensively — no extra shuffle
         .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
-      val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id")
+      // same overflow contract as minhashLsh: a truncated chunk bucket is
+      // a silently-wrong dedup answer, so it errors instead
+      val cand = Pipelines.cooccurrence(bandKeys, "band_key", "doc_id",
+          failOnOverflow = true)
         .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"))
       cand
         .join(sh.select(col("doc_id").as("doc_id_1"), col("simhash").as("s1")), Seq("doc_id_1"))

@@ -39,14 +39,16 @@ object Fuzzy {
     val keyed = vocab
       .select(col("w"), explode(array_union(deletionVariants("w"),
         array(col("w")))).as("k"))
-    // maxGroupSize = unbounded: cooccurrence's default 10^4 cap protects
-    // runaway pair tasks, but here it would silently DROP distance-1
-    // pairs whenever one deletion-key bucket exceeds it (plausible on a
-    // large-alphabet vocabulary), breaking the exact-recall contract —
-    // prefer a slow task over a wrong answer; bucket size is bounded by
-    // |alphabet|·len look-alikes, so the quadratic term stays capped by
-    // the vocabulary's shape, not an arbitrary constant
-    val cand = Pipelines.cooccurrence(keyed, "k", "w", maxGroupSize = Int.MaxValue)
+    // A binding cap would silently DROP distance-1 pairs whenever one
+    // deletion-key bucket exceeds it, breaking the exact-recall contract,
+    // so overflow is an ERROR, not a truncation. The cap itself is set
+    // far above any real bucket — FastSS buckets hold only
+    // |alphabet|·len look-alikes of one stem, orders of magnitude under
+    // 2^20 — but finite, so a pathological vocabulary (adversarial
+    // near-identical stems) fails loudly instead of OOMing one executor
+    // on an unbounded collect_set (ADVICE r4).
+    val cand = Pipelines.cooccurrence(keyed, "k", "w",
+      maxGroupSize = 1 << 20, failOnOverflow = true)
       .select(col("track_id_1").as("w1"), col("track_id_2").as("w2"))
     cand
       .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))

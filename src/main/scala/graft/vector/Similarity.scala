@@ -147,7 +147,8 @@ object Similarity {
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
                        bands: Int = 8, rowsPerBand: Int = 8,
-                       maxBucket: Int = 10000): DataFrame = {
+                       maxBucket: Int = 10000,
+                       failOnOverflow: Boolean = true): DataFrame = {
     // cache → eager-checkpoint result → unpersist (in a finally, so a
     // failed job can't leak the entry): the operator holds no
     // session-lifetime cache (CacheManager pins cache() entries forever;
@@ -169,11 +170,13 @@ object Similarity {
     // maxBucket bounds a hot bucket's quadratic pair fan-out. UNLIKE the
     // edit-distance join (whose buckets are alphabet-bounded), an LSH
     // bucket of >maxBucket near-identical vectors is a real possibility
-    // on a boilerplate-heavy corpus, and truncation then silently reports
-    // the overflow as unique — raise maxBucket (or pre-shard with exact
-    // dedup) when the corpus can contain duplicate clusters that large
+    // on a boilerplate-heavy corpus, and truncation would then report the
+    // overflow as unique — so overflow FAILS by default (raise maxBucket,
+    // or pre-shard with exact dedup, or opt into truncation with
+    // failOnOverflow = false, which still surfaces an observed
+    // truncated_groups metric rather than staying silent)
     val cand = graft.silver.Pipelines.cooccurrence(bandKeys, "band_key", "vec_id",
-        maxGroupSize = maxBucket)
+        maxGroupSize = maxBucket, failOnOverflow = failOnOverflow)
       .select(col("track_id_1").as("vec_id_1"), col("track_id_2").as("vec_id_2"))
     cand
       .join(data.select(col("vec_id").as("vec_id_1"), col("v").as("v1"),

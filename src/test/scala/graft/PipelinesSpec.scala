@@ -32,6 +32,45 @@ class PipelinesSpec extends SparkTestBase {
     assert(out.size == 3 && out.forall(r => r(0) != 40L && r(1) != 40L))
   }
 
+  /** The truncated_groups observed metric of the LAST completed action on
+    * `df` whose metric name carries the graft cap prefix. */
+  private def truncatedGroups(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val metrics = df.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith("graft.") && name.contains(".caps#") =>
+        row.getAs[Long]("truncated_groups")
+    }
+    assert(metrics.nonEmpty, "expected a graft cap metric on the query")
+    metrics.sum
+  }
+
+  test("cap truncation is observable: over-cap group raises the counter") {
+    val pairs = Seq((1L, 40L), (1L, 10L), (1L, 30L), (1L, 20L), (2L, 5L), (2L, 6L))
+      .toDF("g", "t")
+    // group 1 (4 items) over cap 3 → exactly one truncated group
+    assert(truncatedGroups(Pipelines.cooccurrence(pairs, "g", "t", maxGroupSize = 3)) == 1L)
+  }
+
+  test("cap truncation counter is zero when no group exceeds the cap") {
+    val pairs = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("g", "t")
+    assert(truncatedGroups(Pipelines.cooccurrence(pairs, "g", "t")) == 0L)
+    val probe = Seq(10L).toDF("t")
+    assert(truncatedGroups(
+      Pipelines.cooccurrenceProbedSym(pairs, "g", "t", probe)) == 0L)
+  }
+
+  test("failOnOverflow turns an over-cap group into a loud error, not a truncation") {
+    val pairs = Seq((1L, 40L), (1L, 10L), (1L, 30L), (1L, 20L)).toDF("g", "t")
+    val ex = intercept[Exception] {
+      Pipelines.cooccurrence(pairs, "g", "t", maxGroupSize = 3,
+        failOnOverflow = true).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("maxGroupSize=3")),
+      s"expected the cap in the error, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("symmetrize emits both directions") {
     val sim = Seq((1L, 2L, 5L)).toDF("track_id_1", "track_id_2", "score")
     assert(rowSet(Pipelines.symmetrize(sim)) ==
