@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Sessionize
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 class SessionizeSpec extends SparkTestBase {
@@ -28,6 +29,72 @@ class SessionizeSpec extends SparkTestBase {
       .orderBy("session_no")
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(got.toSeq == Seq((1L, 2L, 0L, 10L, 10L), (2L, 1L, 500L, 500L, 0L)))
+  }
+
+  test("batch sessions equal streaming sessions on randomized gaps") {
+    // VERDICT r4 #4: the batch islands construction and the
+    // flatMapGroupsWithState sessionizer implement ONE contract (split
+    // strictly over the gap, ties stay together) — assert they produce
+    // identical (user, n, start, end, sum) sessions on a randomized
+    // fixture whose gaps cluster around the threshold, including exact
+    // ties and exactly-at-gap steps.
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamAgg
+    import graft.streaming.StreamAgg.Event
+    val rnd = new scala.util.Random(20260813L)
+    val gapSeconds = 60L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val events: Seq[Event] = (1L to 8L).flatMap { uid =>
+      var t = 1000L + rnd.nextInt(500)
+      (1 to 25).map { i =>
+        if (i > 1) t += (rnd.nextInt(4) match {
+          case 0 => 1L + rnd.nextInt(59)        // inside the gap
+          case 1 => gapSeconds                  // exactly at the gap → same session
+          case 2 => gapSeconds + 1              // one over → split
+          case _ => gapSeconds + 1 + rnd.nextInt(300)
+        })
+        // whole-number values keep every partial sum exact, so the
+        // fold order (sequential state vs shuffled agg) cannot differ
+        Event(uid, "e", ts(t), (1 + rnd.nextInt(100)).toDouble)
+      }
+    }
+
+    // streaming: time-ordered chunks (state carries sessions across
+    // batches), generous watermark delay so no event is late, then two
+    // far-future sentinel batches to advance the watermark and fire the
+    // event-time timeouts that close the remaining open sessions
+    val ms = MemoryStream[Event]
+    val name = s"session_parity_${System.nanoTime()}"
+    val q = StreamAgg.sessionize(ms.toDS(), gapSeconds, watermarkDelay = "10000 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val streamed = try {
+      events.sortBy(_.ts.getTime).grouped((events.size + 2) / 3).foreach { chunk =>
+        ms.addData(rnd.shuffle(chunk): _*)
+        q.processAllAvailable()
+      }
+      ms.addData(Event(999L, "sentinel", ts(10000000L), 0.0))
+      q.processAllAvailable()
+      ms.addData(Event(999L, "sentinel", ts(10000010L), 0.0))
+      q.processAllAvailable()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime, r.getDouble(4)))
+        .filter(_._1 != 999L).toSeq.sorted
+    } finally q.stop()
+
+    val batch = Sessionize.assign(
+        events.map(e => (e.user_id, e.ts.getTime, e.value)).toDF("user_id", "ms", "value"),
+        "user_id", "ms", "value", gapUs = gapSeconds * 1000)
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n"), min(col("ms")).as("s"),
+        max(col("ms")).as("e"), sum(col("value")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq.sorted
+
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming and batch sessions diverge: ${streamed.size} vs ${batch.size} sessions")
   }
 
   test("equal timestamps order by the tie column deterministically") {
