@@ -1441,7 +1441,12 @@ object SparkEntry {
     // report each bucket's min/max on BOTH dims. Tight per-bucket ranges
     // on both columns at once is the property that makes z-ordered files
     // skippable for either filter — the oracle recomputes the interleave
-    // with unrolled bit arithmetic.
+    // with unrolled bit arithmetic. The WRITE path that lands this
+    // layout is Ingest.writeZOrdered (range-partition + in-partition
+    // sort on the z code); its per-file audit is Ingest.zOrderAudit,
+    // asserted on real files in IngestSpec (sampled range boundaries
+    // are engine-internal, so the file-level audit is unit-gated while
+    // this query stays the deterministic oracle-gated form).
     "q76_zorder_layout" -> ((s, dir) => {
       val zt = T(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"),

@@ -174,6 +174,53 @@ object Ingest {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Z-ordered parquet write: the multi-dimensional data-skipping layout
+    * (the layout lever the reference's partition-by-year/month scheme,
+    * process_historical_data.py:53, gestures at for ONE dimension).
+    * Rows are range-partitioned and sorted by the fused Morton code of
+    * `(dimX, dimY)` ([[graft.functions.z_value]]), so each output file
+    * covers one contiguous z-interval — which makes its parquet min/max
+    * statistics tight on BOTH dimensions at once. A selective predicate
+    * on either dimension (or a 2-d box) then skips the row groups /
+    * files whose stats exclude it; a linear sort can only serve one of
+    * the two dimensions.
+    *
+    * One shuffle (the range exchange); the in-partition sort feeds the
+    * writer directly. `numFiles` sizes output files — match it to
+    * data volume / ~128 MB at scale. Range boundaries come from
+    * Spark's sampling partitioner: balanced under skew, which is exactly
+    * what an equal-width z-bucket scheme loses on clustered keys.
+    */
+  def writeZOrdered(df: DataFrame, path: String, dimX: String, dimY: String,
+                    numFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("__z",
+        graft.functions.z_value(col(dimX).cast("long"), col(dimY).cast("long"), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Layout acceptance check for [[writeZOrdered]]: per-file row count,
+    * min/max of both dimensions, and min/max of the recomputed z-code —
+    * one row per data file, ordered by `min_z`. For a correct z-ordered
+    * layout the `[min_z, max_z]` intervals are non-overlapping and
+    * ascending, and each file's per-dimension extent is a fraction of
+    * the domain: exactly the statistics a zone-map-consuming reader uses
+    * to skip files, which is what IngestSpec asserts on a 2-d box filter.
+    */
+  def zOrderAudit(spark: SparkSession, path: String, dimX: String, dimY: String,
+                  bits: Int = 16): DataFrame =
+    spark.read.parquet(path)
+      .select(col(dimX).cast("long").as("x"), col(dimY).cast("long").as("y"),
+        col("_metadata.file_path").as("file"))
+      .withColumn("z", graft.functions.z_value(col("x"), col("y"), bits))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy(col("min_z"))
+
   /** Parquet write with file-level BLOOM FILTERS on selected columns —
     * the point-lookup complement to partition pruning: at 100 TB an
     * equality probe on a high-cardinality key (event_id, doc_id) cannot

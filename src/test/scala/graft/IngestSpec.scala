@@ -212,6 +212,40 @@ class IngestSpec extends SparkTestBase {
     assert(after == before, "crash recovery lost or duplicated rows")
   }
 
+  test("z-ordered write: disjoint ascending z-ranges; a 2-d box touches few files") {
+    val dir = tmp()
+    // every (x, y) pair of the 256×256 grid exactly once, in scattered
+    // input order so nothing is pre-clustered
+    val grid = (0 until 65536).map(i => (i.toLong * 40503L) % 65536L)
+      .map(j => (j / 256, j % 256, j)).toDF("x", "y", "payload")
+    Ingest.writeZOrdered(grid, s"$dir/z", "x", "y", numFiles = 16, bits = 8)
+    val audit = Ingest.zOrderAudit(spark, s"$dir/z", "x", "y", bits = 8).collect()
+    assert(audit.length == 16, s"expected one file per range partition, got ${audit.length}")
+    // monotone layout: per-file z-intervals never overlap (audit is
+    // ordered by min_z), so each file owns one contiguous z range
+    audit.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_z") <= b.getAs[Long]("min_z"),
+        s"overlapping z-ranges: ${a.getAs[Long]("max_z")} > ${b.getAs[Long]("min_z")}")
+    }
+    // file skipping on a two-dim box: [0,32)² is z ∈ [0,1024) — the
+    // min/max stats a zone-map reader consults must exclude almost every
+    // file (the box is 1/64 of the domain; allow 2 for boundary files)
+    def touches(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("min_x") < 32 && r.getAs[Long]("max_x") >= 0 &&
+        r.getAs[Long]("min_y") < 32 && r.getAs[Long]("max_y") >= 0
+    val zTouched = audit.count(touches)
+    assert(zTouched <= 2, s"z layout: box should touch <=2 of 16 files, touched $zTouched")
+    // the same data written without z-ordering has useless per-file
+    // stats: every file's min/max spans the domain and none can be
+    // skipped — the delta IS the layout's value
+    grid.repartition(16).write.parquet(s"$dir/plain")
+    val plainTouched = Ingest.zOrderAudit(spark, s"$dir/plain", "x", "y", bits = 8)
+      .collect().count(touches)
+    assert(plainTouched == 16, s"plain layout should touch all 16 files, touched $plainTouched")
+    // and the layout preserves content exactly
+    assert(spark.read.parquet(s"$dir/z").count() == 65536)
+  }
+
   test("writeWithBloom lands parquet bloom filters that the scan can use") {
     val dir = tmp()
     val d = (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v")
