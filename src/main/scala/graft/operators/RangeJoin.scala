@@ -33,13 +33,32 @@ object RangeJoin {
       s"left/right column collision (rename before joining): ${shared.mkString(",")}")
     // integral `div` keeps the join key a LONG: Column `/` promotes to
     // DOUBLE, where buckets beyond 2^53·tol collide or shift and the join
-    // silently returns wrong pairs
-    def bucketOf(c: String) = expr(s"((`$c` - pmod(`$c`, $tol)) div $tol)")
-    val lb = left.withColumn("__b",
-      explode(array(bucketOf(leftVal) - 1, bucketOf(leftVal), bucketOf(leftVal) + 1)))
+    // silently returns wrong pairs. Floor division is computed as
+    // truncating div plus a negative-remainder correction, NOT as
+    // `(c - pmod(c, tol)) div tol`: near Long.MinValue the floor MULTIPLE
+    // is unrepresentable even though the floor QUOTIENT is fine, so the
+    // subtraction form overflows (an ANSI error / a wrapped bucket) on
+    // legitimate extreme values.
+    def bucketOf(c: String) = expr(
+      s"(`$c` div $tol) - (CASE WHEN `$c` < 0 AND pmod(`$c`, $tol) != 0 THEN 1 ELSE 0 END)")
+    val lb = left.withColumn("__b0", bucketOf(leftVal))
+      // try_add/try_subtract: the neighbor of the domain-edge bucket does
+      // not exist — a NULL neighbor joins nothing, which is exactly the
+      // semantics (plain ±1 wraps MaxValue's neighbor onto MinValue's
+      // bucket and pairs the two domain extremes)
+      .withColumn("__b", explode(array(expr("try_subtract(__b0, 1L)"),
+        col("__b0"), expr("try_add(__b0, 1L)"))))
+      .drop("__b0")
     val rb = right.withColumn("__b", bucketOf(rightVal))
     lb.join(rb, Seq("__b"))
-      .filter(abs(col(leftVal) - col(rightVal)) <= tol)
+      // try_subtract, not `-`: at the domain extremes the ±1 neighbor
+      // bucket of Long.MaxValue wraps to Long.MinValue's bucket, and the
+      // plain difference then ALSO wraps (MaxValue − MinValue = −1), so
+      // the filter would emit an opposite-extremes pair as "within tol".
+      // A true within-tol pair can never overflow (|l−r| ≤ tol ≤ Long
+      // range), so the null-on-overflow difference drops exactly the
+      // wrapped impostors and nothing else.
+      .filter(abs(expr(s"try_subtract(`$leftVal`, `$rightVal`)")) <= tol)
       .drop("__b")
   }
 }

@@ -115,6 +115,28 @@ class DedupSpec extends SparkTestBase {
       Seq(3L, 4L, 4L, "u v w x")))
   }
 
+  test("U+000B survives the full simhash and shingle pipelines as a token character") {
+    // ADVICE r3 regression, end-to-end through the q27/q51 dataflows: a
+    // `\s` tokenizer (Java's includes U+000B, RE2's does not) would
+    // split "alphabeta" into two tokens and make these two docs
+    // identical — both pipelines must see them as DIFFERENT
+    val d = Seq((1L, "alphabeta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    // q27's base: fingerprints must differ (same doc under \s-splitting)
+    val fps = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) != fps(2L),
+      "simhash treated the vertical tab as whitespace — \\s tokenization regressed")
+    // q51's base: doc 1's shingles carry the fused token, and the two
+    // docs share only the VT-free suffix shingles
+    val sh1 = Dedup.shingleIndex(d.filter($"doc_id" === 1), n = 3)
+      .collect().map(_.getString(1)).toSet
+    assert(sh1.contains("alphabeta gamma delta"),
+      s"expected the fused VT token in shingles, got $sh1")
+    assert(!sh1.contains("alpha beta gamma"),
+      "shingles split the vertical tab — \\s tokenization regressed")
+  }
+
   test("tokens uses the explicit whitespace class: U+000B stays inside a token") {
     // Java \\s+ would split on the vertical tab; RE2 (the DuckDB oracle's
     // engine) would not — the explicit class keeps both engines identical

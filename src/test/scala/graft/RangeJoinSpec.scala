@@ -44,4 +44,25 @@ class RangeJoinSpec extends SparkTestBase {
       .select("rid").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 3L))
   }
+
+  test("domain extremes and huge tolerances: no wrapped pair survives (ADVICE r3)") {
+    // the ±1 neighbor bucket of Long.MaxValue wraps to Long.MinValue's
+    // bucket, and MaxValue − MinValue wraps to −1 — a plain `abs(l − r)`
+    // filter reports the two extremes as "within 1". Brute-force expected
+    // pairs are computed in BigInt so the TEST cannot overflow either.
+    val vals = Seq(Long.MinValue, Long.MinValue + 1, Long.MinValue + 7,
+      -3L, 0L, 5L, Long.MaxValue - 6, Long.MaxValue - 1, Long.MaxValue)
+    val left = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+    val right = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+    for (tol <- Seq(1L, 7L, 1L << 40, Long.MaxValue - 1)) {
+      val expected = (for {
+        (lv, li) <- vals.zipWithIndex; (rv, ri) <- vals.zipWithIndex
+        if (BigInt(lv) - BigInt(rv)).abs <= BigInt(tol)
+      } yield (li.toLong, ri.toLong)).toSet
+      val got = RangeJoin.within(left, right, "lv", "rv", tol)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"tol=$tol: spurious=${got -- expected} missing=${expected -- got}")
+    }
+  }
 }
