@@ -57,7 +57,12 @@ object SparkEntry {
     val withSentinels =
       if (!sentinels) ev
       else {
-        val far = ev.agg(max(col("ts_us"))).head.getLong(0) + 86400000000L
+        // empty-source guard (ADVICE r4): max() over zero rows is NULL —
+        // getLong would throw and turn "no events" into a staging error
+        // instead of the empty aggregate the oracle returns. Any anchor
+        // works for an empty stream (there is nothing to flush past).
+        val maxRow = ev.agg(max(col("ts_us"))).head
+        val far = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) + 86400000000L
         ev.unionByName(Seq(
           (-1L, -1L, "click", far, 0.0),
           (-2L, -1L, "view", far, 0.0))
@@ -1799,7 +1804,7 @@ object SparkEntry {
 
     "q28_ann_cosine" ->
       """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d),
+        |n AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d) WHERE nrm > 0),
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
         |s AS (SELECT query_id, vec_id, round(list_inner_product(v, qv) / (nrm * qnrm), 6) AS score
         |      FROM n, q WHERE vec_id <> query_id),
@@ -2029,7 +2034,7 @@ object SparkEntry {
     // hash-match bit-for-bit.
     "q35_ann_ivf" ->
       """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d),
+        |n AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d) WHERE nrm > 0),
         |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
         |a1 AS (
         |  SELECT vec_id, cent_id, v FROM (
@@ -2137,7 +2142,7 @@ object SparkEntry {
         s"(CASE WHEN list_inner_product(v, $pl) > 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
       s"""WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d),
+         |n AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d) WHERE nrm > 0),
          |s AS (SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM n),
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM s WHERE vec_id < 5),
          |sc AS (SELECT q.query_id, s.vec_id,
@@ -2390,7 +2395,7 @@ object SparkEntry {
         |  SELECT vec_id + 1000000 AS vec_id,
         |    list_prepend(v[1] + 0.01, v[2:]) AS v
         |  FROM b WHERE vec_id < 20),
-        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d)
+        |n AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d) WHERE nrm > 0)
         |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
         |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
         |FROM n a JOIN n b ON a.vec_id < b.vec_id

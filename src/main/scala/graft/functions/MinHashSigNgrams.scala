@@ -24,8 +24,12 @@ import org.apache.spark.unsafe.Platform
   * LSH candidate set.
   *
   * Null semantics: null input → null; a document with fewer than n
-  * non-null-window tokens (no shingles) → null, so it drops out of
-  * banding exactly like a doc with no inverted-index rows.
+  * tokens (no windows at all) → null, so it drops out of banding
+  * exactly like a doc with no inverted-index rows. A window whose
+  * tokens are all null hashes as the EMPTY shingle — matching what
+  * `concat_ws` produces in the two-step `minhash_sig(ngrams(...))`
+  * form, which is the bit-identity contract (asserted in
+  * FusedFingerprintSpec).
   */
 case class MinHashSigNgrams(child: Expression, n: Int, k: Int) extends UnaryExpression {
 
