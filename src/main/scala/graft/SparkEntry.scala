@@ -521,15 +521,12 @@ object SparkEntry {
     // Sketch aggregation: HyperLogLog distinct counts. The sketch is
     // order-independent (register-max merge), so the estimate is
     // deterministic; the oracle pins the EXACT count and asserts the
-    // estimate lands within a 5% envelope (rsd is configured 1%, so the
-    // margin is wide) — the sketch-vs-exact contract, checked per group.
+    // estimate lands within the envelope DERIVED from the rsd knob
+    // (5σ·rsd — see operators/Sketches.scala, the envelope-oracle
+    // pattern), checked per group.
     "q42_approx_distinct" -> ((s, dir) =>
-      T(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("exact_distinct"),
-          (abs(approx_count_distinct(col("user_id"), rsd = 0.01) -
-            countDistinct(col("user_id"))).cast("double") /
-            countDistinct(col("user_id")) <= 0.05).as("within_5pct"))
+      graft.operators.Sketches.distinctEnvelope(
+          T(s, dir, "events"), "event_type", "user_id")
         .orderBy(col("event_type"))),
 
     // Exact interpolated percentiles per group — Spark's percentile and
@@ -553,22 +550,14 @@ object SparkEntry {
     // partials, so it scales where exact percentile (q43) cannot. Its
     // guarantee is on RANK error (≤ N/accuracy, here 0.1%) independent
     // of partial-merge order, so the oracle contract is the q42 envelope
-    // pattern on ranks: the sketch's p50 must land between the exact
-    // 45th and 55th percentile values (p95 between 90th and 99th) — true
-    // for any conforming sketch, regardless of value distribution. The
-    // exact columns exist to pin the oracle; a production 100 TB run
-    // would emit only the sketch columns.
+    // pattern on ranks, with the band DERIVED from the accuracy knob
+    // (±slackRanks/accuracy — operators/Sketches.scala): true for any
+    // conforming sketch, regardless of value distribution, at any
+    // accuracy setting. The exact columns exist to pin the oracle; a
+    // production 100 TB run would emit only the sketch columns.
     "q47_approx_percentiles" -> ((s, dir) =>
-      T(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
-          round(expr("percentile(value, 0.95)"), 4).as("p95_exact"),
-          expr("approx_percentile(value, 0.5, 1000)")
-            .between(expr("percentile(value, 0.45)"),
-              expr("percentile(value, 0.55)")).as("p50_in_env"),
-          expr("approx_percentile(value, 0.95, 1000)")
-            .between(expr("percentile(value, 0.90)"),
-              expr("percentile(value, 0.99)")).as("p95_in_env"))
+      graft.operators.Sketches.percentileEnvelope(
+          T(s, dir, "events"), "event_type", "value", qs = Seq(0.5, 0.95))
         .orderBy(col("event_type"))),
 
     // Capstone corpus pipeline: clean (PII redact + line dedup +
@@ -1891,7 +1880,7 @@ object SparkEntry {
 
     "q42_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
-        |  true AS within_5pct
+        |  true AS within_env
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q43_percentiles" ->

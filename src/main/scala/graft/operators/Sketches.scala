@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregations with ENVELOPE columns derived from their accuracy
+  * knobs — the pattern that lets a DuckDB oracle gate an approximate
+  * operator: the query returns the exact value plus a boolean "the
+  * sketch landed inside its guaranteed band", and the oracle asserts the
+  * boolean is literally TRUE. Tuning a knob re-derives the band, so the
+  * gate stays valid for any setting (VERDICT r4 next-round #7); a
+  * hard-coded band would silently turn into a wrong gate the day someone
+  * loosens the sketch.
+  *
+  * Scale posture: both sketches are mergeable constant-memory partials
+  * (HLL++ registers; Greenwald–Khanna summaries), which is the entire
+  * reason they replace their exact forms at 100 TB — see q42/q43/q47.
+  */
+object Sketches {
+
+  /** Per-group exact distinct count plus `within_env`: whether
+    * `approx_count_distinct(keyCol, rsd)` landed within `sigmas · rsd`
+    * relative error of exact. HLL++'s error is near-Gaussian with
+    * standard deviation `rsd`, so the default 5σ band false-alarms at
+    * ~3·10⁻⁷ per group while still catching an implementation
+    * regression of ANY practical size.
+    */
+  def distinctEnvelope(df: DataFrame, groupCol: String, keyCol: String,
+                       rsd: Double = 0.01, sigmas: Double = 5.0): DataFrame = {
+    def exact = countDistinct(col(keyCol))
+    df.groupBy(col(groupCol))
+      .agg(exact.as("exact_distinct"),
+        (abs(approx_count_distinct(col(keyCol), rsd) - exact).cast("double") / exact
+          <= sigmas * rsd).as("within_env"))
+  }
+
+  /** Per-group exact percentiles plus, for each requested quantile q, a
+    * `p<q>_in_env` boolean: whether `approx_percentile(valCol, q,
+    * accuracy)` lies between the exact `percentile(q ± slackRanks /
+    * accuracy)` band (clamped to [0, 1]). GK's guarantee is HARD — rank
+    * error ≤ N/accuracy — so `slackRanks ≥ 1` can never false-alarm by
+    * the bound itself; the default 50 mirrors the generous ±5% band the
+    * envelope shipped with at accuracy = 1000 and absorbs
+    * interpolation-vs-element differences on small groups.
+    */
+  def percentileEnvelope(df: DataFrame, groupCol: String, valCol: String,
+                         qs: Seq[Double], accuracy: Int = 1000,
+                         slackRanks: Double = 50.0): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile")
+    val eps = slackRanks / accuracy
+    val aggs = qs.flatMap { q =>
+      val lo = math.max(q - eps, 0.0)
+      val hi = math.min(q + eps, 1.0)
+      val tag = math.round(q * 100)
+      Seq(round(expr(s"percentile(`$valCol`, $q)"), 4).as(s"p${tag}_exact"),
+        expr(s"approx_percentile(`$valCol`, $q, $accuracy)")
+          .between(expr(s"percentile(`$valCol`, $lo)"),
+            expr(s"percentile(`$valCol`, $hi)"))
+          .as(s"p${tag}_in_env"))
+    }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}
