@@ -59,6 +59,22 @@ class PipelinesSpec extends SparkTestBase {
       Pipelines.cooccurrenceProbedSym(pairs, "g", "t", probe)) == 0L)
   }
 
+  test("CapMetricsListener sees a truncating query and stays quiet otherwise") {
+    val listener = new graft.operators.CapMetricsListener()
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Seq((1L, 40L), (1L, 10L), (1L, 30L), (1L, 20L)).toDF("g", "t")
+      Pipelines.cooccurrence(pairs, "g", "t", maxGroupSize = 3).collect()
+      Pipelines.cooccurrence(pairs, "g", "t").collect() // under cap: no-op
+      // the listener bus is async — poll briefly
+      val deadline = System.nanoTime() + 10000000000L
+      while (listener.totalTruncated < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(listener.totalTruncated == 1L,
+        s"expected exactly the one truncated group, got ${listener.totalTruncated}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("failOnOverflow turns an over-cap group into a loud error, not a truncation") {
     val pairs = Seq((1L, 40L), (1L, 10L), (1L, 30L), (1L, 20L)).toDF("g", "t")
     val ex = intercept[Exception] {
