@@ -57,8 +57,11 @@ object RangeJoin {
       // the filter would emit an opposite-extremes pair as "within tol".
       // A true within-tol pair can never overflow (|l−r| ≤ tol ≤ Long
       // range), so the null-on-overflow difference drops exactly the
-      // wrapped impostors and nothing else.
-      .filter(abs(expr(s"try_subtract(`$leftVal`, `$rightVal`)")) <= tol)
+      // wrapped impostors. BETWEEN, not abs(...): a difference of exactly
+      // Long.MinValue is representable (not nulled) but abs of it
+      // overflows — an ANSI error on legitimate data, a spurious
+      // negative-passes-the-filter pair with ANSI off.
+      .filter(expr(s"try_subtract(`$leftVal`, `$rightVal`)").between(-tol, tol))
       .drop("__b")
   }
 }

@@ -30,8 +30,12 @@ object Sketches {
     def exact = countDistinct(col(keyCol))
     df.groupBy(col(groupCol))
       .agg(exact.as("exact_distinct"),
-        (abs(approx_count_distinct(col(keyCol), rsd) - exact).cast("double") / exact
-          <= sigmas * rsd).as("within_env"))
+        // exact = 0 (an all-null group) needs its own branch: 0/0 is NaN
+        // and would false-alarm; both counts ignore nulls, so 0 vs 0 is
+        // inside any band by definition
+        when(exact === 0, lit(true)).otherwise(
+          abs(approx_count_distinct(col(keyCol), rsd) - exact).cast("double") / exact
+            <= sigmas * rsd).as("within_env"))
   }
 
   /** Per-group exact percentiles plus, for each requested quantile q, a
@@ -47,6 +51,10 @@ object Sketches {
                          qs: Seq[Double], accuracy: Int = 1000,
                          slackRanks: Double = 50.0): DataFrame = {
     require(qs.nonEmpty, "at least one quantile")
+    val tags = qs.map(q => math.round(q * 100))
+    require(tags.distinct.size == tags.size,
+      s"quantiles collide on their p<q> column tags (rounded to whole percents): " +
+        s"${qs.mkString(", ")} — space them, or extend the tag scheme")
     val eps = slackRanks / accuracy
     val aggs = qs.flatMap { q =>
       val lo = math.max(q - eps, 0.0)

@@ -23,9 +23,10 @@ import graft.silver.Pipelines
   *      Hamming-distance search.
   *
   * Scale posture: every stage is groupBy/explode/join on bounded keys; no
-  * all-pairs product ever materializes. Hot shingles (stop-shingles shared
-  * by millions of docs) are truncated by the same deterministic group cap
-  * as [[Pipelines.cooccurrence]].
+  * all-pairs product ever materializes. A group over the deterministic
+  * cap shared with [[Pipelines.cooccurrence]] is an ERROR in every dedup
+  * candidate stage (truncating one would silently report its overflow
+  * docs as unique); pre-drop genuinely hot stop-shingles instead.
   */
 object Dedup {
 
@@ -75,11 +76,20 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs: candidates from the inverted
     * index (a pair shares ≥1 shingle ⟺ Jaccard > 0 — no false negatives),
     * intersection counted per pair, union from per-doc shingle counts.
+    *
+    * failOnOverflow: a shingle shared by more docs than the group cap
+    * would silently under-count intersections for the overflow docs —
+    * a broken "exact" contract — so it errors instead (same posture as
+    * every dedup candidate stage). The 100 TB remedy for genuinely hot
+    * stop-shingles is to DROP them explicitly before this operator (they
+    * carry ~no discriminating power), which changes the declared input,
+    * not silently the answer.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.4): DataFrame =
     withCachedIndex(shingleIndex(docs, n)) { sh =>
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val inter = Pipelines.cooccurrence(sh, "shingle", "doc_id")
+      val inter = Pipelines.cooccurrence(sh, "shingle", "doc_id",
+        failOnOverflow = true)
         .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"),
           col("score").as("n_inter"))
       inter

@@ -45,8 +45,12 @@ object Fuzzy {
     // far above any real bucket — FastSS buckets hold only
     // |alphabet|·len look-alikes of one stem, orders of magnitude under
     // 2^20 — but finite, so a pathological vocabulary (adversarial
-    // near-identical stems) fails loudly instead of OOMing one executor
-    // on an unbounded collect_set (ADVICE r4).
+    // near-identical stems) fails loudly instead of silently losing
+    // pairs (ADVICE r4). This is a CORRECTNESS guard, not a memory
+    // bound: the check fires after collect_set materializes the group,
+    // so a bucket big enough to exhaust an executor still OOMs first —
+    // acceptable because FastSS bucket size is structurally bounded by
+    // the vocabulary's shape, and an OOM is at least not a wrong answer.
     val cand = Pipelines.cooccurrence(keyed, "k", "w",
       maxGroupSize = 1 << 20, failOnOverflow = true)
       .select(col("track_id_1").as("w1"), col("track_id_2").as("w2"))

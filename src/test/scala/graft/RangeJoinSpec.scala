@@ -65,4 +65,15 @@ class RangeJoinSpec extends SparkTestBase {
         s"tol=$tol: spurious=${got -- expected} missing=${expected -- got}")
     }
   }
+
+  test("a bucket-adjacent pair whose difference is exactly -2^63 is dropped, not an error") {
+    // buckets -1 and 0 are adjacent so the equi-join matches, and the
+    // difference -2^62 - 2^62 = Long.MinValue IS representable — but
+    // abs(Long.MinValue) overflows (ANSI error / negative value that
+    // passes an abs <= tol filter). The BETWEEN filter must simply drop
+    // the pair: its true distance 2^63 exceeds any long tolerance.
+    val left = Seq((1L, -(1L << 62))).toDF("lid", "lv")
+    val right = Seq((1L, 1L << 62)).toDF("rid", "rv")
+    assert(RangeJoin.within(left, right, "lv", "rv", (1L << 62) + 1).count() == 0L)
+  }
 }
