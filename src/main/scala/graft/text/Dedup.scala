@@ -80,13 +80,28 @@ object Dedup {
     * failOnOverflow: a shingle shared by more docs than the group cap
     * would silently under-count intersections for the overflow docs —
     * a broken "exact" contract — so it errors instead (same posture as
-    * every dedup candidate stage). The 100 TB remedy for genuinely hot
-    * stop-shingles is to DROP them explicitly before this operator (they
-    * carry ~no discriminating power), which changes the declared input,
-    * not silently the answer.
+    * every dedup candidate stage).
+    *
+    * The 100 TB remedy for genuinely hot stop-shingles is `maxShingleDf`:
+    * shingles in more than that many documents are dropped from the
+    * index EXPLICITLY — Jaccard is then exact over the declared
+    * (df-filtered) shingle space, both intersection and union — rather
+    * than silently truncated. Hot shingles carry ~no discriminating
+    * power, so this is the standard precision-preserving de-hot-key
+    * move; the default keeps every shingle.
     */
-  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.4): DataFrame =
-    withCachedIndex(shingleIndex(docs, n)) { sh =>
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.4,
+                   maxShingleDf: Option[Int] = None): DataFrame =
+    withCachedIndex(shingleIndex(docs, n)) { sh0 =>
+      val sh = maxShingleDf match {
+        case None => sh0
+        case Some(m) =>
+          // one map-side-combinable df count; the anti-join drops the
+          // (few) hot shingles from the index before ANY pairing
+          val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .filter(col("df") > m).select("shingle")
+          sh0.join(hot, Seq("shingle"), "left_anti")
+      }
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val inter = Pipelines.cooccurrence(sh, "shingle", "doc_id",
         failOnOverflow = true)

@@ -115,6 +115,25 @@ class DedupSpec extends SparkTestBase {
       Seq(3L, 4L, 4L, "u v w x")))
   }
 
+  test("ngramJaccard maxShingleDf drops hot shingles from BOTH intersection and union") {
+    // docs 1/2 share a rare 3-gram; every doc shares the hot 3-gram
+    // "the same boilerplate". With the hot shingle dropped, doc 3 (only
+    // boilerplate) leaves the index entirely and 1-2's Jaccard is
+    // computed over their remaining shingles alone.
+    val d = Seq(
+      (1L, "the same boilerplate alpha beta gamma"),
+      (2L, "the same boilerplate alpha beta gamma"),
+      (3L, "the same boilerplate")).toDF("doc_id", "text")
+    val unfiltered = rows(graft.text.Dedup.ngramJaccard(d, n = 3, threshold = 0.1))
+    val filtered = rows(graft.text.Dedup.ngramJaccard(d, n = 3, threshold = 0.1,
+      maxShingleDf = Some(2)))
+    // unfiltered: doc 3 pairs with 1 and 2 through the boilerplate shingle
+    assert(unfiltered.exists(r => r(1) == 3L))
+    // filtered: doc 3 is gone; 1-2 remain identical over their own space
+    assert(filtered.map(r => (r(0), r(1))) == Seq((1L, 2L)))
+    assert(filtered.head(2) == 1.0)
+  }
+
   test("U+000B survives the full simhash and shingle pipelines as a token character") {
     // ADVICE r3 regression, end-to-end through the q27/q51 dataflows: a
     // `\s` tokenizer (Java's includes U+000B, RE2's does not) would
