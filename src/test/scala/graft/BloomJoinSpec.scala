@@ -36,6 +36,24 @@ class BloomJoinSpec extends SparkTestBase {
     assert(BloomJoin.semiJoin(fact, "key", dim, "dkey").count() == 0L)
   }
 
+  test("semiJoin == plain semi-join on randomized key sets and filter sizes") {
+    val rnd = new scala.util.Random(0x5eed5L)
+    for (trial <- 1 to 4) {
+      val factKeys = Seq.fill(800)(rnd.nextLong() % 2000)
+      val dimKeys = Seq.fill(rnd.nextInt(60) + 1)(rnd.nextLong() % 2000)
+      val fact = factKeys.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
+      val dim = dimKeys.toDF("dkey")
+      val bits = 1L << (10 + rnd.nextInt(8)) // 2^10 .. 2^17: dense and sparse filters
+      val got = BloomJoin.semiJoin(fact, "key", dim, "dkey",
+          expectedItems = dimKeys.size.toLong.max(1), numBits = bits)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = factKeys.zipWithIndex.collect {
+        case (k, i) if dimKeys.contains(k) => i.toLong
+      }.toSet
+      assert(got == want, s"trial $trial (numBits=$bits) diverged from the exact semi-join")
+    }
+  }
+
   test("a 2^26-bit filter stays out of the plan: subquery-backed, no literal bloat") {
     // 2^26 bits = 8 MB of sketch. Embedded as a plan literal that is a
     // multi-MB constant copied into every plan string and task; as a

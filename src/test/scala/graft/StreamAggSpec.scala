@@ -26,6 +26,61 @@ class StreamAggSpec extends SparkTestBase {
 
   private def ts(sec: Long) = new Timestamp(sec * 1000)
 
+  /** Stage (event_id, user_id, event_type, ts-seconds, value) rows as the
+    * one-file JSON transport the bounded runners consume. */
+  private def stageEvents(base: String, rows: Seq[(Long, Long, String, Long, Double)]): String = {
+    import spark.implicits._
+    rows.map { case (id, uid, et, sec, v) => (id, uid, et, sec * 1000000L, v) }
+      .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+      .toJSON.coalesce(1).write.mode("overwrite").text(s"$base/in")
+    s"$base/in"
+  }
+
+  test("stream-static enrichment joins the broadcast dim and drops misses") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_enrich_spec").toString
+    val in = stageEvents(base, Seq(
+      (1L, 10L, "click", 1000L, 1.0), (2L, 11L, "view", 1001L, 2.0),
+      (3L, 99L, "click", 1002L, 3.0))) // user 99 not in dim → dropped
+    val dim = Seq((10L, "alice"), (11L, "bob")).toDF("user_id", "name")
+    val out = StreamAgg.runEnrichToCompletion(spark, in, dim, "user_id",
+        s"$base/out", s"$base/ckpt")
+      .select("event_id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "alice"), (2L, "bob")))
+  }
+
+  test("inner interval join attributes a view only within its click's window") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ijoin_spec").toString
+    val in = stageEvents(base, Seq(
+      (1L, 1L, "click", 5000L, 0.0),
+      (2L, 1L, "view", 4000L, 0.0),   // 1000s before the click → attributed
+      (3L, 1L, "view", 6000L, 0.0),   // after the click → no
+      (4L, 2L, "view", 4900L, 0.0))) // other user → no
+    val out = StreamAgg.runIntervalJoinToCompletion(spark, in,
+        s"$base/out", s"$base/ckpt", intervalSeconds = 3600)
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("outer interval join null-pads a viewless click once its window closes") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ojoin_spec").toString
+    // far-future sentinels on BOTH event types: the global watermark is
+    // the min across inputs, and only its advance flushes unmatched state
+    val in = stageEvents(base, Seq(
+      (1L, 1L, "click", 5000L, 0.0),
+      (2L, 1L, "view", 4000L, 0.0),
+      (3L, 3L, "click", 5000L, 0.0),  // no view for user 3 → null-padded
+      (-1L, -1L, "click", 10000000L, 0.0),
+      (-2L, -1L, "view", 10000000L, 0.0)))
+    val out = StreamAgg.runOuterIntervalJoinToCompletion(spark, in,
+        s"$base/out", s"$base/ckpt", intervalSeconds = 3600)
+      .filter("user_id >= 0")
+      .collect().map(r => (r.getAs[Long]("click_id"),
+        Option(r.getAs[java.lang.Long]("view_id")).map(_.toLong))).toSet
+    assert(out == Set((1L, Some(2L)), (3L, None)))
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
