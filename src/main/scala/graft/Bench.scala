@@ -10,7 +10,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(cpus).getOrCreate()
+    val spark = GraftSession.getOrCreate(cpus)
     spark.sparkContext.setLogLevel("WARN")
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -34,9 +34,6 @@ object Bench {
       val err = runs.flatMap(_._2).headOption
       (name, if (err.isEmpty) runs.map(_._1).min else -1.0, err)
     }
-    // millisecond precision: full-precision doubles ballooned the line to
-    // ~2.7 KB at 68 queries and the driver's fixed-size tail capture
-    // truncated it (BENCH_r03 "parsed": null) — keep the ONE line small
     // Locale.ROOT: the f-interpolator formats with the default locale,
     // which renders a comma decimal separator on e.g. de_DE JVMs —
     // malformed JSON, the exact parse failure the precision cap fixed
@@ -51,7 +48,26 @@ object Bench {
     // conditions alongside the numbers
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Line 1: the full-name record for complete logs / humans.
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"load_avg":${ms(load)},"repeats":$repeats,"sf":"$sfDir"}""")
+    // Line 2 (LAST): a compact self-contained duplicate of the same
+    // record. The harness that archives this run keeps only a fixed-size
+    // TAIL of stdout (~2 KB): at 97 queries the full-name line above is
+    // ~2.7 KB, so its head falls outside the window and the archived
+    // record is unparseable (BENCH_r04/r05 "parsed": null, q1–q32 lost).
+    // Keys here are the qN prefix of each query name — unique across the
+    // registry (asserted) — and values are centiseconds-rounded, which
+    // keeps the complete line ~1.3 KB: whole-line-inside-the-window with
+    // margin, so the gate artifact is self-contained again.
+    def cs(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val short = results.map { case (k, v, _) => (k.takeWhile(_ != '_'), v) }
+    require(short.map(_._1).distinct.size == results.size,
+      "qN prefixes must stay unique for the compact bench line")
+    val qsShort = short.map { case (k, v) => s""""$k":${cs(v)}""" }.mkString("{", ",", "}")
+    val errsShort = results.collect { case (k, _, Some(m)) =>
+      s""""${k.takeWhile(_ != '_')}":"${esc(m.take(80))}"""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","n_queries":${results.size},"queries":$qsShort,"errors":$errsShort,"load_avg":${cs(load)},"repeats":$repeats,"sf":"$sfDir","note":"keys are qN prefixes of SparkEntry.queries names; full-name record on the previous line"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

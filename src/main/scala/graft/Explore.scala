@@ -8,7 +8,7 @@ object Explore {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(cpus).getOrCreate()
+    val spark = GraftSession.getOrCreate(cpus)
     spark.sparkContext.setLogLevel("WARN")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -53,6 +53,65 @@ object Explore {
       time("full q26 again")(SparkEntry.queries("q26_minhash_lsh")(spark, dir).count())
       time("full q25")(SparkEntry.queries("q25_ngram_jaccard")(spark, dir).count())
       time("full q27")(SparkEntry.queries("q27_simhash")(spark, dir).count())
+    } else if (args.headOption.contains("preguardAB")) {
+      // overhead of the in-buffer fail-loud cap (bounded_collect_set,
+      // r6) vs plain collect_set + post-hoc guard: interleaved on/off
+      // repetitions in one warm JVM. (The rejected two-pass COUNT
+      // pre-guard measured +70–130% on q11/q25/q26/q79 in this harness.)
+      val qs = Seq("q11_cooccurrence", "q12_collab_pairs", "q25_ngram_jaccard",
+        "q26_minhash_lsh", "q27_simhash", "q79_editdist_pairs")
+      for (round <- 1 to 4; q <- qs;
+           on <- if (round % 2 == 0) Seq(true, false) else Seq(false, true)) {
+        if (on) sys.props -= "graft.boundedcollect.off"
+        else sys.props += ("graft.boundedcollect.off" -> "1")
+        time(f"$q bounded=$on r$round")(SparkEntry.queries(q)(spark, dir).count())
+      }
+      sys.props -= "graft.boundedcollect.off"
+    } else if (args.headOption.contains("boundedMicro")) {
+      // isolate the aggregation: same cached input, only the collector
+      // differs — any consistent delta here is true per-row overhead
+      import graft.functions.bounded_collect_set
+      val pt = Pipelines.playlistTracks(Tables.lineitem(spark, dir)).cache()
+      time("cache fill")(pt.count())
+      def agg(c: org.apache.spark.sql.Column): Long =
+        pt.groupBy(col("playlist_id")).agg(sort_array(c).as("its"))
+          .agg(sum(size(col("its")))).collect().length.toLong
+      for (r <- 1 to 4;
+           on <- if (r % 2 == 0) Seq(true, false) else Seq(false, true)) {
+        val c = if (on) bounded_collect_set(col("track_id"), 10000, "micro")
+                else collect_set(col("track_id"))
+        time(s"agg bounded=$on r$r")(agg(c))
+      }
+      pt.unpersist()
+    } else if (args.headOption.contains("exciseAB")) {
+      // single-tokenize exciseRepeats (r6) vs the r5 twice-tokenizing
+      // composition, both forced through the full rebuild (a bare count()
+      // lets the optimizer eliminate the unique-keyed left join and skip
+      // the rebuild entirely — the r5 bench number measured nothing)
+      import graft.text.Dedup
+      val docs = Tables.documents(spark, dir)
+      time("warm docs")(docs.count())
+      def force(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(length(col("clean_text"))), sum(col("n_tokens_after")))
+          .collect().length.toLong
+      def oldExcise() = {
+        val cuts = Dedup.repeatedSpans(docs, 10).groupBy("doc_id")
+          .agg(collect_list(struct(col("span_start"), col("span_end"))).as("cuts"))
+        docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+          .join(cuts, Seq("doc_id"), "left")
+          .withColumn("kept", when(col("cuts").isNull, col("toks")).otherwise(expr(
+            "filter(transform(toks, (t, i) -> " +
+              "IF(exists(cuts, c -> i >= c.span_start AND i < c.span_end), NULL, t)), " +
+              "x -> x IS NOT NULL)")))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens_before"),
+            size(col("kept")).cast("long").as("n_tokens_after"),
+            concat_ws(" ", col("kept")).as("clean_text"))
+      }
+      for (r <- 1 to 3) {
+        time(s"old twice-tokenize r$r")(force(oldExcise()))
+        time(s"new single-tokenize r$r")(force(Dedup.exciseRepeats(docs, 10)))
+      }
     } else if (args.headOption.contains("shingleAB")) {
       import graft.text.Dedup
       val docs = Tables.documents(spark, dir)

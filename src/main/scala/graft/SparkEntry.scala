@@ -1452,6 +1452,40 @@ object SparkEntry {
           min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
           min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
         .orderBy(col("z_bucket"))
+    }),
+
+    // Z-ordered WRITE path, oracle-gated (the q76 complement: real files,
+    // not in-memory buckets): events land range-partitioned + sorted on
+    // z(user_id, floor(value)) via Ingest.writeZOrdered, then
+    // Ingest.zOrderAudit reads the layout back per file. Spark's sampled
+    // range boundaries are engine-internal, so the per-file frame itself
+    // can't be oracle-hashed — instead the audit collapses to
+    // engine-independent invariants: exact global counts/extents (the
+    // oracle recomputes them from events) plus layout booleans pinned
+    // literally TRUE — z-intervals pairwise disjoint (the write
+    // contract), several files produced, and a low-corner 2-d box
+    // ([0,64)²) leaves at least one file prunable on min/max stats alone
+    // (the reason the layout exists). floor(), not cast: Spark's
+    // double→long cast truncates while the oracle engine's rounds — floor
+    // agrees on both.
+    "q98_zorder_write" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val ev = Tables.events(s, dir).select(
+        col("user_id").cast("long").as("user_id"),
+        floor(col("value")).cast("long").as("val"))
+      Ingest.writeZOrdered(ev, s"$base/z", "user_id", "val", numFiles = 8)
+      Ingest.zOrderAudit(s, s"$base/z", "user_id", "val")
+        .withColumn("prev_max_z",
+          lag(col("max_z"), 1).over(Window.orderBy(col("min_z"))))
+        .agg(sum(col("n")).as("n_rows"),
+          min(col("min_x")).as("min_user"), max(col("max_x")).as("max_user"),
+          min(col("min_y")).as("min_val"), max(col("max_y")).as("max_val"),
+          (count(lit(1)) >= 2).as("multi_file"),
+          coalesce(bool_and(col("prev_max_z").isNull ||
+            col("min_z") > col("prev_max_z")), lit(true)).as("z_disjoint"),
+          (count(when(col("min_x") > 63 || col("min_y") > 63, 1)) > 0)
+            .as("box_prunes"))
     })
   )
 
@@ -2462,6 +2496,18 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q76_zorder_layout" -> zorderOracle(16),
+
+    // engine-independent half of the q98 audit: exact global count and
+    // per-dimension extents recomputed from events, layout booleans
+    // pinned literally TRUE (disjoint z-intervals, multiple files, 2-d
+    // box prunability — the write path's contract)
+    "q98_zorder_write" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  min(user_id)::BIGINT AS min_user, max(user_id)::BIGINT AS max_user,
+        |  CAST(min(floor(value)) AS BIGINT) AS min_val,
+        |  CAST(max(floor(value)) AS BIGINT) AS max_val,
+        |  true AS multi_file, true AS z_disjoint, true AS box_prunes
+        |FROM events""".stripMargin,
 
     "q82_bfs_hops" -> bfsOracle(3),
 

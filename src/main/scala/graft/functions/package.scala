@@ -32,4 +32,11 @@ package object functions {
   /** 60-bit SimHash fingerprint of an `array<string>` token column. */
   def simhash60(toks: Column): Column =
     ColumnShim.column(SimHash60(ColumnShim.expression(toks)))
+
+  /** `collect_set` that FAILS (naming `opName` and the cap) the moment
+    * any group's distinct size would exceed `cap` — inside the
+    * aggregation buffer, before the over-cap group materializes. */
+  def bounded_collect_set(c: Column, cap: Int, opName: String): Column =
+    ColumnShim.column(
+      BoundedCollectSet(ColumnShim.expression(c), cap, opName).toAggregateExpression())
 }

@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -193,12 +193,32 @@ object Ingest {
     */
   def writeZOrdered(df: DataFrame, path: String, dimX: String, dimY: String,
                     numFiles: Int, bits: Int = 16): Unit =
-    df.withColumn("__z",
-        graft.functions.z_value(col(dimX).cast("long"), col(dimY).cast("long"), bits))
+    df.withColumn("__z", checkedZ(dimX, dimY, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Domain-checked Morton code: `z_value` interleaves only the low
+    * `bits` bits, so a negative value or one >= 2^bits would silently
+    * COLLAPSE onto an unrelated z-code — the write succeeds, the
+    * z-intervals still look disjoint, but per-file min/max stats go
+    * domain-wide and the skipping contract is quietly void (ADVICE r5).
+    * Out-of-range rows are a task error naming the offending dimension;
+    * callers with a wider domain must scale/offset into [0, 2^bits) or
+    * raise `bits` (≤ 31 for two dims in a positive long).
+    */
+  private def checkedZ(dimX: String, dimY: String, bits: Int): Column = {
+    val lim = 1L << bits
+    def checked(dim: String): Column = {
+      val v = col(dim).cast("long")
+      when(v < 0 || v >= lim, raise_error(concat(
+        lit(s"writeZOrdered/zOrderAudit: `$dim` value "), v.cast("string"),
+        lit(s" outside [0, 2^$bits) — z_value would silently collapse it; " +
+          "scale the dimension into range or raise `bits`")))).otherwise(v)
+    }
+    graft.functions.z_value(checked(dimX), checked(dimY), bits)
+  }
 
   /** Layout acceptance check for [[writeZOrdered]]: per-file row count,
     * min/max of both dimensions, and min/max of the recomputed z-code —
@@ -213,7 +233,7 @@ object Ingest {
     spark.read.parquet(path)
       .select(col(dimX).cast("long").as("x"), col(dimY).cast("long").as("y"),
         col("_metadata.file_path").as("file"))
-      .withColumn("z", graft.functions.z_value(col("x"), col("y"), bits))
+      .withColumn("z", checkedZ("x", "y", bits))
       .groupBy(col("file"))
       .agg(count(lit(1)).as("n"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),

@@ -37,11 +37,18 @@ final class CapMetricsListener(
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
     qe.observedMetrics.foreach { case (name, row) =>
-      if (name.startsWith("graft.") && name.contains(".caps#")) {
-        val t = row.getAs[Long]("truncated_groups")
-        if (t > 0) {
-          total.addAndGet(t)
-          onTruncation(name, t)
+      // schema guard: a future graft.*.caps# metric without the
+      // truncated_groups long would otherwise throw inside the listener
+      // bus, silently dropping the callback for that query (ADVICE r5)
+      if (name.startsWith("graft.") && name.contains(".caps#") &&
+          row.schema.fieldNames.contains("truncated_groups")) {
+        val i = row.fieldIndex("truncated_groups")
+        if (!row.isNullAt(i)) {
+          val t = row.getLong(i)
+          if (t > 0) {
+            total.addAndGet(t)
+            onTruncation(name, t)
+          }
         }
       }
     }

@@ -60,10 +60,16 @@ object Sketches {
       val lo = math.max(q - eps, 0.0)
       val hi = math.min(q + eps, 1.0)
       val tag = math.round(q * 100)
+      // all-null group: percentile/approx_percentile both return NULL and
+      // BETWEEN propagates it, which would surface as a confusing NULL
+      // in_env instead of the vacuous-true distinctEnvelope's exact==0
+      // branch emits — mirror that branch (both aggregates ignore nulls,
+      // so NULL-vs-NULL is inside any band by definition)
       Seq(round(expr(s"percentile(`$valCol`, $q)"), 4).as(s"p${tag}_exact"),
-        expr(s"approx_percentile(`$valCol`, $q, $accuracy)")
-          .between(expr(s"percentile(`$valCol`, $lo)"),
-            expr(s"percentile(`$valCol`, $hi)"))
+        when(count(col(valCol)) === 0, lit(true)).otherwise(
+          expr(s"approx_percentile(`$valCol`, $q, $accuracy)")
+            .between(expr(s"percentile(`$valCol`, $lo)"),
+              expr(s"percentile(`$valCol`, $hi)")))
           .as(s"p${tag}_in_env"))
     }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)

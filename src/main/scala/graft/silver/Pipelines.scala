@@ -103,8 +103,8 @@ object Pipelines {
   def cooccurrence(pairs: DataFrame, groupCol: String, itemCol: String,
                    maxGroupSize: Int = 10000,
                    failOnOverflow: Boolean = false): DataFrame =
-    capGroups(pairs.groupBy(col(groupCol).as("g"))
-        .agg(sort_array(collect_set(col(itemCol))).as("its")),
+    capGroups(groupedItems(pairs, groupCol, itemCol, maxGroupSize, failOnOverflow,
+        "cooccurrence"),
         "its", maxGroupSize, failOnOverflow, "cooccurrence")
       .select(col("its"), posexplode(col("its")).as(Seq("i", "track_id_1")))
       // slice is 1-based: items strictly after position i+1 → all j > i
@@ -182,8 +182,8 @@ object Pipelines {
       s"probe must be a single-column frame of item ids, got ${probe.columns.mkString(", ")}")
     val probeSet = probe.select(col(probe.columns.head).as("p")).distinct()
       .agg(sort_array(collect_set(col("p"))).as("probe_set"))
-    capGroups(pairs.groupBy(col(groupCol).as("g"))
-        .agg(sort_array(collect_set(col(itemCol))).as("its")),
+    capGroups(groupedItems(pairs, groupCol, itemCol, maxGroupSize, failOnOverflow,
+        "cooccurrenceProbed"),
         "its", maxGroupSize, failOnOverflow, "cooccurrenceProbed")
       .crossJoin(broadcast(probeSet))
       .withColumn("pl", array_intersect(col("its"), col("probe_set")))
@@ -194,6 +194,38 @@ object Pipelines {
     * several capped generators (q15 builds two probed similarity tables),
     * and Spark requires CollectMetrics names to be unique per query. */
   private val capId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Per-group sorted distinct item arrays — the shared aggregation of
+    * every pair generator, with the fail-loud cap enforced INSIDE the
+    * aggregation buffer (VERDICT r5 #4): on `failOnOverflow` paths the
+    * set is built by [[graft.functions.bounded_collect_set]], which
+    * fails the task the moment any group's distinct size would exceed
+    * the cap — in the partial aggregate, before the over-cap group
+    * materializes, so a pathological bucket errors cleanly instead of
+    * OOMing an executor first. Plan shape is identical to plain
+    * `collect_set` (one integer compare per new element).
+    *
+    * A pre-aggregation COUNT guard was built and measured first (r6,
+    * Explore `preguardAB` at sf0.1): +70–130% on q11/q25/q26/q79 —
+    * mostly-unique grouping keys defeat map-side combine and the extra
+    * pass re-pays the generator's input lineage (the r5 q95 count-gate
+    * failure mode) — and was rejected for this in-buffer bound.
+    *
+    * Truncating paths keep the built-in `collect_set`: truncation must
+    * deterministically keep the `maxGroupSize` SMALLEST items
+    * ([[capGroups]] sort+slice), which a bounded buffer that refuses
+    * arbitrary late arrivals cannot honor.
+    */
+  private def groupedItems(pairs: DataFrame, groupCol: String, itemCol: String,
+                           cap: Int, failOnOverflow: Boolean,
+                           opName: String): DataFrame = {
+    val collector =
+      if (failOnOverflow && !sys.props.contains("graft.boundedcollect.off"))
+        graft.functions.bounded_collect_set(col(itemCol), cap, opName)
+      else collect_set(col(itemCol))
+    pairs.groupBy(col(groupCol).as("g"))
+      .agg(sort_array(collector).as("its"))
+  }
 
   /** Post-aggregation group-size guard — the one place cap truncation
     * happens, and it is never silent:

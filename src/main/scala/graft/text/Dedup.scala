@@ -271,10 +271,18 @@ object Dedup {
     * string it replaced.
     */
   def repeatedSpans(docs: DataFrame, n: Int = 10,
-                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    repeatedSpansFromToks(tokenized(docs, textCol, idCol), n)
+
+  /** `(doc_id, toks)` normalization shared by the substring-dedup pair —
+    * factored out so [[exciseRepeats]] can tokenize the corpus ONCE and
+    * feed the same frame to both span detection and the rebuild. */
+  private def tokenized(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+
+  private def repeatedSpansFromToks(toksDf: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val wins = toksDf
       .filter(size(col("toks")) >= n)
       // 128-bit window key as two independently-seeded xxhash64 of the
       // token SLICE — no window string is ever materialized (the previous
@@ -316,13 +324,22 @@ object Dedup {
     * this module keys on. Docs with no cuts pass through the cheap
     * `cuts IS NULL` branch; the index-lambda rebuild runs only for the
     * (rare) documents that actually lose spans.
+    *
+    * The corpus is tokenized ONCE: span detection and the rebuild both
+    * read the same cached `(doc_id, toks)` frame (PLAN_AUDIT r5 measured
+    * tokenize+explode as the dominant span-detection cost, and the naive
+    * composition re-paid the tokenize for the rebuild). The cache is the
+    * standard corpus-scale trade — MEMORY_AND_DISK spills instead of
+    * recomputing — and is released before the (checkpointed) result is
+    * returned, same lifecycle as every shingle index in this module.
     */
   def exciseRepeats(docs: DataFrame, n: Int = 10,
-                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val cuts = repeatedSpans(docs, n, textCol, idCol)
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    withCachedIndex(tokenized(docs, textCol, idCol)) { toksDf =>
+    val cuts = repeatedSpansFromToks(toksDf, n)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("cuts"))
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    toksDf
       .join(cuts, Seq("doc_id"), "left")
       .withColumn("kept", when(col("cuts").isNull, col("toks")).otherwise(expr(
         "filter(transform(toks, (t, i) -> " +
@@ -332,7 +349,7 @@ object Dedup {
         size(col("toks")).cast("long").as("n_tokens_before"),
         size(col("kept")).cast("long").as("n_tokens_after"),
         concat_ws(" ", col("kept")).as("clean_text"))
-  }
+    }
 
   /** SimHash fingerprint width. 60 bits, not 64: the per-token hash is
     * the top 15 hex digits of md5, which BOTH engines can compute (the

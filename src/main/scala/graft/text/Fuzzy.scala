@@ -46,11 +46,12 @@ object Fuzzy {
     // |alphabet|·len look-alikes of one stem, orders of magnitude under
     // 2^20 — but finite, so a pathological vocabulary (adversarial
     // near-identical stems) fails loudly instead of silently losing
-    // pairs (ADVICE r4). This is a CORRECTNESS guard, not a memory
-    // bound: the check fires after collect_set materializes the group,
-    // so a bucket big enough to exhaust an executor still OOMs first —
-    // acceptable because FastSS bucket size is structurally bounded by
-    // the vocabulary's shape, and an OOM is at least not a wrong answer.
+    // pairs (ADVICE r4). Since r6 the bound lives INSIDE the aggregation
+    // buffer (bounded_collect_set via Pipelines.cooccurrence): the task
+    // fails the moment a bucket's distinct size passes the cap, so even
+    // a bucket big enough to exhaust an executor errors cleanly instead
+    // of OOMing first (ADVICE r5) — a memory bound as well as a
+    // correctness guard.
     val cand = Pipelines.cooccurrence(keyed, "k", "w",
       maxGroupSize = 1 << 20, failOnOverflow = true)
       .select(col("track_id_1").as("w1"), col("track_id_2").as("w2"))

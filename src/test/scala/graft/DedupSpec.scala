@@ -134,6 +134,45 @@ class DedupSpec extends SparkTestBase {
     assert(filtered.head(2) == 1.0)
   }
 
+  test("ngramJaccard maxShingleDf: exact Jaccard over the df-filtered shingle space " +
+      "(randomized vs brute force)") {
+    // The knob's contract (r5): dropping shingles with df > m must behave
+    // exactly as if those shingles never existed — removed from BOTH the
+    // intersection and the union of every pair, docs left shingle-less
+    // leave the index entirely. Replayed brute-force on random corpora
+    // over a small vocabulary (so shingles collide across docs often).
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 12L).map { id =>
+        val len = 4 + rnd.nextInt(8)
+        (id, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val n = 3
+      val m = 1 + rnd.nextInt(3)
+      val threshold = 0.2
+      val shingleSets: Map[Long, Set[String]] = corpus.map { case (id, text) =>
+        id -> text.split(" ").toSeq.sliding(n).filter(_.size == n)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+      val df = shingleSets.values.flatten.toSeq.groupBy(identity)
+        .map { case (s, o) => s -> o.size }
+      val kept = shingleSets.map { case (id, ss) => id -> ss.filter(s => df(s) <= m) }
+      val expected = (for {
+        (i, si) <- kept.toSeq; (j, sj) <- kept.toSeq if i < j
+        inter = (si & sj).size if inter > 0
+        jac = inter.toDouble / (si.size + sj.size - inter) if jac >= threshold
+      } yield Seq[Any](i, j,
+        // Spark round() is HALF_UP — replay it exactly
+        BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy(_.mkString("|"))
+      val got = rows(Dedup.ngramJaccard(corpus.toDF("doc_id", "text"), n, threshold,
+        maxShingleDf = Some(m)))
+      assert(got == expected,
+        s"trial $trial (m=$m): got $got\nexpected $expected\ncorpus $corpus")
+    }
+  }
+
   test("U+000B survives the full simhash and shingle pipelines as a token character") {
     // ADVICE r3 regression, end-to-end through the q27/q51 dataflows: a
     // `\s` tokenizer (Java's includes U+000B, RE2's does not) would

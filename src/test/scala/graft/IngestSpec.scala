@@ -246,6 +246,39 @@ class IngestSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/z").count() == 65536)
   }
 
+  test("writeZOrdered / zOrderAudit reject out-of-domain dimension values loudly") {
+    // z_value interleaves only the low `bits` bits: a negative or
+    // >= 2^bits value would silently COLLAPSE onto an unrelated z-code —
+    // layout looks valid, per-file stats go domain-wide, skipping
+    // contract quietly void (ADVICE r5). Both ends must error instead.
+    val dir = tmp()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    val neg = Seq((-1L, 3L), (2L, 4L)).toDF("x", "y")
+    val exNeg = intercept[Exception] {
+      Ingest.writeZOrdered(neg, s"$dir/zneg", "x", "y", numFiles = 2, bits = 8)
+    }
+    assert(messages(exNeg).exists(m => m != null && m.contains("outside [0, 2^8)")),
+      s"expected the domain guard, got: ${messages(exNeg).mkString(" | ")}")
+    val big = Seq((0L, 256L)).toDF("x", "y")
+    val exBig = intercept[Exception] {
+      Ingest.writeZOrdered(big, s"$dir/zbig", "x", "y", numFiles = 2, bits = 8)
+    }
+    assert(messages(exBig).exists(m => m != null && m.contains("outside [0, 2^8)")))
+    // the audit applies the same guard when re-deriving z from read-back
+    // rows: files written by OTHER means with a wider domain must not
+    // audit as clean
+    Seq((300L, 1L)).toDF("x", "y").write.parquet(s"$dir/wide")
+    val exAudit = intercept[Exception] {
+      Ingest.zOrderAudit(spark, s"$dir/wide", "x", "y", bits = 8).collect()
+    }
+    assert(messages(exAudit).exists(m => m != null && m.contains("outside [0, 2^8)")))
+    // in-domain boundary values still write clean
+    val edge = Seq((0L, 255L), (255L, 0L)).toDF("x", "y")
+    Ingest.writeZOrdered(edge, s"$dir/zedge", "x", "y", numFiles = 1, bits = 8)
+    assert(spark.read.parquet(s"$dir/zedge").count() == 2)
+  }
+
   test("writeWithBloom lands parquet bloom filters that the scan can use") {
     val dir = tmp()
     val d = (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v")

@@ -87,6 +87,55 @@ class PipelinesSpec extends SparkTestBase {
       s"expected the cap in the error, got: ${messages(ex).mkString(" | ")}")
   }
 
+  test("failOnOverflow pre-guard errors BEFORE aggregation materializes the group") {
+    val pairs = Seq((1L, 40L), (1L, 10L), (1L, 30L), (1L, 20L)).toDF("g", "t")
+    val ex = intercept[Exception] {
+      Pipelines.cooccurrence(pairs, "g", "t", maxGroupSize = 3,
+        failOnOverflow = true).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    // the in-buffer bound's message, not capGroups' post-materialization
+    // one: bounded_collect_set must fail while accumulating, so a
+    // pathological bucket errors cleanly instead of OOMing inside
+    // collect_set first
+    assert(messages(ex).exists(m =>
+        m != null && m.contains("before the over-cap group materialized")),
+      s"expected the in-buffer bound to fire, got: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("pre-guard raw-count candidates don't false-alarm on duplicate-heavy groups") {
+    // 8 rows in group 1 but only 3 DISTINCT items: the cheap raw count
+    // (8 > cap 3) flags the group as a candidate, the exact distinct
+    // check (3 <= 3) must clear it — duplicates are not a cap violation
+    val pairs = Seq((1L, 10L), (1L, 10L), (1L, 10L), (1L, 20L), (1L, 20L),
+      (1L, 30L), (1L, 30L), (1L, 30L)).toDF("g", "t")
+    val out = rows(Pipelines.cooccurrence(pairs, "g", "t", maxGroupSize = 3,
+      failOnOverflow = true))
+    assert(out == Seq(
+      Seq(10L, 20L, 1L), Seq(10L, 30L, 1L), Seq(20L, 30L, 1L)).sortBy(_.mkString("|")))
+  }
+
+  test("GraftSession sessions carry the default truncation monitor, installed once") {
+    // getOrCreate must return a session whose CapMetricsListener is live
+    // without any caller opt-in, and repeated getOrCreate must not stack
+    // listeners (a double install would double-count every truncation)
+    val s = GraftSession.getOrCreate("4")
+    val s2 = GraftSession.getOrCreate("4")
+    val m = GraftSession.monitor(s)
+    assert(m eq GraftSession.monitor(s2), "monitor must be one instance per session")
+    val before = m.totalTruncated
+    val pairs = Seq((1L, 40L), (1L, 10L), (1L, 30L), (1L, 20L)).toDF("g", "t")
+    Pipelines.cooccurrence(pairs, "g", "t", maxGroupSize = 3).collect()
+    // the listener bus is async — poll briefly
+    val deadline = System.nanoTime() + 10000000000L
+    while (m.totalTruncated < before + 1 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(m.totalTruncated == before + 1,
+      s"expected exactly one newly-counted truncated group (single listener), " +
+        s"got delta ${m.totalTruncated - before}")
+  }
+
   test("symmetrize emits both directions") {
     val sim = Seq((1L, 2L, 5L)).toDF("track_id_1", "track_id_2", "score")
     assert(rowSet(Pipelines.symmetrize(sim)) ==
