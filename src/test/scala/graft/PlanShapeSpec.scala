@@ -77,6 +77,27 @@ class PlanShapeSpec extends SparkTestBase {
       "pair generation must not plan a join")
   }
 
+  test("fail-loud cap adds ZERO exchanges: the bound lives inside the agg buffer") {
+    // the r6 contract: bounded_collect_set enforces the cap during
+    // accumulation, so the fail-loud variant's plan is exchange-for-
+    // exchange identical to the truncating one. A regression back to a
+    // pre-pass guard (measured +70–130% at sf0.1, Explore preguardAB)
+    // would show up here as extra exchanges.
+    val pt = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L))
+      .toDF("playlist_id", "track_id")
+    val truncating = graft.silver.Pipelines.cooccurrence(pt, "playlist_id", "track_id")
+    val failLoud = graft.silver.Pipelines.cooccurrence(pt, "playlist_id", "track_id",
+      failOnOverflow = true)
+    assert(shuffles(failLoud).size == shuffles(truncating).size,
+      s"fail-loud path must not add exchanges: ${shuffles(failLoud).size} vs " +
+        s"${shuffles(truncating).size}")
+    val plan = failLoud.queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_collect_set"),
+      "fail-loud path must aggregate through the in-buffer bound")
+    assert(rows(failLoud) == rows(truncating),
+      "under-cap results must be identical across the two modes")
+  }
+
   test("brute-force cosine scoring broadcasts the query side, never the corpus") {
     val emb = (1L to 30L).map(i => (i, Array.fill(4)(i.toDouble))).toDF("vec_id", "embedding")
     val q = Seq((1L, Array.fill(4)(1.0))).toDF("vec_id", "embedding")
