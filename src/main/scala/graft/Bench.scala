@@ -49,7 +49,15 @@ object Bench {
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // Line 1: the full-name record for complete logs / humans.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"load_avg":${ms(load)},"repeats":$repeats,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"load_avg":${ms(load)},"repeats":$repeats,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Best-effort self-archive of the full-precision record: stdout
+    // captures can truncate (see the compact line below); a run that can
+    // write its working directory leaves the complete evidence on disk.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SELF.json"), fullLine + "\n")
+    catch { case _: Exception => () }
     // Line 2 (LAST): a compact self-contained duplicate of the same
     // record. The harness that archives this run keeps only a fixed-size
     // TAIL of stdout (~2 KB): at 97 queries the full-name line above is

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{MinHashSig, MinHashSigNgrams, NGrams, SimHash60, VectorDot, ZValue}
+import graft.functions.{BoundedCollectSet, MinHashSig, MinHashSigNgrams, NGrams, SimHash60, VectorDot, ZValue}
 
 /** Session extension wiring for the engine's custom Catalyst surface
   * (installed with
@@ -18,7 +18,10 @@ import graft.functions.{MinHashSig, MinHashSigNgrams, NGrams, SimHash60, VectorD
   * Also registers the row-local text fingerprints `minhash_sig`,
   * `minhash_sig_ngrams`, `ngrams`, and `simhash60`, which replace
   * explode + wide-aggregate (and interpreted HOF shingling) pipelines
-  * with one fused pass per document.
+  * with one fused pass per document, and (r6) the aggregate
+  * `bounded_collect_set(value, cap[, op_name])` — `collect_set` that
+  * fails while accumulating the moment a group's distinct size passes
+  * `cap`, the engine's fail-loud memory-bounded cap.
   *
   * These expressions are the library's only custom Catalyst code —
   * everything else in SURVEY §2 rides the built-in operator set by design
@@ -90,6 +93,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "simhash60 expects exactly 1 argument")
         SimHash60(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_collect_set"),
+      new ExpressionInfo(classOf[BoundedCollectSet].getName, "bounded_collect_set"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          "bounded_collect_set expects (value, cap) or (value, cap, op_name)")
+        val cap = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"bounded_collect_set cap must be an integer literal, got $other")
+        }
+        val opName = if (children.size == 3) children(2) match {
+          case Literal(s, _) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"bounded_collect_set op_name must be a string literal, got $other")
+        } else "bounded_collect_set"
+        // the analyzer wraps bare AggregateFunctions in an
+        // AggregateExpression, same as the built-in collect_set
+        BoundedCollectSet(children.head, cap, opName)
       }))
   }
 }

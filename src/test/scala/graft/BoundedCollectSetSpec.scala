@@ -51,4 +51,30 @@ class BoundedCollectSetSpec extends SparkTestBase {
     val out = rows(df.groupBy("g").agg(bounded_collect_set(col("v"), 1, "spec").as("s")))
     assert(out == Seq(Seq(1L, Seq("same"))))
   }
+
+  test("GraftExtensions registers bounded_collect_set for SQL text") {
+    val base = spark // ensure the shared session (and its context) exists
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, fresh session with the extensions installed
+      // (same pattern as ZValueSpec — never stop() the shared context)
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val ok = s2.sql(
+        "SELECT g, sort_array(bounded_collect_set(v, 10)) AS s FROM " +
+          "VALUES (1, 'b'), (1, 'a'), (1, 'b') AS t(g, v) GROUP BY g").head()
+      assert(ok.getInt(0) == 1 && ok.getSeq[String](1) == Seq("a", "b"))
+      val ex = intercept[Exception] {
+        s2.sql("SELECT g, bounded_collect_set(v, 1, 'sqlOp') FROM " +
+          "VALUES (1, 'a'), (1, 'b') AS t(g, v) GROUP BY g").collect()
+      }
+      assert(messages(ex).exists(m => m != null && m.contains("sqlOp") &&
+        m.contains("maxGroupSize=1")))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
 }
