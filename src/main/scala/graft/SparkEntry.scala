@@ -1210,6 +1210,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Semantic decontamination: train-split embedding vectors whose cosine
+    // to any test-split vector clears 0.95 — the embedding-level analogue
+    // of q93 (catches paraphrased eval leakage token shingles can't see).
+    // The natural corpus has max cosine ≈ 0.6, so contamination is PLANTED
+    // with the q48 recipe: test vectors with vec_id < 100 leak into the
+    // train side (id+10⁶, first component +0.01 → cosine ≈ 0.9999, missed
+    // by all 8 bands with probability ≈ 10⁻¹¹). The oracle replays the
+    // deterministic split and the planting, then brute-forces the cross
+    // join — LSH must therefore achieve exact recall to hash-match.
+    "q99_semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val assigned = graft.text.Splits.assign(emb, "vec_id")
+      val test = assigned.filter(col("split") === "test").drop("split")
+      val train = assigned.filter(col("split") === "train").drop("split")
+      val planted = test.filter(col("vec_id") < 100)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          expr("concat(array(embedding[0] + 0.01d), slice(embedding, 2, size(embedding) - 1))")
+            .as("embedding"))
+      Similarity.crossNearDup(train.unionByName(planted), test, threshold = 0.95)
+        .orderBy(col("corpus_id"), col("probe_id"))
+    }),
+
     // Ordered sequence assembly: each user's full event-type sequence in
     // strict event-time order — Spark has no ordered string_agg, so the
     // idiom is sort_array over collect_list of a (time, tie, payload)
@@ -2655,6 +2679,29 @@ object SparkEntry {
         |FROM sh s JOIN ev USING (shingle)
         |WHERE s.split = 'train'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays the md5-bucket split and the planted leak, then brute-forces
+    // the train×test cosine cross join (the LSH path must reach exact
+    // recall on the planted near-identical pairs to hash-match — same
+    // contract as q48).
+    "q99_semantic_decontam" ->
+      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bk
+        |  FROM d),
+        |test AS (SELECT vec_id, v FROM b WHERE bk >= 9000),
+        |train AS (
+        |  SELECT vec_id, v FROM b WHERE bk < 8000
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, list_prepend(v[1] + 0.01, v[2:]) AS v
+        |  FROM test WHERE vec_id < 100),
+        |tn AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM train) WHERE nrm > 0),
+        |pn AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM test) WHERE nrm > 0)
+        |SELECT t.vec_id AS corpus_id, p.vec_id AS probe_id,
+        |  round(list_inner_product(t.v, p.v) / (t.nrm * p.nrm), 6) AS cosine
+        |FROM tn t JOIN pn p ON true
+        |WHERE round(list_inner_product(t.v, p.v) / (t.nrm * p.nrm), 6) >= 0.95
+        |ORDER BY corpus_id, probe_id""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

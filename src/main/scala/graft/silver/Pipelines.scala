@@ -113,6 +113,22 @@ object Pipelines {
       .groupBy(col("track_id_1"), col("track_id_2"))
       .agg(count(lit(1)).as("score"))
 
+  /** Capped per-group sorted distinct item sets — the shared bounded
+    * group materialization behind every pair generator ([[groupedItems]]
+    * + [[capGroups]]), exposed for operators that consume the capped sets
+    * directly instead of pairing them (e.g. the cross-corpus LSH probe
+    * buckets in [[graft.vector.Similarity.crossNearDup]]). Output:
+    * `(g, its)`; the cap carries the full contract — in-buffer fail-loud
+    * on `failOnOverflow`, deterministic smallest-items truncation plus
+    * the `graft.<opName>.caps#` observed metric otherwise. */
+  def cappedItemSets(df: DataFrame, groupCol: String, itemCol: String,
+                     maxGroupSize: Int = 10000,
+                     failOnOverflow: Boolean = false,
+                     opName: String = "cappedItemSets"): DataFrame =
+    capGroups(groupedItems(df, groupCol, itemCol, maxGroupSize, failOnOverflow,
+        opName),
+      "its", maxGroupSize, failOnOverflow, opName)
+
   /** Probe-pushdown co-occurrence: only pairs touching an item in `probe`
     * are generated, with scores identical to the full [[cooccurrence]] for
     * those pairs (per group: |its∩probe|·|its| candidates instead of

@@ -145,6 +145,29 @@ object Similarity {
     * them. Scale: the only wide op is the bucket-key groupBy — no
     * all-pairs product at any size.
     */
+  /** Per-vector distinct (vec_id, band_key) rows for banded sign-LSH:
+    * `bands` bands of `rowsPerBand` literal-hyperplane sign bits, each
+    * band rendered as one string key. Shared by the self-pair
+    * ([[embeddingNearDup]]) and cross-corpus ([[crossNearDup]]) variants —
+    * both sides of a cross match MUST hash with the same `dim`-sized
+    * planes, which is why the dimension is a parameter rather than
+    * re-derived per frame. One projection + one narrow generate per call.
+    */
+  private def bandKeyRows(data: DataFrame, bands: Int, rowsPerBand: Int,
+                          dim: Int): DataFrame = {
+    val nbits = bands * rowsPerBand
+    val withBits = data.withColumn("bits",
+      array((0 until nbits).map(p => planeBit(p, dim).cast("int")): _*))
+    withBits.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), j -> " +
+        s"slice(bits, j * $rowsPerBand + 1, $rowsPerBand))"))
+        .as(Seq("band", "bh")))
+      .select(col("vec_id"),
+        concat_ws(":", col("band") +: (0 until rowsPerBand).map(i =>
+          expr(s"bh[$i]")): _*).as("band_key"))
+      .distinct()
+  }
+
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
                        bands: Int = 8, rowsPerBand: Int = 8,
                        maxBucket: Int = 10000,
@@ -155,18 +178,7 @@ object Similarity {
     // the checkpointed result is GC'd with the returned frame)
     val data = prep(embeddings).cache()
     try {
-    val nbits = bands * rowsPerBand
-    val dim = vecDim(data)
-    val withBits = data.withColumn("bits",
-      array((0 until nbits).map(p => planeBit(p, dim).cast("int")): _*))
-    val bandKeys = withBits.select(col("vec_id"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), j -> " +
-        s"slice(bits, j * $rowsPerBand + 1, $rowsPerBand))"))
-        .as(Seq("band", "bh")))
-      .select(col("vec_id"),
-        concat_ws(":", col("band") +: (0 until rowsPerBand).map(i =>
-          expr(s"bh[$i]")): _*).as("band_key"))
-      .distinct()
+    val bandKeys = bandKeyRows(data, bands, rowsPerBand, vecDim(data))
     // maxBucket bounds a hot bucket's quadratic pair fan-out. UNLIKE the
     // edit-distance join (whose buckets are alphabet-bounded), an LSH
     // bucket of >maxBucket near-identical vectors is a real possibility
@@ -188,6 +200,78 @@ object Similarity {
       .select(col("vec_id_1"), col("vec_id_2"), col("cosine"))
       .localCheckpoint()
     } finally data.unpersist()
+  }
+
+  /** Cross-corpus semantic near-duplicate pairs — embedding-level
+    * train/eval decontamination (the semantic analogue of
+    * [[graft.text.Decontaminate.overlaps]]): every `corpus` vector whose
+    * cosine to some `probes` vector clears `threshold`, with the matching
+    * probe and the exact score. Catches paraphrased eval leakage that
+    * token-hash shingles can't see.
+    *
+    * Same banded sign-LSH recall contract as [[embeddingNearDup]]
+    * (both sides hash with the SAME literal planes, sized to the wider
+    * frame), but candidates come from an equi-join of corpus band keys
+    * against per-bucket probe id sets instead of a self-pairing:
+    *
+    *   - the probe side (eval suites — the small side by construction)
+    *     aggregates to ≤ one row per band key, its buckets capped by
+    *     `maxBucket` with the in-buffer fail-loud bound
+    *     ([[graft.silver.Pipelines.cappedItemSets]]) — a bucket of
+    *     near-identical probe vectors errors (or observably truncates)
+    *     instead of fanning out unboundedly;
+    *   - the corpus side is never aggregated and never self-paired: per
+    *     band key the work is |corpus bucket|·|probe bucket| ≤
+    *     |corpus bucket|·`maxBucket`, linear in corpus size at any SF,
+    *     and with AQE the aggregated probe side broadcasts, so the
+    *     corpus reaches no extra shuffle beyond its band-key generate.
+    *
+    * Precision is exact (candidates are verified with the exact cosine);
+    * recall for genuine near-dups (cosine ≥ 0.99) is 1 − ~10⁻¹¹ at the
+    * defaults — see the [[embeddingNearDup]] recall analysis.
+    */
+  def crossNearDup(corpus: DataFrame, probes: DataFrame,
+                   threshold: Double = 0.95,
+                   bands: Int = 8, rowsPerBand: Int = 8,
+                   maxBucket: Int = 10000,
+                   failOnOverflow: Boolean = true): DataFrame = {
+    val left = prep(corpus).cache()
+    val right = prep(probes).cache()
+    try crossNearDupFrame(left, right, threshold, bands, rowsPerBand,
+        maxBucket, failOnOverflow)
+      .localCheckpoint()
+    finally { left.unpersist(); right.unpersist() }
+  }
+
+  /** [[crossNearDup]]'s dataflow over already-[[prep]]ped frames, without
+    * the cache/checkpoint lifecycle — exposed so PlanShapeSpec can assert
+    * the candidate stage's physical shape (checkpointing truncates the
+    * visible plan). */
+  private[graft] def crossNearDupFrame(left: DataFrame, right: DataFrame,
+                                       threshold: Double, bands: Int,
+                                       rowsPerBand: Int, maxBucket: Int,
+                                       failOnOverflow: Boolean): DataFrame = {
+    val (dl, dr) = (vecDim(left), vecDim(right))
+    require(dl == 0 || dr == 0 || dl == dr,
+      s"crossNearDup requires equal vector dimensions, got corpus=$dl probes=$dr")
+    val dim = math.max(dl, dr)
+    val buckets = graft.silver.Pipelines.cappedItemSets(
+        bandKeyRows(right, bands, rowsPerBand, dim), "band_key", "vec_id",
+        maxGroupSize = maxBucket, failOnOverflow = failOnOverflow,
+        opName = "crossNearDup")
+      .withColumnRenamed("g", "band_key")
+    val cand = bandKeyRows(left, bands, rowsPerBand, dim)
+      .join(buckets, Seq("band_key"))
+      .select(col("vec_id").as("corpus_id"), explode(col("its")).as("probe_id"))
+      .distinct()
+    cand
+      .join(left.select(col("vec_id").as("corpus_id"), col("v").as("v1"),
+        col("norm").as("n1")), Seq("corpus_id"))
+      .join(right.select(col("vec_id").as("probe_id"), col("v").as("v2"),
+        col("norm").as("n2")), Seq("probe_id"))
+      .withColumn("cosine", round(dot("v1", "v2") / (col("n1") * col("n2")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("corpus_id"), col("probe_id"), col("cosine"))
   }
 
   /** Deterministic Lloyd's k-means for IVF centroid training.

@@ -98,6 +98,24 @@ class PlanShapeSpec extends SparkTestBase {
       "under-cap results must be identical across the two modes")
   }
 
+  test("crossNearDup candidates ride bucket equi-joins — no all-pairs product") {
+    import graft.vector.Similarity
+    val corpus = Similarity.prep((1 to 30).map(i =>
+      (i.toLong, Seq(math.sin(i * 1.3).toFloat, math.cos(i * 0.7).toFloat,
+        math.sin(i * 0.5 + 2).toFloat, 0.4f))).toDF("vec_id", "embedding"))
+    val probes = Similarity.prep(Seq(
+      (100L, Seq(0.3f, -0.7f, 0.5f, 0.9f)),
+      (101L, Seq(-0.2f, 0.8f, 0.1f, -0.5f))).toDF("vec_id", "embedding"))
+    val out = Similarity.crossNearDupFrame(corpus, probes, threshold = 0.95,
+      bands = 4, rowsPerBand = 4, maxBucket = 100, failOnOverflow = true)
+    val plan = executedPlanNodes(out).mkString("\n")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "cross candidates must come from band-key equi-joins, never a product")
+    assert(plan.contains("bounded_collect_set"),
+      "probe buckets must build through the in-buffer fail-loud bound")
+  }
+
   test("brute-force cosine scoring broadcasts the query side, never the corpus") {
     val emb = (1L to 30L).map(i => (i, Array.fill(4)(i.toDouble))).toDF("vec_id", "embedding")
     val q = Seq((1L, Array.fill(4)(1.0))).toDF("vec_id", "embedding")

@@ -70,6 +70,57 @@ class SimilaritySpec extends SparkTestBase {
       failOnOverflow = false).count() >= 1L)
   }
 
+  test("crossNearDup finds the planted cross-corpus leak, nothing else") {
+    val base = Seq(0.3f, -0.7f, 0.5f, 0.9f, -0.1f, 0.4f, 0.2f, -0.6f)
+    val nearDup = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val corpus = emb(
+      (1L, nearDup),                                   // leaked probe, cos ≈ 1
+      (2L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),       // unrelated
+      (3L, base.map(-_)))                              // antipodal — cos = -1
+    val probes = emb(
+      (10L, base),
+      (11L, Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val out = rows(Similarity.crossNearDup(corpus, probes, threshold = 0.95)
+      .select("corpus_id", "probe_id"))
+    assert(out == Seq(Seq(1L, 10L)))
+  }
+
+  test("crossNearDup never pairs corpus vectors with each other") {
+    // two identical corpus vectors, probe unrelated: a self-pairing bug
+    // would emit (1, 2); the cross contract must emit nothing
+    val v = Seq(0.3f, -0.7f, 0.5f, 0.9f)
+    val corpus = emb((1L, v), (2L, v))
+    val probes = emb((10L, Seq(0.9f, 0.1f, -0.4f, -0.2f)))
+    assert(Similarity.crossNearDup(corpus, probes, threshold = 0.95).count() == 0)
+  }
+
+  test("crossNearDup fails loudly on a probe bucket overflow; truncation opt-out completes") {
+    val v = Seq(0.3f, -0.7f, 0.5f, 0.9f)
+    val corpus = emb((1L, v))
+    val probes = emb((10L to 14L).map(i => (i, v)): _*)
+    val ex = intercept[Exception] {
+      Similarity.crossNearDup(corpus, probes, threshold = 0.95, maxBucket = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("maxGroupSize=3")))
+    val truncated = Similarity.crossNearDup(corpus, probes, threshold = 0.95,
+      maxBucket = 3, failOnOverflow = false)
+    assert(truncated.count() == 3) // deterministic smallest-ids kept
+  }
+
+  test("crossNearDup rejects mismatched vector dimensions") {
+    val corpus = emb((1L, Seq(1f, 0f, 0f)))
+    val probes = emb((10L, Seq(1f, 0f)))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.crossNearDup(corpus, probes)
+    }
+    assert(ex.getMessage.contains("equal vector dimensions"))
+    // empty sides are fine — no pairs, no error
+    assert(Similarity.crossNearDup(emb(), probes).count() == 0)
+    assert(Similarity.crossNearDup(corpus, emb()).count() == 0)
+  }
+
   test("ivfTopK with full probing equals brute force exactly") {
     val vs = emb((0 until 24).map(i =>
       (i.toLong, Seq(math.sin(i * 1.3).toFloat, math.cos(i * 0.7).toFloat,
