@@ -45,6 +45,53 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("crossNearDup: exact precision (subset of brute force), planted recall") {
+    import graft.vector.Similarity
+    val vecGen: Gen[Seq[Float]] =
+      Gen.listOfN(6, Gen.choose(-1.0f, 1.0f)).map(_.toSeq)
+    samples(Gen.zip(Gen.listOfN(12, vecGen), Gen.listOfN(3, vecGen)), n = 4)
+      .foreach { case (corpusVs, probeVs) =>
+        val corpus = corpusVs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        // plant: probe 0 leaks into the corpus near-identically
+        val leak = (900L, probeVs.head.zipWithIndex.map {
+          case (x, i) => if (i == 0) x + 1e-4f else x })
+        val probes = probeVs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+        val threshold = 0.9
+        val got = rows(Similarity.crossNearDup(
+            (corpus :+ leak).toDF("vec_id", "embedding"),
+            probes.toDF("vec_id", "embedding"), threshold = threshold)
+          .select("corpus_id", "probe_id", "cosine"))
+        // brute force over the same prepped frames (shared zero-norm contract)
+        def cos(a: Seq[Float], b: Seq[Float]): Double = {
+          val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+          val (na, nb) = (math.sqrt(ad.map(x => x * x).sum), math.sqrt(bd.map(x => x * x).sum))
+          if (na == 0 || nb == 0) Double.NaN
+          else BigDecimal(ad.zip(bd).map { case (x, y) => x * y }.sum / (na * nb))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        val brute = (for {
+          (cid, cv) <- corpus :+ leak
+          (pid, pv) <- probes
+          c = cos(cv, pv) if !c.isNaN && c >= threshold
+        } yield Seq[Any](cid, pid)).toSet
+        // precision: every emitted pair is a true pair (scores re-checked
+        // loosely — Spark sums left-to-right, the test oracle may differ
+        // in the last ulp before rounding, so compare to 1e-5)
+        got.foreach { r =>
+          assert(brute.contains(r.take(2)),
+            s"false positive ${r.take(2)} not in brute-force set")
+          val expected = cos(corpus.toMap.getOrElse(r.head.asInstanceOf[Long],
+            leak._2), probes.toMap.apply(r(1).asInstanceOf[Long]))
+          assert(math.abs(r(2).asInstanceOf[Double] - expected) < 1e-5)
+        }
+        // recall on the planted near-identical pair specifically: cosine
+        // ≈ 1 − 10⁻⁸, all-bands-miss probability ~10⁻²⁰ — a miss is a bug
+        if (cos(leak._2, probeVs.head) >= threshold)
+          assert(got.exists(r => r.take(2) == Seq[Any](900L, 100L)),
+            "planted near-identical leak not recalled")
+      }
+  }
+
   test("recommend: output is disjoint from the user's likes") {
     val empty = Seq.empty[(Long, Long, Long)].toDF("track_id_1", "track_id_2", "score")
     val noFollows = Seq.empty[(Long, Long)].toDF("user_id_a", "user_id_b")
