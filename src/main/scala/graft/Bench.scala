@@ -2,9 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. Failures are NOT swallowed (VERDICT r1 item 10):
-  * a failing query is reported with `-1` timing plus an `errors` entry and
-  * the process exits nonzero, so regressions can't hide behind a number.
+  * prints the record as TWO JSON lines — first the full-name
+  * full-precision record, then (last) a compact qN-prefix/centisecond
+  * duplicate small enough to survive a fixed-size log-tail capture
+  * (VERDICT r5 #1; parse whichever line is present, they carry the same
+  * totals) — and best-effort archives the full line to `BENCH_SELF.json`
+  * in the working directory. Failures are NOT swallowed (VERDICT r1 item
+  * 10): a failing query is reported with `-1` timing plus an `errors`
+  * entry and the process exits nonzero, so regressions can't hide behind
+  * a number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -60,13 +60,16 @@ object Explore {
       // pre-guard measured +70–130% on q11/q25/q26/q79 in this harness.)
       val qs = Seq("q11_cooccurrence", "q12_collab_pairs", "q25_ngram_jaccard",
         "q26_minhash_lsh", "q27_simhash", "q79_editdist_pairs")
-      for (round <- 1 to 4; q <- qs;
-           on <- if (round % 2 == 0) Seq(true, false) else Seq(false, true)) {
-        if (on) sys.props -= "graft.boundedcollect.off"
-        else sys.props += ("graft.boundedcollect.off" -> "1")
-        time(f"$q bounded=$on r$round")(SparkEntry.queries(q)(spark, dir).count())
-      }
-      sys.props -= "graft.boundedcollect.off"
+      try
+        for (round <- 1 to 4; q <- qs;
+             on <- if (round % 2 == 0) Seq(true, false) else Seq(false, true)) {
+          if (on) sys.props -= "graft.boundedcollect.off"
+          else sys.props += ("graft.boundedcollect.off" -> "1")
+          time(f"$q bounded=$on r$round")(SparkEntry.queries(q)(spark, dir).count())
+        }
+      // finally, not fall-through: a thrown query must not leak the
+      // JVM-global switch into whatever runs next in this process
+      finally sys.props -= "graft.boundedcollect.off"
     } else if (args.headOption.contains("boundedMicro")) {
       // isolate the aggregation: same cached input, only the collector
       // differs — any consistent delta here is true per-row overhead

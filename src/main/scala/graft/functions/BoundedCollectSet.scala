@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** `collect_set` with a HARD distinct-size bound enforced INSIDE the
   * aggregation buffer: the moment any group's set would exceed `cap`,
@@ -46,6 +47,25 @@ case class BoundedCollectSet(
   override def prettyName: String = "bounded_collect_set"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+
+  /** Same analysis-time rejection as Spark's `CollectSet`: `MapData` has
+    * no value-based equals/hashCode, so a map-typed child would make the
+    * HashSet identity-distinct — duplicates counted toward the cap (a
+    * spurious overflow error) or returned as "distinct" values. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // DataType.existsRecursively is private[sql]; the recursion is three
+    // container cases
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    if (hasMap(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        "bounded_collect_set() cannot have map type data")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def createAggregationBuffer(): mutable.HashSet[Any] = mutable.HashSet.empty
 

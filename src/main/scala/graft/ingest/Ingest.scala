@@ -208,16 +208,22 @@ object Ingest {
     * callers with a wider domain must scale/offset into [0, 2^bits) or
     * raise `bits` (≤ 31 for two dims in a positive long).
     */
-  private def checkedZ(dimX: String, dimY: String, bits: Int): Column = {
+  private def checkedZ(dimX: String, dimY: String, bits: Int,
+                       nameX: String = null, nameY: String = null): Column = {
     val lim = 1L << bits
-    def checked(dim: String): Column = {
+    // display names may differ from the bound columns (zOrderAudit
+    // renames its dimensions to internal x/y) — the error must name the
+    // AUDITED dimension, not the internal alias
+    def checked(dim: String, shown: String): Column = {
       val v = col(dim).cast("long")
       when(v < 0 || v >= lim, raise_error(concat(
-        lit(s"writeZOrdered/zOrderAudit: `$dim` value "), v.cast("string"),
+        lit(s"writeZOrdered/zOrderAudit: `$shown` value "), v.cast("string"),
         lit(s" outside [0, 2^$bits) — z_value would silently collapse it; " +
           "scale the dimension into range or raise `bits`")))).otherwise(v)
     }
-    graft.functions.z_value(checked(dimX), checked(dimY), bits)
+    graft.functions.z_value(
+      checked(dimX, Option(nameX).getOrElse(dimX)),
+      checked(dimY, Option(nameY).getOrElse(dimY)), bits)
   }
 
   /** Layout acceptance check for [[writeZOrdered]]: per-file row count,
@@ -233,7 +239,7 @@ object Ingest {
     spark.read.parquet(path)
       .select(col(dimX).cast("long").as("x"), col(dimY).cast("long").as("y"),
         col("_metadata.file_path").as("file"))
-      .withColumn("z", checkedZ("x", "y", bits))
+      .withColumn("z", checkedZ("x", "y", bits, nameX = dimX, nameY = dimY))
       .groupBy(col("file"))
       .agg(count(lit(1)).as("n"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),

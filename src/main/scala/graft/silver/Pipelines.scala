@@ -103,9 +103,8 @@ object Pipelines {
   def cooccurrence(pairs: DataFrame, groupCol: String, itemCol: String,
                    maxGroupSize: Int = 10000,
                    failOnOverflow: Boolean = false): DataFrame =
-    capGroups(groupedItems(pairs, groupCol, itemCol, maxGroupSize, failOnOverflow,
-        "cooccurrence"),
-        "its", maxGroupSize, failOnOverflow, "cooccurrence")
+    cappedItemSets(pairs, groupCol, itemCol, maxGroupSize, failOnOverflow,
+        "cooccurrence")
       .select(col("its"), posexplode(col("its")).as(Seq("i", "track_id_1")))
       // slice is 1-based: items strictly after position i+1 → all j > i
       .select(col("track_id_1"),
@@ -198,9 +197,8 @@ object Pipelines {
       s"probe must be a single-column frame of item ids, got ${probe.columns.mkString(", ")}")
     val probeSet = probe.select(col(probe.columns.head).as("p")).distinct()
       .agg(sort_array(collect_set(col("p"))).as("probe_set"))
-    capGroups(groupedItems(pairs, groupCol, itemCol, maxGroupSize, failOnOverflow,
-        "cooccurrenceProbed"),
-        "its", maxGroupSize, failOnOverflow, "cooccurrenceProbed")
+    cappedItemSets(pairs, groupCol, itemCol, maxGroupSize, failOnOverflow,
+        "cooccurrenceProbed")
       .crossJoin(broadcast(probeSet))
       .withColumn("pl", array_intersect(col("its"), col("probe_set")))
       .filter(size(col("pl")) > 0)
@@ -232,11 +230,29 @@ object Pipelines {
     * ([[capGroups]] sort+slice), which a bounded buffer that refuses
     * arbitrary late arrivals cannot honor.
     */
+  /** Warn-once latch for the `graft.boundedcollect.off` A/B switch: the
+    * property exists ONLY so Explore `preguardAB` can interleave the two
+    * collectors in one JVM. Setting it in production keeps correctness
+    * (the [[capGroups]] post-aggregation `raise_error` still fires) but
+    * silently-no-more drops the in-buffer MEMORY bound — hence the loud
+    * warning the first time a plan is built with it active. */
+  private val warnedBoundedOff = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def boundedCollectOff: Boolean = {
+    val off = sys.props.contains("graft.boundedcollect.off")
+    if (off && warnedBoundedOff.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "graft.boundedcollect.off is set: fail-loud caps fall back to plain " +
+          "collect_set + post-aggregation guard. This is the Explore A/B " +
+          "switch — correctness is preserved, but the in-buffer memory bound " +
+          "is OFF; do not set it in production.")
+    off
+  }
+
   private def groupedItems(pairs: DataFrame, groupCol: String, itemCol: String,
                            cap: Int, failOnOverflow: Boolean,
                            opName: String): DataFrame = {
     val collector =
-      if (failOnOverflow && !sys.props.contains("graft.boundedcollect.off"))
+      if (failOnOverflow && !boundedCollectOff)
         graft.functions.bounded_collect_set(col(itemCol), cap, opName)
       else collect_set(col(itemCol))
     pairs.groupBy(col(groupCol).as("g"))

@@ -52,6 +52,21 @@ class BoundedCollectSetSpec extends SparkTestBase {
     assert(out == Seq(Seq(1L, Seq("same"))))
   }
 
+  test("map-typed input is rejected at analysis, like collect_set") {
+    // MapData has no value-based equals/hashCode: a map-typed child would
+    // make the HashSet identity-distinct — duplicate maps counted toward
+    // the cap (spurious overflow) or returned as "distinct" values
+    val df = Seq((1L, "a")).toDF("g", "v")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g")
+        .agg(bounded_collect_set(map(col("v"), lit(1)), 10, "spec"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("bounded_collect_set") ||
+      ex.getMessage.toLowerCase.contains("map"),
+      s"expected the map-type rejection, got: ${ex.getMessage}")
+  }
+
   test("GraftExtensions registers bounded_collect_set for SQL text") {
     val base = spark // ensure the shared session (and its context) exists
     org.apache.spark.sql.SparkSession.clearActiveSession()

@@ -268,11 +268,15 @@ class IngestSpec extends SparkTestBase {
     // the audit applies the same guard when re-deriving z from read-back
     // rows: files written by OTHER means with a wider domain must not
     // audit as clean
-    Seq((300L, 1L)).toDF("x", "y").write.parquet(s"$dir/wide")
+    // real column names ≠ the audit's internal x/y aliases, so this also
+    // pins that the error names the AUDITED dimension, not the alias
+    Seq((300L, 1L)).toDF("user_id", "value").write.parquet(s"$dir/wide")
     val exAudit = intercept[Exception] {
-      Ingest.zOrderAudit(spark, s"$dir/wide", "x", "y", bits = 8).collect()
+      Ingest.zOrderAudit(spark, s"$dir/wide", "user_id", "value", bits = 8).collect()
     }
-    assert(messages(exAudit).exists(m => m != null && m.contains("outside [0, 2^8)")))
+    assert(messages(exAudit).exists(m => m != null &&
+      m.contains("outside [0, 2^8)") && m.contains("`user_id`")),
+      s"expected the guard naming `user_id`, got: ${messages(exAudit).mkString(" | ")}")
     // in-domain boundary values still write clean
     val edge = Seq((0L, 255L), (255L, 0L)).toDF("x", "y")
     Ingest.writeZOrdered(edge, s"$dir/zedge", "x", "y", numFiles = 1, bits = 8)

@@ -87,7 +87,7 @@ class PipelinesSpec extends SparkTestBase {
       s"expected the cap in the error, got: ${messages(ex).mkString(" | ")}")
   }
 
-  test("failOnOverflow pre-guard errors BEFORE aggregation materializes the group") {
+  test("failOnOverflow in-buffer bound errors BEFORE the over-cap group materializes") {
     val pairs = Seq((1L, 40L), (1L, 10L), (1L, 30L), (1L, 20L)).toDF("g", "t")
     val ex = intercept[Exception] {
       Pipelines.cooccurrence(pairs, "g", "t", maxGroupSize = 3,
@@ -104,10 +104,10 @@ class PipelinesSpec extends SparkTestBase {
       s"expected the in-buffer bound to fire, got: ${messages(ex).mkString(" | ")}")
   }
 
-  test("pre-guard raw-count candidates don't false-alarm on duplicate-heavy groups") {
-    // 8 rows in group 1 but only 3 DISTINCT items: the cheap raw count
-    // (8 > cap 3) flags the group as a candidate, the exact distinct
-    // check (3 <= 3) must clear it — duplicates are not a cap violation
+  test("in-buffer bound doesn't false-alarm on duplicate-heavy groups") {
+    // 8 rows in group 1 but only 3 DISTINCT items: the bound counts the
+    // buffer's distinct size, not input rows, so duplicates must not be
+    // a cap violation (a row-counting bound would spuriously fail here)
     val pairs = Seq((1L, 10L), (1L, 10L), (1L, 10L), (1L, 20L), (1L, 20L),
       (1L, 30L), (1L, 30L), (1L, 30L)).toDF("g", "t")
     val out = rows(Pipelines.cooccurrence(pairs, "g", "t", maxGroupSize = 3,
