@@ -115,6 +115,29 @@ object Explore {
         time(s"old twice-tokenize r$r")(force(oldExcise()))
         time(s"new single-tokenize r$r")(force(Dedup.exciseRepeats(docs, 10)))
       }
+    } else if (args.headOption.contains("crossAB")) {
+      // q99 candidate generation: banded-LSH crossNearDup vs the
+      // brute-force cosine cross join over the same split (records the
+      // local-SF crossover honestly — brute force is |train|·|test|
+      // cosines and wins while that product is small; the LSH path's
+      // candidate count stays ~|planted| at every SF)
+      import graft.vector.Similarity
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val assigned = graft.text.Splits.assign(emb, "vec_id")
+      val test = assigned.filter(col("split") === "test").drop("split")
+      val train = assigned.filter(col("split") === "train").drop("split")
+      for (r <- 1 to 3) {
+        time(s"lsh crossNearDup r$r")(
+          Similarity.crossNearDup(train, test, threshold = 0.95).count())
+        val lt = Similarity.prep(train)
+        val rt = Similarity.prep(test).select(col("vec_id").as("pid"),
+          col("v").as("v2"), col("norm").as("n2"))
+        time(s"brute cross join r$r")(
+          lt.crossJoin(broadcast(rt))
+            .filter(round(Similarity.dot("v", "v2") /
+              (col("norm") * col("n2")), 6) >= 0.95).count())
+      }
     } else if (args.headOption.contains("shingleAB")) {
       import graft.text.Dedup
       val docs = Tables.documents(spark, dir)
