@@ -61,7 +61,7 @@ object SparkEntry {
         // getLong would throw and turn "no events" into a staging error
         // instead of the empty aggregate the oracle returns. Any anchor
         // works for an empty stream (there is nothing to flush past).
-        val maxRow = ev.agg(max(col("ts_us"))).head
+        val maxRow = ev.agg(max(col("ts_us"))).head()
         val far = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) + 86400000000L
         ev.unionByName(Seq(
           (-1L, -1L, "click", far, 0.0),
@@ -899,7 +899,7 @@ object SparkEntry {
       val ev = T(s, dir, "events")
       val bytes = ev.agg(count_min_sketch(col("user_id"),
           lit(0.001), lit(0.99), lit(42)).as("sk"))
-        .head.getAs[Array[Byte]]("sk")
+        .head().getAs[Array[Byte]]("sk")
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(bytes))
       val total = ev.count()

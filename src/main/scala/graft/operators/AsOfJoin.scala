@@ -35,8 +35,8 @@ object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
                leftTime: String, rightTime: String): DataFrame = {
-    val payload = right.columns.filter(c => c != keyCol && c != rightTime)
-    val lCols = left.columns
+    val payload = right.columns.toIndexedSeq.filter(c => c != keyCol && c != rightTime)
+    val lCols = left.columns.toIndexedSeq
     require(payload.intersect(lCols).isEmpty,
       s"payload/left column collision: ${payload.intersect(lCols).mkString(",")}")
     val reservedClash = (left.columns ++ right.columns).distinct

@@ -129,7 +129,7 @@ object StreamIngest {
     */
   def writeKafka(payload: DataFrame, bootstrapServers: String, topic: String): Unit =
     payload
-      .select(to_json(struct(payload.columns.map(col): _*)).as("value"))
+      .select(to_json(struct(payload.columns.toIndexedSeq.map(col): _*)).as("value"))
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
