@@ -1,0 +1,92 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.text.Dedup
+
+/** Round-6 randomized parity suites for the dedup family operators that
+  * previously had example-only coverage:
+  *
+  *   1. simhashPairs vs brute-force Hamming — pigeonhole banding is
+  *      deterministically COMPLETE for distance ≤ maxHamming (any pair
+  *      within d agrees on ≥1 of d+1 chunks), so exact set equality is
+  *      the contract, not a recall bound;
+  *   2. minhashLsh vs exact ngramJaccard — LSH recall is probabilistic,
+  *      but precision is exact (candidates are verified on true
+  *      shingles): every emitted pair must appear in the exact
+  *      operator's output with the identical jaccard, and identical
+  *      documents (whose signatures agree on every band) must always be
+  *      recalled;
+  *   3. duplicateClusters vs brute-force connected components — min
+  *      labels, membership, and the is_kept survivor flag.
+  *
+  * Fixed ScalaCheck seeds (same rationale as PropertiesSpec):
+  * deterministic, reproducible failures.
+  */
+class Round6PropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 6): Seq[A] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default.withSize(14), Seed(i.toLong)))
+
+  test("simhashPairs == brute-force hamming pairs on random corpora") {
+    // tiny token alphabet → heavy fingerprint collisions → a dense pair
+    // space that exercises candidate buckets AND the exact verify
+    val docGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))
+    samples(Gen.listOfN(14, docGen), n = 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val fps = Dedup.simhash(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+      } yield Seq[Any](a, b, h.toLong)).toSet
+      val got = rows(Dedup.simhashPairs(docs, maxHamming = 3)).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("minhashLsh: exact precision vs ngramJaccard, identical docs always recalled") {
+    val docGen = Gen.listOfN(6, Gen.oneOf("u", "v", "w", "x", "y", "z")).map(_.mkString(" "))
+    samples(Gen.listOfN(10, docGen), n = 4).foreach { texts =>
+      // plant an exact duplicate of doc 0 under id 100: all bands agree
+      // on identical signatures, so recall of this pair is deterministic
+      val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+ (100L, texts.head)
+      val docs = all.toDF("doc_id", "text")
+      val exact = rows(Dedup.ngramJaccard(docs, n = 3, threshold = 0.4))
+        .map(r => (r(0), r(1)) -> r(2)).toMap
+      val lsh = rows(Dedup.minhashLsh(docs, n = 3, bands = 32, rows = 2, threshold = 0.4))
+      lsh.foreach { r =>
+        assert(exact.get((r(0), r(1))).contains(r(2)),
+          s"pair (${r(0)},${r(1)}) score ${r(2)} not in exact output")
+      }
+      assert(lsh.exists(r => r(0) == 0L && r(1) == 100L && r(2) == 1.0),
+        "planted identical pair (0,100) not recalled at jaccard 1.0")
+    }
+  }
+
+  test("duplicateClusters == brute-force connected components on random graphs") {
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) })
+      .suchThat(_.nonEmpty)
+    samples(edgeGen, n = 6).foreach { es =>
+      val pairs = es.toDF("doc_id_1", "doc_id_2")
+      // brute force: union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(d => Seq[Any](d, find(d), d == find(d))).toSet
+      val got = rows(Dedup.duplicateClusters(pairs)).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+}
