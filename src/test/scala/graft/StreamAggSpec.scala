@@ -160,6 +160,48 @@ class StreamAggSpec extends SparkTestBase {
     assert(got == Seq(Seq(1L, 1.0), Seq(2L, 2.0), Seq(3L, 4.0)), s"got $got")
   }
 
+  test("streaming dedup runs unchanged on the RocksDB state-store provider") {
+    // the 100 TB state backend: local[32] state fits the default in-memory
+    // HashMap provider, but at scale keyed state must spill to RocksDB —
+    // this pins that our stateful operators don't depend on provider
+    // internals, and that the provider actually engaged (state layout)
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_streamdd_rdb").toString
+    def line(id: Long, us: Long, v: Double) =
+      s"""{"event_id": $id, "user_id": 1, "event_type": "click", "ts_us": $us, "value": $v}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/in/a.json"),
+      Seq(line(1, 1000000000L, 1.0), line(1, 1000000000L, 1.0),
+        line(2, 1001000000L, 2.0)).mkString("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/in/b.json"),
+      Seq(line(2, 1001000000L, 2.0), line(3, 1002000000L, 4.0)).mkString("\n"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = StreamAgg.runDedupToCompletion(spark, s"$base/in", s"$base/sink",
+        s"$base/ckpt", watermarkDelay = "10 minutes")
+      val got = rows(out.select(col("event_id"), col("value")).orderBy(col("event_id")))
+      assert(got == Seq(Seq(1L, 1.0), Seq(2L, 2.0), Seq(3L, 4.0)), s"got $got")
+      // provider engaged: RocksDB checkpoints upload .zip/.changelog
+      // artifacts; the HashMap provider writes plain N.delta files
+      val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/ckpt/state"))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var sawRocks = false
+      while (stateFiles.hasNext) {
+        val n = stateFiles.next().getFileName.toString
+        if (n.endsWith(".zip") || n.endsWith(".changelog")) sawRocks = true
+      }
+      assert(sawRocks, "no RocksDB snapshot artifacts under the state dir")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("windowed counts emit exactly the closed windows (sentinel advances watermark)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
