@@ -479,6 +479,23 @@ object SparkEntry {
         Multimodal.extractFeatures(
           Multimodal.toMedia(s, Tables.documents(s, dir))))),
 
+    // Resize + frame-sample plumbing (the 1:1 and 1:N multimodal batch
+    // shapes): payloads truncated to 64 bytes, 16-byte frames every 16
+    // bytes, per-doc frame statistics. The corpus is pure ASCII (char ==
+    // byte, asserted by the oracle matching), so DuckDB replays the byte
+    // arithmetic with substr/ord.
+    "q100_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.toMedia(s,
+        Tables.documents(s, dir).filter(col("doc_id") < 50))
+      Multimodal.sampleFrames(Multimodal.resizePayload(media, 64), 16, 16)
+        .toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("head_byte")).as("head_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Set operators beyond the reference's union (§2.7 notes it has no
     // intersect/except): tracks listened in BOTH halves of the window vs
     // only the first half.
@@ -1904,6 +1921,21 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_bytes)::BIGINT AS total_bytes,
         |  sum(checksum)::BIGINT AS checksum_sum, min(head_byte) AS min_head
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays the resize (substr to 64 chars) and frame sampling
+    // (16-char blocks every 16) in character arithmetic — exact because
+    // the corpus is pure ASCII (octet_length == length for every doc,
+    // at every SF).
+    "q100_frame_sample" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 64) AS p
+        |  FROM documents WHERE doc_id < 50),
+        |f AS (SELECT doc_id, unnest(range((length(p) + 15) // 16)) AS fi, p
+        |  FROM t WHERE length(p) > 0),
+        |b AS (SELECT doc_id, fi, substr(p, fi * 16 + 1, 16) AS frame FROM f)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  sum(length(frame))::BIGINT AS total_bytes,
+        |  sum(ascii(substr(frame, 1, 1)))::BIGINT AS head_sum
+        |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q44_set_ops" ->
       """WITH mx AS (SELECT max(l_shipdate) AS m FROM lineitem),

@@ -68,6 +68,51 @@ object Multimodal {
     }
   }
 
+  final case class FrameRecord(doc_id: Long, frame_idx: Int,
+                               n_bytes: Long, head_byte: Long)
+
+  /** "Resize" stub — the 1:1 payload-to-payload transform shape (image
+    * downscale, audio resample): deterministically truncate the payload
+    * to `maxBytes` and update the metadata. Swapping the truncation for
+    * a real codec resample changes no plan shape: the transform is
+    * partition-local, payloads never cross a shuffle, and metadata
+    * stays consistent with the bytes.
+    */
+  def resizePayload(records: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    require(maxBytes >= 0, s"maxBytes must be >= 0, got $maxBytes")
+    records.map { r =>
+      val p =
+        if (r.payload.length <= maxBytes) r.payload
+        else java.util.Arrays.copyOf(r.payload, maxBytes)
+      MediaRecord(r.doc_id, r.media_type, p,
+        MediaMeta(r.meta.source, p.length.toLong))
+    }
+  }
+
+  /** Frame-sampling stub — the 1:N record-to-frames shape (video frame
+    * extraction, audio windowing): emit a `frameSize`-byte frame every
+    * `stride` bytes of the payload (the final frame may be short; an
+    * empty payload yields no frames). Output rows carry fixed-width
+    * per-frame features, not the frame bytes, so everything downstream
+    * of the flatMap shuffles narrow rows — the same cardinal rule as
+    * [[extractFeatures]].
+    */
+  def sampleFrames(records: Dataset[MediaRecord], frameSize: Int,
+                   stride: Int): Dataset[FrameRecord] = {
+    import records.sparkSession.implicits._
+    require(frameSize > 0 && stride > 0,
+      s"frameSize and stride must be positive, got $frameSize/$stride")
+    records.flatMap { r =>
+      Iterator.range(0, r.payload.length, stride).zipWithIndex.map {
+        case (off, idx) =>
+          val end = math.min(off + frameSize, r.payload.length)
+          FrameRecord(r.doc_id, idx, (end - off).toLong,
+            (r.payload(off) & 0xff).toLong)
+      }
+    }
+  }
+
   /** Per-source corpus profile over extracted features — the relational
     * side of the pipeline, operating on fixed-width rows only. */
   def profileBySource(features: Dataset[MediaFeatures]): DataFrame =

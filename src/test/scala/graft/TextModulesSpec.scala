@@ -73,6 +73,37 @@ class TextModulesSpec extends SparkTestBase {
     assert(prof.map(r => (r(0), r(1), r(2))) == Seq(("s1", 2L, 5L), ("s2", 1L, 1L)))
   }
 
+  test("multimodal: resizePayload truncates payload and keeps metadata consistent") {
+    val d = docs((1L, "abcdefgh", "s1"), (2L, "xy", "s1"))
+    val resized = Multimodal.resizePayload(Multimodal.toMedia(spark, d), 4)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(new String(resized(1L).payload, "UTF-8") == "abcd")
+    assert(resized(1L).meta.n_bytes == 4L)
+    // under-limit payloads pass through untouched
+    assert(new String(resized(2L).payload, "UTF-8") == "xy")
+    assert(resized(2L).meta.n_bytes == 2L)
+  }
+
+  test("multimodal: sampleFrames emits stride-spaced frames, short tail, none for empty") {
+    val d = docs((1L, "abcdefghij", "s1"), (2L, "", "s1"))
+    val frames = Multimodal.sampleFrames(Multimodal.toMedia(spark, d),
+        frameSize = 4, stride = 4)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    // doc 1: 10 bytes → frames of 4, 4, 2; heads 'a','e','i'
+    assert(frames.map(f => (f.doc_id, f.frame_idx, f.n_bytes, f.head_byte)).toSeq ==
+      Seq((1L, 0, 4L, 'a'.toLong), (1L, 1, 4L, 'e'.toLong), (1L, 2, 2L, 'i'.toLong)))
+  }
+
+  test("multimodal: overlapping frames (stride < frameSize) cover the payload") {
+    val d = docs((1L, "abcdef", "s1"))
+    val frames = Multimodal.sampleFrames(Multimodal.toMedia(spark, d),
+        frameSize = 4, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    // offsets 0,2,4 → lengths 4,4,2; heads 'a','c','e'
+    assert(frames.map(f => (f.frame_idx, f.n_bytes, f.head_byte)).toSeq ==
+      Seq((0, 4L, 'a'.toLong), (1, 4L, 'c'.toLong), (2, 2L, 'e'.toLong)))
+  }
+
   test("lineRepetition computes duplicate-line fractions exactly") {
     // doc 1: 4 lines, "aa" twice (2 chars each), "b", "ccc" once →
     //   dup_line_fraction 2/4, dup chars 4 of 4+1+3=8
