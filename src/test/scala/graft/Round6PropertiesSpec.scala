@@ -67,6 +67,34 @@ class Round6PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("packByBudget == brute-force per-bucket prefix-sum packing") {
+    import graft.text.Splits
+    val rowGen = Gen.listOf(Gen.zip(Gen.choose(0L, 40L), Gen.choose(1L, 50L)))
+      .map(_.distinctBy(_._1)).suchThat(_.nonEmpty)
+    // replicate Splits.bucket: first 8 md5-hex chars of the id string,
+    // base-16 → long, mod 10000
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 10000
+    }
+    samples(rowGen, n = 6).foreach { docs =>
+      val got = rows(Splits.packByBudget(docs.toDF("doc_id", "n_chars"),
+          "doc_id", "n_chars", budget = 60, buckets = 4)
+        .select("doc_id", "pack_bucket", "pack_id")).toSet
+      val want = docs.groupBy(d => bucket(d._1) % 4).flatMap { case (b, ds) =>
+        var before = 0L
+        ds.sortBy(_._1).map { case (id, w) =>
+          val pid = before / 60
+          before += w
+          Seq[Any](id, b, pid)
+        }
+      }.toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("duplicateClusters == brute-force connected components on random graphs") {
     val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
       .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) })
