@@ -95,6 +95,43 @@ class Round6PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("Chunker.chunks == brute-force sliding windows on random corpora") {
+    val docGen = Gen.choose(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")))
+    samples(Gen.listOfN(8, docGen), n = 4).foreach { docsTokens =>
+      val docs = docsTokens.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val got = rows(graft.text.Chunker.chunks(docs, chunkSize = 5, stride = 3)).toSet
+      val want = docsTokens.zipWithIndex.flatMap { case (ts, i) =>
+        (0 to math.max(ts.size - 1, 0) by 3).zipWithIndex.map { case (start, cid) =>
+          val sl = ts.slice(start, start + 5)
+          Seq[Any](i.toLong, cid.toLong, sl.size.toLong, sl.mkString(" "))
+        }
+      }.toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("Splits.assign matches the md5 bucket threshold rule") {
+    import graft.text.Splits
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 10000
+    }
+    samples(Gen.listOf(Gen.choose(0L, 100000L)).map(_.distinct).suchThat(_.nonEmpty),
+        n = 4).foreach { ids =>
+      val got = rows(Splits.assign(ids.map(Tuple1(_)).toDF("doc_id"), "doc_id")).toSet
+      val want = ids.map { id =>
+        val bk = bucket(id)
+        Seq[Any](id,
+          if (bk < 8000) "train" else if (bk < 9000) "val" else "test")
+      }.toSet
+      assert(got == want)
+    }
+  }
+
   test("duplicateClusters == brute-force connected components on random graphs") {
     val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
       .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) })
