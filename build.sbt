@@ -1,8 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "musicrecommendationservicespark"
-// warning-clean build is a maintained invariant (round 6)
-ThisBuild / scalacOptions ++= Seq("-deprecation", "-feature")
+// warning-clean build is an ENFORCED invariant (round 6): -Werror turns
+// any new deprecation/feature warning into a compile failure
+ThisBuild / scalacOptions ++= Seq("-deprecation", "-feature", "-Werror")
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

@@ -49,7 +49,11 @@ object Multimodal {
     */
   def toMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id"), lit("text/plain").as("media_type"),
+    // null text → null payload after encode; every downstream transform
+    // dereferences payload bytes, so exclude the row here (matching how
+    // SQL replays drop NULLs) instead of NPE-ing in an executor
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), lit("text/plain").as("media_type"),
         encode(col("text"), "UTF-8").as("payload"),
         struct(col("source"), length(col("text")).cast("long").as("n_bytes")).as("meta"))
       .as[MediaRecord]

@@ -1,7 +1,6 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import graft.silver.Pipelines
 import graft.recommend.Recommender
 
@@ -19,9 +18,6 @@ import graft.recommend.Recommender
   */
 class PropertiesSpec extends SparkTestBase {
   import spark.implicits._
-
-  private def samples[A](gen: Gen[A], n: Int = 8): Seq[A] =
-    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default.withSize(12), Seed(i.toLong)))
 
   private val pairGen: Gen[List[(Long, Long)]] =
     Gen.listOf(for {

@@ -1,7 +1,6 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import graft.analytics.Behavior
 import graft.graph.Paths
 import graft.operators.{Merge, Sessionize}
@@ -14,9 +13,6 @@ import graft.text.Fuzzy
   */
 class Round4PropertiesSpec extends SparkTestBase {
   import spark.implicits._
-
-  private def samples[A](gen: Gen[A], n: Int = 6): Seq[A] =
-    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default.withSize(14), Seed(i.toLong)))
 
   // ---------------------------------------------------------------- upsert
 

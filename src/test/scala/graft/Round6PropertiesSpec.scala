@@ -1,7 +1,6 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import graft.text.Dedup
 
 /** Round-6 randomized parity suites for the dedup family operators that
@@ -26,8 +25,13 @@ import graft.text.Dedup
 class Round6PropertiesSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def samples[A](gen: Gen[A], n: Int = 6): Seq[A] =
-    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default.withSize(14), Seed(i.toLong)))
+  /** Replicates Splits.bucket: first 8 md5-hex chars of the id string,
+    * base-16 → long, mod 10000. */
+  private def bucket(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16) % 10000
+  }
 
   test("simhashPairs == brute-force hamming pairs on random corpora") {
     // tiny token alphabet → heavy fingerprint collisions → a dense pair
@@ -71,13 +75,6 @@ class Round6PropertiesSpec extends SparkTestBase {
     import graft.text.Splits
     val rowGen = Gen.listOf(Gen.zip(Gen.choose(0L, 40L), Gen.choose(1L, 50L)))
       .map(_.distinctBy(_._1)).suchThat(_.nonEmpty)
-    // replicate Splits.bucket: first 8 md5-hex chars of the id string,
-    // base-16 → long, mod 10000
-    def bucket(id: Long): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(8), 16) % 10000
-    }
     samples(rowGen, n = 6).foreach { docs =>
       val got = rows(Splits.packByBudget(docs.toDF("doc_id", "n_chars"),
           "doc_id", "n_chars", budget = 60, buckets = 4)
@@ -115,11 +112,6 @@ class Round6PropertiesSpec extends SparkTestBase {
 
   test("Splits.assign matches the md5 bucket threshold rule") {
     import graft.text.Splits
-    def bucket(id: Long): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(8), 16) % 10000
-    }
     samples(Gen.listOf(Gen.choose(0L, 100000L)).map(_.distinct).suchThat(_.nonEmpty),
         n = 4).foreach { ids =>
       val got = rows(Splits.assign(ids.map(Tuple1(_)).toDF("doc_id"), "doc_id")).toSet

@@ -28,6 +28,22 @@ abstract class SparkTestBase extends AnyFunSuite {
 
   def rowSet(df: DataFrame): Set[Seq[Any]] = df.collect().toSet.map((r: Row) => r.toSeq)
 
+  /** Draw `n` ScalaCheck samples with FIXED seeds (deterministic,
+    * reproducible failures — no scalatest bridge in the offline
+    * dependency set), retrying failed draws (`suchThat` misses) on
+    * further seeds, and FAILING if fewer than `n` materialize: a silent
+    * partial draw would weaken a property toward vacuity.
+    */
+  def samples[A](gen: org.scalacheck.Gen[A], n: Int = 6, size: Int = 14): Seq[A] = {
+    val out = (1 to n * 50).iterator
+      .flatMap(i => gen.apply(
+        org.scalacheck.Gen.Parameters.default.withSize(size),
+        org.scalacheck.rng.Seed(i.toLong)))
+      .take(n).toSeq
+    assert(out.size == n, s"only ${out.size} of $n generator samples materialized")
+    out
+  }
+
   /** Every node of the FINAL (post-AQE) physical plan. TreeNode.collect
     * does not descend through AdaptiveSparkPlanExec / QueryStageExec
     * (they have no tree children), so plan-shape assertions written with

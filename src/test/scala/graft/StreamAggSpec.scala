@@ -186,13 +186,17 @@ class StreamAggSpec extends SparkTestBase {
       assert(got == Seq(Seq(1L, 1.0), Seq(2L, 2.0), Seq(3L, 4.0)), s"got $got")
       // provider engaged: RocksDB checkpoints upload .zip/.changelog
       // artifacts; the HashMap provider writes plain N.delta files
-      val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/ckpt/state"))
-        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-      var sawRocks = false
-      while (stateFiles.hasNext) {
-        val n = stateFiles.next().getFileName.toString
-        if (n.endsWith(".zip") || n.endsWith(".changelog")) sawRocks = true
-      }
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/ckpt/state"))
+      val sawRocks =
+        try {
+          val it = walk.iterator()
+          var found = false
+          while (it.hasNext && !found) {
+            val n = it.next().getFileName.toString
+            found = n.endsWith(".zip") || n.endsWith(".changelog")
+          }
+          found
+        } finally walk.close()
       assert(sawRocks, "no RocksDB snapshot artifacts under the state dir")
     } finally {
       prev match {
