@@ -73,6 +73,20 @@ class TextModulesSpec extends SparkTestBase {
     assert(prof.map(r => (r(0), r(1), r(2))) == Seq(("s1", 2L, 5L), ("s2", 1L, 1L)))
   }
 
+  test("multimodal: toMedia drops null-text docs instead of emitting null payloads") {
+    // encode(null) → null payload, which every downstream transform
+    // dereferences: the row must be excluded at the boundary (matching
+    // how the SQL oracles drop NULLs), not NPE in an executor
+    val d = Seq((1L, "ab", "s1"), (2L, null.asInstanceOf[String], "s1"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.toMedia(spark, d).collect()
+    assert(media.map(_.doc_id).toSeq == Seq(1L))
+    // and the frame/resize paths run clean over the filtered set
+    assert(Multimodal.sampleFrames(
+      Multimodal.resizePayload(Multimodal.toMedia(spark, d), 1), 1, 1)
+      .collect().map(f => (f.doc_id, f.frame_idx)).toSeq == Seq((1L, 0)))
+  }
+
   test("multimodal: resizePayload truncates payload and keeps metadata consistent") {
     val d = docs((1L, "abcdefgh", "s1"), (2L, "xy", "s1"))
     val resized = Multimodal.resizePayload(Multimodal.toMedia(spark, d), 4)
