@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.silver.Pipelines
 import graft.recommend.Recommender
 import graft.streaming.{StreamAgg, StreamIngest}
-import graft.ingest.Ingest
+import graft.ingest.{Ingest, Shards}
 import graft.quality.Quality
 import graft.text.{Dedup, TextStats}
 import graft.vector.Similarity
@@ -1527,6 +1527,27 @@ object SparkEntry {
             col("min_z") > col("prev_max_z")), lit(true)).as("z_disjoint"),
           (count(when(col("min_x") > 63 || col("min_y") > 63, 1)) > 0)
             .as("box_prunes"))
+    }),
+
+    // Deterministic balanced shard export (ingest/Shards.scala): events
+    // keyed on user_id leave as 8 group-cohesive md5-bucket shards with
+    // a 500-row file cap, and the audit is computed from the files
+    // actually written. Everything the oracle sees is engine-independent:
+    // per-shard rows/keys/extents replay the md5 arithmetic in DuckDB,
+    // n_files is exactly ceil(rows / cap) because each shard's rows are
+    // routed into one task, and files_capped pins the per-file bound TRUE.
+    "q101_shard_export" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      val ev = Tables.events(s, dir).select(
+        col("user_id").cast("long").as("user_id"), col("event_id"))
+      Shards.writeSharded(ev, s"$base/shards", "user_id",
+        nShards = 8, maxRecordsPerFile = 500L)
+      Shards.shardAudit(s, s"$base/shards", "user_id", maxRecordsPerFile = 500L)
+        .select(col("shard_id"), col("n_rows"), col("n_keys"),
+          col("min_key").cast("long").as("min_user"),
+          col("max_key").cast("long").as("max_user"),
+          col("n_files"), col("files_capped"))
+        .orderBy(col("shard_id"))
     })
   )
 
@@ -2734,6 +2755,22 @@ object SparkEntry {
         |FROM tn t JOIN pn p ON true
         |WHERE round(list_inner_product(t.v, p.v) / (t.nrm * p.nrm), 6) >= 0.95
         |ORDER BY corpus_id, probe_id""".stripMargin,
+
+    // engine-independent replay of the q101 audit: shard assignment is
+    // the same md5-bucket arithmetic as q37's split, n_files is
+    // ceil(rows / 500), and the per-file cap boolean is pinned TRUE
+    // (the write contract the Spark side verifies file-by-file)
+    "q101_shard_export" ->
+      """WITH b AS (SELECT user_id,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 10000 % 8
+        |      AS shard_id
+        |  FROM events)
+        |SELECT shard_id, count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT user_id)::BIGINT AS n_keys,
+        |  min(user_id)::BIGINT AS min_user, max(user_id)::BIGINT AS max_user,
+        |  ((count(*) + 499) // 500)::BIGINT AS n_files,
+        |  true AS files_capped
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

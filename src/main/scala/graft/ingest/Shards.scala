@@ -1,0 +1,98 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.Splits
+
+/** Deterministic balanced shard export — the delivery end of a training
+  * pipeline: the curated corpus leaves the engine as N stable,
+  * group-cohesive shards a downstream loader can consume independently.
+  *
+  * The reference hands its curated output to consumers as whole
+  * bucket-partitioned parquet directories (process_historical_data.py:53,
+  * :75; MinioService.cs:120–161 reads them back file-by-file); this module
+  * re-derives that contract Spark-first with the properties a 100 TB
+  * export actually needs:
+  *
+  *   - '''Deterministic assignment''': shard = md5-bucket(key) % N
+  *     ([[graft.text.Splits.bucket]]) — a pure function of the key, so
+  *     the same row lands in the same shard on any cluster size, on every
+  *     rerun, and as the corpus grows. No `repartition(N)` round-robin
+  *     (layout-dependent) anywhere near the assignment.
+  *   - '''Group cohesion''': every row sharing a key lands in one shard
+  *     (the leakage property: all of a user's events, all of a document's
+  *     chunks, travel together).
+  *   - '''Bounded files''': `maxRecordsPerFile` rolls a shard's output
+  *     into ceil(rows / cap) files, so no single file exceeds what a
+  *     loader wants to map — and because each shard's rows are shuffled
+  *     into exactly one task before the write, the file count per shard
+  *     is itself deterministic and auditable.
+  *
+  * Scale posture: one hash shuffle on the shard id (the minimum any
+  * cohesive layout can pay), then a streaming write per shard directory.
+  * At 100 TB, pick N ≈ data / desired-shard-size; balance follows from
+  * the md5 bucket's uniformity and is itself part of the audit.
+  */
+object Shards {
+
+  /** Stable shard id in [0, nShards) — a pure function of the key. */
+  def shardId(key: Column, nShards: Int): Column =
+    Splits.bucket(key) % nShards
+
+  /** Write `df` as `nShards` deterministic shards under `outDir`
+    * (directory layout `shard_id=K/part-*.parquet`), every file holding
+    * at most `maxRecordsPerFile` rows.
+    *
+    * The explicit `repartition(nShards, shard_id)` routes each shard's
+    * rows into a single task (hash collisions may co-locate two shards
+    * in one task; `partitionBy` still splits their directories), which is
+    * what makes per-shard file counts exactly ceil(rows / cap).
+    */
+  def writeSharded(df: DataFrame, outDir: String, keyCol: String,
+                   nShards: Int, maxRecordsPerFile: Long = 1000000L): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(maxRecordsPerFile > 0,
+      s"maxRecordsPerFile must be positive, got $maxRecordsPerFile")
+    df.withColumn("shard_id", shardId(col(keyCol), nShards))
+      .repartition(nShards, col("shard_id"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard_id")
+      .parquet(outDir)
+  }
+
+  /** Audit a sharded export by reading back the ACTUAL files: per shard,
+    * the row count, distinct/min/max key, the real file count, and
+    * whether every single file respects the record cap. A downstream
+    * loader can trust a manifest derived from this because it is computed
+    * from the bytes on disk, not from the writer's intent.
+    */
+  def shardAudit(spark: SparkSession, outDir: String, keyCol: String,
+                 maxRecordsPerFile: Long): DataFrame = {
+    val perFile = spark.read.parquet(outDir)
+      .groupBy(col("shard_id"), col("_metadata.file_path").as("__file"))
+      .agg(count(lit(1)).as("__file_rows"),
+        count_distinct(col(keyCol)).as("__file_keys"),
+        min(col(keyCol)).as("__file_min"), max(col(keyCol)).as("__file_max"))
+    perFile
+      .groupBy(col("shard_id"))
+      .agg(
+        sum(col("__file_rows")).as("n_rows"),
+        // keys never straddle files of DIFFERENT shards (cohesion), but
+        // may straddle files within one shard — distinct keys must be
+        // re-derived from the data, not summed per file
+        min(col("__file_min")).as("min_key"),
+        max(col("__file_max")).as("max_key"),
+        count(lit(1)).as("n_files"),
+        bool_and(col("__file_rows") <= maxRecordsPerFile).as("files_capped"))
+      .join(
+        spark.read.parquet(outDir).groupBy(col("shard_id"))
+          .agg(count_distinct(col(keyCol)).as("n_keys")),
+        Seq("shard_id"))
+      .select(col("shard_id").cast("long").as("shard_id"), col("n_rows"),
+        col("n_keys"), col("min_key"), col("max_key"), col("n_files"),
+        col("files_capped"))
+  }
+}
