@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.silver.Pipelines
 import graft.recommend.Recommender
 import graft.streaming.{StreamAgg, StreamIngest}
-import graft.ingest.{Ingest, Shards}
+import graft.ingest.{Ingest, Shards, Snapshot}
 import graft.quality.Quality
 import graft.text.{Dedup, TextStats}
 import graft.vector.Similarity
@@ -1548,6 +1548,31 @@ object SparkEntry {
           col("max_key").cast("long").as("max_user"),
           col("n_files"), col("files_capped"))
         .orderBy(col("shard_id"))
+    }),
+
+    // Corpus snapshot diff (ingest/Snapshot.scala): classify every doc as
+    // added / removed / changed / unchanged between the current corpus
+    // and a deterministically-derived previous snapshot (10% of docs
+    // absent from prev → added; 10% text-modified → changed; 50 ghost
+    // docs present only in prev → removed). The diff joins (key,
+    // fingerprint) projections — the shuffle never carries document
+    // bodies; the oracle replays the same delta by direct column
+    // comparison (md5 equality == content equality absent collisions).
+    "q102_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val bk = graft.text.Splits.bucket(col("doc_id")) % 10
+      val prev = docs.filter(bk =!= 0)
+        .withColumn("text",
+          when(bk === 1, concat(col("text"), lit(" MODIFIED")))
+            .otherwise(col("text")))
+        .unionByName(s.range(1, 51).select(
+          (col("id") + 1000000L).as("doc_id"),
+          lit("ghost").as("text"), lit("synthetic").as("source")))
+      Snapshot.diff(docs, prev, "doc_id", Seq("text", "source"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+        .orderBy(col("status"))
     })
   )
 
@@ -2771,6 +2796,33 @@ object SparkEntry {
         |  ((count(*) + 499) // 500)::BIGINT AS n_files,
         |  true AS files_capped
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // engine-independent replay of the q102 delta: the previous snapshot
+    // is re-derived from documents with the same md5-bucket arithmetic,
+    // and status comes from direct null-safe column comparison (the
+    // Spark side's md5 fingerprint equality is content equality)
+    "q102_snapshot_diff" ->
+      """WITH bk AS (SELECT doc_id, text, source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 % 10 AS b
+        |  FROM documents),
+        |prev AS (
+        |  SELECT doc_id,
+        |    CASE WHEN b = 1 THEN text || ' MODIFIED' ELSE text END AS text,
+        |    source
+        |  FROM bk WHERE b <> 0
+        |  UNION ALL
+        |  SELECT (1000000 + g)::BIGINT AS doc_id, 'ghost' AS text,
+        |    'synthetic' AS source
+        |  FROM unnest(generate_series(1, 50)) AS t(g)),
+        |d AS (SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+        |    CASE WHEN p.doc_id IS NULL THEN 'added'
+        |         WHEN c.doc_id IS NULL THEN 'removed'
+        |         WHEN c.text IS DISTINCT FROM p.text
+        |           OR c.source IS DISTINCT FROM p.source THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents c FULL JOIN prev p ON c.doc_id = p.doc_id)
+        |SELECT status, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Snapshot
+
+class SnapshotSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+
+  test("diff classifies added / removed / changed / unchanged") {
+    val cur = corpus((1L, "a", "s"), (2L, "b", "s"), (4L, "d", "s"))
+    val prev = corpus((1L, "a", "s"), (2L, "B", "s"), (3L, "c", "s"))
+    val got = Snapshot.diff(cur, prev, "doc_id", Seq("text", "source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("diff is null-safe: null, 'null', and empty string are three different contents") {
+    val cur = Seq((1L, null.asInstanceOf[String]), (2L, "null"), (3L, ""))
+      .toDF("doc_id", "text")
+    val prev = Seq((1L, "null"), (2L, ""), (3L, "")).toDF("doc_id", "text")
+    val got = Snapshot.diff(cur, prev, "doc_id", Seq("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"))
+  }
+
+  test("diff fingerprints multi-column content injectively across the separator") {
+    // ("ab", "c") vs ("a", "bc") must not collide
+    val cur = Seq((1L, "ab", "c")).toDF("doc_id", "t1", "t2")
+    val prev = Seq((1L, "a", "bc")).toDF("doc_id", "t1", "t2")
+    val got = Snapshot.diff(cur, prev, "doc_id", Seq("t1", "t2")).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "changed")))
+  }
+
+  test("changedKeys is exactly the added+changed worklist") {
+    val cur = corpus((1L, "a", "s"), (2L, "b2", "s"), (5L, "e", "s"))
+    val prev = corpus((1L, "a", "s"), (2L, "b", "s"), (3L, "c", "s"))
+    val got = rowSet(Snapshot.changedKeys(cur, prev, "doc_id", Seq("text", "source")))
+    assert(got == Set(Seq(2L, "changed"), Seq(5L, "added")))
+  }
+
+  test("diff rejects an empty content-column list") {
+    val d = corpus((1L, "a", "s"))
+    intercept[IllegalArgumentException] {
+      Snapshot.diff(d, d, "doc_id", Nil)
+    }
+  }
+
+  test("the join shuffles (key, fingerprint) projections, never document bodies") {
+    val cur = corpus((1L, "a", "s"), (2L, "b", "s"))
+    val plan = Snapshot.diff(cur, cur, "doc_id", Seq("text", "source"))
+      .queryExecution.optimizedPlan
+    // every join child projects exactly two attributes: the key and the md5
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(j.left.output.size == 2 && j.right.output.size == 2,
+        s"join child carries extra columns: ${j.left.output} / ${j.right.output}")
+    }
+  }
+}
