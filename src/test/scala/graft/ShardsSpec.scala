@@ -66,6 +66,34 @@ class ShardsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("property: audit matches brute-force sharding for random corpora, shard counts, and caps") {
+    import org.scalacheck.Gen
+    val gen = for {
+      keys <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L))
+      nShards <- Gen.chooseNum(1, 8)
+      cap <- Gen.chooseNum(1L, 10L)
+    } yield (keys, nShards, cap)
+    samples(gen, n = 3, size = 40).foreach { case (keys, nShards, cap) =>
+      val d = tmp()
+      val in = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("user_id", "event_id")
+      Shards.writeSharded(in, d, "user_id", nShards, cap)
+      // brute force: replicate the md5-bucket arithmetic in Scala
+      def shard(k: Long): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(k.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % 10000 % nShards
+      }
+      val expected = keys.groupBy(shard).toSeq.map { case (sid, ks) =>
+        Seq[Any](sid, ks.size.toLong, ks.distinct.size.toLong,
+          ks.min, ks.max, (ks.size + cap - 1) / cap, true)
+      }.sortBy(_.mkString("|"))
+      val got = rows(Shards.shardAudit(spark, d, "user_id", cap))
+      assert(got == expected, s"nShards=$nShards cap=$cap keys=$keys")
+    }
+  }
+
   test("writeSharded rejects non-positive nShards and file caps") {
     intercept[IllegalArgumentException] {
       Shards.writeSharded(sample(), tmp(), "user_id", nShards = 0)

@@ -43,6 +43,34 @@ class SnapshotSpec extends SparkTestBase {
     assert(got == Set(Seq(2L, "changed"), Seq(5L, "added")))
   }
 
+  test("property: diff matches brute-force classification for random corpus pairs") {
+    import org.scalacheck.Gen
+    val docGen = for {
+      id <- Gen.chooseNum(0L, 30L)
+      text <- Gen.oneOf(Gen.const(null: String), Gen.alphaStr.map(_.take(5)))
+      src <- Gen.oneOf("a", "b")
+    } yield (id, text, src)
+    val gen = for {
+      cur <- Gen.listOf(docGen)
+      prev <- Gen.listOf(docGen)
+    } yield (cur.distinctBy(_._1), prev.distinctBy(_._1))
+    samples(gen, n = 6, size = 25).foreach { case (cur, prev) =>
+      val cm = cur.map(d => d._1 -> ((d._2, d._3))).toMap
+      val pm = prev.map(d => d._1 -> ((d._2, d._3))).toMap
+      val expected = (cm.keySet ++ pm.keySet).map { k =>
+        val st =
+          if (!pm.contains(k)) "added"
+          else if (!cm.contains(k)) "removed"
+          else if (cm(k) != pm(k)) "changed"
+          else "unchanged"
+        Seq[Any](k, st)
+      }
+      val got = rowSet(Snapshot.diff(
+        corpus(cur: _*), corpus(prev: _*), "doc_id", Seq("text", "source")))
+      assert(got == expected, s"cur=$cur prev=$prev")
+    }
+  }
+
   test("diff rejects an empty content-column list") {
     val d = corpus((1L, "a", "s"))
     intercept[IllegalArgumentException] {
