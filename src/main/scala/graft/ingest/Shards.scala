@@ -36,9 +36,16 @@ import graft.text.Splits
   */
 object Shards {
 
-  /** Stable shard id in [0, nShards) — a pure function of the key. */
+  /** Stable shard id in [0, nShards) — a pure function of the key.
+    * A null key has no home under a pure-function layout (it would land
+    * in a silent default-partition directory no loader expects), so it
+    * fails the job loudly instead.
+    */
   def shardId(key: Column, nShards: Int): Column =
-    Splits.bucket(key) % nShards
+    when(key.isNull, raise_error(lit(
+      s"shardId: null shard key — sharding is a pure function of the key; " +
+        "filter or impute null keys before export")))
+      .otherwise(Splits.bucket(key) % nShards)
 
   /** Write `df` as `nShards` deterministic shards under `outDir`
     * (directory layout `shard_id=K/part-*.parquet`), every file holding

@@ -30,8 +30,16 @@ object Snapshot {
   def diff(cur: DataFrame, prev: DataFrame, keyCol: String,
            contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "contentCols must be non-empty")
+    // a null key can never join with itself (SQL null semantics), so a
+    // doc present unchanged on both sides would silently report as
+    // added + removed — fail loudly instead
+    def checkedKey: Column =
+      when(col(keyCol).isNull, raise_error(lit(
+        s"Snapshot.diff: null value in key column '$keyCol' — keys must " +
+          "be non-null for the delta to be well-defined")))
+        .otherwise(col(keyCol)).as(keyCol)
     def fingerprint(df: DataFrame, fpName: String): DataFrame =
-      df.select(col(keyCol),
+      df.select(checkedKey,
         md5(concat_ws("\u0001", contentCols.map(c =>
           coalesce(col(c).cast("string"), lit("\u0002null"))): _*)).as(fpName))
     fingerprint(cur, "__fp_cur")

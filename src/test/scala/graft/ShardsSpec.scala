@@ -94,6 +94,17 @@ class ShardsSpec extends SparkTestBase {
     }
   }
 
+  test("writeSharded fails loudly on a null shard key instead of writing a default partition") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    val withNull = Seq((java.lang.Long.valueOf(1L), 1L),
+      (null.asInstanceOf[java.lang.Long], 2L)).toDF("user_id", "event_id")
+    val ex = intercept[Exception] {
+      Shards.writeSharded(withNull, tmp(), "user_id", nShards = 4)
+    }
+    assert(messages(ex).exists(m => m != null && m.contains("null shard key")))
+  }
+
   test("writeSharded rejects non-positive nShards and file caps") {
     intercept[IllegalArgumentException] {
       Shards.writeSharded(sample(), tmp(), "user_id", nShards = 0)

@@ -71,6 +71,18 @@ class SnapshotSpec extends SparkTestBase {
     }
   }
 
+  test("diff fails loudly on null keys instead of reporting phantom added+removed") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    val withNull = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "b")).toDF("doc_id", "text")
+    val ok = Seq((1L, "a")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Snapshot.diff(withNull, ok, "doc_id", Seq("text")).collect()
+    }
+    assert(messages(ex).exists(m => m != null && m.contains("null value in key column")))
+  }
+
   test("diff rejects an empty content-column list") {
     val d = corpus((1L, "a", "s"))
     intercept[IllegalArgumentException] {
