@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
 object Snapshot {
 
   /** One row per key with a `status` column. Content equality is md5
-    * over the named columns, null-safe (null and empty string hash
-    * differently on purpose: a u0001 separator plus a u0002-prefixed
-    * null sentinel make the encoding injective for any column count).
+    * over FIXED-WIDTH per-column blocks: each column hashes to 32 hex
+    * chars first (nulls to a non-hex sentinel that cannot collide with
+    * any md5 output), so the combined encoding is injective for any
+    * column count and any content — including content containing
+    * separator bytes, which defeats naive `concat_ws` fingerprints.
     */
   def diff(cur: DataFrame, prev: DataFrame, keyCol: String,
            contentCols: Seq[String]): DataFrame = {
@@ -40,8 +42,9 @@ object Snapshot {
         .otherwise(col(keyCol)).as(keyCol)
     def fingerprint(df: DataFrame, fpName: String): DataFrame =
       df.select(checkedKey,
-        md5(concat_ws("\u0001", contentCols.map(c =>
-          coalesce(col(c).cast("string"), lit("\u0002null"))): _*)).as(fpName))
+        md5(concat(contentCols.map(c =>
+          coalesce(md5(col(c).cast("string")), lit("<null-column-block>"))): _*))
+          .as(fpName))
     fingerprint(cur, "__fp_cur")
       .join(fingerprint(prev, "__fp_prev"), Seq(keyCol), "full_outer")
       .select(col(keyCol),

@@ -10,8 +10,6 @@ import graft.functions.bounded_collect_set
 class BoundedCollectSetSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def messages(t: Throwable): Seq[String] =
-    Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
 
   test("equals sort_array(collect_set) on every under-cap group, nulls ignored") {
     val df = Seq((1L, Some("b")), (1L, Some("a")), (1L, Some("b")), (1L, None),

@@ -252,8 +252,6 @@ class IngestSpec extends SparkTestBase {
     // layout looks valid, per-file stats go domain-wide, skipping
     // contract quietly void (ADVICE r5). Both ends must error instead.
     val dir = tmp()
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
     val neg = Seq((-1L, 3L), (2L, 4L)).toDF("x", "y")
     val exNeg = intercept[Exception] {
       Ingest.writeZOrdered(neg, s"$dir/zneg", "x", "y", numFiles = 2, bits = 8)

@@ -81,8 +81,6 @@ class PipelinesSpec extends SparkTestBase {
       Pipelines.cooccurrence(pairs, "g", "t", maxGroupSize = 3,
         failOnOverflow = true).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
     assert(messages(ex).exists(m => m != null && m.contains("maxGroupSize=3")),
       s"expected the cap in the error, got: ${messages(ex).mkString(" | ")}")
   }
@@ -93,8 +91,6 @@ class PipelinesSpec extends SparkTestBase {
       Pipelines.cooccurrence(pairs, "g", "t", maxGroupSize = 3,
         failOnOverflow = true).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
     // the in-buffer bound's message, not capGroups' post-materialization
     // one: bounded_collect_set must fail while accumulating, so a
     // pathological bucket errors cleanly instead of OOMing inside

@@ -95,8 +95,6 @@ class ShardsSpec extends SparkTestBase {
   }
 
   test("writeSharded fails loudly on a null shard key instead of writing a default partition") {
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
     val withNull = Seq((java.lang.Long.valueOf(1L), 1L),
       (null.asInstanceOf[java.lang.Long], 2L)).toDF("user_id", "event_id")
     val ex = intercept[Exception] {

@@ -62,8 +62,6 @@ class SimilaritySpec extends SparkTestBase {
     val ex = intercept[Exception] {
       Similarity.embeddingNearDup(vs, threshold = 0.95, maxBucket = 3).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
     assert(messages(ex).exists(m => m != null && m.contains("maxGroupSize=3")))
     // and the observable-truncation opt-out still completes, truncating
     assert(Similarity.embeddingNearDup(vs, threshold = 0.95, maxBucket = 3,
@@ -101,8 +99,6 @@ class SimilaritySpec extends SparkTestBase {
     val ex = intercept[Exception] {
       Similarity.crossNearDup(corpus, probes, threshold = 0.95, maxBucket = 3).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
     assert(messages(ex).exists(m => m != null && m.contains("maxGroupSize=3")))
     val truncated = Similarity.crossNearDup(corpus, probes, threshold = 0.95,
       maxBucket = 3, failOnOverflow = false)

@@ -28,12 +28,21 @@ class SnapshotSpec extends SparkTestBase {
     assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"))
   }
 
-  test("diff fingerprints multi-column content injectively across the separator") {
-    // ("ab", "c") vs ("a", "bc") must not collide
-    val cur = Seq((1L, "ab", "c")).toDF("doc_id", "t1", "t2")
-    val prev = Seq((1L, "a", "bc")).toDF("doc_id", "t1", "t2")
-    val got = Snapshot.diff(cur, prev, "doc_id", Seq("t1", "t2")).collect()
-    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "changed")))
+  test("diff fingerprints multi-column content injectively — boundary shifts, separator bytes, sentinel lookalikes") {
+    // every pair here has identical naive concatenations but different
+    // (t1, t2) content, so each must classify as changed
+    val cases = Seq(
+      (("ab", "c"), ("a", "bc")), // boundary shift
+      (("a\u0001b", "c"), ("a", "b\u0001c")), // content containing separator bytes
+      ((null: String, "x"), ("<null-column-block>", "x")), // sentinel lookalike vs null
+      (("", "x"), (null: String, "x"))) // empty vs null
+    cases.zipWithIndex.foreach { case (((c1, c2), (p1, p2)), i) =>
+      val cur = Seq((1L, c1, c2)).toDF("doc_id", "t1", "t2")
+      val prev = Seq((1L, p1, p2)).toDF("doc_id", "t1", "t2")
+      val got = Snapshot.diff(cur, prev, "doc_id", Seq("t1", "t2")).collect()
+      assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "changed")), s"case $i: ($c1,$c2) vs ($p1,$p2)")
+    }
   }
 
   test("changedKeys is exactly the added+changed worklist") {
@@ -72,8 +81,6 @@ class SnapshotSpec extends SparkTestBase {
   }
 
   test("diff fails loudly on null keys instead of reporting phantom added+removed") {
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
     val withNull = Seq((java.lang.Long.valueOf(1L), "a"),
       (null.asInstanceOf[java.lang.Long], "b")).toDF("doc_id", "text")
     val ok = Seq((1L, "a")).toDF("doc_id", "text")

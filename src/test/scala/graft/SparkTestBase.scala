@@ -22,6 +22,11 @@ object TestSpark {
 abstract class SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 
+  /** Flatten an exception chain into its messages — the fail-loud
+    * assertion helper (guards survive wrapping in Spark task failures). */
+  def messages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+
   /** Collect to a sorted seq of plain tuples for order-free comparison. */
   def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
