@@ -55,6 +55,15 @@ object Shards {
     * rows into a single task (hash collisions may co-locate two shards
     * in one task; `partitionBy` still splits their directories), which is
     * what makes per-shard file counts exactly ceil(rows / cap).
+    *
+    * Rows are sorted by (shard_id, key) inside each task — a local sort,
+    * no extra shuffle — so every file's key range is an ascending,
+    * file-disjoint slice of its shard, and when keys are row-unique the
+    * export is fully reproducible: same rows, same files, same order on
+    * every run (rows TYING on the key keep arrival order, which the
+    * shuffle does not fix). The explicit sort also pre-satisfies the
+    * partition-column ordering the dynamic partition writer would
+    * otherwise insert itself.
     */
   def writeSharded(df: DataFrame, outDir: String, keyCol: String,
                    nShards: Int, maxRecordsPerFile: Long = 1000000L): Unit = {
@@ -63,6 +72,7 @@ object Shards {
       s"maxRecordsPerFile must be positive, got $maxRecordsPerFile")
     df.withColumn("shard_id", shardId(col(keyCol), nShards))
       .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(keyCol))
       .write
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)

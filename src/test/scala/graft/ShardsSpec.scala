@@ -94,6 +94,21 @@ class ShardsSpec extends SparkTestBase {
     }
   }
 
+  test("writeSharded: rows inside every file are key-sorted (reproducible, range-sliced files)") {
+    val d = tmp()
+    // scramble input order to prove the in-task sort, not luck, orders rows
+    Shards.writeSharded(sample().orderBy(rand(7)), d, "user_id",
+      nShards = 3, maxRecordsPerFile = 9)
+    val files = spark.read.parquet(d)
+      .select(col("_metadata.file_path")).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val keys = spark.read.parquet(f).select("user_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(keys == keys.sorted, s"unsorted keys in $f")
+    }
+  }
+
   test("writeSharded fails loudly on a null shard key instead of writing a default partition") {
     val withNull = Seq((java.lang.Long.valueOf(1L), 1L),
       (null.asInstanceOf[java.lang.Long], 2L)).toDF("user_id", "event_id")
