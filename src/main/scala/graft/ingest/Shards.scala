@@ -80,6 +80,22 @@ object Shards {
       .parquet(outDir)
   }
 
+  /** Write the audit of a finished export as a single-file JSON-lines
+    * manifest under `outDir/_manifest` — the delivery contract a
+    * downstream loader reads instead of listing directories: one record
+    * per shard with row/key counts, key extents, file count, and the
+    * verified per-file cap. Computed from the written bytes via
+    * [[shardAudit]], not from the writer's intent; coalesce(1) is safe
+    * because the frame is one row per shard.
+    */
+  def writeManifest(spark: SparkSession, outDir: String, keyCol: String,
+                    maxRecordsPerFile: Long): Unit =
+    shardAudit(spark, outDir, keyCol, maxRecordsPerFile)
+      .coalesce(1)
+      .sortWithinPartitions(col("shard_id"))
+      .write.mode(SaveMode.Overwrite)
+      .json(s"$outDir/_manifest")
+
   /** Audit a sharded export by reading back the ACTUAL files: per shard,
     * the row count, distinct/min/max key, the real file count, and
     * whether every single file respects the record cap. A downstream

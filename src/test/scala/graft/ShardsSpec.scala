@@ -109,6 +109,19 @@ class ShardsSpec extends SparkTestBase {
     }
   }
 
+  test("writeManifest: JSON manifest matches the audit and stays invisible to data reads") {
+    val d = tmp()
+    Shards.writeSharded(sample(), d, "user_id", nShards = 3, maxRecordsPerFile = 9)
+    Shards.writeManifest(spark, d, "user_id", maxRecordsPerFile = 9)
+    val manifest = rows(spark.read.json(s"$d/_manifest")
+      .select("shard_id", "n_rows", "n_keys", "min_key", "max_key",
+        "n_files", "files_capped"))
+    val audit = rows(Shards.shardAudit(spark, d, "user_id", 9))
+    assert(manifest == audit && manifest.size == 3)
+    // the _manifest directory must not leak into the export's data reads
+    assert(spark.read.parquet(d).count() == sample().count())
+  }
+
   test("writeSharded fails loudly on a null shard key instead of writing a default partition") {
     val withNull = Seq((java.lang.Long.valueOf(1L), 1L),
       (null.asInstanceOf[java.lang.Long], 2L)).toDF("user_id", "event_id")
