@@ -107,7 +107,6 @@ object Shards {
     val perFile = spark.read.parquet(outDir)
       .groupBy(col("shard_id"), col("_metadata.file_path").as("__file"))
       .agg(count(lit(1)).as("__file_rows"),
-        count_distinct(col(keyCol)).as("__file_keys"),
         min(col(keyCol)).as("__file_min"), max(col(keyCol)).as("__file_max"))
     perFile
       .groupBy(col("shard_id"))
