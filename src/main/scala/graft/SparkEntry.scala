@@ -1573,6 +1573,25 @@ object SparkEntry {
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
         .orderBy(col("status"))
+    }),
+
+    // ORC format roundtrip (S5/S2 on the second native columnar format):
+    // events written ORC partitioned by event_type, read back with a
+    // partition-pruning filter (only the purchase directory is scanned)
+    // plus a data predicate pushed into the ORC reader, aggregated. The
+    // oracle recomputes from the parquet events table — format-neutral
+    // values prove the ORC path loses nothing.
+    "q103_orc_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val ev = Tables.events(s, dir).select(
+        col("user_id").cast("long").as("user_id"), col("event_type"),
+        round(col("value") * 10000).cast("long").as("v4"))
+      Ingest.writeOrcPartitioned(ev, s"$base/orc", Seq("event_type"))
+      s.read.orc(s"$base/orc")
+        .filter(col("event_type") === "purchase" && col("user_id") < 100)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("v4")).as("sum_v4"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -2823,6 +2842,14 @@ object SparkEntry {
         |  FROM documents c FULL JOIN prev p ON c.doc_id = p.doc_id)
         |SELECT status, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // format-neutral replay of the q103 ORC roundtrip from the parquet
+    // events table (round-half-up ties match Spark's round, q86 precedent)
+    "q103_orc_roundtrip" ->
+      """SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n,
+        |  sum(round(value * 10000)::BIGINT)::BIGINT AS sum_v4
+        |FROM events WHERE event_type = 'purchase' AND user_id < 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

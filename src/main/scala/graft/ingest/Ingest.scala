@@ -88,6 +88,19 @@ object Ingest {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** ORC sibling of [[writePartitioned]] — the second columnar format
+    * Spark ships natively. Same layout contract (partition directories,
+    * overwrite); predicate pushdown and partition pruning work the same
+    * way on read (IngestSpec asserts both), so a lake standardized on
+    * ORC gets the identical query surface.
+    */
+  def writeOrcPartitioned(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    val w = (if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df)
+      .write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
   /** S4: incremental append with the schema pinned
     * (process_weekly_trends.py:39 sets `mergeSchema=false`, which Delta
     * enforces at WRITE time; for plain parquet that option only affects

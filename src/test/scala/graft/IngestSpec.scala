@@ -58,6 +58,26 @@ class IngestSpec extends SparkTestBase {
     assert(!plan.contains("year=2024"))
   }
 
+  test("ORC partitioned write round-trips values, prunes partitions, and pushes predicates") {
+    val df = List((1L, "a", 10.5), (2L, "a", -3.25), (3L, "b", 7.0))
+      .toDF("id", "kind", "value")
+    val dir = tmp()
+    Ingest.writeOrcPartitioned(df, s"$dir/orc", Seq("kind"))
+    val dirs = new java.io.File(s"$dir/orc").listFiles()
+      .map(_.getName).filter(_.startsWith("kind=")).sorted
+    assert(dirs.toSeq == Seq("kind=a", "kind=b"))
+    // exact value roundtrip (longs and doubles)
+    assert(rows(spark.read.orc(s"$dir/orc").select("id", "kind", "value")) ==
+      rows(df))
+    val filtered = spark.read.orc(s"$dir/orc")
+      .filter(col("kind") === "a" && col("id") >= 2L)
+    assert(rows(filtered.select("id")) == Seq(Seq(2L)))
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(!scan.contains("kind=b"), "partition pruning failed for ORC")
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,2)"),
+      s"data predicate not pushed into the ORC reader:\n$scan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // unique names: the in-memory catalog dies with the JVM but the
