@@ -1592,6 +1592,24 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("v4")).as("sum_v4"))
         .orderBy(col("user_id"))
+    }),
+
+    // Raw landing-file audit over the text source (the last native
+    // format): after the CSV landing write, `spark.read.text` counts
+    // physical lines and files, and the parsed row count must equal
+    // lines − one header per file — the writer-side loss/duplication
+    // check schema-aware readers can't express. An embedded newline in
+    // any value (CSV-quoted, so one row ≠ one line) flips the boolean
+    // false and fails the gate loudly — the audit's exact job.
+    "q104_landing_audit" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_landing").toString
+      Ingest.writeCsv(Tables.orders(s, dir), s"$base/landing")
+      val audit = Ingest.landingAudit(s, s"$base/landing",
+        Tables.schemas("orders"))
+      Ingest.readCsv(s, s"$base/landing", Tables.schemas("orders"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
+        .crossJoin(broadcast(audit.select(col("lines_match"))))
+        .select(col("n_rows"), col("sum_key"), col("lines_match"))
     })
   )
 
@@ -2850,6 +2868,14 @@ object SparkEntry {
         |  sum(round(value * 10000)::BIGINT)::BIGINT AS sum_v4
         |FROM events WHERE event_type = 'purchase' AND user_id < 100
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // engine-independent half of the q104 audit: exact parsed count and
+    // checksum from orders; the line-arithmetic boolean is pinned TRUE
+    // (the write contract the Spark side verifies against raw lines)
+    "q104_landing_audit" ->
+      """SELECT count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT AS sum_key,
+        |  true AS lines_match
+        |FROM orders""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

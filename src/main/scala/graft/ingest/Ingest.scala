@@ -68,6 +68,48 @@ object Ingest {
       .mode(SaveMode.Overwrite)
       .csv(path)
 
+  /** Raw landing-file audit: one row with the physical line count, file
+    * count, parsed row count, and the integrity boolean
+    * `lines_match` := raw_lines − one header per file == parsed rows.
+    * `spark.read.text` sees every physical line; each line is parsed by
+    * the `from_csv` EXPRESSION with a corrupt-record field — per-line
+    * full-row parsing the CSV file source cannot be forced into (its
+    * column pruning parses zero fields for a bare count, so
+    * DROPMALFORMED + count literally returns the raw line count, and a
+    * corrupt-record column on a file scan is rejected when nothing else
+    * survives pruning). The audit MEASURES what the FAILFAST ingest gate
+    * would only throw on: garbage/blank lines, quoted newlines, AND a
+    * file missing its header (header lines are matched literally against
+    * the schema's header string, and must number exactly one per file).
+    * Falsifiability is unit-tested (IngestSpec).
+    */
+  def landingAudit(spark: SparkSession, path: String,
+                   schema: StructType): DataFrame = {
+    val corruptCol = "_graft_corrupt"
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema may not contain the reserved audit column $corruptCol")
+    val headerLine = schema.fieldNames.mkString(",")
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> corruptCol,
+      "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+      "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    val full = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    spark.read.text(path)
+      .select((col("value") === headerLine).as("__is_header"),
+        from_csv(col("value"), full, opts)
+          .getField(corruptCol).as("__corrupt"),
+        col("_metadata.file_path").as("__f"))
+      .agg(count(lit(1)).as("raw_lines"),
+        count_distinct(col("__f")).as("n_files"),
+        count(when(col("__is_header"), 1)).as("header_lines"),
+        count(when(!col("__is_header") && col("__corrupt").isNull, 1))
+          .as("parsed_rows"))
+      .withColumn("lines_match",
+        col("header_lines") === col("n_files") &&
+          col("parsed_rows") === col("raw_lines") - col("n_files"))
+  }
+
   /** Apply a spec: scan, derive partition columns, validate shape. */
   def load(spark: SparkSession, spec: TableSpec, path: String): DataFrame = {
     val raw = readCsv(spark, path, spec.schema)

@@ -78,6 +78,31 @@ class IngestSpec extends SparkTestBase {
       s"data predicate not pushed into the ORC reader:\n$scan")
   }
 
+  test("landingAudit passes a clean landing and fails a corrupted one (falsifiable boolean)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val df = List((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    val dir = tmp()
+    Ingest.writeCsv(df, s"$dir/landing")
+    def audit() = Ingest.landingAudit(spark, s"$dir/landing", schema)
+      .select("parsed_rows", "lines_match").collect().head
+    val clean = audit()
+    assert(clean.getLong(0) == 3 && clean.getBoolean(1))
+    // corrupt the landing zone: a garbage line the permissive parse
+    // marks corrupt but the raw line count sees — the boolean must flip
+    val part = new java.io.File(s"$dir/landing").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")).head
+    java.nio.file.Files.write(part.toPath, "not-a-long,oops,extra\n".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    // drop the local-FS checksum sidecar so the tamper reaches the parser
+    // (on a real object store there is no CRC file to save us)
+    new java.io.File(part.getParentFile, s".${part.getName}.crc").delete()
+    val corrupted = audit()
+    assert(corrupted.getLong(0) == 3 && !corrupted.getBoolean(1),
+      "garbage-line corruption must flip lines_match false")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // unique names: the in-memory catalog dies with the JVM but the
