@@ -1610,6 +1610,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
         .crossJoin(broadcast(audit.select(col("lines_match"))))
         .select(col("n_rows"), col("sum_key"), col("lines_match"))
+    }),
+
+    // CDC change-feed apply (the full MERGE triad on bare tables,
+    // operators/Merge.applyChanges): a deterministic op-tagged feed
+    // derived from orders — updates (key%10==1), delete tombstones
+    // (key%10==2), inserts under shifted keys (key%10==3), plus TWO
+    // conflicting updates per key%100==7 exercising sequence precedence —
+    // lands on the orders snapshot through ONE union + ONE keyed window
+    // (no join, no second pass; delete-then-reinsert collapses because
+    // only the latest change per key is consulted). The oracle replays
+    // the identical window ranking in SQL.
+    "q105_cdc_apply" -> ((s, dir) => {
+      val base = T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      val upd = base.filter(col("o_orderkey") % 10 === 1).select(
+        col("o_orderkey"), col("o_custkey"), lit("X").as("o_orderstatus"),
+        (col("total_cents") + 1).as("total_cents"),
+        lit("U").as("op"), lit(2L).as("seq"))
+      val del = base.filter(col("o_orderkey") % 10 === 2)
+        .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+      val ins = base.filter(col("o_orderkey") % 10 === 3).select(
+        (col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), lit(0L).as("total_cents"),
+        lit("I").as("op"), lit(1L).as("seq"))
+      val confl = Seq(("A", 3L), ("B", 4L)).map { case (st, sq) =>
+        base.filter(col("o_orderkey") % 100 === 7).select(
+          col("o_orderkey"), col("o_custkey"), lit(st).as("o_orderstatus"),
+          col("total_cents"), lit("U").as("op"), lit(sq).as("seq"))
+      }.reduce(_ unionByName _)
+      val changes = upd.unionByName(del).unionByName(ins).unionByName(confl)
+      graft.operators.Merge.applyChanges(
+        base, changes, Seq("o_orderkey"), "op", Seq("seq"))
     })
   )
 
@@ -2876,6 +2909,29 @@ object SparkEntry {
       """SELECT count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT AS sum_key,
         |  true AS lines_match
         |FROM orders""".stripMargin,
+
+    // replay of the q105 CDC apply: same derived change feed, same
+    // union + keyed-window ranking (base rows rank below all changes;
+    // latest change wins; a winning tombstone removes the key)
+    "q105_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    o_orderstatus AS st, round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |ch AS (
+        |  SELECT k, c, 'X' AS st, cents + 1 AS cents, 'U' AS op,
+        |      2::BIGINT AS seq FROM base WHERE k % 10 = 1
+        |  UNION ALL SELECT k, c, st, cents, 'D', 2 FROM base WHERE k % 10 = 2
+        |  UNION ALL SELECT k + 10000000, c, 'N', 0, 'I', 1 FROM base WHERE k % 10 = 3
+        |  UNION ALL SELECT k, c, 'A', cents, 'U', 3 FROM base WHERE k % 100 = 7
+        |  UNION ALL SELECT k, c, 'B', cents, 'U', 4 FROM base WHERE k % 100 = 7),
+        |allr AS (
+        |  SELECT k, c, st, cents, NULL AS op, NULL::BIGINT AS seq, 0 AS pri FROM base
+        |  UNION ALL SELECT k, c, st, cents, op, seq, 1 FROM ch),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY k ORDER BY pri DESC, seq DESC) AS rn FROM allr)
+        |SELECT k AS o_orderkey, c AS o_custkey, st AS o_orderstatus,
+        |  cents AS total_cents
+        |FROM r WHERE rn = 1 AND (op IS NULL OR op <> 'D')""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

@@ -44,6 +44,53 @@ object Merge {
       .drop("__pri", "__rn")
   }
 
+  /** CDC apply: land an op-tagged change feed (insert / update / delete)
+    * over a base snapshot, keyed by `keys`. Per key only the change with
+    * the greatest `precedence` tuple matters (a CDC reader's sequence
+    * number / LSN): if it is `deleteOp` the key disappears, otherwise the
+    * change row replaces (or inserts) the key; keys with no change keep
+    * their base row. This is the full MERGE triad (`WHEN MATCHED UPDATE
+    * SET * / WHEN MATCHED AND op='D' DELETE / WHEN NOT MATCHED INSERT *`)
+    * that the reference executes through Delta MERGE (reference:
+    * pyspark_jobs/process_recommendation_events.py upsert landing,
+    * extended with tombstones) — expressed as ONE union + ONE keyed
+    * window, the same single hash-shuffle plan as [[upsert]]: no join,
+    * no second pass, delete-then-reinsert collapses correctly because
+    * only the latest change is consulted.
+    *
+    * `changes` must carry every `base` column plus `opCol` and any
+    * change-only `precedence` columns (base rows rank below all changes
+    * regardless, so precedence only orders changes among themselves and
+    * must totalize within a key — pass a unique trailing sequence).
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                   opCol: String, precedence: Seq[String],
+                   deleteOp: String = "D"): DataFrame = {
+    val baseCols = base.columns.toSeq
+    val extras = changes.columns.toSeq.filterNot(baseCols.contains)
+    require(changes.columns.toSeq.filter(baseCols.contains) == baseCols,
+      s"changes must carry every base column in order: ${baseCols.mkString(",")}")
+    require(extras.contains(opCol), s"changes must carry op column '$opCol'")
+    require(extras.forall(c => c == opCol || precedence.contains(c)),
+      s"change-only columns beyond '$opCol' must be precedence columns, got: $extras")
+    require(precedence.nonEmpty, "precedence must order changes within a key")
+    require(!(baseCols ++ extras).exists(Set("__pri", "__rn")),
+      "reserved internal column names __pri/__rn in input (rename before merging)")
+    val withNulls = extras.foldLeft(base) { (d, c) =>
+      d.withColumn(c, lit(null).cast(changes.schema(c).dataType))
+    }
+    val all = withNulls.withColumn("__pri", lit(0))
+      .unionByName(changes.withColumn("__pri", lit(1)))
+    // base rows sit alone at __pri=0, so the null precedence values they
+    // carry never tie against a change and null ordering cannot matter
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__pri").desc +: precedence.map(col(_).desc): _*)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .filter(col(opCol).isNull || col(opCol) =!= deleteOp)
+      .select(baseCols.map(col): _*)
+  }
+
   /** SCD2 history: from a change log (key, event time, tracked attrs),
     * produce one validity interval per run of consecutive identical
     * attribute values: `[valid_from, valid_to)`, open (`null`) on the

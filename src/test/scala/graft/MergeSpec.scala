@@ -70,4 +70,49 @@ class MergeSpec extends SparkTestBase {
     // A→null is a change; null→null is NOT (the two nulls share one run)
     assert(got.toSet == Set((Some("A"), 10L), (None, 20L)))
   }
+
+  private def cdcBase = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+
+  test("applyChanges: update replaces, delete removes, insert appears, rest survive") {
+    val ch = Seq((1L, "a2", "U", 1L), (2L, "b", "D", 1L), (9L, "z", "I", 1L))
+      .toDF("k", "v", "op", "seq")
+    val got = Merge.applyChanges(cdcBase, ch, Seq("k"), "op", Seq("seq"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a2"), (3L, "c"), (9L, "z")))
+  }
+
+  test("applyChanges: only the latest change per key matters (delete then reinsert)") {
+    val ch = Seq(
+      (1L, "x", "D", 1L), (1L, "back", "I", 2L), // delete then reinsert → present
+      (2L, "b2", "U", 1L), (2L, "gone", "D", 2L) // update then delete → absent
+    ).toDF("k", "v", "op", "seq")
+    val got = Merge.applyChanges(cdcBase, ch, Seq("k"), "op", Seq("seq"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "back"), (3L, "c")))
+  }
+
+  test("applyChanges: delete of an absent key is a no-op; output keeps base schema") {
+    val ch = Seq((42L, "ghost", "D", 1L)).toDF("k", "v", "op", "seq")
+    val out = Merge.applyChanges(cdcBase, ch, Seq("k"), "op", Seq("seq"))
+    assert(out.columns.toSeq == Seq("k", "v"))
+    assert(out.count() == 3)
+  }
+
+  test("applyChanges rejects changes missing a base column or the op column") {
+    val noV = Seq((1L, "U", 1L)).toDF("k", "op", "seq")
+    intercept[IllegalArgumentException] {
+      Merge.applyChanges(cdcBase, noV, Seq("k"), "op", Seq("seq"))
+    }
+    val noOp = Seq((1L, "a", 1L)).toDF("k", "v", "seq")
+    intercept[IllegalArgumentException] {
+      Merge.applyChanges(cdcBase, noOp, Seq("k"), "op", Seq("seq"))
+    }
+  }
+
+  test("applyChanges rejects change-only columns that are not precedence columns") {
+    val stray = Seq((1L, "a", "U", 1L, "x")).toDF("k", "v", "op", "seq", "stray")
+    intercept[IllegalArgumentException] {
+      Merge.applyChanges(cdcBase, stray, Seq("k"), "op", Seq("seq"))
+    }
+  }
 }
