@@ -1643,6 +1643,23 @@ object SparkEntry {
       val changes = upd.unionByName(del).unionByName(ins).unionByName(confl)
       graft.operators.Merge.applyChanges(
         base, changes, Seq("o_orderkey"), "op", Seq("seq"))
+    }),
+
+    // Per-column table profiler (quality/Profile.scala): row / null /
+    // distinct counts and stringified min/max for six orders columns in
+    // ONE aggregate over ONE scan (plan-asserted join-free in
+    // ProfileSpec); the priority column is nullif-punched so the null
+    // path is exercised on real data. Exact distincts ride Spark's
+    // Expand-based multi-distinct — the oracle recomputes each column's
+    // stats as a UNION ALL of plain aggregates.
+    "q106_table_profile" -> ((s, dir) => {
+      val t = T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+        nullif(col("o_orderpriority"), lit("1-URGENT")).as("priority_nullable"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      graft.quality.Profile.profile(t, t.columns.toSeq)
+        .orderBy(col("col_name"))
     })
   )
 
@@ -2932,6 +2949,25 @@ object SparkEntry {
         |SELECT k AS o_orderkey, c AS o_custkey, st AS o_orderstatus,
         |  cents AS total_cents
         |FROM r WHERE rn = 1 AND (op IS NULL OR op <> 'D')""".stripMargin,
+
+    // per-column replay of the q106 profile: each output row recomputed
+    // as a plain aggregate over the same projection
+    "q106_table_profile" -> {
+      val proj = """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    round(o_totalprice * 100)::BIGINT AS total_cents,
+        |    nullif(o_orderpriority, '1-URGENT') AS priority_nullable,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM orders""".stripMargin
+      val branch = (c: String) =>
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |  (count(*) - count($c))::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s FROM t""".stripMargin
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "total_cents", "priority_nullable", "order_date")
+      s"""WITH t AS ($proj)
+         |SELECT * FROM (${cols.map(branch).mkString("\nUNION ALL ")})
+         |ORDER BY col_name""".stripMargin
+    },
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
