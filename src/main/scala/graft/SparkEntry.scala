@@ -1660,6 +1660,31 @@ object SparkEntry {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
       graft.quality.Profile.profile(t, t.columns.toSeq)
         .orderBy(col("col_name"))
+    }),
+
+    // Keyed interval overlap join (operators/RangeJoin.intervalOverlap):
+    // click sessions [ts, ts+2h] against purchase attribution windows
+    // [ts, ts+6h] per user. The theta form would nested-loop per user;
+    // the chunked plan explodes each interval to its 6-hour time chunks,
+    // hash-joins on (user, chunk), and emits each pair exactly once in
+    // its first shared chunk — no distinct pass (see RangeJoinSpec's
+    // exactly-once property). The oracle IS the theta join.
+    "q107_interval_overlap" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("l_id"),
+        unix_micros(col("ts")).as("ls"),
+        (unix_micros(col("ts")) + 7200L * 1000000L).as("le"))
+      val buys = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("r_id"),
+        unix_micros(col("ts")).as("rs"),
+        (unix_micros(col("ts")) + 21600L * 1000000L).as("re"))
+      graft.operators.RangeJoin.intervalOverlap(clicks, buys, Seq("user_id"),
+          "ls", "le", "rs", "re", chunk = 21600L * 1000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("l_id") + col("r_id")).as("checksum"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -2968,6 +2993,22 @@ object SparkEntry {
          |SELECT * FROM (${cols.map(branch).mkString("\nUNION ALL ")})
          |ORDER BY col_name""".stripMargin
     },
+
+    // the chunked overlap join is exact (first-shared-chunk emission is
+    // exactly-once), so the oracle is the plain theta join
+    "q107_interval_overlap" ->
+      """WITH l AS (SELECT user_id, event_id AS l_id,
+        |    epoch_ns(ts) // 1000 AS ls,
+        |    epoch_ns(ts) // 1000 + 7200000000 AS le
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, event_id AS r_id,
+        |    epoch_ns(ts) // 1000 AS rs,
+        |    epoch_ns(ts) // 1000 + 21600000000 AS re
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*)::BIGINT AS n_pairs,
+        |  sum(l_id + r_id)::BIGINT AS checksum
+        |FROM l JOIN r USING (user_id) WHERE ls <= re AND rs <= le
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Floor-division bucket of an integral column — truncating `div` plus
+    * a negative-remainder correction; see the overflow notes in [[within]]
+    * for why this form (and not the subtract-then-divide form). */
+  private def floorBucket(c: String, w: Long) = expr(
+    s"(`$c` div $w) - (CASE WHEN `$c` < 0 AND pmod(`$c`, $w) != 0 THEN 1 ELSE 0 END)")
+
   def within(left: DataFrame, right: DataFrame, leftVal: String,
              rightVal: String, tol: Long): DataFrame = {
     require(tol > 0, s"tolerance must be positive, got $tol")
@@ -63,5 +69,64 @@ object RangeJoin {
       // negative-passes-the-filter pair with ANSI off.
       .filter(expr(s"try_subtract(`$leftVal`, `$rightVal`)").between(-tol, tol))
       .drop("__b")
+  }
+
+  /** Keyed interval overlap join: pairs of (left, right) rows sharing
+    * `keys` whose CLOSED integral intervals `[start, end]` overlap
+    * (`ls <= re AND rs <= le`). The theta form plans as a per-key nested
+    * loop — quadratic residual work on busy keys; here each interval
+    * explodes to the `chunk`-width time chunks it covers, an ordinary
+    * hash equi-join on (keys, chunk) meets co-chunk intervals, and a
+    * residual filter keeps true overlaps.
+    *
+    * An overlapping pair shares every chunk in the intersection of its
+    * chunk ranges, so naive emission duplicates; instead a pair is
+    * emitted ONLY in its first shared chunk — `chunk(max(ls, rs))`,
+    * which equals `greatest(bucket(ls), bucket(rs))` because floor
+    * division is monotone — making the output exactly-once with NO
+    * distinct/dedup shuffle.
+    *
+    * Scale posture: fan-out per row is `length/chunk + 1` — pick `chunk`
+    * near the typical interval length for O(1) expansion (the knob the
+    * caller owns, like every bucket width in this library). A row whose
+    * interval covers more than `maxChunksPerRow` chunks fails LOUDLY
+    * before exploding (the repo-wide fail-loud cap contract) — a
+    * degenerate never-ending interval cannot silently quadratic-ify the
+    * plan. Inverted (`start > end`) intervals also raise.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftStart: String, leftEnd: String,
+                      rightStart: String, rightEnd: String,
+                      chunk: Long, maxChunksPerRow: Int = 4096): DataFrame = {
+    require(chunk > 0, s"chunk width must be positive, got $chunk")
+    require(maxChunksPerRow > 0, "maxChunksPerRow must be positive")
+    require(keys.nonEmpty, "keyless overlap joins every interval pair; pass keys")
+    val shared = left.columns.intersect(right.columns).toSeq.diff(keys)
+    require(shared.isEmpty,
+      s"non-key column collision (rename before joining): ${shared.mkString(",")}")
+    require(!(left.columns ++ right.columns).exists(_.startsWith("__")),
+      "reserved __ prefix in input columns")
+    def chunked(df: DataFrame, s: String, e: String, bs: String): DataFrame =
+      df.withColumn(bs, floorBucket(s, chunk))
+        .withColumn("__be", floorBucket(e, chunk))
+        // guards ride the explode input so they evaluate per source row:
+        // inverted intervals and over-cap spans error before any fan-out.
+        // try_subtract: a span whose BUCKET difference itself overflows is
+        // certainly over the cap — treat null as over.
+        .withColumn("__b", explode(when(col(s) > col(e),
+            expr(s"raise_error(concat('interval start > end: ', `$s`, ' > ', `$e`))"))
+          .when(coalesce(expr(s"try_subtract(__be, $bs)"),
+              lit(Long.MaxValue)) >= maxChunksPerRow,
+            expr(s"raise_error(concat('interval at `$s` covers more than " +
+              s"$maxChunksPerRow chunks of width $chunk (raise chunk or maxChunksPerRow)'))"))
+          .otherwise(expr(s"sequence($bs, __be)"))))
+        .drop("__be")
+    val lb = chunked(left, leftStart, leftEnd, "__bsl")
+    val rb = chunked(right, rightStart, rightEnd, "__bsr")
+    lb.join(rb, keys :+ "__b")
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      // first-shared-chunk emission: exactly one row per overlapping pair
+      .filter(col("__b") === greatest(col("__bsl"), col("__bsr")))
+      .drop("__b", "__bsl", "__bsr")
   }
 }

@@ -76,4 +76,57 @@ class RangeJoinSpec extends SparkTestBase {
     val right = Seq((1L, 1L << 62)).toDF("rid", "rv")
     assert(RangeJoin.within(left, right, "lv", "rv", (1L << 62) + 1).count() == 0L)
   }
+
+  test("intervalOverlap matches the brute-force theta join, exactly once per pair") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // keys 0/1, starts spanning negatives, lengths 0..30 over chunk=10:
+    // pairs meet in up to 4 shared chunks — duplicates would show
+    val iv = Gen.zip(Gen.choose(0L, 1L), Gen.choose(-40L, 40L), Gen.choose(0L, 30L))
+    val gen = Gen.zip(Gen.listOfN(12, iv), Gen.listOfN(12, iv))
+    (1 to 8).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .foreach { case (ls, rs) =>
+        val left = ls.zipWithIndex.map { case ((k, s, len), i) =>
+          (k, i.toLong, s, s + len) }.toDF("k", "lid", "ls", "le")
+        val right = rs.zipWithIndex.map { case ((k, s, len), i) =>
+          (k, i.toLong, s, s + len) }.toDF("k", "rid", "rs", "re")
+        val expected = (for {
+          ((lk, lsv, ll), li) <- ls.zipWithIndex
+          ((rk, rsv, rl), ri) <- rs.zipWithIndex
+          if lk == rk && lsv <= rsv + rl && rsv <= lsv + ll
+        } yield (li.toLong, ri.toLong)).toSet
+        val got = RangeJoin.intervalOverlap(left, right, Seq("k"),
+            "ls", "le", "rs", "re", chunk = 10L)
+          .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.length == got.toSet.size, s"duplicate pairs: ls=$ls rs=$rs")
+        assert(got.toSet == expected, s"ls=$ls rs=$rs")
+      }
+  }
+
+  test("intervalOverlap: touching endpoints overlap (closed intervals); disjoint keys never pair") {
+    val left = Seq((1L, 1L, 0L, 10L), (2L, 2L, 0L, 10L)).toDF("k", "lid", "ls", "le")
+    val right = Seq((1L, 10L, 10L, 20L), (1L, 20L, 11L, 20L), (2L, 30L, 5L, 6L))
+      .toDF("k", "rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left, right, Seq("k"),
+        "ls", "le", "rs", "re", chunk = 100L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // le=10 touches rs=10 → pair; rs=11 > le=10 → no; key 2 pairs only with key 2
+    assert(got == Set((1L, 10L), (2L, 30L)))
+  }
+
+  test("intervalOverlap fails loudly on inverted intervals and over-cap spans") {
+    val ok = Seq((1L, 1L, 0L, 5L)).toDF("k", "lid", "ls", "le")
+    val inverted = Seq((1L, 9L, 10L, 0L)).toDF("k", "rid", "rs", "re")
+    val e1 = intercept[Exception] {
+      RangeJoin.intervalOverlap(ok, inverted, Seq("k"),
+        "ls", "le", "rs", "re", chunk = 10L).count()
+    }
+    assert(e1.getMessage.contains("start > end"))
+    val endless = Seq((1L, 9L, 0L, 1000000L)).toDF("k", "rid", "rs", "re")
+    val e2 = intercept[Exception] {
+      RangeJoin.intervalOverlap(ok, endless, Seq("k"),
+        "ls", "le", "rs", "re", chunk = 10L, maxChunksPerRow = 64).count()
+    }
+    assert(e2.getMessage.contains("covers more than"))
+  }
 }
