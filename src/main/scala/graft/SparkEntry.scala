@@ -1685,7 +1685,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("l_id") + col("r_id")).as("checksum"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // BM25 document ranking with the rational (un-logged) idf and
+    // integer micro-unit per-doc totals — deterministic where classic
+    // ln-idf is not (see text/Search.scala object doc).
+    "q108_bm25" -> ((s, dir) =>
+      graft.text.Search.bm25TopDocs(T(s, dir, "documents"),
+        terms = Seq("spark", "join"), k = 10)),
+
+    // Market-basket association lift over per-user event-type sets: the
+    // un-logged PMI (lift > 1 ⇔ positive association), exact-integer
+    // counts with one final division.
+    "q109_assoc_lift" -> ((s, dir) =>
+      graft.analytics.Assoc.liftPairs(T(s, dir, "events"),
+        "user_id", "event_type")),
+
+    // Per-user Gini–Simpson diversity over event types — the polynomial
+    // stand-in for Shannon entropy (no transcendental in the hash gate).
+    "q110_simpson_diversity" -> ((s, dir) =>
+      graft.analytics.Assoc.simpsonDiversity(T(s, dir, "events"),
+        "user_id", "event_type")),
+
+    // Conjunctive (all-terms) search: posting-list intersection as a
+    // distinct-membership count over query-term postings only.
+    "q111_conjunctive_search" -> ((s, dir) =>
+      graft.text.Search.conjunctiveSearch(T(s, dir, "documents"),
+        terms = Seq("spark", "merge", "window"))),
+
+    // First-order event-type transition matrix per user (lead() over a
+    // tie-broken per-user order), with conditional p = n / Σ_dst n.
+    "q112_event_transitions" -> ((s, dir) =>
+      graft.analytics.Assoc.transitions(T(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")),
+
+    // Vocabulary-growth curve via the two-pass distributed prefix sum —
+    // the oracle's single-partition running-sum window recomputed with
+    // bucketed offsets (identical exact-integer results).
+    "q113_vocab_growth" -> ((s, dir) =>
+      graft.text.Search.vocabGrowth(T(s, dir, "documents"), bucketWidth = 64))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -3009,6 +3047,81 @@ object SparkEntry {
         |  sum(l_id + r_id)::BIGINT AS checksum
         |FROM l JOIN r USING (user_id) WHERE ls <= re AND rs <= le
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical expression tree to Search.bm25TopDocs (k1=1.2, b=0.75 →
+    // the 2.2 / 1.2 / 0.25 / 0.75 literals) — every step is +,−,×,÷ on
+    // doubles plus one round-to-micro, so the engines agree bitwise
+    "q108_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+        |qtf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok
+        |  WHERE token IN ('spark', 'join') GROUP BY 1, 2),
+        |qdf AS (SELECT token, count(*)::BIGINT AS df FROM qtf GROUP BY 1),
+        |sc AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |s AS (SELECT q.doc_id,
+        |    round((q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * (dl.dl / ad.avgdl)))
+        |      * ((sc.n - d.df + 0.5) / (d.df + 0.5)) * 1000000.0)::BIGINT AS score_micro
+        |  FROM qtf q JOIN qdf d USING (token) JOIN dl ON dl.doc_id = q.doc_id
+        |  CROSS JOIN sc CROSS JOIN ad)
+        |SELECT doc_id, count(*)::BIGINT AS n_terms_hit, sum(score_micro)::BIGINT AS bm25_micro
+        |FROM s GROUP BY 1 ORDER BY bm25_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q109_assoc_lift" ->
+      """WITH m AS (SELECT DISTINCT user_id AS g, event_type AS i FROM events),
+        |tot AS (SELECT count(DISTINCT g)::BIGINT AS tot FROM m),
+        |pi AS (SELECT i, count(*)::BIGINT AS n FROM m GROUP BY 1),
+        |p AS (SELECT a.i AS item_1, b.i AS item_2, count(*)::BIGINT AS n_ab
+        |  FROM m a JOIN m b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2)
+        |SELECT item_1, item_2, n_ab,
+        |  (n_ab * tot)::DOUBLE / (n1.n * n2.n) AS lift
+        |FROM p JOIN pi n1 ON n1.i = item_1 JOIN pi n2 ON n2.i = item_2
+        |CROSS JOIN tot ORDER BY 1, 2""".stripMargin,
+
+    "q110_simpson_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT user_id, sum(c)::BIGINT AS n_events,
+        |    count(*)::BIGINT AS n_items, sum(c * c)::BIGINT AS sq
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n_events, n_items,
+        |  1.0 - sq::DOUBLE / (n_events * n_events) AS simpson
+        |FROM a ORDER BY user_id""".stripMargin,
+
+    "q111_conjunctive_search" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+        |h AS (SELECT doc_id FROM (
+        |    SELECT DISTINCT doc_id, token FROM tok
+        |    WHERE token IN ('spark', 'merge', 'window'))
+        |  GROUP BY doc_id HAVING count(*) = 3)
+        |SELECT doc_id, dl FROM h JOIN dl USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q112_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |t AS (SELECT src, dst, count(*)::BIGINT AS n FROM s
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |ps AS (SELECT src, sum(n)::BIGINT AS srcn FROM t GROUP BY 1)
+        |SELECT src, dst, n, n::DOUBLE / srcn AS p
+        |FROM t JOIN ps USING (src) ORDER BY 1, 2""".stripMargin,
+
+    // the plain single-partition running-sum form — Search.vocabGrowth's
+    // bucketed two-pass prefix sum must reproduce it exactly
+    "q113_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, min(doc_id) AS doc_id FROM tok GROUP BY 1),
+        |nb AS (SELECT doc_id, count(*)::BIGINT AS new_tokens FROM f GROUP BY 1),
+        |sp AS (SELECT d.doc_id, coalesce(nb.new_tokens, 0)::BIGINT AS new_tokens
+        |  FROM documents d LEFT JOIN nb USING (doc_id))
+        |SELECT doc_id, new_tokens,
+        |  sum(new_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS vocab_size
+        |FROM sp ORDER BY doc_id""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval primitives over the tokenized document table: BM25
+  * ranking, conjunctive (all-terms) search, and the vocabulary-growth
+  * curve — the query side of the training-data pipeline that
+  * [[Relevance]] (TF-IDF) and [[TextStats]] feed (reference:
+  * ROADMAP.md:85–90 content-based features; the reference has no search
+  * surface, so the operator set follows the standard IR formulation).
+  *
+  * Determinism note (shared with [[Relevance]]): BM25's classic
+  * ln((N−df+0.5)/(df+0.5)) idf is a transcendental and engines differ in
+  * the last ulp. We keep the rational core — idf_ratio =
+  * (N−df+0.5)/(df+0.5) — un-logged: every arithmetic step is +,−,×,÷
+  * (all correctly rounded under IEEE-754), per-term scores are fixed to
+  * integer micro-units, and the per-doc total is an exact integer sum —
+  * bit-identical on any engine evaluating the same expression tree, and
+  * monotone in df/tf exactly where BM25's ranking intuition lives.
+  */
+object Search {
+
+  /** BM25-style top-`k` documents for `terms` (rational idf variant, see
+    * object doc). Per (doc, term):
+    * {{{
+    *   tf_norm = tf·(k1+1) / (tf + k1·(1 − b + b·(dl/avgdl)))
+    *   score   = tf_norm · (N − df + 0.5)/(df + 0.5)
+    * }}}
+    * fixed to micro-units (`round(score·1e6)` as long) before the
+    * per-doc sum, so the total is an order-independent exact integer.
+    * Output: (doc_id, n_terms_hit, bm25_micro), top `k` by
+    * (bm25_micro desc, doc_id asc).
+    *
+    * Scale posture: tf/df/dl are three hash aggregations on (doc, token)
+    * / token / doc keys; `terms` filters the tf side BEFORE the shuffle
+    * (only query-term postings move), df and the N/avgdl scalars ride a
+    * broadcast one-row cross join. No all-pairs stage; top-k is a
+    * TakeOrderedAndProject.
+    */
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int = 10,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25TopDocs needs at least one query term")
+    val tok = docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // df over the full corpus but only for query terms: the filter runs
+    // before the (doc, token) shuffle, so non-query postings never move
+    val qtf = tok.filter(col("token").isInCollection(terms))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val qdf = qtf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scalars = docs.agg(count(lit(1)).as("__n"))
+      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("__avgdl"))))
+    val tfn = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + k1 * (lit(1.0 - b) + b * (col("dl") / col("__avgdl"))))
+    val idfRatio = (col("__n") - col("df") + 0.5) / (col("df") + 0.5)
+    qtf.join(qdf, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("score_micro", round(tfn * idfRatio * 1e6, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("score_micro")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Conjunctive (AND) search: documents containing EVERY term in
+    * `terms`, with their token length. The posting-list intersection is
+    * expressed as distinct-(doc, term) membership counted up to
+    * |terms| — one shuffle on the doc key over query-term postings only.
+    * Output: (doc_id, dl), ordered by doc_id.
+    */
+  def conjunctiveSearch(docs: DataFrame, terms: Seq[String],
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "conjunctiveSearch needs at least one term")
+    val tok = docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val hits = tok.filter(col("token").isInCollection(terms))
+      .select("doc_id", "token").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("__hit"))
+      .filter(col("__hit") === terms.distinct.size)
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    hits.join(dl, Seq("doc_id")).select(col("doc_id"), col("dl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Vocabulary-growth curve (Heaps-law view): for each document in
+    * doc-id order, the number of tokens first seen in it and the
+    * cumulative vocabulary size up to and including it. Output:
+    * (doc_id, new_tokens, vocab_size), one row per document.
+    *
+    * Scale posture: a global running sum is inherently sequential, so the
+    * naive `sum over (order by doc_id)` window collapses to ONE
+    * partition holding every document. This implements the classic
+    * two-pass distributed prefix sum instead: docs land in
+    * `bucketWidth`-wide id ranges, per-bucket totals (≈|docs|/width rows)
+    * take a tiny single-partition window to become bucket offsets, and
+    * the offsets broadcast back so the heavy within-bucket window runs
+    * partitioned by bucket. Both passes are exact integer sums — results
+    * identical to the single-partition form at any parallelism.
+    */
+  def vocabGrowth(docs: DataFrame, bucketWidth: Long = 64,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val tok = docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val newByDoc = tok.groupBy("token").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("new_tokens"))
+    val spine = docs.select(col(idCol).as("doc_id"))
+      .join(newByDoc, Seq("doc_id"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      .withColumn("__b", expr(s"doc_id div ${bucketWidth}L"))
+    val perBucket = spine.groupBy("__b").agg(sum(col("new_tokens")).as("__bsum"))
+    val wB = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = perBucket
+      .withColumn("__off", sum(col("__bsum")).over(wB) - col("__bsum"))
+      .select(col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(broadcast(offsets), Seq("__b"))
+      .withColumn("vocab_size", sum(col("new_tokens")).over(wIn) + col("__off"))
+      .select(col("doc_id"), col("new_tokens"), col("vocab_size"))
+      .orderBy(col("doc_id"))
+  }
+}
