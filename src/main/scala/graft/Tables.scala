@@ -97,22 +97,35 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at BUILD time (Verify,
-    * Bench, and check.py all do) so the column arrives as raw nanosecond
-    * longs; this loader no longer mutates session conf as a side effect.
+  /** `events.ts` normalization to the declared TimestampType (µs, UTC
+    * session zone), tolerant of how the generator wrote the column:
     *
-    * ns→µs uses FLOOR division via pmod — `div` truncates toward zero,
-    * which differs from floor for pre-epoch timestamps; pmod keeps the
-    * mapping monotone on the whole axis. The oracles compare at µs
-    * resolution (`epoch_ns(ts) // 1000`, floor) to match. A double
-    * roundtrip instead would lose precision above 2^53 ns.
+    *   - parquet TIMESTAMP(MICROS) `isAdjustedToUTC=false` → Spark reads
+    *     TIMESTAMP_NTZ; cast to TimestampType (UTC session zone makes the
+    *     cast wall-clock-neutral: identical epoch micros).
+    *   - parquet TIMESTAMP(NANOS) + `nanosAsLong=true` (older generator
+    *     output) → raw ns longs; floored ns→µs via pmod — `div` truncates
+    *     toward zero, which differs from floor for pre-epoch timestamps,
+    *     and a double roundtrip would lose precision above 2^53 ns.
+    *   - TIMESTAMP(MICROS/MILLIS) adjusted-to-UTC → already TimestampType.
+    *
+    * The DuckDB oracles convert with `epoch_ns(ts) // 1000` (floor),
+    * which matches every branch at µs resolution.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(s"events.ts arrived as $other; expected " +
+          "nanosecond longs, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

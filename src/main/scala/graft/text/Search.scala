@@ -54,7 +54,7 @@ object Search {
     val scalars = docs.agg(count(lit(1)).as("__n"))
       .crossJoin(broadcast(dl.agg(avg(col("dl")).as("__avgdl"))))
     val tfn = (col("tf") * (k1 + 1.0)) /
-      (col("tf") + k1 * (lit(1.0 - b) + b * (col("dl") / col("__avgdl"))))
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("__avgdl"))))
     val idfRatio = (col("__n") - col("df") + 0.5) / (col("df") + 0.5)
     qtf.join(qdf, Seq("token"))
       .join(dl, Seq("doc_id"))

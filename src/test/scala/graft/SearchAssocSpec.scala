@@ -1,0 +1,172 @@
+package graft
+
+import org.scalacheck.Gen
+import graft.analytics.Assoc
+import graft.text.Search
+
+/** Brute-force oracles for the retrieval ([[graft.text.Search]]) and
+  * association ([[graft.analytics.Assoc]]) operators added in round 6.
+  * Each property recomputes the expected answer with plain Scala
+  * collections over random corpora (fixed ScalaCheck seeds, same
+  * rationale as PropertiesSpec) and demands exact equality — every score
+  * in these modules is integer arithmetic plus correctly-rounded double
+  * ops, so there is no tolerance to hide behind.
+  */
+class SearchAssocSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def toks(text: String): Seq[String] =
+    text.toLowerCase.split("[ \t\n\r\f]+").toSeq
+
+  // -------------------------------------------------------------- Search
+
+  test("bm25TopDocs == per-doc brute force (rational idf, micro-units)") {
+    val word = Gen.oneOf("spark", "join", "scan", "merge", "the", "a")
+    val docGen = Gen.chooseNum(1, 9).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    samples(Gen.listOfN(12, docGen), n = 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val terms = Seq("spark", "join")
+      val (k1, b) = (1.2, 0.75)
+      val tokenized = texts.zipWithIndex.map { case (t, i) => i.toLong -> toks(t) }.toMap
+      val n = texts.size.toLong
+      val avgdl = tokenized.values.map(_.size).sum.toDouble / n
+      val df = terms.map(t => t -> tokenized.values.count(_.contains(t)).toLong).toMap
+      val want = tokenized.toSeq.flatMap { case (id, tk) =>
+        val scores = terms.flatMap { t =>
+          val tf = tk.count(_ == t).toLong
+          if (tf == 0 || df(t) == 0) None
+          else {
+            val tfn = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (tk.size / avgdl)))
+            val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
+            Some(math.rint(tfn * idf * 1e6).toLong)
+          }
+        }
+        if (scores.isEmpty) None else Some((id, scores.size.toLong, scores.sum))
+      }.sortBy { case (id, _, s) => (-s, id) }.take(10)
+      val got = Search.bm25TopDocs(docs, terms, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"got=$got want=$want texts=$texts")
+    }
+  }
+
+  test("conjunctiveSearch == all-terms membership brute force") {
+    val word = Gen.oneOf("spark", "merge", "window", "x", "y")
+    val docGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    samples(Gen.listOfN(10, docGen), n = 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val terms = Seq("spark", "merge", "window")
+      val want = texts.zipWithIndex.collect {
+        case (t, i) if terms.forall(toks(t).contains) => (i.toLong, toks(t).size.toLong)
+      }.sortBy(_._1)
+      val got = Search.conjunctiveSearch(docs, terms).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, s"got=$got want=$want texts=$texts")
+    }
+  }
+
+  test("conjunctiveSearch: duplicated query terms don't change the hit set") {
+    val docs = Seq((1L, "spark merge window"), (2L, "spark merge"), (3L, "window spark merge spark"))
+      .toDF("doc_id", "text")
+    val base = rows(Search.conjunctiveSearch(docs, Seq("spark", "merge", "window")))
+    val dup = rows(Search.conjunctiveSearch(docs, Seq("spark", "spark", "merge", "window", "merge")))
+    assert(base == dup)
+    assert(base.map(_.head) == Seq(1L, 3L))
+  }
+
+  test("vocabGrowth: bucketed two-pass prefix sum == single-partition form, any width") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    samples(Gen.listOfN(11, docGen), n = 3).foreach { texts =>
+      // non-contiguous, shuffled doc ids: bucket boundaries must not
+      // assume dense ids or sorted input
+      val ids = texts.indices.map(i => i.toLong * 7 + 3)
+      val docs = scala.util.Random.javaRandomToRandom(new java.util.Random(1))
+        .shuffle(ids.zip(texts)).toDF("doc_id", "text")
+      val firstSeen = scala.collection.mutable.Map[String, Long]()
+      ids.zip(texts).sortBy(_._1).foreach { case (id, t) =>
+        toks(t).foreach(tok => if (!firstSeen.contains(tok)) firstSeen(tok) = id)
+      }
+      var cum = 0L
+      val want = ids.sorted.map { id =>
+        val nw = firstSeen.count(_._2 == id).toLong
+        cum += nw
+        (id, nw, cum)
+      }
+      Seq(1L, 4L, 1000L).foreach { width =>
+        val got = Search.vocabGrowth(docs, bucketWidth = width).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got == want, s"width=$width got=$got want=$want")
+      }
+    }
+  }
+
+  // --------------------------------------------------------------- Assoc
+
+  test("liftPairs == brute-force distinct-membership lift") {
+    val ev = for {
+      g <- Gen.chooseNum(1, 6); i <- Gen.oneOf("p", "q", "r", "s")
+    } yield (g.toLong, i)
+    samples(Gen.listOfN(30, ev), n = 4).foreach { events =>
+      val df = events.toDF("user_id", "event_type")
+      val m = events.distinct
+      val groups = m.map(_._1).distinct.size.toLong
+      val perItem = m.groupBy(_._2).map { case (i, xs) => i -> xs.size.toLong }
+      val want = m.groupBy(_._1).values.toSeq
+        .flatMap(xs => for { a <- xs.map(_._2); b <- xs.map(_._2) if a < b } yield (a, b))
+        .groupBy(identity).map { case ((a, b), xs) =>
+          val nab = xs.size.toLong
+          (a, b, nab, nab * groups.toDouble / (perItem(a) * perItem(b)))
+        }.toSeq.sortBy(t => (t._1, t._2))
+      val got = Assoc.liftPairs(df, "user_id", "event_type").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == want, s"got=$got want=$want events=$events")
+    }
+  }
+
+  test("simpsonDiversity == brute force; extremes hit 0 and (n-1)/n") {
+    val ev = for {
+      g <- Gen.chooseNum(1, 5); i <- Gen.oneOf("p", "q", "r")
+    } yield (g.toLong, i)
+    samples(Gen.listOfN(25, ev), n = 4).foreach { events =>
+      val df = events.toDF("user_id", "event_type")
+      val want = events.groupBy(_._1).toSeq.map { case (g, xs) =>
+        val c = xs.groupBy(_._2).map(_._2.size.toLong)
+        val tot = c.sum
+        (g, tot, c.size.toLong, 1.0 - c.map(x => x * x).sum.toDouble / (tot * tot))
+      }.sortBy(_._1)
+      val got = Assoc.simpsonDiversity(df, "user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == want, s"got=$got want=$want")
+    }
+    // extremes: single item → 0; n distinct singletons → 1 - 1/n
+    val single = Seq((1L, "p"), (1L, "p"), (1L, "p")).toDF("user_id", "event_type")
+    assert(Assoc.simpsonDiversity(single, "user_id", "event_type")
+      .collect().head.getDouble(3) == 0.0)
+    val spread = Seq((1L, "p"), (1L, "q"), (1L, "r")).toDF("user_id", "event_type")
+    assert(Assoc.simpsonDiversity(spread, "user_id", "event_type")
+      .collect().head.getDouble(3) == 1.0 - 1.0 / 3.0)
+  }
+
+  test("transitions == brute-force lead counts; ties broken by tieCol") {
+    // deliberate same-timestamp collisions: tieCol must make the order total
+    val ev = for {
+      g <- Gen.chooseNum(1, 3); s <- Gen.oneOf("a", "b", "c"); t <- Gen.chooseNum(0, 3)
+    } yield (g.toLong, s, t.toLong)
+    samples(Gen.listOfN(20, ev), n = 4).foreach { raw =>
+      val events = raw.zipWithIndex.map { case ((g, s, t), i) => (g, s, t, i.toLong) }
+      val df = events.toDF("user_id", "event_type", "ts", "event_id")
+      val steps = events.groupBy(_._1).values.toSeq.flatMap { xs =>
+        val ordered = xs.sortBy(e => (e._3, e._4)).map(_._2)
+        ordered.zip(ordered.drop(1))
+      }
+      val counts = steps.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val perSrc = steps.groupBy(_._1).map { case (s, v) => s -> v.size.toLong }
+      val want = counts.toSeq.map { case ((s, d), n) =>
+        (s, d, n, n.toDouble / perSrc(s))
+      }.sortBy(t => (t._1, t._2))
+      val got = Assoc.transitions(df, "user_id", "event_type", "ts", "event_id").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == want, s"got=$got want=$want events=$events")
+    }
+  }
+}
