@@ -1723,7 +1723,28 @@ object SparkEntry {
     // the oracle's single-partition running-sum window recomputed with
     // bucketed offsets (identical exact-integer results).
     "q113_vocab_growth" -> ((s, dir) =>
-      graft.text.Search.vocabGrowth(T(s, dir, "documents"), bucketWidth = 64))
+      graft.text.Search.vocabGrowth(T(s, dir, "documents"), bucketWidth = 64)),
+
+    // Two-sample KS drift between the value distributions of two event
+    // populations — the empirical-CDF prefix sums ride the same two-pass
+    // bucketed form as q113 (no single-partition window at corpus scale).
+    "q114_ks_drift" -> ((s, dir) =>
+      graft.analytics.Drift.ksStatistic(T(s, dir, "events"), "value",
+        "event_type", lit("click"), lit("view"), bucketWidth = 100.0)),
+
+    // Categorical total-variation drift between early/late halves of the
+    // event stream: exact integer cross-products summed in decimal, one
+    // double division at the end (order-independent at any parallelism).
+    "q115_tv_drift" -> ((s, dir) =>
+      graft.analytics.Drift.tvDistance(
+        T(s, dir, "events").withColumn("__half", pmod(col("user_id"), lit(2L))),
+        "event_type", "__half", lit(0L), lit(1L))),
+
+    // Count-based bigram fluency score per document — the deterministic
+    // stand-in for an LM perplexity filter (exact integer sums of corpus
+    // bigram counts, one final division).
+    "q116_bigram_fluency" -> ((s, dir) =>
+      graft.text.LangModel.bigramFluency(T(s, dir, "documents")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -3122,6 +3143,49 @@ object SparkEntry {
         |  sum(new_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS vocab_size
         |FROM sp ORDER BY doc_id""".stripMargin,
+
+    // the plain single-window empirical-CDF form — Drift.ksStatistic's
+    // bucketed two-pass prefix sum must reproduce the same per-value
+    // CDF gaps (identical double ops: two casts, two divisions, abs, max)
+    "q114_ks_drift" ->
+      """WITH e AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |pv AS (SELECT v, sum(a)::BIGINT AS ca, sum(b)::BIGINT AS cb FROM e GROUP BY 1),
+        |t AS (SELECT sum(a)::BIGINT AS n_a, sum(b)::BIGINT AS n_b FROM e),
+        |c AS (SELECT
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumb
+        |  FROM pv)
+        |SELECT n_a, n_b,
+        |  max(abs(cuma::DOUBLE / n_a::DOUBLE - cumb::DOUBLE / n_b::DOUBLE)) AS ks_d
+        |FROM c, t GROUP BY 1, 2""".stripMargin,
+
+    "q115_tv_drift" ->
+      """WITH e AS (SELECT event_type AS c,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE event_type IS NOT NULL),
+        |pc AS (SELECT c, sum(a)::BIGINT AS ca, sum(b)::BIGINT AS cb FROM e GROUP BY 1),
+        |t AS (SELECT sum(a)::BIGINT AS n_a, sum(b)::BIGINT AS n_b FROM e)
+        |SELECT n_a, n_b, count(*)::BIGINT AS n_categories,
+        |  sum(abs(ca * n_b - cb * n_a))::DOUBLE /
+        |    (2.0 * n_a::DOUBLE * n_b::DOUBLE) AS tv
+        |FROM pc, t GROUP BY 1, 2""".stripMargin,
+
+    "q116_bigram_fluency" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+        |  FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-1, 0))) AS g(i)),
+        |cnt AS (SELECT bigram, count(*)::BIGINT AS c FROM bg GROUP BY 1),
+        |per AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams, sum(c.c)::BIGINT AS s
+        |  FROM bg b JOIN cnt c USING (bigram) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  CASE WHEN per.n_bigrams IS NULL THEN 0.0
+        |       ELSE per.s::DOUBLE / per.n_bigrams END AS mean_freq
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

@@ -1,0 +1,122 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift statistics between two populations of the same
+  * table — the monitoring layer a training-data pipeline needs when a
+  * corpus is re-crawled or re-split (reference: the repo's GE-style
+  * quality gate checks single-snapshot invariants,
+  * pyspark_jobs/data_quality_checks.py; these are the standard
+  * two-sample extensions of that idea).
+  *
+  * Determinism discipline (shared with [[Assoc]]): counts stay exact
+  * integers through every aggregation; the continuous statistics are
+  * built from single correctly-rounded double ops per row plus
+  * order-independent reductions (`max`, integer/decimal `sum`) — never
+  * an order-dependent double accumulation — so results are bit-identical
+  * at any parallelism and reproducible in any engine evaluating the same
+  * expression tree.
+  */
+object Drift {
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
+    * distributions of rows where `sideCol === sideA` vs `=== sideB`:
+    * {{{ D = max_x | F_a(x) − F_b(x) | }}}
+    * over the empirical CDFs evaluated at every distinct observed value.
+    * Output: one row (n_a, n_b, ks_d). Null values are excluded (a CDF
+    * over nulls is undefined); an empty side yields ks_d = NaN.
+    *
+    * Per distinct value the CDF heights are `c/n` — one correctly-rounded
+    * double division each — and D is a `max` reduction, so the result is
+    * deterministic at any parallelism and matches any engine running the
+    * same per-row arithmetic (the DuckDB oracle does exactly this). The
+    * double form also cannot overflow at any corpus size, unlike the
+    * integer cross-product `|c_a·n_b − c_b·n_a|` formulation.
+    *
+    * Scale posture: the cumulative counts need a value-ordered prefix
+    * sum, which is inherently sequential — the naive global window
+    * collapses every distinct value to ONE partition. This uses the same
+    * two-pass distributed prefix sum as `Search.vocabGrowth`: distinct
+    * values land in `bucketWidth`-wide numeric ranges, per-bucket totals
+    * (a few thousand rows) take the tiny single-partition window to
+    * become bucket offsets, and the offsets broadcast back so the heavy
+    * within-bucket window runs partitioned by bucket. Both passes are
+    * exact integer sums.
+    */
+  def ksStatistic(df: DataFrame, valueCol: String, sideCol: String,
+                  sideA: Column, sideB: Column,
+                  bucketWidth: Double = 1.0): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val sided = df
+      .filter(col(valueCol).isNotNull &&
+        (col(sideCol) === sideA || col(sideCol) === sideB))
+      .select(col(valueCol).as("__v"),
+        when(col(sideCol) === sideA, 1L).otherwise(0L).as("__a"),
+        when(col(sideCol) === sideB, 1L).otherwise(0L).as("__b"))
+    val perValue = sided.groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+      .withColumn("__bk", floor(col("__v") / bucketWidth).cast("long"))
+    val perBucket = perValue.groupBy("__bk")
+      .agg(sum(col("__ca")).as("__bca"), sum(col("__cb")).as("__bcb"))
+    val wB = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = perBucket
+      .withColumn("__offa", sum(col("__bca")).over(wB) - col("__bca"))
+      .withColumn("__offb", sum(col("__bcb")).over(wB) - col("__bcb"))
+      .select(col("__bk"), col("__offa"), col("__offb"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = sided.agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"))
+    perValue.join(broadcast(offsets), Seq("__bk"))
+      .withColumn("__cuma", sum(col("__ca")).over(wIn) + col("__offa"))
+      .withColumn("__cumb", sum(col("__cb")).over(wIn) + col("__offb"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs(col("__cuma").cast("double") / col("n_a").cast("double") -
+            col("__cumb").cast("double") / col("n_b").cast("double")).as("__gap"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("__gap")).as("ks_d"))
+      .select(col("n_a"), col("n_b"), col("ks_d"))
+  }
+
+  /** Total-variation distance between the categorical `catCol`
+    * distributions of the two populations:
+    * {{{ TV = ½ · Σ_c | p_a(c) − p_b(c) | ∈ [0, 1] }}}
+    * Output: one row (n_a, n_b, n_categories, tv).
+    *
+    * The sum is over per-category terms, and a double Σ would make the
+    * result depend on partition order. Instead each term is the exact
+    * integer cross-product `|c_a·n_b − c_b·n_a|` (common denominator
+    * n_a·n_b), summed in DECIMAL(38,0) — Spark decimal sums are exact and
+    * order-independent — with the single double division at the very
+    * end. Factors are capped at decimal(18,0) (counts < 10^18 rows per
+    * side; beyond that the 38-digit product budget would round). One
+    * keyed aggregation on the category; everything after is
+    * category-cardinality-sized.
+    */
+  def tvDistance(df: DataFrame, catCol: String, sideCol: String,
+                 sideA: Column, sideB: Column): DataFrame = {
+    val sided = df
+      .filter(col(catCol).isNotNull &&
+        (col(sideCol) === sideA || col(sideCol) === sideB))
+      .select(col(catCol).as("__c"),
+        when(col(sideCol) === sideA, 1L).otherwise(0L).as("__a"),
+        when(col(sideCol) === sideB, 1L).otherwise(0L).as("__b"))
+    val perCat = sided.groupBy(col("__c"))
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+    val totals = sided.agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"))
+    val dec = "decimal(18,0)"
+    perCat.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs(col("__ca").cast(dec) * col("n_b").cast(dec) -
+            col("__cb").cast(dec) * col("n_a").cast(dec)).as("__num"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_categories"), sum(col("__num")).as("__tvnum"))
+      .select(col("n_a"), col("n_b"), col("n_categories"),
+        (col("__tvnum").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("tv"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics language-model scoring: rank documents by how
+  * typical their token transitions are of the corpus itself — the
+  * fluency axis of quality filtering (the reference's pipeline has no LM
+  * scorer; this is the count-based stand-in for a perplexity filter, in
+  * the same spirit as [[TextStats]]'s heuristic quality score).
+  *
+  * A real LM perplexity is exp of an order-dependent float sum of logs —
+  * neither deterministic under Spark's partial aggregation nor
+  * reproducible across engines. The count-based form keeps the module's
+  * discipline: per-doc totals are exact integer sums of corpus bigram
+  * counts, with ONE double division at the end, so scores are
+  * bit-identical at any parallelism and the DuckDB oracle can demand
+  * hash equality. Mean corpus-frequency is a monotone fluency proxy:
+  * documents full of transitions the corpus has never seen score low.
+  */
+object LangModel {
+
+  /** Mean corpus-frequency of each document's token bigrams.
+    * Output: (doc_id, n_bigrams, mean_freq) for EVERY input document —
+    * docs with fewer than two tokens get (0, 0.0) rather than vanishing,
+    * so the score is usable as a quality-filter column.
+    *
+    * Scale posture: three keyed shuffles, all map-side combinable — the
+    * corpus bigram count on the bigram key (frequent bigrams combine
+    * heavily), the doc-bigram ⋈ count equi-join on the same key, and the
+    * per-doc aggregation on the doc key. The bigram vocabulary is
+    * corpus-sized but never collected or broadcast; no all-pairs stage
+    * anywhere. Bodies leave the scan once, as tokens.
+    */
+  def bigramFluency(docs: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      // NOT sequence(1, size-1): Spark's sequence STEPS BACKWARD when
+      // start > stop (sequence(1, 0) = [1, 0]), so a one-token doc would
+      // index past the array instead of yielding no bigrams
+      .select(col("doc_id"), expr(
+        "CASE WHEN size(toks) < 2 THEN array() ELSE transform(" +
+          "sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i])) END")
+        .as("bgs"))
+      .select(col("doc_id"), explode(col("bgs")).as("bigram"))
+    val counts = bg.groupBy("bigram").agg(count(lit(1)).as("__c"))
+    val perDoc = bg.join(counts, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__c")).as("__s"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(col("__s").cast("double") / col("n_bigrams")).as("mean_freq"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions.lit
+import graft.analytics.Drift
+import graft.text.LangModel
+
+/** Brute-force oracles for the drift statistics ([[graft.analytics.Drift]])
+  * and the bigram-LM fluency score ([[graft.text.LangModel]]). Exact
+  * equality throughout: each Spark expression is integer arithmetic plus
+  * the identical sequence of correctly-rounded double ops the oracle
+  * performs, so there is no tolerance to hide behind.
+  */
+class DriftSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def toks(text: String): Seq[String] =
+    text.toLowerCase.split("[ \t\n\r\f]+").toSeq
+
+  // ------------------------------------------------------------------- KS
+
+  /** The single-partition textbook form: D over the distinct-value grid. */
+  private def ksBrute(a: Seq[Double], b: Seq[Double]): Double = {
+    val grid = (a ++ b).distinct.sorted
+    val (na, nb) = (a.size.toLong, b.size.toLong)
+    grid.map { x =>
+      math.abs(a.count(_ <= x).toLong.toDouble / na.toDouble -
+               b.count(_ <= x).toLong.toDouble / nb.toDouble)
+    }.max
+  }
+
+  test("ksStatistic == brute-force CDF max at any bucket width") {
+    val v = Gen.chooseNum(-20, 40).map(_ / 4.0) // duplicates + negatives
+    val sideGen = for { x <- v; s <- Gen.oneOf("A", "B") } yield (s, x)
+    samples(Gen.listOfN(40, sideGen), n = 4).foreach { xs =>
+      val a = xs.collect { case ("A", x) => x }
+      val b = xs.collect { case ("B", x) => x }
+      whenever(a.nonEmpty && b.nonEmpty) {
+        val df = xs.toDF("side", "value")
+        Seq(0.5, 3.0, 1000.0).foreach { width =>
+          val got = Drift.ksStatistic(df, "value", "side", lit("A"), lit("B"),
+            bucketWidth = width).collect().head
+          assert((got.getLong(0), got.getLong(1)) == (a.size.toLong, b.size.toLong))
+          assert(got.getDouble(2) == ksBrute(a, b),
+            s"width=$width got=${got.getDouble(2)} want=${ksBrute(a, b)} xs=$xs")
+        }
+      }
+    }
+  }
+
+  test("ksStatistic extremes: identical samples -> 0, disjoint ranges -> 1") {
+    val same = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0)).toDF("side", "value")
+    assert(Drift.ksStatistic(same, "value", "side", lit("A"), lit("B"))
+      .collect().head.getDouble(2) == 0.0)
+    val apart = Seq(("A", 1.0), ("A", 2.0), ("B", 10.0), ("B", 11.0)).toDF("side", "value")
+    assert(Drift.ksStatistic(apart, "value", "side", lit("A"), lit("B"))
+      .collect().head.getDouble(2) == 1.0)
+  }
+
+  test("ksStatistic excludes nulls and third populations") {
+    val df = Seq(("A", Some(1.0)), ("A", None), ("B", Some(5.0)), ("C", Some(1.0)))
+      .toDF("side", "value")
+    val r = Drift.ksStatistic(df, "value", "side", lit("A"), lit("B")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == (1L, 1L, 1.0))
+  }
+
+  // ------------------------------------------------------------------- TV
+
+  test("tvDistance == brute force; extremes hit 0 and 1") {
+    val catGen = for { s <- Gen.oneOf("A", "B"); c <- Gen.oneOf("x", "y", "z") } yield (s, c)
+    samples(Gen.listOfN(30, catGen), n = 4).foreach { xs =>
+      val a = xs.collect { case ("A", c) => c }
+      val b = xs.collect { case ("B", c) => c }
+      whenever(a.nonEmpty && b.nonEmpty) {
+        val (na, nb) = (a.size.toLong, b.size.toLong)
+        val cats = (a ++ b).distinct
+        val num = cats.map(c =>
+          math.abs(a.count(_ == c).toLong * nb - b.count(_ == c).toLong * na)).sum
+        val want = num.toDouble / (2.0 * na.toDouble * nb.toDouble)
+        val got = Drift.tvDistance(xs.toDF("side", "cat"), "cat", "side",
+          lit("A"), lit("B")).collect().head
+        assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3)) ==
+          (na, nb, cats.size.toLong, want), s"xs=$xs")
+      }
+    }
+    val samePs = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")).toDF("side", "cat")
+    assert(Drift.tvDistance(samePs, "cat", "side", lit("A"), lit("B"))
+      .collect().head.getDouble(3) == 0.0)
+    val disjoint = Seq(("A", "x"), ("B", "y")).toDF("side", "cat")
+    assert(Drift.tvDistance(disjoint, "cat", "side", lit("A"), lit("B"))
+      .collect().head.getDouble(3) == 1.0)
+  }
+
+  // -------------------------------------------------------------- fluency
+
+  test("bigramFluency == brute-force corpus bigram counts; short docs score 0") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(1, 7).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    samples(Gen.listOfN(10, docGen), n = 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val allBgs = texts.flatMap(t => toks(t).sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq)
+      val corpus = allBgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        val bgs = toks(t).sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val mean = if (bgs.isEmpty) 0.0
+                   else bgs.map(corpus).sum.toDouble / bgs.size.toLong
+        (i.toLong, bgs.size.toLong, mean)
+      }
+      val got = LangModel.bigramFluency(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == want, s"got=$got want=$want texts=$texts")
+    }
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+}
