@@ -100,14 +100,19 @@ object Tables {
   /** `events.ts` normalization to the declared TimestampType (µs, UTC
     * session zone), tolerant of how the generator wrote the column:
     *
-    *   - parquet TIMESTAMP(MICROS) `isAdjustedToUTC=false` → Spark reads
-    *     TIMESTAMP_NTZ; cast to TimestampType (UTC session zone makes the
-    *     cast wall-clock-neutral: identical epoch micros).
+    *   - parquet TIMESTAMP(MICROS/MILLIS), adjusted-to-UTC or not → the
+    *     table is RE-READ with the declared schema, so `ts` arrives as
+    *     TimestampType straight from the scan. This beats a
+    *     cast-after-read (which the NTZ inference would force): a cast
+    *     wrapped around the column BLOCKS predicate pushdown, while the
+    *     schema-coerced read keeps `PushedFilters` on ts working — at
+    *     100 TB a time-range predicate must prune at the scan, not
+    *     post-scan. Under the UTC session zone the µs values are
+    *     identical either way (verified value-for-value at migration).
     *   - parquet TIMESTAMP(NANOS) + `nanosAsLong=true` (older generator
     *     output) → raw ns longs; floored ns→µs via pmod — `div` truncates
     *     toward zero, which differs from floor for pre-epoch timestamps,
     *     and a double roundtrip would lose precision above 2^53 ns.
-    *   - TIMESTAMP(MICROS/MILLIS) adjusted-to-UTC → already TimestampType.
     *
     * The DuckDB oracles convert with `epoch_ns(ts) // 1000` (floor),
     * which matches every branch at µs resolution.
@@ -118,9 +123,8 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
-      case TimestampType => raw
+      case TimestampNTZType | TimestampType =>
+        spark.read.schema(schemas("events")).parquet(path(dir, "events"))
       case other =>
         throw new IllegalStateException(s"events.ts arrived as $other; expected " +
           "nanosecond longs, TIMESTAMP_NTZ, or TIMESTAMP")
