@@ -1744,7 +1744,14 @@ object SparkEntry {
     // stand-in for an LM perplexity filter (exact integer sums of corpus
     // bigram counts, one final division).
     "q116_bigram_fluency" -> ((s, dir) =>
-      graft.text.LangModel.bigramFluency(T(s, dir, "documents")))
+      graft.text.LangModel.bigramFluency(T(s, dir, "documents"))),
+
+    // Key-skew diagnostic before a shuffle/join on user_id: exact
+    // integer inverse-CDF quantiles over the count-of-counts histogram
+    // (no percentile buffer holding all keys), heaviest key, and the
+    // max/mean skew ratio that predicts stragglers.
+    "q117_skew_report" -> ((s, dir) =>
+      graft.quality.Profile.skewReport(T(s, dir, "events"), Seq("user_id")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -3186,6 +3193,23 @@ object SparkEntry {
         |  CASE WHEN per.n_bigrams IS NULL THEN 0.0
         |       ELSE per.s::DOUBLE / per.n_bigrams END AS mean_freq
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // quantiles via the same integer inverse-CDF rule skewReport uses
+    // (smallest count with cumulative key-fraction >= p) — no
+    // quantile_cont interpolation to match across engines
+    "q117_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+        |s AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |  max(cnt)::BIGINT AS max_count FROM c),
+        |cc AS (SELECT cnt, count(*)::BIGINT AS freq FROM c GROUP BY 1),
+        |cw AS (SELECT cnt, sum(freq) OVER (ORDER BY cnt
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum FROM cc),
+        |p50 AS (SELECT min(cnt)::BIGINT AS p50_count FROM cw, s WHERE 2 * cum >= n_keys),
+        |p99 AS (SELECT min(cnt)::BIGINT AS p99_count FROM cw, s WHERE 100 * cum >= 99 * n_keys),
+        |tk AS (SELECT max(user_id::VARCHAR) AS top_key FROM c, s WHERE cnt = max_count)
+        |SELECT n_rows, n_keys, max_count, p50_count, p99_count, top_key,
+        |  max_count::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE AS skew_ratio
+        |FROM s, p50, p99, tk""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

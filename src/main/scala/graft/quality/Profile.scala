@@ -56,4 +56,69 @@ object Profile {
         col("__e.n_distinct").as("n_distinct"),
         col("__e.min_s").as("min_s"), col("__e.max_s").as("max_s"))
   }
+
+  /** Key-skew diagnostic for a prospective shuffle/join key: the per-key
+    * count distribution plus the heaviest key. One row out:
+    * (n_rows, n_keys, max_count, p50_count, p99_count, top_key,
+    * skew_ratio), where skew_ratio = max_count / mean_count (1.0 ⇔
+    * perfectly uniform; the factor by which the hottest partition-key
+    * exceeds the average — the number that predicts stragglers).
+    *
+    * Quantiles of the count distribution are EXACT inverse-CDF picks
+    * (smallest count whose cumulative key-fraction ≥ p) computed over
+    * the count-of-counts histogram with integer threshold comparisons
+    * (`2·cum ≥ n_keys`, `100·cum ≥ 99·n_keys`) — no interpolation, no
+    * doubles, no percentile-buffer that would hold all n_keys values in
+    * one aggregator. `top_key` ties break by max of the stringified key.
+    *
+    * Scale posture: ONE data-scale shuffle (the per-key count), then a
+    * `localCheckpoint` so the three scalar consumers (stats, histogram,
+    * top-key probe) read the materialized counts instead of re-paying
+    * the shuffle. The histogram's running sum rides the same two-pass
+    * bucketed prefix sum as `Search.vocabGrowth` — count-of-counts rows
+    * are few in practice but are NOT assumed small. Everything after
+    * the checkpoint is key-cardinality-sized or scalar.
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+                 bucketWidth: Long = 1024): DataFrame = {
+    require(keyCols.nonEmpty, "skewReport needs at least one key column")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
+        col("cnt"))
+      .localCheckpoint()
+    val stats = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_count"))
+    val cc = counts.groupBy("cnt").agg(count(lit(1)).as("__freq"))
+      .withColumn("__bk", expr(s"cnt div ${bucketWidth}L"))
+    val perBucket = cc.groupBy("__bk").agg(sum(col("__freq")).as("__bsum"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("__bk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val offsets = perBucket
+      .withColumn("__off", sum(col("__bsum")).over(wB) - col("__bsum"))
+      .select(col("__bk"), col("__off"))
+    val wIn = org.apache.spark.sql.expressions.Window.partitionBy(col("__bk"))
+      .orderBy(col("cnt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cw = cc.join(broadcast(offsets), Seq("__bk"))
+      .withColumn("__cum", sum(col("__freq")).over(wIn) + col("__off"))
+      .crossJoin(broadcast(stats.select(col("n_keys").as("__nk"))))
+    val p50 = cw.filter(col("__cum") * 2 >= col("__nk"))
+      .agg(min(col("cnt")).as("p50_count"))
+    val p99 = cw.filter(col("__cum") * 100 >= col("__nk") * 99)
+      .agg(min(col("cnt")).as("p99_count"))
+    val top = counts
+      .crossJoin(broadcast(stats.select(col("max_count").as("__mx"))))
+      .filter(col("cnt") === col("__mx"))
+      .agg(max(col("key")).as("top_key"))
+    stats.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+      .crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        col("p50_count"), col("p99_count"), col("top_key"),
+        (col("max_count").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_ratio"))
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalacheck.Gen
+import graft.quality.Profile
+
+/** Brute-force oracle for [[graft.quality.Profile.skewReport]]: the
+  * count distribution, inverse-CDF quantile rule, top-key tie-break, and
+  * skew ratio recomputed with plain collections; exact equality (integer
+  * arithmetic plus one double expression replayed verbatim).
+  */
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def brute(keys: Seq[Long]): (Long, Long, Long, Long, Long, String, Double) = {
+    val counts = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nRows = keys.size.toLong
+    val nKeys = counts.size.toLong
+    val maxC = counts.values.max
+    val sorted = counts.values.toSeq.sorted
+    def invCdf(num: Long, den: Long): Long = {
+      // smallest count whose cumulative key-fraction ≥ num/den
+      var cum = 0L
+      sorted.find { c => cum += 1; cum * den >= num * nKeys }.get
+    }
+    val p50 = invCdf(1, 2)
+    val p99 = invCdf(99, 100)
+    val top = counts.filter(_._2 == maxC).keys.map(_.toString).max
+    val ratio = maxC.toDouble * nKeys.toDouble / nRows.toDouble
+    (nRows, nKeys, maxC, p50, p99, top, ratio)
+  }
+
+  test("skewReport == brute force at any bucket width") {
+    val keyGen = Gen.frequency(
+      (6, Gen.chooseNum(1L, 8L)),   // some heavy keys
+      (3, Gen.chooseNum(100L, 120L))) // long tail
+    samples(Gen.listOfN(60, keyGen), n = 4).foreach { keys =>
+      val df = keys.map(Tuple1(_)).toDF("user_id")
+      Seq(1L, 3L, 1024L).foreach { width =>
+        val got = Profile.skewReport(df, Seq("user_id"), bucketWidth = width)
+          .collect().head
+        val want = brute(keys)
+        assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+          got.getLong(4), got.getString(5), got.getDouble(6)) == want,
+          s"width=$width keys=$keys")
+      }
+    }
+  }
+
+  test("skewReport: uniform keys give ratio 1.0; composite keys concat with |") {
+    val uniform = (1L to 12L).flatMap(k => Seq.fill(3)(k)).map(Tuple1(_)).toDF("user_id")
+    val u = Profile.skewReport(uniform, Seq("user_id")).collect().head
+    assert(u.getDouble(6) == 1.0 && u.getLong(2) == 3L && u.getLong(3) == 3L)
+
+    val comp = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k1", "k2")
+    val c = Profile.skewReport(comp, Seq("k1", "k2")).collect().head
+    assert(c.getString(5) == "1|a" && c.getLong(2) == 2L)
+  }
+
+  test("skewReport rejects empty keys and bad widths") {
+    val df = Seq(Tuple1(1L)).toDF("user_id")
+    intercept[IllegalArgumentException](Profile.skewReport(df, Seq.empty))
+    intercept[IllegalArgumentException](
+      Profile.skewReport(df, Seq("user_id"), bucketWidth = 0))
+  }
+}
