@@ -1751,7 +1751,15 @@ object SparkEntry {
     // (no percentile buffer holding all keys), heaviest key, and the
     // max/mean skew ratio that predicts stragglers.
     "q117_skew_report" -> ((s, dir) =>
-      graft.quality.Profile.skewReport(T(s, dir, "events"), Seq("user_id")))
+      graft.quality.Profile.skewReport(T(s, dir, "events"), Seq("user_id"))),
+
+    // Exact dedup keeping the BEST duplicate (longest text, ties →
+    // smallest id) — the curation variant of q24's keep-first; one
+    // map-side-combinable max_by shuffle, no rank window.
+    "q118_dedup_keep_best" -> ((s, dir) =>
+      graft.text.Dedup.exactKeepBest(
+        T(s, dir, "documents").withColumn("content_key", md5(col("text"))),
+        "content_key", "n_chars"))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -3210,6 +3218,18 @@ object SparkEntry {
         |SELECT n_rows, n_keys, max_count, p50_count, p99_count, top_key,
         |  max_count::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE AS skew_ratio
         |FROM s, p50, p99, tk""".stripMargin,
+
+    // keep-best pick replayed as max-quality filter + min id (the
+    // (quality, -id) struct max_by tie-break, spelled out relationally)
+    "q118_dedup_keep_best" ->
+      """WITH d AS (SELECT md5(text) AS content_key, doc_id, n_chars FROM documents),
+        |m AS (SELECT content_key, max(n_chars)::BIGINT AS keep_quality,
+        |  count(*)::BIGINT AS n_copies FROM d GROUP BY 1),
+        |k AS (SELECT d.content_key, min(d.doc_id)::BIGINT AS keep_doc_id
+        |  FROM d JOIN m ON d.content_key = m.content_key AND d.n_chars = m.keep_quality
+        |  GROUP BY 1)
+        |SELECT m.content_key, k.keep_doc_id, m.keep_quality, m.n_copies
+        |FROM m JOIN k USING (content_key)""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

@@ -66,6 +66,32 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup keeping the BEST copy per content group instead of the
+    * first: among rows sharing `keyCol`'s value, keep the one with the
+    * highest `qualityCol` (ties → smallest id). This is the curation
+    * variant — duplicates often differ in the metadata that matters
+    * (source reliability, extraction quality, length after cleaning),
+    * and keep-first would discard the better copy.
+    *
+    * Keyed on an arbitrary column rather than hard-coding md5(text) so
+    * callers dedup on normalized text, URL, or a precomputed hash; pass
+    * `md5(col("text"))` via a projection for the [[exact]] behavior.
+    *
+    * 100 TB shape: same single hash-shuffle as [[exact]] — `max_by` with
+    * a (quality, −id) struct reduces each group to one row in the
+    * partial aggregate (map-side combinable; no per-group row buffer,
+    * unlike a rank-window formulation which would shuffle every copy and
+    * sort within groups).
+    */
+  def exactKeepBest(docs: DataFrame, keyCol: String, qualityCol: String,
+                    idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(keyCol).as("content_key"))
+      .agg(
+        max_by(col(idCol),
+          struct(col(qualityCol), (-col(idCol)).as("__negid"))).as("keep_doc_id"),
+        max(col(qualityCol)).as("keep_quality"),
+        count(lit(1)).as("n_copies"))
+
   /** Inverted shingle index: one (doc_id, shingle) row per distinct
     * shingle occurrence. */
   def shingleIndex(docs: DataFrame, n: Int = 3,

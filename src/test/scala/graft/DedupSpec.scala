@@ -15,6 +15,25 @@ class DedupSpec extends SparkTestBase {
     assert(out == Seq(Seq(1L, 2L), Seq(2L, 1L)))
   }
 
+  test("exactKeepBest == brute-force (max quality, ties -> smallest id)") {
+    val row = for {
+      k <- org.scalacheck.Gen.oneOf("k1", "k2", "k3")
+      q <- org.scalacheck.Gen.chooseNum(0L, 3L) // few values => frequent ties
+    } yield (k, q)
+    samples(org.scalacheck.Gen.listOfN(14, row), n = 4).foreach { xs =>
+      val withIds = xs.zipWithIndex.map { case ((k, q), i) => (i.toLong, k, q) }
+      val df = withIds.toDF("doc_id", "content_key", "quality")
+      val want = withIds.groupBy(_._2).toSeq.map { case (k, g) =>
+        val best = g.map(_._3).max
+        (k, g.filter(_._3 == best).map(_._1).min, best, g.size.toLong)
+      }.sortBy(_._1)
+      val got = Dedup.exactKeepBest(df, "content_key", "quality").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      assert(got == want, s"got=$got want=$want xs=$xs")
+    }
+  }
+
   test("ngramJaccard: identical docs score 1.0, disjoint docs are absent") {
     val d = docs(
       (1L, "a b c d e f"), (2L, "a b c d e f"), // identical
