@@ -1759,7 +1759,23 @@ object SparkEntry {
     "q118_dedup_keep_best" -> ((s, dir) =>
       graft.text.Dedup.exactKeepBest(
         T(s, dir, "documents").withColumn("content_key", md5(col("text"))),
-        "content_key", "n_chars"))
+        "content_key", "n_chars")),
+
+    // Vocab coverage of the deterministic test split against the train
+    // split's vocabulary — the tokenizer-coverage number; vocabularies
+    // shuffle, corpora never do.
+    "q119_oov_rate" -> ((s, dir) => {
+      val assigned = graft.text.Splits.assign(T(s, dir, "documents"), "doc_id")
+      graft.text.LangModel.oovRate(
+        assigned.filter(col("split") === "train"),
+        assigned.filter(col("split") === "test"))
+    }),
+
+    // Source-concentration HHI over documents: Σ share² with the sum of
+    // squares in exact decimal — "is this corpus quietly becoming one
+    // source" as a single monitored number.
+    "q120_source_concentration" -> ((s, dir) =>
+      graft.quality.Profile.concentration(T(s, dir, "documents"), "source"))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -3230,6 +3246,35 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT m.content_key, k.keep_doc_id, m.keep_quality, m.n_copies
         |FROM m JOIN k USING (content_key)""".stripMargin,
+
+    "q119_oov_rate" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bk
+        |  FROM documents),
+        |trv AS (SELECT DISTINCT unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS token
+        |  FROM b WHERE bk < 8000),
+        |evt AS (SELECT unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS token
+        |  FROM b WHERE bk >= 9000),
+        |evc AS (SELECT token, count(*)::BIGINT AS c FROM evt GROUP BY 1),
+        |tot AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_eval_tokens FROM evc),
+        |oov AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_oov_tokens FROM evc
+        |  WHERE token NOT IN (SELECT token FROM trv)),
+        |tv AS (SELECT count(*)::BIGINT AS n_train_vocab FROM trv)
+        |SELECT n_eval_tokens, n_oov_tokens, n_train_vocab,
+        |  CASE WHEN n_eval_tokens = 0 THEN 0.0
+        |       ELSE n_oov_tokens::DOUBLE / n_eval_tokens::DOUBLE END AS oov_rate
+        |FROM tot, oov, tv""".stripMargin,
+
+    "q120_source_concentration" ->
+      """WITH c AS (SELECT source AS g, count(*)::BIGINT AS cnt FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |s AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+        |  max(cnt)::BIGINT AS top_count,
+        |  sum(cnt::HUGEINT * cnt)::DOUBLE AS sumsq FROM c),
+        |t AS (SELECT max(g) AS top_group FROM c, s WHERE cnt = top_count)
+        |SELECT n_rows, n_groups, top_group, top_count,
+        |  sumsq / (n_rows::DOUBLE * n_rows::DOUBLE) AS hhi
+        |FROM s, t""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

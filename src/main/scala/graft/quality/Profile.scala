@@ -121,4 +121,40 @@ object Profile {
         (col("max_count").cast("double") * col("n_keys").cast("double") /
           col("n_rows").cast("double")).as("skew_ratio"))
   }
+
+  /** Corpus-composition concentration over a categorical column
+    * (Herfindahl–Hirschman index):
+    * {{{ hhi = Σ c_i² / N²  ∈ (0, 1] }}}
+    * (1 ⇔ one category owns everything; 1/k ⇔ k equal categories) plus
+    * the dominant category. The monitoring number for "is this corpus
+    * quietly becoming one source". Output: one row
+    * (n_rows, n_groups, top_group, top_count, hhi); `top_group` ties
+    * break by max of the stringified value. Nulls are excluded.
+    *
+    * Σ c² runs in DECIMAL(38,0) — decimal(18,0) factors keep the product
+    * exact below 10^18 rows per category, and decimal sums are exact and
+    * order-independent — with the single double division at the end
+    * (same discipline as [[graft.analytics.Drift.tvDistance]]).
+    * One data-scale shuffle (the category count), checkpointed for its
+    * two scalar consumers.
+    */
+  def concentration(df: DataFrame, catCol: String): DataFrame = {
+    val dec = "decimal(18,0)"
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val stats = counts.agg(sum(col("__c")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      max(col("__c")).as("top_count"),
+      sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__sumsq"))
+    val top = counts
+      .crossJoin(broadcast(stats.select(col("top_count").as("__mx"))))
+      .filter(col("__c") === col("__mx"))
+      .agg(max(col("__g")).as("top_group"))
+    stats.crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_groups"), col("top_group"), col("top_count"),
+        (col("__sumsq").cast("double") /
+          (col("n_rows").cast("double") * col("n_rows").cast("double"))).as("hhi"))
+  }
 }

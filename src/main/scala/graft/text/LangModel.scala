@@ -56,4 +56,34 @@ object LangModel {
           .otherwise(col("__s").cast("double") / col("n_bigrams")).as("mean_freq"))
       .orderBy(col("doc_id"))
   }
+
+  /** Out-of-vocabulary rate of an eval corpus against a train corpus's
+    * token vocabulary: what fraction of eval token OCCURRENCES use a
+    * token the training data never produced — the number that tells you
+    * whether a tokenizer/vocab trained on `train` covers `eval`.
+    * Output: one row (n_eval_tokens, n_oov_tokens, n_train_vocab,
+    * oov_rate); an empty eval corpus scores 0.0.
+    *
+    * Scale posture: the train side collapses to its DISTINCT vocabulary
+    * (one token-keyed shuffle, heavy map-side combine), the eval side to
+    * (token, occurrence-count) — so the anti-join that finds unseen
+    * tokens moves vocabularies, never corpora. Everything after is
+    * three one-row aggregates cross-joined broadcast.
+    */
+  def oovRate(train: DataFrame, eval: DataFrame,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def toks(df: DataFrame) = df
+      .select(explode(Dedup.tokens(col(textCol))).as("token"))
+    val vocab = toks(train).distinct()
+    val evalCounts = toks(eval).groupBy("token").agg(count(lit(1)).as("__c"))
+    val tot = evalCounts.agg(coalesce(sum(col("__c")), lit(0L)).as("n_eval_tokens"))
+    val oov = evalCounts.join(vocab, Seq("token"), "left_anti")
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_oov_tokens"))
+    val tv = vocab.agg(count(lit(1)).as("n_train_vocab"))
+    tot.crossJoin(broadcast(oov)).crossJoin(broadcast(tv))
+      .select(col("n_eval_tokens"), col("n_oov_tokens"), col("n_train_vocab"),
+        when(col("n_eval_tokens") === 0, lit(0.0))
+          .otherwise(col("n_oov_tokens").cast("double") /
+            col("n_eval_tokens").cast("double")).as("oov_rate"))
+  }
 }

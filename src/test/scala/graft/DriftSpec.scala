@@ -113,5 +113,28 @@ class DriftSpec extends SparkTestBase {
     }
   }
 
+  test("oovRate == brute-force occurrence fraction; empty eval scores 0") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    samples(Gen.zip(Gen.listOfN(5, docGen), Gen.listOfN(4, docGen)), n = 4).foreach {
+      case (trainTexts, evalTexts) =>
+        val train = trainTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val eval = evalTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val vocab = trainTexts.flatMap(toks).toSet
+        val evToks = evalTexts.flatMap(toks)
+        val nOov = evToks.count(!vocab.contains(_)).toLong
+        val want = (evToks.size.toLong, nOov, vocab.size.toLong,
+          if (evToks.isEmpty) 0.0 else nOov.toDouble / evToks.size.toLong)
+        val got = LangModel.oovRate(train, eval).collect().head
+        assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3)) == want)
+    }
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = LangModel.oovRate(train, empty).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) == (0L, 0L, 2L, 0.0))
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
 }

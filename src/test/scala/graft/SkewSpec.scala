@@ -56,6 +56,27 @@ class SkewSpec extends SparkTestBase {
     assert(c.getString(5) == "1|a" && c.getLong(2) == 2L)
   }
 
+  test("concentration == brute-force HHI; extremes 1.0 and 1/k") {
+    val catGen = Gen.oneOf("s1", "s2", "s3", "s4")
+    samples(Gen.listOfN(25, catGen), n = 4).foreach { cats =>
+      val df = cats.map(Tuple1(_)).toDF("source")
+      val counts = cats.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n = cats.size.toLong
+      val sumsq = counts.values.map(c => c * c).sum
+      val topCount = counts.values.max
+      val topGroup = counts.filter(_._2 == topCount).keys.max
+      val got = Profile.concentration(df, "source").collect().head
+      assert((got.getLong(0), got.getLong(1), got.getString(2), got.getLong(3),
+        got.getDouble(4)) ==
+        (n, counts.size.toLong, topGroup, topCount,
+          sumsq.toDouble / (n.toDouble * n.toDouble)), s"cats=$cats")
+    }
+    val mono = Seq.fill(5)(Tuple1("only")).toDF("source")
+    assert(Profile.concentration(mono, "source").collect().head.getDouble(4) == 1.0)
+    val even = Seq("a", "b", "c", "d").map(Tuple1(_)).toDF("source")
+    assert(Profile.concentration(even, "source").collect().head.getDouble(4) == 0.25)
+  }
+
   test("skewReport rejects empty keys and bad widths") {
     val df = Seq(Tuple1(1L)).toDF("user_id")
     intercept[IllegalArgumentException](Profile.skewReport(df, Seq.empty))
