@@ -38,7 +38,10 @@ class SearchAssocSpec extends SparkTestBase {
           else {
             val tfn = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (tk.size / avgdl)))
             val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
-            Some(math.rint(tfn * idf * 1e6).toLong)
+            // floor(x + 0.5) == HALF_UP for positive x — the rule BOTH
+            // Spark round() and DuckDB round() apply; math.rint would be
+            // HALF_EVEN and diverge on exact .5 ties
+            Some(math.floor(tfn * idf * 1e6 + 0.5).toLong)
           }
         }
         if (scores.isEmpty) None else Some((id, scores.size.toLong, scores.sum))
