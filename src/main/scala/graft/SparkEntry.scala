@@ -3182,7 +3182,8 @@ object SparkEntry {
       """WITH e AS (SELECT value AS v,
         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
         |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
-        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |    AND value IS NOT NULL AND NOT isnan(value)),
         |pv AS (SELECT v, sum(a)::BIGINT AS ca, sum(b)::BIGINT AS cb FROM e GROUP BY 1),
         |t AS (SELECT sum(a)::BIGINT AS n_a, sum(b)::BIGINT AS n_b FROM e),
         |c AS (SELECT
@@ -3193,15 +3194,18 @@ object SparkEntry {
         |  max(abs(cuma::DOUBLE / n_a::DOUBLE - cumb::DOUBLE / n_b::DOUBLE)) AS ks_d
         |FROM c, t GROUP BY 1, 2""".stripMargin,
 
+    // ((x % 2) + 2) % 2 replays Spark's pmod for negative ids; the WHERE
+    // mirrors tvDistance's exclusion of null categories AND null sides;
+    // HUGEINT products so the oracle outlives BIGINT at replay scales
     "q115_tv_drift" ->
       """WITH e AS (SELECT event_type AS c,
-        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
-        |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS b
-        |  FROM events WHERE event_type IS NOT NULL),
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
         |pc AS (SELECT c, sum(a)::BIGINT AS ca, sum(b)::BIGINT AS cb FROM e GROUP BY 1),
         |t AS (SELECT sum(a)::BIGINT AS n_a, sum(b)::BIGINT AS n_b FROM e)
         |SELECT n_a, n_b, count(*)::BIGINT AS n_categories,
-        |  sum(abs(ca * n_b - cb * n_a))::DOUBLE /
+        |  sum(abs(ca::HUGEINT * n_b - cb::HUGEINT * n_a))::DOUBLE /
         |    (2.0 * n_a::DOUBLE * n_b::DOUBLE) AS tv
         |FROM pc, t GROUP BY 1, 2""".stripMargin,
 
@@ -3230,7 +3234,8 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum FROM cc),
         |p50 AS (SELECT min(cnt)::BIGINT AS p50_count FROM cw, s WHERE 2 * cum >= n_keys),
         |p99 AS (SELECT min(cnt)::BIGINT AS p99_count FROM cw, s WHERE 100 * cum >= 99 * n_keys),
-        |tk AS (SELECT max(user_id::VARCHAR) AS top_key FROM c, s WHERE cnt = max_count)
+        |tk AS (SELECT max(coalesce(user_id::VARCHAR, '␀')) AS top_key
+        |  FROM c, s WHERE cnt = max_count)
         |SELECT n_rows, n_keys, max_count, p50_count, p99_count, top_key,
         |  max_count::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE AS skew_ratio
         |FROM s, p50, p99, tk""".stripMargin,

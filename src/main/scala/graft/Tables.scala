@@ -124,6 +124,14 @@ object Tables {
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
       case TimestampNTZType | TimestampType =>
+        // The schema-coerced read reinterprets the file's local wall-clock
+        // micros in the SESSION zone; only under UTC is that the identity
+        // mapping the oracles (and the replaced ns-long path, which was
+        // zone-independent) assume. Fail loudly rather than shift every
+        // timestamp by a zone offset on a misconfigured session.
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts schema-coerced read requires spark.sql.session.timeZone=UTC " +
+            s"(got ${spark.conf.get("spark.sql.session.timeZone")})")
         spark.read.schema(schemas("events")).parquet(path(dir, "events"))
       case other =>
         throw new IllegalStateException(s"events.ts arrived as $other; expected " +

@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** Cast a long count to decimal(18,0), erroring if the value would not
+    * fit: a non-ANSI decimal cast silently returns NULL past 10^18, and
+    * sum() would then skip the category — an under-reported statistic
+    * with no error. Fail-loud is the repo-wide cap posture.
+    */
+  private[graft] def decCap(c: Column): Column =
+    when(c >= 1000000000000000000L, raise_error(concat(
+      lit("count exceeds the decimal(18,0) exact-product domain: "), c.cast("string"))))
+      .otherwise(c).cast("decimal(18,0)")
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
     * distributions of rows where `sideCol === sideA` vs `=== sideB`:
     * {{{ D = max_x | F_a(x) − F_b(x) | }}}
@@ -49,15 +59,32 @@ object Drift {
                   sideA: Column, sideB: Column,
                   bucketWidth: Double = 1.0): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // NaN is excluded along with NULL (the contract, mirrored in the
+    // oracles): a NaN would pass isNotNull, then floor(NaN/w) lands a
+    // NULL bucket that the offsets equi-join silently drops — counted in
+    // the totals but missing from the CDF. Exclude it from BOTH so the
+    // statistic is over the finite sample. isnan() only types on
+    // float/double; other numerics have no NaN to exclude.
+    val isFloating = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val finite =
+      if (isFloating) col(valueCol).isNotNull && !isnan(col(valueCol))
+      else col(valueCol).isNotNull
     val sided = df
-      .filter(col(valueCol).isNotNull &&
-        (col(sideCol) === sideA || col(sideCol) === sideB))
+      .filter(finite && (col(sideCol) === sideA || col(sideCol) === sideB))
       .select(col(valueCol).as("__v"),
         when(col(sideCol) === sideA, 1L).otherwise(0L).as("__a"),
         when(col(sideCol) === sideB, 1L).otherwise(0L).as("__b"))
+    // checkpointed: three consumers (bucket totals, the windowed CDF,
+    // n_a/n_b) read the materialized value-cardinality-sized counts
+    // instead of re-paying the corpus scan + shuffle per consumer
     val perValue = sided.groupBy(col("__v"))
       .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
       .withColumn("__bk", floor(col("__v") / bucketWidth).cast("long"))
+      .localCheckpoint()
     val perBucket = perValue.groupBy("__bk")
       .agg(sum(col("__ca")).as("__bca"), sum(col("__cb")).as("__bcb"))
     val wB = Window.orderBy(col("__bk"))
@@ -68,7 +95,10 @@ object Drift {
       .select(col("__bk"), col("__offa"), col("__offb"))
     val wIn = Window.partitionBy(col("__bk")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = sided.agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"))
+    // totals from the ALREADY-AGGREGATED per-value counts — identical
+    // exact integers, but value-cardinality-sized input instead of a
+    // second corpus-scale scan of `sided`
+    val totals = perValue.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
     perValue.join(broadcast(offsets), Seq("__bk"))
       .withColumn("__cuma", sum(col("__ca")).over(wIn) + col("__offa"))
       .withColumn("__cumb", sum(col("__cb")).over(wIn) + col("__offb"))
@@ -91,10 +121,10 @@ object Drift {
     * integer cross-product `|c_a·n_b − c_b·n_a|` (common denominator
     * n_a·n_b), summed in DECIMAL(38,0) — Spark decimal sums are exact and
     * order-independent — with the single double division at the very
-    * end. Factors are capped at decimal(18,0) (counts < 10^18 rows per
-    * side; beyond that the 38-digit product budget would round). One
-    * keyed aggregation on the category; everything after is
-    * category-cardinality-sized.
+    * end. Factors route through [[decCap]] — exact for counts below
+    * 10^18 rows per side, fail-loud past it (a bare decimal cast would
+    * silently NULL and under-report). One keyed aggregation on the
+    * category; everything after is category-cardinality-sized.
     */
   def tvDistance(df: DataFrame, catCol: String, sideCol: String,
                  sideA: Column, sideB: Column): DataFrame = {
@@ -104,14 +134,16 @@ object Drift {
       .select(col(catCol).as("__c"),
         when(col(sideCol) === sideA, 1L).otherwise(0L).as("__a"),
         when(col(sideCol) === sideB, 1L).otherwise(0L).as("__b"))
+    // checkpointed: totals and the cross-product stage both read the
+    // materialized category-cardinality counts, not the corpus
     val perCat = sided.groupBy(col("__c"))
       .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
-    val totals = sided.agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"))
-    val dec = "decimal(18,0)"
+      .localCheckpoint()
+    val totals = perCat.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
     perCat.crossJoin(broadcast(totals))
       .select(col("n_a"), col("n_b"),
-        abs(col("__ca").cast(dec) * col("n_b").cast(dec) -
-            col("__cb").cast(dec) * col("n_a").cast(dec)).as("__num"))
+        abs(decCap(col("__ca")) * decCap(col("n_b")) -
+            decCap(col("__cb")) * decCap(col("n_a"))).as("__num"))
       .groupBy(col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_categories"), sum(col("__num")).as("__tvnum"))
       .select(col("n_a"), col("n_b"), col("n_categories"),

@@ -83,9 +83,14 @@ object Profile {
                  bucketWidth: Long = 1024): DataFrame = {
     require(keyCols.nonEmpty, "skewReport needs at least one key column")
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // NULL key components stringify to a sentinel: concat_ws SKIPS null
+    // args, which would collapse (NULL,"a") / ("a",NULL) / ("a") to the
+    // same reported label (grouping itself is on the real columns and
+    // unaffected). "␀" collides only with a literal value "␀" — documented.
     val counts = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-      .select(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
+      .select(concat_ws("|",
+        keyCols.map(c => coalesce(col(c).cast("string"), lit("␀"))): _*).as("key"),
         col("cnt"))
       .localCheckpoint()
     val stats = counts.agg(sum(col("cnt")).as("n_rows"),
@@ -131,23 +136,24 @@ object Profile {
     * (n_rows, n_groups, top_group, top_count, hhi); `top_group` ties
     * break by max of the stringified value. Nulls are excluded.
     *
-    * Σ c² runs in DECIMAL(38,0) — decimal(18,0) factors keep the product
-    * exact below 10^18 rows per category, and decimal sums are exact and
+    * Σ c² runs in DECIMAL(38,0) — factors route through
+    * [[graft.analytics.Drift.decCap]] (exact below 10^18 rows per
+    * category, fail-loud past it), and decimal sums are exact and
     * order-independent — with the single double division at the end
     * (same discipline as [[graft.analytics.Drift.tvDistance]]).
     * One data-scale shuffle (the category count), checkpointed for its
     * two scalar consumers.
     */
   def concentration(df: DataFrame, catCol: String): DataFrame = {
-    val dec = "decimal(18,0)"
     val counts = df.filter(col(catCol).isNotNull)
       .groupBy(col(catCol).cast("string").as("__g"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint()
+    val sq = graft.analytics.Drift.decCap(col("__c"))
     val stats = counts.agg(sum(col("__c")).as("n_rows"),
       count(lit(1)).as("n_groups"),
       max(col("__c")).as("top_count"),
-      sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__sumsq"))
+      sum(sq * sq).as("__sumsq"))
     val top = counts
       .crossJoin(broadcast(stats.select(col("top_count").as("__mx"))))
       .filter(col("__c") === col("__mx"))

@@ -74,8 +74,11 @@ object LangModel {
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     def toks(df: DataFrame) = df
       .select(explode(Dedup.tokens(col(textCol))).as("token"))
-    val vocab = toks(train).distinct()
+    // both frames feed two consumers each — checkpoint so each corpus is
+    // tokenized and shuffled ONCE, not once per consumer
+    val vocab = toks(train).distinct().localCheckpoint()
     val evalCounts = toks(eval).groupBy("token").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val tot = evalCounts.agg(coalesce(sum(col("__c")), lit(0L)).as("n_eval_tokens"))
     val oov = evalCounts.join(vocab, Seq("token"), "left_anti")
       .agg(coalesce(sum(col("__c")), lit(0L)).as("n_oov_tokens"))

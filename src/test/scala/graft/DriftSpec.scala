@@ -57,11 +57,27 @@ class DriftSpec extends SparkTestBase {
       .collect().head.getDouble(2) == 1.0)
   }
 
-  test("ksStatistic excludes nulls and third populations") {
+  test("ksStatistic excludes nulls, NaNs, and third populations") {
     val df = Seq(("A", Some(1.0)), ("A", None), ("B", Some(5.0)), ("C", Some(1.0)))
       .toDF("side", "value")
     val r = Drift.ksStatistic(df, "value", "side", lit("A"), lit("B")).collect().head
     assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == (1L, 1L, 1.0))
+    // a NaN must leave BOTH the totals and the CDF — were it only
+    // bucket-dropped, n_a would count it and the CDF could never reach 1
+    val withNan = Seq(("A", 1.0), ("A", Double.NaN), ("B", 5.0)).toDF("side", "value")
+    val n = Drift.ksStatistic(withNan, "value", "side", lit("A"), lit("B")).collect().head
+    assert((n.getLong(0), n.getLong(1), n.getDouble(2)) == (1L, 1L, 1.0))
+  }
+
+  test("decCap: identity below 10^18, loud error at the cap") {
+    import org.apache.spark.sql.functions.lit
+    val ok = spark.range(1).select(Drift.decCap(lit(999999999999999999L)).as("v"))
+      .collect().head.getDecimal(0)
+    assert(ok.longValueExact() == 999999999999999999L)
+    val e = intercept[Exception] {
+      spark.range(1).select(Drift.decCap(lit(1000000000000000000L))).collect()
+    }
+    assert(messages(e).exists(_.contains("decimal(18,0) exact-product domain")))
   }
 
   // ------------------------------------------------------------------- TV

@@ -83,4 +83,14 @@ class SkewSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Profile.skewReport(df, Seq("user_id"), bucketWidth = 0))
   }
+
+  test("skewReport: null key components get the sentinel, not silent collapse") {
+    // concat_ws would stringify (null,"a") and ("a",null) identically;
+    // the sentinel keeps the reported heavy key distinguishable
+    val df = Seq((Option.empty[Long], Some("a")), (Option.empty[Long], Some("a")),
+      (Some(1L), Option.empty[String])).toDF("k1", "k2")
+    val r = Profile.skewReport(df, Seq("k1", "k2")).collect().head
+    assert(r.getLong(1) == 2L)           // two distinct composite groups
+    assert(r.getString(5) == "␀|a")      // the heavy one, nulls visible
+  }
 }

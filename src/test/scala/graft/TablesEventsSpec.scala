@@ -33,4 +33,13 @@ class TablesEventsSpec extends SparkTestBase {
   test("schema-coerced read matches the declared events schema exactly") {
     Tables.assertSchema(Tables.events(spark, dir), "events")
   }
+
+  test("non-UTC session zone is rejected loudly, not silently shifted") {
+    val orig = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", orig)
+  }
 }
