@@ -1775,7 +1775,12 @@ object SparkEntry {
     // squares in exact decimal — "is this corpus quietly becoming one
     // source" as a single monitored number.
     "q120_source_concentration" -> ((s, dir) =>
-      graft.quality.Profile.concentration(T(s, dir, "documents"), "source"))
+      graft.quality.Profile.concentration(T(s, dir, "documents"), "source")),
+
+    // Corpus distinct-n diversity for n=1..3 — one pass, one (n, gram)
+    // shuffle; the generation-collapse monitoring number.
+    "q121_distinct_ngrams" -> ((s, dir) =>
+      graft.text.LangModel.distinctNgramRatio(T(s, dir, "documents")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -3280,6 +3285,17 @@ object SparkEntry {
         |SELECT n_rows, n_groups, top_group, top_count,
         |  sumsq / (n_rows::DOUBLE * n_rows::DOUBLE) AS hhi
         |FROM s, t""".stripMargin,
+
+    "q121_distinct_ngrams" ->
+      """WITH tok AS (SELECT string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks
+        |  FROM documents),
+        |g AS (SELECT n, array_to_string(toks[i:i+n-1], ' ') AS gram
+        |  FROM tok, (VALUES (1), (2), (3)) AS v(n),
+        |    LATERAL unnest(generate_series(1, greatest(len(toks) - n + 1, 0))) AS s(i))
+        |SELECT n::BIGINT AS n, count(*)::BIGINT AS n_total,
+        |  count(DISTINCT gram)::BIGINT AS n_distinct,
+        |  count(DISTINCT gram)::DOUBLE / count(*)::DOUBLE AS ratio
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

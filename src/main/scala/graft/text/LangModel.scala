@@ -89,4 +89,49 @@ object LangModel {
           .otherwise(col("n_oov_tokens").cast("double") /
             col("n_eval_tokens").cast("double")).as("oov_rate"))
   }
+
+  /** Distinct n-gram ratio of the corpus for each window size in `ns` —
+    * the distinct-n diversity metric (low ratio ⇔ repetitive/collapsed
+    * text; the corpus-level cousin of the per-doc Gopher repetition
+    * filters in [[TextStats]]). Output: (n, n_total, n_distinct, ratio)
+    * per window size, ordered by n; a corpus with no n-token window
+    * reports (0, 0, 0.0).
+    *
+    * Scale posture: ONE pass over the corpus — every window size's
+    * n-grams are emitted from the same row-local token array (tagged
+    * structs, flattened, exploded) — and ONE shuffle keyed (n, gram),
+    * map-side combinable; the distinct count is the grouped table's row
+    * count, never a count_distinct over raw occurrences. Memory per row
+    * is Σ_n (len−n+1) gram strings, the same order as the document
+    * itself.
+    */
+  def distinctNgramRatio(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
+                         textCol: String = "text"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive window sizes")
+    require(ns.distinct.size == ns.size, "duplicate window sizes")
+    // same CASE guard as bigramFluency: sequence(1, 0) steps BACKWARD
+    val tagged = ns.map { n =>
+      s"CASE WHEN size(toks) < $n THEN array() ELSE transform(" +
+        s"sequence(1, size(toks) - $n + 1), " +
+        s"i -> struct(CAST($n AS BIGINT) AS n, array_join(slice(toks, i, $n), ' ') AS gram)) END"
+    }.mkString("flatten(array(", ", ", "))")
+    val grams = docs
+      .select(Dedup.tokens(col(textCol)).as("toks"))
+      .select(explode(expr(tagged)).as("__g"))
+      .select(col("__g.n").as("n"), col("__g.gram").as("gram"))
+    val grouped = grams.groupBy("n", "gram").agg(count(lit(1)).as("__c"))
+    val stats = grouped.groupBy("n")
+      .agg(count(lit(1)).as("n_distinct"), sum(col("__c")).as("n_total"))
+    // left join from the requested sizes so an over-long n still reports
+    val spine = docs.sparkSession.createDataFrame(
+      ns.map(n => Tuple1(n.toLong))).toDF("n")
+    spine.join(stats, Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(coalesce(col("n_total"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_distinct").cast("double") /
+            col("n_total").cast("double")).as("ratio"))
+      .orderBy(col("n"))
+  }
 }

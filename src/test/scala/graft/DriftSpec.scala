@@ -152,5 +152,26 @@ class DriftSpec extends SparkTestBase {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) == (0L, 0L, 2L, 0.0))
   }
 
+  test("distinctNgramRatio == brute force; over-long n reports zeros") {
+    val word = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    samples(Gen.listOfN(8, docGen), n = 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val want = Seq(1, 2, 3).map { n =>
+        val grams = texts.flatMap(t =>
+          toks(t).sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq)
+        val ratio = if (grams.isEmpty) 0.0
+                    else grams.distinct.size.toLong.toDouble / grams.size.toLong
+        (n.toLong, grams.size.toLong, grams.distinct.size.toLong, ratio)
+      }
+      val got = LangModel.distinctNgramRatio(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == want, s"got=$got want=$want texts=$texts")
+    }
+    val tiny = Seq((1L, "x")).toDF("doc_id", "text")
+    val r = LangModel.distinctNgramRatio(tiny, ns = Seq(5)).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) == (5L, 0L, 0L, 0.0))
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
 }
