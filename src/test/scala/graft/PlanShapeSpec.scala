@@ -147,4 +147,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!readSchema.contains("unused_payload"),
       s"scan must prune the unconsumed column, got $readSchema")
   }
+
+  // The two-pass bucketed prefix-sum operators claim "no corpus-scale
+  // single-partition window": the only unpartitioned WindowExec in their
+  // plans must be the per-BUCKET offsets pass (input ≈ |domain|/width
+  // rows), every other window partitioned. Count them.
+  private def unpartitionedWindows(df: DataFrame): Int =
+    executedPlanNodes(df).count {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.isEmpty
+      case _ => false
+    }
+
+  test("bucketed prefix sums: exactly one unpartitioned window (the bucket offsets)") {
+    val d = (1L to 40L).map(i => (i, s"tok$i tok${i % 7}")).toDF("doc_id", "text")
+    assert(unpartitionedWindows(graft.text.Search.vocabGrowth(d, bucketWidth = 8)) == 1)
+    val ev = (1L to 40L).map(i => (if (i % 2 == 0) "A" else "B", i.toDouble))
+      .toDF("side", "value")
+    assert(unpartitionedWindows(graft.analytics.Drift.ksStatistic(
+      ev, "value", "side", lit("A"), lit("B"), bucketWidth = 8.0)) == 1)
+    val keys = (1L to 40L).map(i => Tuple1(i % 9)).toDF("user_id")
+    assert(unpartitionedWindows(
+      graft.quality.Profile.skewReport(keys, Seq("user_id"), bucketWidth = 2)) == 1)
+  }
 }
