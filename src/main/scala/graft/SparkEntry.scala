@@ -1780,7 +1780,24 @@ object SparkEntry {
     // Corpus distinct-n diversity for n=1..3 — one pass, one (n, gram)
     // shuffle; the generation-collapse monitoring number.
     "q121_distinct_ngrams" -> ((s, dir) =>
-      graft.text.LangModel.distinctNgramRatio(T(s, dir, "documents")))
+      graft.text.LangModel.distinctNgramRatio(T(s, dir, "documents"))),
+
+    // Deterministic per-(lang, source) exemplar documents — the
+    // inspect-a-sample surface; rank-<=k windows take the
+    // WindowGroupLimit partial-top-k path at scale.
+    "q122_group_exemplars" -> ((s, dir) =>
+      graft.text.Splits.exemplars(
+          T(s, dir, "documents").select("doc_id", "lang", "source"),
+          Seq("lang", "source"), "doc_id", k = 2)
+        .withColumn("exemplar_rank", col("exemplar_rank").cast("long"))
+        .orderBy(col("lang"), col("source"), col("exemplar_rank"))),
+
+    // Referential-integrity coverage of events.user_id against the
+    // customer dimension — the cross-table audit the q23 suite can't
+    // express; dimension collapses to distinct keys before the join.
+    "q123_fk_coverage" -> ((s, dir) =>
+      graft.quality.Quality.fkCoverage(
+        T(s, dir, "events"), "user_id", T(s, dir, "customer"), "c_custkey"))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -3296,6 +3313,28 @@ object SparkEntry {
         |  count(DISTINCT gram)::BIGINT AS n_distinct,
         |  count(DISTINCT gram)::DOUBLE / count(*)::DOUBLE AS ratio
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same md5-bucket rank rule as the q37 split function
+    "q122_group_exemplars" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000,
+        |               doc_id) AS exemplar_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, source, exemplar_rank::BIGINT AS exemplar_rank
+        |FROM r WHERE exemplar_rank <= 2 ORDER BY lang, source, exemplar_rank""".stripMargin,
+
+    "q123_fk_coverage" ->
+      """WITH dk AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey IS NOT NULL),
+        |j AS (SELECT e.user_id, dk.k FROM events e LEFT JOIN dk ON e.user_id = dk.k)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+        |  sum(CASE WHEN user_id IS NOT NULL AND k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |  CASE WHEN count(*) = 0 THEN 0.0
+        |       ELSE sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
+        |  END AS coverage
+        |FROM j""".stripMargin,
 
     "q92_repetition_quality" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

@@ -62,6 +62,40 @@ object Quality {
       .orderBy(col("check_name"))
   }
 
+  /** Referential-integrity coverage of a fact key against a dimension
+    * key — the cross-TABLE audit the single-table suite above cannot
+    * express: what fraction of fact rows would survive an inner join to
+    * the dimension. Output: one row
+    * (n_rows, n_matched, n_missing, n_null, coverage) where
+    * coverage = n_matched / n_rows (0.0 on an empty fact side). Null
+    * fact keys are counted separately — they can never match, and
+    * folding them into n_missing hides whether the problem is absent
+    * dimension rows or absent keys.
+    *
+    * Scale posture: the dimension collapses to DISTINCT keys before the
+    * join (dimension-cardinality rows move, never dimension payloads);
+    * the fact side carries only its key column into one equi-join (AQE
+    * broadcasts the key set while it is small) and one counting
+    * aggregate — a single pass over the fact table.
+    */
+  def fkCoverage(fact: DataFrame, factKey: String,
+                 dim: DataFrame, dimKey: String): DataFrame = {
+    val dimKeys = dim.select(col(dimKey).as("__k")).filter(col("__k").isNotNull)
+      .distinct().withColumn("__hit", lit(1L))
+    fact.select(col(factKey).as("__k"))
+      .join(dimKeys, Seq("__k"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_matched"),
+        coalesce(sum(when(col("__k").isNotNull && col("__hit").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_missing"),
+        coalesce(sum(when(col("__k").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null"))
+      .select(col("n_rows"), col("n_matched"), col("n_missing"), col("n_null"),
+        when(col("n_rows") === 0, lit(0.0))
+          .otherwise(col("n_matched").cast("double") / col("n_rows").cast("double"))
+          .as("coverage"))
+  }
+
   /** Fail-stop barrier (process_collaborative_filtering.py:17–22 runs the
     * GE checkpoint and raises on violation, killing the job before any
     * downstream write): returns the input frame if the suite passes,

@@ -93,6 +93,31 @@ object Splits {
       .drop("__before")
   }
 
+  /** Deterministic per-group exemplars: the `k` rows of each group a
+    * human (or a downstream eval) should look at, chosen as a pure
+    * function of the key — rank by (md5-bucket(key), key) within the
+    * group, keep rank ≤ k. Stable across reruns, partitioning, and
+    * corpus growth within a group's unchanged members (the same property
+    * [[sampleByKey]] gives global samples), unlike `df.sample` or a
+    * timestamp-ordered head. Output: input columns + `exemplar_rank`.
+    *
+    * Scale posture: one shuffle on the group key. The rank-≤-k filter is
+    * the form Catalyst rewrites with WindowGroupLimit: each map task
+    * keeps only its local top-k per group BEFORE the exchange, so the
+    * shuffle carries O(k · groups-per-task), not whole groups — the
+    * declarative window IS the two-phase top-k at scale.
+    */
+  def exemplars(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "exemplars needs at least one group column")
+    require(k >= 1, "k must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(bucket(col(keyCol)), col(keyCol))
+    df.withColumn("exemplar_rank", row_number().over(w))
+      .filter(col("exemplar_rank") <= k)
+  }
+
   /** Assign a split label per row. `fractions` are (label, weight) in
     * priority order and should sum to ≤ 1; leftover buckets take the
     * last label. */

@@ -60,4 +60,20 @@ class QualitySpec extends SparkTestBase {
     val e = intercept[IllegalStateException](Quality.gate(df, Quality.eventsSuite(df)))
     assert(e.getMessage.contains("non_empty"))
   }
+
+  test("fkCoverage: matched/missing/null partition the fact side exactly") {
+    val fact = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .map(Tuple1(_)).toDF("fk")
+    val dim = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("k")
+    val r = Quality.fkCoverage(fact, "fk", dim, "k").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) ==
+      (5L, 3L, 1L, 1L, 3.0 / 5.0))
+    // duplicate dimension keys must not double-count fact matches
+    val dupDim = Seq(1L, 1L, 2L).map(Tuple1(_)).toDF("k")
+    val d = Quality.fkCoverage(fact, "fk", dupDim, "k").collect().head
+    assert((d.getLong(0), d.getLong(1)) == (5L, 3L))
+    // empty fact side: zero coverage, not NaN
+    val empty = Seq.empty[Tuple1[Long]].toDF("fk")
+    assert(Quality.fkCoverage(empty, "fk", dim, "k").collect().head.getDouble(4) == 0.0)
+  }
 }

@@ -84,4 +84,30 @@ class SplitsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(before.forall { case (id, s) => after(id) == s })
   }
+
+  test("exemplars == brute-force (bucket, key) rank per group; WindowGroupLimit engages") {
+    val rows = (1L to 40L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+    val df = rows.toDF("doc_id", "grp")
+    val out = Splits.exemplars(df, Seq("grp"), "doc_id", k = 2)
+    // brute force: per group, sort by (bucket, key), take 2
+    def bucket(k: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.substring(0, 8), 16) % 10000
+    }
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (g, xs) =>
+      xs.map(_._1).sortBy(id => (bucket(id), id)).take(2).zipWithIndex
+        .map { case (id, i) => (id, g, i + 1) }
+    }.sortBy(t => (t._2, t._3))
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSeq.sortBy(t => (t._2, t._3))
+    assert(got == want)
+    // the rank-<=k filter must take the partial-top-k path: a
+    // WindowGroupLimit below the exchange, not whole groups shuffling
+    assert(executedPlanNodes(out).exists(
+      _.getClass.getSimpleName.contains("WindowGroupLimit")),
+      "expected WindowGroupLimitExec in the exemplars plan")
+    intercept[IllegalArgumentException](Splits.exemplars(df, Seq.empty, "doc_id", 1))
+    intercept[IllegalArgumentException](Splits.exemplars(df, Seq("grp"), "doc_id", 0))
+  }
 }
