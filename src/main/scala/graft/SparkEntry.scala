@@ -1797,7 +1797,28 @@ object SparkEntry {
     // express; dimension collapses to distinct keys before the join.
     "q123_fk_coverage" -> ((s, dir) =>
       graft.quality.Quality.fkCoverage(
-        T(s, dir, "events"), "user_id", T(s, dir, "customer"), "c_custkey"))
+        T(s, dir, "events"), "user_id", T(s, dir, "customer"), "c_custkey")),
+
+    // JSON-lines write/scan roundtrip (third file format) — declared
+    // schema, FAILFAST parse, same partition-pruning contract as
+    // parquet/ORC; the oracle replays format-neutrally from events.
+    "q124_jsonl_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val ev = Tables.events(s, dir).select(
+        col("user_id").cast("long").as("user_id"), col("event_type"),
+        round(col("value") * 10000).cast("long").as("v4"))
+      graft.ingest.Ingest.writeJsonLines(ev, s"$base/json", Seq("event_type"))
+      graft.ingest.Ingest.readJsonLines(s, s"$base/json",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("v4",
+              org.apache.spark.sql.types.LongType))))
+        .filter(col("event_type") === "signup" && col("user_id") < 100)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("v4")).as("sum_v4"))
+        .orderBy(col("user_id"))
+    })
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -3323,6 +3344,13 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, source, exemplar_rank::BIGINT AS exemplar_rank
         |FROM r WHERE exemplar_rank <= 2 ORDER BY lang, source, exemplar_rank""".stripMargin,
+
+    // format-neutral replay from events, same pattern as the ORC q103
+    "q124_jsonl_roundtrip" ->
+      """SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n,
+        |  sum(round(value * 10000)::BIGINT)::BIGINT AS sum_v4
+        |FROM events WHERE event_type = 'signup' AND user_id < 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q123_fk_coverage" ->
       """WITH dk AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey IS NOT NULL),

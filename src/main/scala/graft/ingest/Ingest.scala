@@ -143,6 +143,30 @@ object Ingest {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
   }
 
+  /** JSON-lines partitioned write — the interchange format every
+    * external producer/consumer speaks; same directory layout and
+    * one-exchange shape as the parquet/ORC paths, so partition pruning
+    * on the read side works identically. Columnar formats stay the
+    * internal default (JSON has no column pruning or stats); this is the
+    * export/import edge of the lake.
+    */
+  def writeJsonLines(df: DataFrame, path: String,
+                     partitionCols: Seq[String]): Unit = {
+    val w = (if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df)
+      .write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).json(path)
+  }
+
+  /** JSON-lines scan with the schema DECLARED (never inferred — inference
+    * reads the data twice and lets a drifting producer silently change
+    * types) and FAILFAST parsing: a malformed line kills the job rather
+    * than becoming a row of nulls, the same ingest discipline as the CSV
+    * path (S1).
+    */
+  def readJsonLines(spark: org.apache.spark.sql.SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
   /** S4: incremental append with the schema pinned
     * (process_weekly_trends.py:39 sets `mergeSchema=false`, which Delta
     * enforces at WRITE time; for plain parquet that option only affects

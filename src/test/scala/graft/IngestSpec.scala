@@ -78,6 +78,40 @@ class IngestSpec extends SparkTestBase {
       s"data predicate not pushed into the ORC reader:\n$scan")
   }
 
+  test("JSON-lines partitioned write round-trips values, prunes partitions, rejects malformed lines") {
+    import org.apache.spark.sql.types._
+    val df = List((1L, "a", 10.5), (2L, "a", -3.25), (3L, "b", 7.0))
+      .toDF("id", "kind", "value")
+    val dir = tmp()
+    Ingest.writeJsonLines(df, s"$dir/json", Seq("kind"))
+    val dirs = new java.io.File(s"$dir/json").listFiles()
+      .map(_.getName).filter(_.startsWith("kind=")).sorted
+    assert(dirs.toSeq == Seq("kind=a", "kind=b"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("value", DoubleType)))
+    // partition column omitted from the declared schema is appended by
+    // the reader from the directory layout
+    assert(rows(Ingest.readJsonLines(spark, s"$dir/json", schema)
+      .select("id", "kind", "value")) == rows(df))
+    val filtered = Ingest.readJsonLines(spark, s"$dir/json", schema)
+      .filter(col("kind") === "a")
+    assert(filtered.count() == 2)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("kind=b"),
+      "partition pruning failed for JSON")
+    // FAILFAST: a malformed line must kill the read, not become nulls.
+    // A NEW file (appending to an existing part would trip the Hadoop
+    // CRC check first and never reach the parser).
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/json/kind=a/part-99999-garbage.json"),
+      "{not json\n")
+    val e = intercept[Exception] {
+      Ingest.readJsonLines(spark, s"$dir/json", schema).count()
+    }
+    assert(messages(e).exists(m =>
+      m.contains("MALFORMED_RECORD") || m.contains("FAILFAST") || m.contains("Malformed")),
+      s"messages=${messages(e)}")
+  }
+
   test("landingAudit passes a clean landing and fails a corrupted one (falsifiable boolean)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType),
