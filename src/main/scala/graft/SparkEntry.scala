@@ -1799,6 +1799,22 @@ object SparkEntry {
       graft.quality.Quality.fkCoverage(
         T(s, dir, "events"), "user_id", T(s, dir, "customer"), "c_custkey")),
 
+    // Pretraining mixture rebalance: downsample sources to 50/30/20
+    // shares, no upsampling — scale = min(count/weight), deterministic
+    // md5-bucket selection; summary row per target source.
+    "q125_mixture_rebalance" -> ((s, dir) => {
+      val targets = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+      val docs = T(s, dir, "documents")
+      val kept = graft.text.Splits.rebalanceMixture(docs, "source", "doc_id", targets)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      docs.filter(col("source").isin(targets.map(_._1): _*))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_before"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // JSON-lines write/scan roundtrip (third file format) — declared
     // schema, FAILFAST parse, same partition-pruning contract as
     // parquet/ORC; the oracle replays format-neutrally from events.
@@ -3344,6 +3360,24 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, source, exemplar_rank::BIGINT AS exemplar_rank
         |FROM r WHERE exemplar_rank <= 2 ORDER BY lang, source, exemplar_rank""".stripMargin,
+
+    // the threshold chain (divide, min, floor, round to bucket space)
+    // replayed with the identical op order; kept rows re-selected by the
+    // q37 md5-bucket rule
+    "q125_mixture_rebalance" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+        |t AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) AS t(source, w)),
+        |s AS (SELECT min(c.n::DOUBLE / t.w) AS scale FROM c JOIN t USING (source)),
+        |thr AS (SELECT c.source, c.n,
+        |    round(floor(s.scale * t.w) / c.n * 10000)::BIGINT AS thr
+        |  FROM c JOIN t USING (source), s),
+        |k AS (SELECT d.source, count(*)::BIGINT AS n_kept
+        |  FROM documents d JOIN thr ON d.source = thr.source
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < thr.thr
+        |  GROUP BY 1)
+        |SELECT thr.source, thr.n AS n_before, coalesce(k.n_kept, 0)::BIGINT AS n_kept
+        |FROM thr LEFT JOIN k USING (source) ORDER BY 1""".stripMargin,
 
     // format-neutral replay from events, same pattern as the ORC q103
     "q124_jsonl_roundtrip" ->

