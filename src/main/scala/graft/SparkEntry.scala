@@ -1799,6 +1799,19 @@ object SparkEntry {
       graft.quality.Quality.fkCoverage(
         T(s, dir, "events"), "user_id", T(s, dir, "customer"), "c_custkey")),
 
+    // Leakage-proof split: near-dup clusters (q38's components) never
+    // straddle train/val/test — the split keys on the cluster
+    // representative, so a test doc's near-dup cannot sit in train.
+    "q126_leakproof_split" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val clusters = graft.text.Dedup.duplicateClusters(
+        graft.text.Dedup.ngramJaccard(docs, n = 3, threshold = 0.4))
+      graft.text.Splits.assignLeakProof(
+          docs.select("doc_id"), "doc_id", clusters)
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Pretraining mixture rebalance: downsample sources to 50/30/20
     // shares, no upsampling — scale = min(count/weight), deterministic
     // md5-bucket selection; summary row per target source.
@@ -3360,6 +3373,34 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, source, exemplar_rank::BIGINT AS exemplar_rank
         |FROM r WHERE exemplar_rank <= 2 ORDER BY lang, source, exemplar_rank""".stripMargin,
+
+    // q38's recursive-CTE components + the q37 bucket rule, keyed on the
+    // cluster representative (unclustered docs represent themselves)
+    "q126_leakproof_split" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        |       FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM inter
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.4),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |clus AS (SELECT r.a AS doc_id, least(r.a, min(r.b)) AS cluster_id
+        |         FROM reach r GROUP BY 1),
+        |rep AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+        |        FROM documents d LEFT JOIN clus c USING (doc_id)),
+        |bk AS (SELECT doc_id, split_key,
+        |    ('0x' || substr(md5(split_key::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+        |  FROM rep)
+        |SELECT doc_id, split_key,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin,
 
     // the threshold chain (divide, min, floor, round to bucket space)
     // replayed with the identical op order; kept rows re-selected by the

@@ -166,6 +166,31 @@ object Splits {
       .drop("__cat", "__thr")
   }
 
+  /** Leakage-proof split assignment: like [[assign]], but documents in
+    * the same duplicate cluster NEVER straddle splits — a near-dup of a
+    * test document sitting in train is exactly the eval-contamination
+    * q93/q99 hunt for, and plain per-key splitting plants it. The split
+    * is keyed on the cluster representative (`cluster_id` from
+    * [[graft.text.Dedup.duplicateClusters]], i.e. the cluster's min
+    * label; unclustered docs represent themselves), exposed as
+    * `split_key` beside the `split` label.
+    *
+    * Scale posture: one equi-join of the corpus keys against the cluster
+    * table (cluster rows ≪ corpus — only docs with a near-dup; AQE
+    * broadcasts while small), then the same projection-only bucket rule
+    * as [[assign]]. Composes with any clustering that yields
+    * (key, cluster_id).
+    */
+  def assignLeakProof(df: DataFrame, keyCol: String, clusters: DataFrame,
+                      fractions: Seq[(String, Double)] =
+                        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val c = clusters.select(col("doc_id").as(keyCol), col("cluster_id"))
+    val withRep = df.join(c, Seq(keyCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(keyCol)))
+      .drop("cluster_id")
+    assign(withRep, "split_key", fractions)
+  }
+
   /** Assign a split label per row. `fractions` are (label, weight) in
     * priority order and should sum to ≤ 1; leftover buckets take the
     * last label. */

@@ -143,4 +143,28 @@ class SplitsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Splits.rebalanceMixture(df, "source", "doc_id", Seq("s0" -> 0.6, "s1" -> 0.6)))
   }
+
+  test("assignLeakProof: same-cluster docs share a split; unclustered use own key") {
+    val docs = (1L to 30L).map(Tuple1(_)).toDF("doc_id")
+    // three clusters with min-label representatives, rest unclustered
+    val clusters = Seq((1L, 1L), (7L, 1L), (19L, 1L), (4L, 4L), (28L, 4L),
+      (11L, 11L), (12L, 11L)).toDF("doc_id", "cluster_id")
+    val out = Splits.assignLeakProof(docs, "doc_id", clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out.size == 30)
+    val byDoc = out.map(t => t._1 -> (t._2, t._3)).toMap
+    // same cluster => same split_key AND same split
+    assert(Set(byDoc(1L), byDoc(7L), byDoc(19L)).size == 1)
+    assert(Set(byDoc(4L), byDoc(28L)).size == 1)
+    assert(Set(byDoc(11L), byDoc(12L)).size == 1)
+    // unclustered docs: split_key == own id, split == plain assign
+    val plain = Splits.assign(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out.filter(t => !Set(1L, 7L, 19L, 4L, 28L, 11L, 12L).contains(t._1))
+      .foreach { case (id, key, split) =>
+        assert(key == id && split == plain(id), s"doc $id")
+      }
+    // clustered doc takes the REPRESENTATIVE's split, not its own
+    assert(byDoc(7L)._2 == plain(1L) && byDoc(19L)._2 == plain(1L))
+  }
 }
