@@ -1818,10 +1818,12 @@ object SparkEntry {
     "q125_mixture_rebalance" -> ((s, dir) => {
       val targets = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
       val docs = T(s, dir, "documents")
-      val kept = graft.text.Splits.rebalanceMixture(docs, "source", "doc_id", targets)
+      // the thresholds frame already holds the before-counts
+      // (checkpointed) — no second corpus scan for the summary
+      val thr = graft.text.Splits.mixtureThresholds(docs, "source", targets)
+      val kept = graft.text.Splits.applyMixture(docs, "source", "doc_id", thr)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-      docs.filter(col("source").isin(targets.map(_._1): _*))
-        .groupBy(col("source")).agg(count(lit(1)).as("n_before"))
+      thr.select(col("category").as("source"), col("n_before"))
         .join(kept, Seq("source"), "left")
         .select(col("source"), col("n_before"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))

@@ -124,10 +124,20 @@ object Ingest {
     * 1000-task job writing 500 partitions emits up to 500,000 tiny files,
     * the classic lakehouse small-files failure.
     */
-  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    writePartitionedAs(df, partitionCols)(_.parquet(path))
+
+  /** Shared body of the partitioned-overwrite writers: one repartition
+    * on the partition columns (co-locates each directory's rows in one
+    * task — the small-files defence), overwrite mode, directory-per-
+    * value layout. The format is the only thing the three paths differ
+    * on, so it is the only thing the caller supplies.
+    */
+  private def writePartitionedAs(df: DataFrame, partitionCols: Seq[String])(
+      sink: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] => Unit): Unit = {
     val w = (if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df)
       .write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    sink(if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
   }
 
   /** ORC sibling of [[writePartitioned]] — the second columnar format
@@ -137,11 +147,8 @@ object Ingest {
     * ORC gets the identical query surface.
     */
   def writeOrcPartitioned(df: DataFrame, path: String,
-                          partitionCols: Seq[String]): Unit = {
-    val w = (if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df)
-      .write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
-  }
+                          partitionCols: Seq[String]): Unit =
+    writePartitionedAs(df, partitionCols)(_.orc(path))
 
   /** JSON-lines partitioned write — the interchange format every
     * external producer/consumer speaks; same directory layout and
@@ -151,11 +158,8 @@ object Ingest {
     * export/import edge of the lake.
     */
   def writeJsonLines(df: DataFrame, path: String,
-                     partitionCols: Seq[String]): Unit = {
-    val w = (if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df)
-      .write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).json(path)
-  }
+                     partitionCols: Seq[String]): Unit =
+    writePartitionedAs(df, partitionCols)(_.json(path))
 
   /** JSON-lines scan with the schema DECLARED (never inferred — inference
     * reads the data twice and lets a drifting producer silently change

@@ -101,6 +101,11 @@ object Splits {
     * [[sampleByKey]] gives global samples), unlike `df.sample` or a
     * timestamp-ordered head. Output: input columns + `exemplar_rank`.
     *
+    * `keyCol` must uniquely identify rows WITHIN each group — it is the
+    * total tie-break. A duplicated key ties the window order, and which
+    * physical row (with its payload columns) survives the rank filter
+    * becomes partition-layout-dependent, voiding the stability contract.
+    *
     * Scale posture: one shuffle on the group key. The rank-≤-k filter is
     * the form Catalyst rewrites with WindowGroupLimit: each map task
     * keeps only its local top-k per group BEFORE the exchange, so the
@@ -140,31 +145,49 @@ object Splits {
     * filter pass over the corpus — no second corpus shuffle.
     */
   def rebalanceMixture(df: DataFrame, catCol: String, keyCol: String,
-                       targets: Seq[(String, Double)]): DataFrame = {
+                       targets: Seq[(String, Double)]): DataFrame =
+    applyMixture(df, catCol, keyCol, mixtureThresholds(df, catCol, targets))
+
+  /** The planning half of [[rebalanceMixture]]: per-category corpus
+    * counts and the derived bucket thresholds, checkpointed (one corpus
+    * shuffle). Exposed so a caller that ALSO needs the before-counts
+    * (e.g. a rebalance summary) reads this frame instead of re-scanning
+    * the corpus. Output: (category, n_before, bucket_threshold).
+    */
+  def mixtureThresholds(df: DataFrame, catCol: String,
+                        targets: Seq[(String, Double)]): DataFrame = {
     require(targets.nonEmpty, "rebalanceMixture needs at least one target")
     require(targets.forall(_._2 > 0), "target weights must be positive")
     require(targets.map(_._1).distinct.size == targets.size, "duplicate target labels")
     require(targets.map(_._2).sum <= 1.0 + 1e-9, "target weights must sum to <= 1")
     val counts = df.filter(col(catCol).isin(targets.map(_._1): _*))
-      .groupBy(col(catCol).cast("string").as("__cat"))
-      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(catCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("n_before"))
       .localCheckpoint()
     val present = counts.count()
     require(present == targets.size,
       s"mixture unsatisfiable: only $present of ${targets.size} target categories present")
-    val t = df.sparkSession.createDataFrame(targets).toDF("__cat", "__w")
-    val scaled = counts.join(broadcast(t), Seq("__cat"))
-      .withColumn("__cap", col("__n").cast("double") / col("__w"))
+    val t = df.sparkSession.createDataFrame(targets).toDF("category", "__w")
+    val scaled = counts.join(broadcast(t), Seq("category"))
+      .withColumn("__cap", col("n_before").cast("double") / col("__w"))
     val scale = scaled.agg(min(col("__cap")).as("__scale"))
-    val thresholds = scaled.crossJoin(broadcast(scale))
+    scaled.crossJoin(broadcast(scale))
       .withColumn("__desired", floor(col("__scale") * col("__w")))
-      .withColumn("__thr",
-        round(col("__desired").cast("double") / col("__n") * Buckets, 0).cast("long"))
-      .select(col("__cat"), col("__thr"))
-    df.join(broadcast(thresholds), col(catCol).cast("string") === col("__cat"))
-      .filter(bucket(col(keyCol)) < col("__thr"))
-      .drop("__cat", "__thr")
+      .withColumn("bucket_threshold",
+        round(col("__desired").cast("double") / col("n_before") * Buckets, 0).cast("long"))
+      .select(col("category"), col("n_before"), col("bucket_threshold"))
   }
+
+  /** The execution half of [[rebalanceMixture]]: one broadcast-join
+    * filter pass keeping rows whose md5 bucket clears their category's
+    * threshold. Categories absent from `thresholds` are dropped.
+    */
+  def applyMixture(df: DataFrame, catCol: String, keyCol: String,
+                   thresholds: DataFrame): DataFrame =
+    df.join(broadcast(thresholds.select(col("category"), col("bucket_threshold"))),
+        col(catCol).cast("string") === col("category"))
+      .filter(bucket(col(keyCol)) < col("bucket_threshold"))
+      .drop("category", "bucket_threshold")
 
   /** Leakage-proof split assignment: like [[assign]], but documents in
     * the same duplicate cluster NEVER straddle splits — a near-dup of a
@@ -179,12 +202,19 @@ object Splits {
     * table (cluster rows ≪ corpus — only docs with a near-dup; AQE
     * broadcasts while small), then the same projection-only bucket rule
     * as [[assign]]. Composes with any clustering that yields
-    * (key, cluster_id).
+    * (`clusterKeyCol`, cluster_id) — the default matches
+    * [[graft.text.Dedup.duplicateClusters]]'s output.
     */
   def assignLeakProof(df: DataFrame, keyCol: String, clusters: DataFrame,
                       fractions: Seq[(String, Double)] =
-                        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
-    val c = clusters.select(col("doc_id").as(keyCol), col("cluster_id"))
+                        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                      clusterKeyCol: String = "doc_id"): DataFrame = {
+    require(df.columns.contains(keyCol), s"unknown key column $keyCol")
+    require(clusters.columns.contains(clusterKeyCol) &&
+        clusters.columns.contains("cluster_id"),
+      s"clusters must carry ($clusterKeyCol, cluster_id); got " +
+        clusters.columns.mkString(", "))
+    val c = clusters.select(col(clusterKeyCol).as(keyCol), col("cluster_id"))
     val withRep = df.join(c, Seq(keyCol), "left")
       .withColumn("split_key", coalesce(col("cluster_id"), col(keyCol)))
       .drop("cluster_id")
