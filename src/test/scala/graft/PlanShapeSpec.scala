@@ -159,6 +159,27 @@ class PlanShapeSpec extends SparkTestBase {
       case _ => false
     }
 
+  test("applyMixture with precomputed thresholds is one broadcast-filter pass: zero shuffles") {
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "source")
+    val thr = Seq(("a", 5000L, 20L), ("b", 5000L, 20L))
+      .toDF("category", "bucket_threshold", "n_before")
+    val out = graft.text.Splits.applyMixture(df, "source", "doc_id", thr)
+    assert(shuffles(out).isEmpty,
+      s"applyMixture must not shuffle the corpus, got ${shuffles(out).size} exchanges")
+    assert(broadcasts(out).nonEmpty, "thresholds must broadcast")
+  }
+
+  test("fkCoverage: dimension payload columns never cross an exchange") {
+    val fact = (1L to 30L).map(Tuple1(_)).toDF("fk")
+    val dim = (1L to 20L).map(i => (i, s"wide_payload_$i" * 5)).toDF("k", "payload_col")
+    val out = graft.quality.Quality.fkCoverage(fact, "fk", dim, "k")
+    val shuffled = executedPlanNodes(out).collect {
+      case e: ShuffleExchangeLike => e.output.map(_.name)
+    }.flatten
+    assert(!shuffled.exists(_.contains("payload_col")),
+      s"dim payload crossed an exchange: $shuffled")
+  }
+
   test("bucketed prefix sums: exactly one unpartitioned window (the bucket offsets)") {
     val d = (1L to 40L).map(i => (i, s"tok$i tok${i % 7}")).toDF("doc_id", "text")
     assert(unpartitionedWindows(graft.text.Search.vocabGrowth(d, bucketWidth = 8)) == 1)
