@@ -1799,6 +1799,11 @@ object SparkEntry {
       graft.quality.Quality.fkCoverage(
         T(s, dir, "events"), "user_id", T(s, dir, "customer"), "c_custkey")),
 
+    // Corpus PII audit: per-pattern doc/match counts in ONE scan — the
+    // monitoring row logged before any redaction pass.
+    "q127_pii_audit" -> ((s, dir) =>
+      graft.text.TextClean.piiAudit(T(s, dir, "documents"))),
+
     // Leakage-proof split: near-dup clusters (q38's components) never
     // straddle train/val/test — the split keys on the cluster
     // representative, so a test doc's near-dup cannot sit in train.
@@ -3375,6 +3380,26 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, source, exemplar_rank::BIGINT AS exemplar_rank
         |FROM r WHERE exemplar_rank <= 2 ORDER BY lang, source, exemplar_rank""".stripMargin,
+
+    // the IDENTICAL RE2-compatible regexes (TextClean constants are
+    // interpolated, not re-typed) replayed via string_split_regex —
+    // both engines count matches as len(split) - 1
+    "q127_pii_audit" -> {
+      val (e, i, p) = (graft.text.TextClean.EmailRe,
+        graft.text.TextClean.Ipv4Re, graft.text.TextClean.PhoneRe)
+      s"""WITH h AS (SELECT
+         |    len(string_split_regex(text, '$e')) - 1 AS he,
+         |    len(string_split_regex(text, '$i')) - 1 AS hi,
+         |    len(string_split_regex(text, '$p')) - 1 AS hp
+         |  FROM documents)
+         |SELECT 'email' AS pii_type, count(CASE WHEN he > 0 THEN 1 END)::BIGINT AS n_docs,
+         |  coalesce(sum(he), 0)::BIGINT AS n_hits FROM h
+         |UNION ALL SELECT 'ipv4', count(CASE WHEN hi > 0 THEN 1 END)::BIGINT,
+         |  coalesce(sum(hi), 0)::BIGINT FROM h
+         |UNION ALL SELECT 'phone', count(CASE WHEN hp > 0 THEN 1 END)::BIGINT,
+         |  coalesce(sum(hp), 0)::BIGINT FROM h
+         |ORDER BY 1""".stripMargin
+    },
 
     // q38's recursive-CTE components + the q37 bucket rule, keyed on the
     // cluster representative (unclustered docs represent themselves)

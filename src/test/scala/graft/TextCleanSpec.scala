@@ -40,4 +40,20 @@ class TextCleanSpec extends SparkTestBase {
     assert(out.getString(out.fieldIndex("text")) == "<EMAIL> spaced")
     assert(out.getString(out.fieldIndex("raw_text")).contains("x@y.io"))
   }
+
+  test("piiAudit counts docs and matches per type; clean corpus reports zeros") {
+    val docs = Seq(
+      (1L, "contact me at a@b.com or c@d.org thanks"),  // 2 emails
+      (2L, "server at 10.0.0.1 and 192.168.1.254"),     // 2 ipv4
+      (3L, "call +1 (555) 123-4567 now"),               // 1 phone
+      (4L, "a@b.com again"),                            // 1 email
+      (5L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val got = TextClean.piiAudit(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("email", 2L, 3L), ("ipv4", 1L, 2L), ("phone", 1L, 1L)), got)
+    val clean = Seq((1L, "hello world")).toDF("doc_id", "text")
+    assert(TextClean.piiAudit(clean).collect().forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
 }
