@@ -76,4 +76,22 @@ class QualitySpec extends SparkTestBase {
     val empty = Seq.empty[Tuple1[Long]].toDF("fk")
     assert(Quality.fkCoverage(empty, "fk", dim, "k").collect().head.getDouble(4) == 0.0)
   }
+
+  test("fkCoverage == brute force on random fact/dim key sets") {
+    import org.scalacheck.Gen
+    val factGen = Gen.listOfN(25, Gen.option(Gen.chooseNum(1L, 12L)))
+    val dimGen = Gen.listOfN(8, Gen.chooseNum(1L, 12L))
+    samples(Gen.zip(factGen, dimGen), n = 4).foreach { case (fks, dks) =>
+      val fact = fks.map(Tuple1(_)).toDF("fk")
+      val dim = dks.map(Tuple1(_)).toDF("k")
+      val dset = dks.toSet
+      val nNull = fks.count(_.isEmpty).toLong
+      val nMatched = fks.count(_.exists(dset.contains)).toLong
+      val nMissing = fks.count(f => f.isDefined && !dset.contains(f.get)).toLong
+      val r = Quality.fkCoverage(fact, "fk", dim, "k").collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) ==
+        (fks.size.toLong, nMatched, nMissing, nNull,
+          nMatched.toDouble / fks.size.toLong), s"fks=$fks dks=$dks")
+    }
+  }
 }
