@@ -1804,6 +1804,17 @@ object SparkEntry {
     "q127_pii_audit" -> ((s, dir) =>
       graft.text.TextClean.piiAudit(T(s, dir, "documents"))),
 
+    // Incremental near-dup: the test split checked against the train
+    // corpus — batch-vs-corpus pairs only, never corpus×corpus; the
+    // production (incremental) dedup shape.
+    "q128_incremental_neardup" -> ((s, dir) => {
+      val assigned = graft.text.Splits.assign(T(s, dir, "documents"), "doc_id")
+      graft.text.Dedup.crossMinhashNearDup(
+          assigned.filter(col("split") === "train"),
+          assigned.filter(col("split") === "test"))
+        .orderBy(col("corpus_doc_id"), col("batch_doc_id"))
+    }),
+
     // Leakage-proof split: near-dup clusters (q38's components) never
     // straddle train/val/test — the split keys on the cluster
     // representative, so a test doc's near-dup cannot sit in train.
@@ -3380,6 +3391,31 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, source, exemplar_rank::BIGINT AS exemplar_rank
         |FROM r WHERE exemplar_rank <= 2 ORDER BY lang, source, exemplar_rank""".stripMargin,
+
+    // exact cross-split Jaccard (train side × test side, no ordering
+    // constraint — a pair's orientation is fixed by its splits); the
+    // q25/q26 recall argument carries over: cross pairs are a subset of
+    // the pairs the bulk oracle already proves the LSH recalls
+    "q128_incremental_neardup" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bk
+        |  FROM documents),
+        |tokc AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks
+        |  FROM b WHERE bk < 8000),
+        |tokb AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks
+        |  FROM b WHERE bk >= 9000),
+        |shc AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        |  FROM tokc, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)),
+        |shb AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        |  FROM tokb, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)),
+        |cntc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+        |cntb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM shc a JOIN shb b USING (shingle) GROUP BY 1, 2),
+        |j AS (SELECT d1, d2, i::DOUBLE / (ca.n + cb.n - i) AS jac FROM inter
+        |  JOIN cntc ca ON ca.doc_id = d1 JOIN cntb cb ON cb.doc_id = d2)
+        |SELECT d1 AS corpus_doc_id, d2 AS batch_doc_id, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.4 ORDER BY 1, 2""".stripMargin,
 
     // the IDENTICAL RE2-compatible regexes (TextClean constants are
     // interpolated, not re-typed) replayed via string_split_regex —

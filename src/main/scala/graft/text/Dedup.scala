@@ -214,6 +214,60 @@ object Dedup {
     }
   }
 
+  /** Incremental MinHash near-dup: pairs between a NEW batch and an
+    * existing corpus only — the production dedup shape, where every
+    * arriving batch is checked against what is already curated
+    * (corpus×corpus pairs, the quadratic bulk [[minhashLsh]] pays, are
+    * never generated; compose with [[graft.ingest.Snapshot.changedKeys]]
+    * to make recuration incremental end-to-end). Output:
+    * (corpus_doc_id, batch_doc_id, jaccard) at `threshold`, exact after
+    * LSH candidate generation.
+    *
+    * 100 TB shape, mirroring [[graft.vector.Similarity.crossNearDup]]:
+    * the BATCH side (small by contract) collapses to capped per-band-key
+    * id sets (fail-loud on overflow — a truncated bucket would silently
+    * under-report duplicates); the corpus side streams its band keys
+    * through one equi-join against those sets, so per band key the work
+    * is |corpus bucket| × ≤ maxBucket. Only candidate docs' shingle sets
+    * materialize for the exact verify.
+    */
+  def crossMinhashNearDup(corpus: DataFrame, batch: DataFrame, n: Int = 3,
+                          bands: Int = 32, rows: Int = 2,
+                          threshold: Double = 0.4,
+                          maxBucket: Int = 10000): DataFrame = {
+    def bandKeysOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        minhash_sig_ngrams(tokens(col("text")), n, bands * rows).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, $bands - 1), j -> hash(slice(sig, j * $rows + 1, $rows)))"))
+        .as(Seq("band", "bh")))
+      .select(col("doc_id"), concat_ws(":", col("band"), col("bh")).as("band_key"))
+    val buckets = Pipelines.cappedItemSets(bandKeysOf(batch), "band_key", "doc_id",
+        maxGroupSize = maxBucket, failOnOverflow = true,
+        opName = "crossMinhashNearDup")
+      .withColumnRenamed("g", "band_key")
+    val cand = bandKeysOf(corpus).join(buckets, Seq("band_key"))
+      .select(col("doc_id").as("corpus_doc_id"), explode(col("its")).as("batch_doc_id"))
+      .distinct()
+      .localCheckpoint()
+    val corpusSh = docShingles(corpus.join(
+      cand.select(col("corpus_doc_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"), n)
+    val batchSh = docShingles(batch.join(
+      cand.select(col("batch_doc_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"), n)
+    cand
+      .join(corpusSh.select(col("doc_id").as("corpus_doc_id"), col("sh").as("sh_1")),
+        Seq("corpus_doc_id"))
+      .join(batchSh.select(col("doc_id").as("batch_doc_id"), col("sh").as("sh_2")),
+        Seq("batch_doc_id"))
+      .withColumn("n_inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("long"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_1")) + size(col("sh_2")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_doc_id"), col("batch_doc_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair graph, labels = smallest reachable doc id. Dedup keeps ONE doc
     * per CLUSTER (transitively: A≈B, B≈C ⇒ one survivor among {A,B,C}),

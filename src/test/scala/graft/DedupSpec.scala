@@ -243,4 +243,26 @@ class DedupSpec extends SparkTestBase {
       "an internal cache() survived an operator call — CacheManager pins " +
         "it for the session, so repeated calls would accumulate indexes")
   }
+
+  test("crossMinhashNearDup: batch-vs-corpus pairs only, exact jaccard, no corpus pairs") {
+    // corpus has an INTERNAL near-dup pair (1, 2) that must NOT appear;
+    // batch doc 10 is a near-dup of corpus doc 1; batch doc 11 matches nothing
+    val corpus = docs(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"), (3L, "p q r s t u v w"))
+    val batch = docs((10L, "a b c d e f g h"), (11L, "zz yy xx ww vv uu tt ss"))
+    val got = Dedup.crossMinhashNearDup(corpus, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(t => (t._1, t._2))
+    // exact jaccard vs brute force over cross pairs only
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val want = (for {
+      (cid, ct) <- Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x"), (3L, "p q r s t u v w"))
+      (bid, bt) <- Seq((10L, "a b c d e f g h"), (11L, "zz yy xx ww vv uu tt ss"))
+      inter = sh(ct).intersect(sh(bt)).size
+      jac = inter.toDouble / (sh(ct).size + sh(bt).size - inter)
+      if jac >= 0.4
+    } yield (cid, bid, math.floor(jac * 10000 + 0.5) / 10000)).sortBy(t => (t._1, t._2))
+    assert(got == want, s"got=$got want=$want")
+    assert(got.forall { case (c, b, _) => Seq(1L, 2L, 3L).contains(c) && Seq(10L, 11L).contains(b) })
+    assert(got.map(t => (t._1, t._2)).contains((1L, 10L)))
+  }
 }
