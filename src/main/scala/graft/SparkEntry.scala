@@ -1085,6 +1085,22 @@ object SparkEntry {
         "user_id", "us", "event_id", gapUs = 30L * 60 * 1000000L)
         .orderBy(col("user_id"), col("session_no"))),
 
+    // Spark's NATIVE session_window (batch mode) beside the hand-rolled
+    // islands form (q69). Boundary semantics VERIFIED EMPIRICALLY, not
+    // assumed: session merging treats windows as closed intervals
+    // (merge when next.start <= current.end), so an exactly-gap-sized
+    // pause stays joined — the SAME `gap > threshold` split rule as the
+    // islands form; SessionizeSpec pins the boundary case.
+    "q129_native_session_window" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          (unix_micros(col("w.end")) - 1800000000L).as("last_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))),
+
     // Latest-wins keyed upsert (MERGE shape on bare tables): orders act
     // as a CDC change stream over the customer balance snapshot;
     // precedence = (order date, order key), base rows lose to any update.
@@ -2832,6 +2848,22 @@ object SparkEntry {
         |SELECT user_id, session_no, count(*)::BIGINT AS n_events,
         |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS duration_us
         |FROM g GROUP BY 1, 2 ORDER BY user_id, session_no""".stripMargin,
+
+    // the native rule equals the islands rule: new session only at
+    // gap > 30 min (closed-interval window merging, pinned by test)
+    "q129_native_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS nb
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us,
+        |    sum(nb) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+        |  FROM f)
+        |SELECT user_id, min(us) AS start_us, max(us) AS last_us,
+        |  count(*)::BIGINT AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
 
     "q70_upsert_merge" ->
       """WITH base AS (SELECT c_custkey AS user_id, c_acctbal AS balance,

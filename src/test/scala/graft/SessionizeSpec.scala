@@ -106,4 +106,31 @@ class SessionizeSpec extends SparkTestBase {
     // 3@0 starts s1; 4@100 gap 100 > 99 → s2; 5@100 gap 0 → stays s2
     assert(got == Map(3L -> 1L, 4L -> 2L, 5L -> 2L))
   }
+
+  test("native session_window boundary semantics match the islands rule (empirical pin)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gapUs = 60L * 1000000L // 1 minute
+    // user 1: pauses strictly under/over the gap; user 2: a pause of EXACTLY the gap
+    val evs = Seq(
+      (1L, 1L, 0L), (1L, 2L, 30L * 1000000L), (1L, 3L, 200L * 1000000L),
+      (2L, 4L, 0L), (2L, 5L, gapUs))
+    val df = evs.map { case (u, e, us) => (u, e, new java.sql.Timestamp(us / 1000L)) }
+      .toDF("user_id", "event_id", "ts")
+    val native = df
+      .groupBy(col("user_id"), session_window(col("ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // Spark merges CLOSED intervals (next.start <= current.end): the
+    // exactly-gap-sized pause of user 2 stays ONE session — the same
+    // `gap > threshold` rule as the islands form. This pin is what
+    // licenses q129's oracle to reuse q69's split rule.
+    assert(native == Seq((1L, 0L, 2L), (1L, 200000000L, 1L), (2L, 0L, 2L)))
+    val islands = graft.operators.Sessionize.stats(
+        df.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")),
+        "user_id", "us", "event_id", gapUs = gapUs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(islands.count(_._1 == 2L) == 1, s"islands must agree: $islands")
+  }
 }
