@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BoundedCollectSet, MinHashSig, MinHashSigNgrams, NGrams, SimHash60, VectorDot, ZValue}
+import graft.functions.{BoundedCollectSet, MinHashSig, MinHashSigNgrams, NfcNormalize, NGrams, SimHash60, VectorDot, ZValue}
 
 /** Session extension wiring for the engine's custom Catalyst surface
   * (installed with
@@ -93,6 +93,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "simhash60 expects exactly 1 argument")
         SimHash60(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize expects exactly 1 argument")
+        NfcNormalize(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("bounded_collect_set"),

@@ -1820,6 +1820,18 @@ object SparkEntry {
     "q127_pii_audit" -> ((s, dir) =>
       graft.text.TextClean.piiAudit(T(s, dir, "documents"))),
 
+    // Unicode NFC normalization audit via the codegen'd nfc_normalize
+    // expression (Spark ships no normalizer; decomposed text leaks
+    // duplicates past every byte-keyed dedup). DuckDB's built-in
+    // nfc_normalize replays it — the corpus is ASCII so n_changed is 0,
+    // but the gate proves both engines' normalizers agree on real text;
+    // NfcNormalizeSpec plants decomposed Unicode for the semantics.
+    "q130_nfc_audit" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(graft.functions.nfc_normalize(col("text")) =!= col("text"), 1L)
+            .otherwise(0L)).as("n_changed"))),
+
     // Incremental near-dup: the test split checked against the train
     // corpus — batch-vs-corpus pairs only, never corpus×corpus; the
     // production (incremental) dedup shape.
@@ -3423,6 +3435,11 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, source, exemplar_rank::BIGINT AS exemplar_rank
         |FROM r WHERE exemplar_rank <= 2 ORDER BY lang, source, exemplar_rank""".stripMargin,
+
+    "q130_nfc_audit" ->
+      """SELECT count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END)::BIGINT AS n_changed
+        |FROM documents""".stripMargin,
 
     // exact cross-split Jaccard (train side × test side, no ordering
     // constraint — a pair's orientation is fixed by its splits); the

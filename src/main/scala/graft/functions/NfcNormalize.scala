@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization of a string column (java.text.Normalizer —
+  * JDK-built-in, no external ICU dependency).
+  *
+  * Why an expression: text dedup keys on byte equality — "é" composed
+  * (U+00E9) and decomposed (e + U+0301) are the SAME text but different
+  * bytes, so un-normalized corpora leak duplicates past every
+  * content-hash and shingle operator in [[graft.text.Dedup]]. Spark
+  * ships no normalizer function, and the repo's no-UDF discipline rules
+  * out a Scala closure; this is the standard custom-Expression slot
+  * (codegen'd, null-intolerant, SQL-registered as `nfc_normalize` —
+  * the same name DuckDB uses, which is what lets the oracle replay it).
+  *
+  * Fast path: already-normalized input (ALL ASCII, and most real text)
+  * returns the input UTF8String untouched — `isNormalized` is a scan,
+  * not an allocation, so the common case adds no garbage.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.NfcNormalize.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}

@@ -33,6 +33,10 @@ package object functions {
   def simhash60(toks: Column): Column =
     ColumnShim.column(SimHash60(ColumnShim.expression(toks)))
 
+  /** Unicode NFC normalization of a string column (JDK Normalizer). */
+  def nfc_normalize(text: Column): Column =
+    ColumnShim.column(NfcNormalize(ColumnShim.expression(text)))
+
   /** `collect_set` that FAILS (naming `opName` and the cap) the moment
     * any group's distinct size would exceed `cap` — inside the
     * aggregation buffer, before the over-cap group materializes. */
