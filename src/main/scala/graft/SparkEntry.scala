@@ -87,6 +87,32 @@ object SparkEntry {
     case _        => Tables.load(s, dir, name)
   }
 
+  /** q124's scratch dir: one fixed path per JVM, wiped and recreated per
+    * call (bench repeats overwrite instead of accumulating), removed on
+    * JVM exit. See the q124 registration for why it can't be a fresh
+    * createTempDirectory.
+    */
+  private lazy val q124ScratchHook: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_jsonl_q124")
+    sys.addShutdownHook(deleteRecursively(p))
+    p
+  }
+
+  private def q124Scratch(): String = {
+    val p = q124ScratchHook
+    deleteRecursively(p)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q15_hybrid_recommend")(spark, "/root/testdata/sf0.001")
@@ -1877,8 +1903,12 @@ object SparkEntry {
     // JSON-lines write/scan roundtrip (third file format) — declared
     // schema, FAILFAST parse, same partition-pruning contract as
     // parquet/ORC; the oracle replays format-neutrally from events.
+    // The scratch dir is a FIXED per-JVM path, recreated on each call
+    // and removed on JVM exit: the returned frame reads it lazily, so
+    // it cannot be deleted here, and a fresh createTempDirectory per
+    // call would litter /tmp across bench repeats.
     "q124_jsonl_roundtrip" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val base = q124Scratch()
       val ev = Tables.events(s, dir).select(
         col("user_id").cast("long").as("user_id"), col("event_type"),
         round(col("value") * 10000).cast("long").as("v4"))

@@ -36,7 +36,11 @@ object Drift {
     * {{{ D = max_x | F_a(x) − F_b(x) | }}}
     * over the empirical CDFs evaluated at every distinct observed value.
     * Output: one row (n_a, n_b, ks_d). Null values are excluded (a CDF
-    * over nulls is undefined); an empty side yields ks_d = NaN.
+    * over nulls is undefined); an EMPTY side fails loudly (raise_error)
+    * rather than returning a value — the two-sample statistic is
+    * undefined there, and the silent alternative (non-ANSI Divide
+    * returns NULL on the zero divisor, so ks_d would come back NULL,
+    * not NaN) reads like "no drift" to a monitoring consumer.
     *
     * Per distinct value the CDF heights are `c/n` — one correctly-rounded
     * double division each — and D is a `max` reduction, so the result is
@@ -97,8 +101,14 @@ object Drift {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // totals from the ALREADY-AGGREGATED per-value counts — identical
     // exact integers, but value-cardinality-sized input instead of a
-    // second corpus-scale scan of `sided`
+    // second corpus-scale scan of `sided`. An all-null/empty side sums
+    // to NULL-or-0: fail loudly here (the broadcast evaluates this
+    // eagerly) so the undefined statistic cannot propagate as NULL.
     val totals = perValue.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+      .select(Seq("n_a", "n_b").map(c =>
+        when(coalesce(col(c), lit(0L)) === 0L, raise_error(lit(
+          s"ksStatistic: side '$c' has no finite non-null rows — " +
+            "the two-sample statistic is undefined"))).otherwise(col(c)).as(c)): _*)
     perValue.join(broadcast(offsets), Seq("__bk"))
       .withColumn("__cuma", sum(col("__ca")).over(wIn) + col("__offa"))
       .withColumn("__cumb", sum(col("__cb")).over(wIn) + col("__offb"))

@@ -18,9 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (codegen'd, null-intolerant, SQL-registered as `nfc_normalize` —
   * the same name DuckDB uses, which is what lets the oracle replay it).
   *
-  * Fast path: already-normalized input (ALL ASCII, and most real text)
-  * returns the input UTF8String untouched — `isNormalized` is a scan,
-  * not an allocation, so the common case adds no garbage.
+  * Fast path, two tiers: pure-ASCII input (most machine text) is
+  * detected by a zero-allocation scan of the UTF8String bytes for the
+  * high bit — ASCII is NFC by construction, so the input returns
+  * untouched with no garbage at all. Non-ASCII input pays one
+  * String materialization for `isNormalized`; already-normalized
+  * text then still skips the second (normalize + re-encode)
+  * allocation.
   */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
 
@@ -47,9 +51,20 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
 object NfcNormalize {
   def compute(s: UTF8String): UTF8String = {
+    if (isAllAscii(s)) return s // ASCII is always NFC; zero allocations
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  private def isAllAscii(s: UTF8String): Boolean = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
   }
 }

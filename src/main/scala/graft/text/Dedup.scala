@@ -223,6 +223,17 @@ object Dedup {
     * (corpus_doc_id, batch_doc_id, jaccard) at `threshold`, exact after
     * LSH candidate generation.
     *
+    * Recall bound (the one probabilistic step — the verify is exact but
+    * can only score pairs the bands surfaced): a pair with true Jaccard
+    * j is missed by ALL bands with probability (1 − j^rows)^bands. At
+    * the defaults (64 bands × 2 rows) a pair right at the 0.4 threshold
+    * is missed with (1 − 0.16)^64 ≈ 1.5e-5 — versus ≈ 4e-3 at the 32
+    * bands this shipped with before, which was close enough to flake an
+    * exact-oracle gate on regenerated data. Doubling bands doubles only
+    * the row-local signature work and the band-key rows (linear,
+    * shuffle-light); pairs well above threshold (j ≥ 0.6) are missed
+    * with < 1e-12 at either setting.
+    *
     * 100 TB shape, mirroring [[graft.vector.Similarity.crossNearDup]]:
     * the BATCH side (small by contract) collapses to capped per-band-key
     * id sets (fail-loud on overflow — a truncated bucket would silently
@@ -232,7 +243,7 @@ object Dedup {
     * materialize for the exact verify.
     */
   def crossMinhashNearDup(corpus: DataFrame, batch: DataFrame, n: Int = 3,
-                          bands: Int = 32, rows: Int = 2,
+                          bands: Int = 64, rows: Int = 2,
                           threshold: Double = 0.4,
                           maxBucket: Int = 10000): DataFrame = {
     def bandKeysOf(df: DataFrame): DataFrame = df

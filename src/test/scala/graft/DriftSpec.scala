@@ -57,6 +57,21 @@ class DriftSpec extends SparkTestBase {
       .collect().head.getDouble(2) == 1.0)
   }
 
+  test("ksStatistic fails loudly on an empty side (never a NULL ks_d)") {
+    // non-ANSI Divide would NULL the CDF heights on a zero n and max()
+    // would swallow it — the guard must error instead, naming the side
+    val oneSided = Seq(("A", 1.0), ("A", 2.0)).toDF("side", "value")
+    val e = intercept[Exception] {
+      Drift.ksStatistic(oneSided, "value", "side", lit("A"), lit("B")).collect()
+    }
+    assert(e.getMessage.contains("n_b") && e.getMessage.contains("undefined"))
+    val allNull = Seq(("A", Some(1.0)), ("B", Option.empty[Double])).toDF("side", "value")
+    val e2 = intercept[Exception] {
+      Drift.ksStatistic(allNull, "value", "side", lit("A"), lit("B")).collect()
+    }
+    assert(e2.getMessage.contains("undefined"))
+  }
+
   test("ksStatistic excludes nulls, NaNs, and third populations") {
     val df = Seq(("A", Some(1.0)), ("A", None), ("B", Some(5.0)), ("C", Some(1.0)))
       .toDF("side", "value")

@@ -32,6 +32,19 @@ class NfcNormalizeSpec extends SparkTestBase {
     assert(twice == composed)
   }
 
+  test("ASCII fast path returns the input UTF8String by reference (zero-alloc)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("plain ascii, no marks 123!")
+    assert(graft.functions.NfcNormalize.compute(ascii) eq ascii)
+    // non-ASCII but already-NFC also passes through by reference (one
+    // String materialization for the isNormalized check, no re-encode)
+    val nfc = UTF8String.fromString("café")
+    assert(graft.functions.NfcNormalize.compute(nfc) eq nfc)
+    // decomposed input must NOT take the fast path
+    val dec = UTF8String.fromString("café")
+    assert(graft.functions.NfcNormalize.compute(dec).toString == "café")
+  }
+
   test("normalized-vs-raw comparison finds exactly the decomposed docs") {
     val df = Seq((1L, decomposed), (2L, composed), (3L, "x")).toDF("id", "t")
     val changed = df.filter(nfc_normalize(col("t")) =!= col("t"))
