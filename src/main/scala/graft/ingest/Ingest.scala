@@ -246,16 +246,16 @@ object Ingest {
     * `bucketCol` at write time so equi-joins and aggregations on that key
     * read co-located data and plan with NO exchange — the standing answer
     * to "this join shuffles 100 TB every night". Bucketing requires the
-    * table catalog (`saveAsTable`), not a bare path.
+    * table catalog (`saveAsTable`), not a bare path — so this routes
+    * through [[Catalog.saveTable]]: the table lands as EXTERNAL parquet
+    * under `db`'s explicit location (never the implicit
+    * `./spark-warehouse` side-channel) with the descriptor that lets
+    * [[Catalog.attach]] re-register it — bucket spec included — in a
+    * later session.
     */
-  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+  def writeBucketed(df: DataFrame, db: String, table: String, bucketCol: String,
                     numBuckets: Int): Unit =
-    df.write
-      .mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, bucketCol)
-      .sortBy(bucketCol)
-      .format("parquet")
-      .saveAsTable(table)
+    Catalog.saveTable(df, db, table, bucket = Some((numBuckets, bucketCol)))
 
   /** Z-ordered parquet write: the multi-dimensional data-skipping layout
     * (the layout lever the reference's partition-by-year/month scheme,

@@ -139,23 +139,23 @@ class IngestSpec extends SparkTestBase {
 
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    // unique names: the in-memory catalog dies with the JVM but the
-    // warehouse directories survive, and saveAsTable refuses stale paths
-    val (ta, tb) = (s"graft_bkt_a_${System.nanoTime()}", s"graft_bkt_b_${System.nanoTime()}")
+    // an explicitly-located database — nothing may land in the implicit
+    // ./spark-warehouse side-channel (asserted in CatalogSpec)
+    val db = s"graft_bkt_${System.nanoTime()}"
     val a = (1L to 100L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "vb")
     try {
-      Ingest.writeBucketed(a, ta, "k", 4)
-      Ingest.writeBucketed(b, tb, "k", 4)
-      val joined = spark.table(ta).join(spark.table(tb), "k")
+      graft.ingest.Catalog.ensureDatabase(spark, db, tmp())
+      Ingest.writeBucketed(a, db, "ta", "k", 4)
+      Ingest.writeBucketed(b, db, "tb", "k", 4)
+      val joined = spark.table(s"$db.ta").join(spark.table(s"$db.tb"), "k")
       assert(joined.count() == 100)
       // executedPlanNodes, not a plain collect: TreeNode.collect cannot
       // see through AQE wrappers and would pass this vacuously
       val shuffles = executedPlanNodes(joined).filter(_.isInstanceOf[ShuffleExchangeLike])
       assert(shuffles.isEmpty, s"bucketed join should not shuffle: ${shuffles.size} exchanges")
     } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $ta")
-      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
 
