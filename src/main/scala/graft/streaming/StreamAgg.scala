@@ -151,9 +151,17 @@ object StreamAgg {
     * the count is pinned into the checkpoint).
     */
   private def jsonEventSource(spark: SparkSession, inPath: String,
-                              schema: String): DataFrame =
-    spark.readStream.schema(schema).json(inPath)
+                              schema: String,
+                              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    // source-side backpressure: AvailableNow honors the file source's
+    // rate limit, so a large backlog drains as bounded micro-batches
+    // instead of one giant batch (the incremental-progress contract
+    // runDedupIncremental exposes)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(inPath)
       .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+  }
 
   /** Read a bounded run's sink with the expected schema; a run whose
     * source held zero records commits no batch and never creates the
@@ -168,7 +176,8 @@ object StreamAgg {
 
   private def runToParquet(spark: SparkSession, df: DataFrame, outPath: String,
                            checkpointPath: String,
-                           statePartitions: Option[Int]): Unit = {
+                           statePartitions: Option[Int])
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     statePartitions.foreach(n => spark.conf.set(key, n.toString))
@@ -182,6 +191,10 @@ object StreamAgg {
         .start()
     } finally spark.conf.set(key, prev)
     q.awaitTermination()
+    // the per-batch progress log (state rows, eviction counts, input
+    // rates) — the observability surface the bounded-run drivers return
+    // to callers that monitor state growth
+    q.recentProgress.toSeq
   }
 
   private val EventWithIdSchema =
@@ -201,6 +214,36 @@ object StreamAgg {
       outPath, checkpointPath, statePartitions)
     readSink(spark, outPath, org.apache.spark.sql.types.StructType.fromDDL(
       "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP"))
+  }
+
+  /** [[runDedupToCompletion]] with source-side backpressure and the
+    * per-batch progress log returned alongside the sink: the backlog
+    * drains `maxFilesPerTrigger` files per micro-batch (AvailableNow
+    * honors the source rate limit) instead of one giant batch.
+    *
+    * This is the observability surface for THE 100 TB streaming failure
+    * mode — state growth: each `StreamingQueryProgress.stateOperators`
+    * entry reports `numRowsTotal` / `numRowsRemoved` after its batch,
+    * so a caller (or StreamBackpressureSpec) can assert that watermark
+    * eviction keeps state bounded while the backlog drains, rather than
+    * trusting the state layout alone. A production deploy feeds the
+    * same progress objects to its metrics sink via a
+    * StreamingQueryListener; the bounded-run driver returns them
+    * directly because the query is finite.
+    */
+  def runDedupIncremental(spark: SparkSession, inPath: String, outPath: String,
+                          checkpointPath: String, keyCol: String = "event_id",
+                          watermarkDelay: String = "1 minute",
+                          statePartitions: Option[Int] = None,
+                          maxFilesPerTrigger: Int = 1)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val src = jsonEventSource(spark, inPath, EventWithIdSchema,
+      maxFilesPerTrigger = Some(maxFilesPerTrigger))
+    val progress = runToParquet(spark, dedupedEvents(src, keyCol, watermarkDelay),
+      outPath, checkpointPath, statePartitions)
+    (readSink(spark, outPath, org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")),
+      progress)
   }
 
   /** Stream-static enrichment: join a streaming fact against a static
