@@ -115,6 +115,65 @@ object Explore {
         time(s"old twice-tokenize r$r")(force(oldExcise()))
         time(s"new single-tokenize r$r")(force(Dedup.exciseRepeats(docs, 10)))
       }
+    } else if (args.headOption.contains("q48parts")) {
+      // stage breakdown of embeddingNearDup at the current SF
+      import graft.vector.Similarity
+      import graft.functions.vector_dot
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val data = Similarity.prep(emb).cache()
+      time("prep+cache")(data.count())
+      val n = data.count()
+      val (b, r) = Similarity.sizeBands(n, 8, 8, 0.95, 16)
+      println(s"[explore] geometry n=$n bands=$b rows=$r")
+      val dim = data.select(size(col("v")).as("d")).head().getInt(0)
+      val nbits = b * r
+      def planeMicroD(p: Int): Array[Double] = {
+        import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        import org.apache.spark.sql.types.IntegerType
+        Array.tabulate(dim) { j =>
+          val h = XxHash64Function.hash(j, IntegerType,
+            XxHash64Function.hash(p, IntegerType, 42L)) % 1000L
+          (h + 1000L) % 1000L // keep in lockstep with Similarity.planeMicro
+        }.map(_.toDouble / 1000.0 - 0.5)
+      }
+      val withBits = data.withColumn("bits",
+        array((0 until nbits).map(p =>
+          (vector_dot(col("v"), typedLit(planeMicroD(p))) > 0).cast("int")): _*))
+      time("signature bits")(withBits.select(sum(expr("bits[0]"))).count())
+      val bandKeys = withBits.select(col("vec_id"),
+        posexplode(expr(s"transform(sequence(0, ${b - 1}), j -> " +
+          s"slice(bits, j * $r + 1, $r))")).as(Seq("band", "bh")))
+        .select(col("vec_id"),
+          concat_ws(":", col("band") +: (0 until r).map(i =>
+            expr(s"bh[$i]")): _*).as("band_key"))
+        .distinct()
+      time("band keys")(bandKeys.count())
+      // diagnostics: bit balance per plane + bucket occupancy histogram
+      val balance = withBits.select((0 until nbits).map(i =>
+        avg(expr(s"bits[$i]")).as(s"b$i")): _*).head()
+      val fracs = (0 until nbits).map(i => balance.getDouble(i))
+      println(f"[explore] bit balance min=${fracs.min}%.3f max=${fracs.max}%.3f " +
+        f"mean=${fracs.sum / nbits}%.3f")
+      val occ = bandKeys.groupBy("band_key").count()
+      occ.select(max(col("count")), avg(col("count")),
+          sum(col("count") * (col("count") - 1) / 2).as("pairs"))
+        .collect().foreach(r => println(s"[explore] occupancy max=${r.get(0)} " +
+          s"avg=${r.get(1)} candidate_pairs(pre-dedup)=${r.get(2)}"))
+      val cand = Pipelines.cooccurrence(bandKeys, "band_key", "vec_id",
+          maxGroupSize = 10000, failOnOverflow = true)
+        .select(col("track_id_1").as("vec_id_1"), col("track_id_2").as("vec_id_2"))
+      time("candidates")(cand.count())
+      val verified = cand
+        .join(data.select(col("vec_id").as("vec_id_1"), col("v").as("v1"),
+          col("norm").as("n1")), Seq("vec_id_1"))
+        .join(data.select(col("vec_id").as("vec_id_2"), col("v").as("v2"),
+          col("norm").as("n2")), Seq("vec_id_2"))
+        .withColumn("cosine", round(Similarity.dot("v1", "v2") / (col("n1") * col("n2")), 6))
+        .filter(col("cosine") >= 0.95)
+      time("verify")(verified.count())
+      data.unpersist()
+      time("full q48")(SparkEntry.queries("q48_embedding_neardup")(spark, dir).count())
     } else if (args.headOption.contains("crossAB")) {
       // q99 candidate generation: banded-LSH crossNearDup vs the
       // brute-force cosine cross join over the same split (records the

@@ -33,6 +33,11 @@ package object functions {
   def simhash60(toks: Column): Column =
     ColumnShim.column(SimHash60(ColumnShim.expression(toks)))
 
+  /** All `nbits` sign-LSH hyperplane bits of an `array<double>` vector,
+    * fused into one pass (deterministic xxhash-derived planes). */
+  def sign_bits(v: Column, nbits: Int): Column =
+    ColumnShim.column(SignBits(ColumnShim.expression(v), nbits))
+
   /** Unicode NFC normalization of a string column (JDK Normalizer). */
   def nfc_normalize(text: Column): Column =
     ColumnShim.column(NfcNormalize(ColumnShim.expression(text)))

@@ -111,14 +111,8 @@ object Similarity {
     * can embed each component as the exact rational `k/1000 − 1/2` (both
     * engines then perform identical correctly-rounded double ops and
     * rebuild the same buckets). */
-  private[graft] def planeMicro(p: Int, dim: Int): Array[Long] = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.IntegerType
-    Array.tabulate(dim) { j =>
-      XxHash64Function.hash(j, IntegerType,
-        XxHash64Function.hash(p, IntegerType, 42L)) % 1000L
-    }
-  }
+  private[graft] def planeMicro(p: Int, dim: Int): Array[Long] =
+    graft.functions.SignBits.planeMicro(p, dim) // single source of truth
 
   private def plane(p: Int, dim: Int): Array[Double] =
     planeMicro(p, dim).map(_.toDouble / 1000.0 - 0.5)
@@ -143,7 +137,12 @@ object Similarity {
     * (r = 4 on a clustered corpus admitted ~45% of ALL pairs as
     * candidates; r = 8 cuts that ~25×), so widen bands before adding
     * them. Scale: the only wide op is the bucket-key groupBy — no
-    * all-pairs product at any size.
+    * all-pairs product at any size — and the band geometry AUTO-SIZES
+    * with the corpus ([[sizeBands]]): bits-per-band grows like log2(n)
+    * to pin mean bucket occupancy (candidate load per band is quadratic
+    * in occupancy — the fixed-geometry wall the r7 sf1 replay measured
+    * at 22×/10×), with the band count scaled to hold this same recall
+    * bound at the caller's threshold.
     */
   /** Per-vector distinct (vec_id, band_key) rows for banded sign-LSH:
     * `bands` bands of `rowsPerBand` literal-hyperplane sign bits, each
@@ -156,8 +155,14 @@ object Similarity {
   private def bandKeyRows(data: DataFrame, bands: Int, rowsPerBand: Int,
                           dim: Int): DataFrame = {
     val nbits = bands * rowsPerBand
+    // one fused SignBits pass, NOT nbits separate vector_dot columns:
+    // per-expression ArrayData re-reads made the signature stage the
+    // dominant cost at corpus-sized geometries (26 s of the r7 sf1
+    // replay). Bit values are identical (same planes, same left-to-right
+    // accumulation), so bucket assignments — and the oracles that replay
+    // them — are unchanged.
     val withBits = data.withColumn("bits",
-      array((0 until nbits).map(p => planeBit(p, dim).cast("int")): _*))
+      graft.functions.sign_bits(col("v"), nbits))
     withBits.select(col("vec_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), j -> " +
         s"slice(bits, j * $rowsPerBand + 1, $rowsPerBand))"))
@@ -168,17 +173,57 @@ object Similarity {
       .distinct()
   }
 
+  /** Corpus-size-aware band geometry: fixed sign-LSH bands have
+    * 2^rowsPerBand buckets per band, so mean bucket occupancy — and with
+    * it the per-band candidate-pair count, which is QUADRATIC in
+    * occupancy — grows linearly with the corpus. The r7 sf0.1→sf1
+    * scale-stress measured exactly that wall: q48 ran 22× at 10× data
+    * with the fixed (8, 8) geometry. The remedy is standard LSH
+    * practice: grow bits-per-band like log2(n) so occupancy stays at
+    * `targetAvgBucket`, and grow the band count to hold the documented
+    * recall at `threshold` — with per-bit match probability p = 1 − θ/π,
+    * b' = ⌈b · ln(1 − p^r) / ln(1 − p^r')⌉ makes the miss bound
+    * (1 − p^r')^b' ≤ (1 − p^r)^b EXACTLY (the ceiling only tightens it);
+    * at 0.95, (8,8)→(12,11) with the ≈1.17% bound preserved;
+    * near-identical pairs only get safer.
+    *
+    * Total signature bits grow as O(log n · p^−log n) — cheap row-local
+    * projections at any realistic n; for thresholds far below 1 at
+    * extreme corpus sizes, [[ivfTopK]] is the intended path instead.
+    * Never shrinks below the caller's (bands, rowsPerBand): small-corpus
+    * geometry — including every oracle-gated SF — is byte-identical to
+    * the fixed layout.
+    */
+  private[graft] def sizeBands(n: Long, bands: Int, rowsPerBand: Int,
+                               threshold: Double,
+                               targetAvgBucket: Int): (Int, Int) = {
+    val rEff = math.max(rowsPerBand, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetAvgBucket)) / math.log(2.0)).toInt)
+    if (rEff == rowsPerBand) (bands, rowsPerBand)
+    else {
+      val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+      val bEff = math.ceil(bands *
+        math.log1p(-math.pow(p, rowsPerBand)) / math.log1p(-math.pow(p, rEff))).toInt
+      (bEff, rEff)
+    }
+  }
+
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
                        bands: Int = 8, rowsPerBand: Int = 8,
                        maxBucket: Int = 10000,
-                       failOnOverflow: Boolean = true): DataFrame = {
+                       failOnOverflow: Boolean = true,
+                       targetAvgBucket: Int = 16): DataFrame = {
     // cache → eager-checkpoint result → unpersist (in a finally, so a
     // failed job can't leak the entry): the operator holds no
     // session-lifetime cache (CacheManager pins cache() entries forever;
     // the checkpointed result is GC'd with the returned frame)
     val data = prep(embeddings).cache()
     try {
-    val bandKeys = bandKeyRows(data, bands, rowsPerBand, vecDim(data))
+    // one cheap count on the (about-to-be-reused) cached frame sizes the
+    // band geometry to the corpus — see sizeBands
+    val (bandsEff, rowsEff) =
+      sizeBands(data.count(), bands, rowsPerBand, threshold, targetAvgBucket)
+    val bandKeys = bandKeyRows(data, bandsEff, rowsEff, vecDim(data))
     // maxBucket bounds a hot bucket's quadratic pair fan-out. UNLIKE the
     // edit-distance join (whose buckets are alphabet-bounded), an LSH
     // bucket of >maxBucket near-identical vectors is a real possibility

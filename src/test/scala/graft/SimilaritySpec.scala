@@ -53,6 +53,84 @@ class SimilaritySpec extends SparkTestBase {
     assert(out == Seq(Seq(1L, 2L)))
   }
 
+  test("sizeBands: identity at gate scales, log-growth with recall preserved beyond") {
+    // every oracle-gated SF (and the r7 sf0.1 bench) stays on the fixed
+    // geometry — byte-identical buckets, untouched gate behavior
+    assert(Similarity.sizeBands(220L, 8, 8, 0.95, 16) == ((8, 8)))
+    assert(Similarity.sizeBands(2020L, 8, 8, 0.95, 16) == ((8, 8)))
+    // the sf1 replay size: 11 bits pin occupancy at ~10, 12 bands
+    // restore the miss bound
+    assert(Similarity.sizeBands(20020L, 8, 8, 0.95, 16) == ((12, 11)))
+    // occupancy bound holds as n grows; recall at the threshold is
+    // preserved by construction: (1 - p^r)^b never worse than the base
+    val p = 1.0 - math.acos(0.95) / math.Pi
+    val baseMiss = math.pow(1.0 - math.pow(p, 8), 8)
+    Seq(1e5, 1e6, 1e8, 1e10).map(_.toLong).foreach { n =>
+      val (b, r) = Similarity.sizeBands(n, 8, 8, 0.95, 16)
+      assert(n.toDouble / math.pow(2.0, r) <= 16.0 + 1e-9,
+        s"n=$n (b=$b, r=$r): occupancy ${n / math.pow(2.0, r)}")
+      val miss = math.pow(1.0 - math.pow(p, r), b)
+      assert(miss <= baseMiss * 1.05, s"n=$n (b=$b, r=$r): miss $miss > base $baseMiss")
+    }
+  }
+
+  test("embeddingNearDup at an auto-sized corpus still finds exactly the planted pairs") {
+    // 5000 hash-derived pseudo-random 64-dim vectors (null cosines
+    // concentrate near 0; max over 12.5M pairs ~0.7) + 10 planted
+    // near-identical pairs. n pushes sizeBands past the fixed geometry
+    // ((8,8) -> (9,9) at threshold 0.999) and the result must STILL be
+    // exactly the planted pairs — auto-sizing changes candidate load,
+    // never output.
+    val dim = 64
+    // MurmurHash3 for real avalanche: a weak multiplicative hash leaves
+    // every row on one additive orbit mod the modulus — rows with close
+    // orbit offsets are near-identical, planting accidental pairs
+    def comp(i: Int, j: Int): Float =
+      ((scala.util.hashing.MurmurHash3.caseClassHash((i, j)) % 1000 + 1000) % 1000
+        / 1000.0f) - 0.5f
+    val baseVecs = (0 until 5000).map { i =>
+      (i.toLong + 10000L, (0 until dim).map(j => comp(i, j)))
+    }
+    val planted = (0 until 10).map { i =>
+      val (id, v) = baseVecs(i * 137)
+      (id + 1000000L, v.updated(0, v.head + 0.001f))
+    }
+    val vs = emb((baseVecs ++ planted): _*)
+    val got = rowSet(Similarity.embeddingNearDup(vs, threshold = 0.999)
+      .select("vec_id_1", "vec_id_2"))
+    val want = (0 until 10).map { i =>
+      val id = baseVecs(i * 137)._1
+      Seq[Any](id, id + 1000000L)
+    }.toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
+  test("sign_bits equals the per-plane vector_dot form bit-for-bit") {
+    import graft.functions.{sign_bits, vector_dot}
+    import org.apache.spark.sql.functions.typedLit
+    // same left-to-right accumulation per plane -> identical doubles ->
+    // identical bits; this pins the fused expression to the composable
+    // form the oracles conceptually replay
+    val dim = 16
+    val nbits = 24
+    val vs = (0 until 50).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        ((scala.util.hashing.MurmurHash3.caseClassHash((i, j)) % 997).toDouble / 997.0) - 0.5))
+    }.toDF("vec_id", "v")
+    def planeD(p: Int): Seq[Double] =
+      Similarity.planeMicro(p, dim).map(_.toDouble / 1000.0 - 0.5).toSeq
+    val fused = vs.select(col("vec_id"), sign_bits(col("v"), nbits).as("bits"))
+    val perPlane = vs.select(col("vec_id"),
+      array((0 until nbits).map(p =>
+        (vector_dot(col("v"), typedLit(planeD(p))) > 0).cast("int")): _*).as("bits"))
+    assert(rows(fused) == rows(perPlane))
+    // null vector -> null; null elements contribute zero like vector_dot
+    val withNull = Seq((1L, Option.empty[Seq[Double]]),
+      (2L, Some(Seq(0.5, -0.25)))).toDF("vec_id", "v")
+    val n = withNull.select(sign_bits(col("v"), 4).as("b")).collect()
+    assert(n.exists(_.isNullAt(0)) && n.exists(!_.isNullAt(0)))
+  }
+
   test("embeddingNearDup fails loudly when a bucket overflows maxBucket") {
     // 5 identical vectors land in one bucket in every band; cap 3 → the
     // overflow must be an error (silent truncation would report the
