@@ -281,15 +281,24 @@ object Similarity {
     * generates + three shuffles) — prefer [[cosineTopK]]'s shape there.
     * This operator is for the corpus-scale regime where the product is
     * impossible and only the linear-in-|corpus| LSH path survives.
+    *
+    * Geometry auto-sizes by the PROBE count ([[sizeBands]]): expected
+    * candidates are b · n_corpus · (n_probes / 2^r) on decorrelated
+    * data, so pinning probe-bucket occupancy bounds per-corpus-row work
+    * at b · targetAvgBucket regardless of how large the probe suite
+    * grows — the corpus side needs no sizing (it never self-pairs).
     */
   def crossNearDup(corpus: DataFrame, probes: DataFrame,
                    threshold: Double = 0.95,
                    bands: Int = 8, rowsPerBand: Int = 8,
                    maxBucket: Int = 10000,
-                   failOnOverflow: Boolean = true): DataFrame = {
+                   failOnOverflow: Boolean = true,
+                   targetAvgBucket: Int = 16): DataFrame = {
     val left = prep(corpus).cache()
     val right = prep(probes).cache()
-    try crossNearDupFrame(left, right, threshold, bands, rowsPerBand,
+    val (bandsEff, rowsEff) =
+      sizeBands(right.count(), bands, rowsPerBand, threshold, targetAvgBucket)
+    try crossNearDupFrame(left, right, threshold, bandsEff, rowsEff,
         maxBucket, failOnOverflow)
       .localCheckpoint()
     finally { left.unpersist(); right.unpersist() }
