@@ -7,6 +7,7 @@ import graft.recommend.Recommender
 import graft.streaming.{StreamAgg, StreamIngest}
 import graft.ingest.{Ingest, Shards, Snapshot}
 import graft.quality.Quality
+import graft.analytics.Incremental
 import graft.text.{Dedup, TextStats}
 import graft.vector.Similarity
 import graft.multimodal.Multimodal
@@ -1951,6 +1952,81 @@ object SparkEntry {
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
         .orderBy(col("r_name"))
+    }),
+
+    // Incremental materialized-aggregate maintenance
+    // (analytics/Incremental): the per-(user, event_type) aggregate is
+    // maintained as mergeable states — the base slice (all but the last
+    // 7 anchored days) collapses to a states table persisted to parquet,
+    // and the refresh merges ONLY the 7-day delta's states into it, never
+    // rescanning base rows (the parquet write/read breaks the lineage, so
+    // a silent fallback to recompute is impossible). The oracle is the
+    // full recompute over all events: incremental and from-scratch must
+    // agree exactly, which is why the measure is fixed-point (v4).
+    "q132_incremental_agg" -> ((s, dir) => {
+      val mvDir = scratch("q132")
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"), col("ts"),
+        round(col("value") * 10000).cast("long").as("v4"))
+      val anchored = Pipelines.withMaxAnchor(ev, "ts")
+      val isDelta = col("ts") >= col("__anchor") - expr("INTERVAL 7 DAYS")
+      val keys = Seq("user_id", "event_type")
+      val meas = Seq("v4")
+      Incremental.aggregateStates(
+          anchored.filter(!isDelta).drop("__anchor", "ts"), keys, meas)
+        .write.mode("overwrite").parquet(s"$mvDir/mv")
+      val mv = s.read.parquet(s"$mvDir/mv")
+      val deltaStates = Incremental.aggregateStates(
+        anchored.filter(isDelta).drop("__anchor", "ts"), keys, meas)
+      Incremental.refresh(mv, deltaStates, keys, meas)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Small-file compaction roundtrip (ingest/Ingest.compact): fragment
+    // the events table into 16 files per partition leaf, compact leaves
+    // in place (atomic rename swap, crash-recoverable), and read the
+    // table back through the compacted layout. The oracle recomputes the
+    // same per-type summary from the source parquet — compaction must be
+    // value-invisible; the file-count collapse itself is asserted in
+    // IngestSpec and via the returned count here (fail-loud require).
+    "q133_compact_roundtrip" -> ((s, dir) => {
+      val base = scratch("q133")
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 10000).cast("long").as("v4"))
+      ev.repartition(16)
+        .write.partitionBy("event_type").mode("overwrite").parquet(s"$base/t")
+      val nAfter = graft.ingest.Ingest.compact(s, s"$base/t")
+      // 5 leaves × 16 files before; compaction must have collapsed them
+      require(nAfter <= 5, s"compact left $nAfter files across 5 leaves")
+      s.read.parquet(s"$base/t")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v4")).as("sum_v4"),
+          sum(col("event_id")).as("sum_eid"),
+          min(col("event_id")).as("min_eid"), max(col("event_id")).as("max_eid"),
+          expr("bit_xor(event_id * 1000003 + v4)").as("xor_fp"))
+        .orderBy(col("event_type"))
+    }),
+
+    // k-anonymity minimal generalization (quality/Anonymity): release
+    // per-group counts over (nation, segment, balance-bucket) quasi-
+    // identifiers, coarsening each record's encoding level-by-level until
+    // its group reaches k=8; the residual under-k groups at the coarsest
+    // level surface as suppressed=true rows. The oracle replays the
+    // ladder in SQL, so level membership (which is computed over the
+    // records still unreleased at each level, not over all records) is
+    // fully checked.
+    "q134_k_anonymity" -> ((s, dir) => {
+      val ladder = Seq(
+        Seq("nation" -> col("c_nationkey").cast("long"),
+          "segment" -> col("c_mktsegment"),
+          "bal_bucket" -> floor(col("c_acctbal") / 500).cast("long")),
+        Seq("nation" -> col("c_nationkey").cast("long"),
+          "segment" -> col("c_mktsegment"), "bal_bucket" -> lit("*")),
+        Seq("nation" -> col("c_nationkey").cast("long"),
+          "segment" -> lit("*"), "bal_bucket" -> lit("*")))
+      graft.quality.Anonymity.generalizeToK(T(s, dir, "customer"), ladder, k = 8)
+        .orderBy(col("level"), col("nation"), col("segment"), col("bal_bucket"))
     })
   )
 
@@ -3603,6 +3679,52 @@ object SparkEntry {
       """SELECT r_name, count(*)::BIGINT AS n_nations, min(n_name) AS first_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full recompute over all events — the incremental base+delta state
+    // merge must agree with it exactly (fixed-point measures make the
+    // sums order-independent)
+    "q132_incremental_agg" ->
+      """SELECT user_id, event_type, count(*)::BIGINT AS cnt,
+        |  sum(round(value * 10000)::BIGINT)::BIGINT AS v4_sum,
+        |  min(round(value * 10000)::BIGINT)::BIGINT AS v4_min,
+        |  max(round(value * 10000)::BIGINT)::BIGINT AS v4_max
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // recomputed from the source table — the fragment/compact/read
+    // roundtrip must be value-invisible down to the xor fingerprint
+    "q133_compact_roundtrip" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt,
+        |  sum(round(value * 10000)::BIGINT)::BIGINT AS sum_v4,
+        |  sum(event_id)::BIGINT AS sum_eid,
+        |  min(event_id)::BIGINT AS min_eid, max(event_id)::BIGINT AS max_eid,
+        |  bit_xor(event_id * 1000003 + round(value * 10000)::BIGINT)::BIGINT AS xor_fp
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ladder replay: level-i counts run over the records still
+    // unreleased after level i-1, exactly the operator's local-recoding
+    // semantics; coarsest-level under-k groups emit as suppressed
+    "q134_k_anonymity" ->
+      """WITH src AS (SELECT c_nationkey::BIGINT::VARCHAR AS nation,
+        |    c_mktsegment AS segment,
+        |    floor(c_acctbal / 500)::BIGINT::VARCHAR AS bal_bucket FROM customer),
+        |l0 AS (SELECT nation, segment, bal_bucket, count(*)::BIGINT AS cnt
+        |       FROM src GROUP BY 1, 2, 3),
+        |esc0 AS (SELECT s.nation, s.segment FROM src s
+        |         JOIN (SELECT * FROM l0 WHERE cnt < 8) u
+        |         USING (nation, segment, bal_bucket)),
+        |l1 AS (SELECT nation, segment, count(*)::BIGINT AS cnt
+        |       FROM esc0 GROUP BY 1, 2),
+        |esc1 AS (SELECT e.nation FROM esc0 e
+        |         JOIN (SELECT nation, segment FROM l1 WHERE cnt < 8) u
+        |         USING (nation, segment)),
+        |l2 AS (SELECT nation, count(*)::BIGINT AS cnt FROM esc1 GROUP BY 1)
+        |SELECT nation, segment, bal_bucket, 0 AS level, cnt, false AS suppressed
+        |  FROM l0 WHERE cnt >= 8
+        |UNION ALL
+        |SELECT nation, segment, '*', 1, cnt, false FROM l1 WHERE cnt >= 8
+        |UNION ALL
+        |SELECT nation, '*', '*', 2, cnt, cnt < 8 FROM l2
+        |ORDER BY level, nation, segment, bal_bucket""".stripMargin,
 
     "q123_fk_coverage" ->
       """WITH dk AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey IS NOT NULL),
