@@ -2027,6 +2027,19 @@ object SparkEntry {
           "segment" -> lit("*"), "bal_bucket" -> lit("*")))
       graft.quality.Anonymity.generalizeToK(T(s, dir, "customer"), ladder, k = 8)
         .orderBy(col("level"), col("nation"), col("segment"), col("bal_bucket"))
+    }),
+
+    // Product-quantization ADC ANN (vector/Similarity.pqTopK): 4
+    // subspaces × 16 codes, two deterministic fixed-point Lloyd's
+    // rounds, corpus stored as code ids only, queries scored from the
+    // per-query distance table. The oracle replays codebook training,
+    // encoding, and the fixed-point ADC accumulation identically, so the
+    // whole train → encode → score dataflow is hash-checked (the same
+    // discipline as q35's IVF oracle).
+    "q135_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(s, emb, emb.filter(col("vec_id") < 5),
+        k = 10, m = 4, codesPerSub = 16, trainIterations = 2)
     })
   )
 
@@ -3699,6 +3712,62 @@ object SparkEntry {
         |  min(event_id)::BIGINT AS min_eid, max(event_id)::BIGINT AS max_eid,
         |  bit_xor(event_id * 1000003 + round(value * 10000)::BIGINT)::BIGINT AS xor_fp
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full PQ replay: per-subspace codebook training (2 fixed-point
+    // Lloyd's rounds), corpus encoding, and fixed-point ADC scoring —
+    // identical arithmetic to the Spark side, so ranks AND scores match
+    "q135_ann_pq" ->
+      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d) WHERE nrm > 0),
+        |subs AS (SELECT vec_id, g.s, v[g.s*16+1:(g.s+1)*16] AS sv
+        |         FROM n, (SELECT unnest(range(4)) AS s) g),
+        |seeds AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT 16),
+        |c0 AS (SELECT s, vec_id AS code_id, sv AS cv FROM subs
+        |       WHERE vec_id IN (SELECT vec_id FROM seeds)),
+        |a1 AS (SELECT vec_id, s, code_id, sv FROM (
+        |    SELECT x.vec_id, x.s, c.code_id, x.sv,
+        |      row_number() OVER (PARTITION BY x.vec_id, x.s
+        |        ORDER BY round(list_inner_product(x.sv, x.sv) - 2*list_inner_product(x.sv, c.cv)
+        |          + list_inner_product(c.cv, c.cv), 6), c.code_id) AS rn
+        |    FROM subs x JOIN c0 c ON c.s = x.s) WHERE rn = 1),
+        |e1 AS (SELECT s, code_id, unnest(range(len(sv))) AS j, unnest(sv) AS x FROM a1),
+        |g1 AS (SELECT s, code_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
+        |       FROM e1 GROUP BY 1, 2, 3),
+        |m1 AS (SELECT s, code_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
+        |       FROM g1 GROUP BY 1, 2),
+        |c1 AS (SELECT c0.s, c0.code_id, COALESCE(m1.cv, c0.cv) AS cv
+        |       FROM c0 LEFT JOIN m1 USING (s, code_id)),
+        |a2 AS (SELECT vec_id, s, code_id, sv FROM (
+        |    SELECT x.vec_id, x.s, c.code_id, x.sv,
+        |      row_number() OVER (PARTITION BY x.vec_id, x.s
+        |        ORDER BY round(list_inner_product(x.sv, x.sv) - 2*list_inner_product(x.sv, c.cv)
+        |          + list_inner_product(c.cv, c.cv), 6), c.code_id) AS rn
+        |    FROM subs x JOIN c1 c ON c.s = x.s) WHERE rn = 1),
+        |e2 AS (SELECT s, code_id, unnest(range(len(sv))) AS j, unnest(sv) AS x FROM a2),
+        |g2 AS (SELECT s, code_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
+        |       FROM e2 GROUP BY 1, 2, 3),
+        |m2 AS (SELECT s, code_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
+        |       FROM g2 GROUP BY 1, 2),
+        |c2 AS (SELECT c1.s, c1.code_id, COALESCE(m2.cv, c1.cv) AS cv
+        |       FROM c1 LEFT JOIN m2 USING (s, code_id)),
+        |enc AS (SELECT vec_id, s, code_id FROM (
+        |    SELECT x.vec_id, x.s, c.code_id,
+        |      row_number() OVER (PARTITION BY x.vec_id, x.s
+        |        ORDER BY round(list_inner_product(x.sv, x.sv) - 2*list_inner_product(x.sv, c.cv)
+        |          + list_inner_product(c.cv, c.cv), 6), c.code_id) AS rn
+        |    FROM subs x JOIN c2 c ON c.s = x.s) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, s, sv FROM subs WHERE vec_id < 5),
+        |dt AS (SELECT q.query_id, c.s, c.code_id,
+        |         round(list_inner_product(q.sv, c.cv) * 1000000)::BIGINT AS pd
+        |       FROM qs q JOIN c2 c ON c.s = q.s),
+        |sc AS (SELECT dt.query_id, e.vec_id, sum(pd)::BIGINT AS sp
+        |       FROM enc e JOIN dt ON dt.s = e.s AND dt.code_id = e.code_id
+        |       WHERE e.vec_id != dt.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, sp::DOUBLE / 1000000.0 AS score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sp DESC, vec_id) AS rn
+        |      FROM sc)
+        |SELECT query_id, rn::BIGINT AS rank, vec_id, score
+        |FROM r WHERE rn <= 10 ORDER BY 1, 2""".stripMargin,
 
     // ladder replay: level-i counts run over the records still
     // unreleased after level i-1, exactly the operator's local-recoding

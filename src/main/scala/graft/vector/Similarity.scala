@@ -496,4 +496,103 @@ object Similarity {
       .as[Scored]
     rankTopK(scored, k)
   }
+
+  /** Product-quantization (PQ) ADC scan — the compressed-corpus ANN
+    * tier. The vector space splits into `m` subspaces; each subspace gets
+    * its own `codesPerSub`-entry codebook (deterministic fixed-point
+    * Lloyd's rounds, L2² assignment — the PQ-classic metric), and every
+    * corpus vector is stored as `m` small code ids. A query then scores
+    * the WHOLE corpus from an `m × codesPerSub` distance table
+    * (asymmetric distance computation): approximate inner product
+    * `Σ_s ⟨q_s, codebook_s[code_s(x)]⟩`, accumulated in fixed-point so
+    * incremental and replayed scores agree bit-for-bit.
+    *
+    * Scale posture: this is the 100 TB memory play, complementary to
+    * [[ivfTopK]] (which prunes WHAT is scanned, while PQ shrinks each
+    * scanned row to `m` bytes — a 64-dim float vector becomes 4 codes,
+    * 64× smaller, so the scan that had to read 100 TB reads ~1.6 TB).
+    * Training joins against a broadcast codebook (m·codesPerSub rows);
+    * encoding is the same one-pass broadcast join; the ADC join carries
+    * only (vec_id, s, code_id) — never raw vectors — and partial
+    * aggregation collapses the per-subspace contributions map-side. The
+    * classic IVF+PQ composition is exactly [[ivfTopK]]'s cell pruning
+    * over these codes. Accuracy is bounded by quantization error, which
+    * the oracle-gated query measures against the same-data exact ranks.
+    */
+  def pqTopK(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
+             k: Int = 10, m: Int = 4, codesPerSub: Int = 16,
+             trainIterations: Int = 2): DataFrame = {
+    import spark.implicits._
+    val data = prep(embeddings)
+    val dim = vecDim(data)
+    require(dim > 0 && dim % m == 0, s"vector dim $dim must split into $m subspaces")
+    val sd = dim / m
+
+    // (id, s, sv): one row per vector per subspace; posexplode's pos IS s
+    def subspaces(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $sd + 1, $sd))"))
+          .as(Seq("s", "sv")))
+
+    val subsData = subspaces(data, "vec_id").cache()
+    try {
+      // L2² against a codebook entry, rounded for cross-engine replay
+      def d2(a: String, b: String) =
+        round(dot(a, a) - lit(2) * dot(a, b) + dot(b, b), 6)
+
+      // per-(vector, subspace) nearest code — min_by's struct order is
+      // lexicographic ascending: smallest distance, then lowest code id
+      def assign(codebook: DataFrame): DataFrame =
+        subsData.join(broadcast(codebook), Seq("s"))
+          .withColumn("__d2", d2("sv", "cv"))
+          .groupBy(col("vec_id"), col("s"))
+          .agg(min_by(struct(col("code_id"), col("sv")),
+            struct(col("__d2"), col("code_id"))).as("a"))
+          .select(col("vec_id"), col("s"), col("a.code_id").as("code_id"),
+            col("a.sv").as("sv"))
+
+      // seed codebooks from the codesPerSub smallest ids (code_id = the
+      // seed's vec_id — same convention as ivfTopK's cent_id, no window)
+      val seeds = data.orderBy(col("vec_id")).limit(codesPerSub)
+        .select(col("vec_id"), col("v"))
+      var codes = subspaces(seeds, "vec_id")
+        .select(col("s"), col("vec_id").cast("long").as("code_id"), col("sv").as("cv"))
+        .localCheckpoint()
+      for (_ <- 1 to trainIterations) {
+        // fixed-point coordinate means (1e-6 grid) — order-independent,
+        // so the oracle's replay of the same grid agrees exactly; empty
+        // codes keep their previous centroid (coalesce)
+        val means = assign(codes)
+          .select(col("s"), col("code_id"), posexplode(col("sv")).as(Seq("j", "x")))
+          .groupBy(col("s"), col("code_id"), col("j"))
+          .agg(sum(round(col("x") * 1000000).cast("long")).as("sx"), count(lit(1)).as("n"))
+          .groupBy(col("s"), col("code_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(j, sx, n))), " +
+            "e -> CAST(e.sx AS DOUBLE) / (1000000.0 * e.n))").as("cv"))
+        codes = codes.select(col("s"), col("code_id"), col("cv").as("cv0"))
+          .join(means, Seq("s", "code_id"), "left")
+          .select(col("s"), col("code_id"), coalesce(col("cv"), col("cv0")).as("cv"))
+          .localCheckpoint()
+      }
+
+      // corpus → codes (this is the stored representation at scale)
+      val encoded = assign(codes).select(col("vec_id"), col("s"), col("code_id"))
+
+      // ADC: per-query distance table (|q|·m·codesPerSub rows, broadcast),
+      // fixed-point partial inner products summed as longs
+      val qsubs = subspaces(prep(queries), "vec_id")
+        .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
+      val dtab = qsubs.join(codes, Seq("s"))
+        .select(col("query_id"), col("s"), col("code_id"),
+          round(dot("qsv", "cv") * 1000000).cast("long").as("pd"))
+      val scored = encoded.join(broadcast(dtab), Seq("s", "code_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("pd")).as("sp"))
+        .select(col("query_id"), col("vec_id"),
+          (col("sp").cast("double") / 1000000.0).as("score"))
+        .as[Scored]
+      rankTopK(scored, k).localCheckpoint()
+    } finally subsData.unpersist()
+  }
 }
