@@ -2040,6 +2040,31 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(s, emb, emb.filter(col("vec_id") < 5),
         k = 10, m = 4, codesPerSub = 16, trainIterations = 2)
+    }),
+
+    // Deterministic PPS systematic sampling (operators/Sampling):
+    // 100 ticks over the documents laid out by n_chars mass — a
+    // quality/size-weighted training subsample with honest multiplicity
+    // (Σ copies = 100 exactly). All integer arithmetic, so the oracle
+    // replays the identical tick test; no RNG anywhere.
+    "q136_pps_sample" -> ((s, dir) => {
+      graft.operators.Sampling.ppsSystematic(
+          Tables.documents(s, dir), "doc_id", "n_chars", n = 100)
+        .orderBy(col("id"))
+    }),
+
+    // Water-filling token-budget allocation (text/Splits.waterfill):
+    // cap per-source character mass at the exact threshold that makes
+    // the total fit 60% of the corpus — small sources keep everything,
+    // the crawl-sized ones truncate to a common ceiling, and the
+    // integer residual distributes deterministically so Σ alloc equals
+    // the budget exactly.
+    "q137_budget_waterfill" -> ((s, dir) => {
+      val bySource = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("chars"))
+      graft.text.Splits.waterfill(bySource, "source", "chars",
+          budget = expr("(tot * 6) div 10"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3768,6 +3793,46 @@ object SparkEntry {
         |      FROM sc)
         |SELECT query_id, rn::BIGINT AS rank, vec_id, score
         |FROM r WHERE rn <= 10 ORDER BY 1, 2""".stripMargin,
+
+    // identical integer tick test over the identical prefix layout —
+    // the sample is a pure function of (ids, weights, n)
+    "q136_pps_sample" ->
+      """WITH w AS (SELECT doc_id, n_chars::BIGINT AS wt FROM documents),
+        |p AS (SELECT doc_id, wt,
+        |        sum(wt) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM w),
+        |prm AS (SELECT sum(wt) // 100 AS step, (sum(wt) // 100) // 2 AS off FROM w)
+        |SELECT doc_id AS id, wt AS w, copies FROM (
+        |  SELECT doc_id, wt,
+        |    least(100, greatest(0,
+        |      CASE WHEN c - off >= 0 THEN (c - off) // step + 1 ELSE 0 END))
+        |    - least(100, greatest(0,
+        |      CASE WHEN c - wt - off >= 0 THEN (c - wt - off) // step + 1 ELSE 0 END))
+        |      AS copies
+        |  FROM p, prm)
+        |WHERE copies >= 1 ORDER BY 1""".stripMargin,
+
+    // threshold, residual distribution, and capped flags replayed in
+    // integer arithmetic; Σ alloc must equal the 60% budget exactly
+    "q137_budget_waterfill" ->
+      """WITH s AS (SELECT source AS key, sum(n_chars)::BIGINT AS cnt FROM documents GROUP BY 1),
+        |g AS (SELECT count(*)::BIGINT AS nsrc, sum(cnt)::BIGINT AS tot,
+        |        (sum(cnt) * 6) // 10 AS budget FROM s),
+        |o AS (SELECT key, cnt,
+        |        row_number() OVER (ORDER BY cnt, key)::BIGINT AS i,
+        |        sum(cnt) OVER (ORDER BY cnt, key
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM s),
+        |f AS (SELECT min(i) AS istar, min(p - cnt) AS pbelow FROM o, g
+        |      WHERE p - cnt + cnt * (g.nsrc - i + 1) > g.budget)
+        |SELECT key AS source, cnt,
+        |  CASE WHEN f.istar IS NULL OR o.i < f.istar THEN cnt
+        |       ELSE (g.budget - f.pbelow) // (g.nsrc - f.istar + 1)
+        |            + CASE WHEN o.i < f.istar +
+        |                ((g.budget - f.pbelow) % (g.nsrc - f.istar + 1))
+        |              THEN 1 ELSE 0 END
+        |  END AS alloc,
+        |  (f.istar IS NOT NULL AND o.i >= f.istar) AS capped
+        |FROM o, g, f ORDER BY 1""".stripMargin,
 
     // ladder replay: level-i counts run over the records still
     // unreleased after level i-1, exactly the operator's local-recoding

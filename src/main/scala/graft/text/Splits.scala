@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting for training pipelines.
@@ -224,6 +225,66 @@ object Splits {
   /** Assign a split label per row. `fractions` are (label, weight) in
     * priority order and should sum to ≤ 1; leftover buckets take the
     * last label. */
+  /** Water-filling token-budget allocation across sources: give every
+    * source its full count if the total fits the budget; otherwise cap
+    * every source at the unique threshold `t` where
+    * `Σ min(cnt_i, t) = budget` — small sources keep everything, large
+    * sources are truncated to the same ceiling. This is the standard
+    * max-min-fair mixture plan for "fit B tokens, don't let one crawl
+    * dominate" (the continuous analogue of [[rebalanceMixture]]'s
+    * per-category caps, solved exactly instead of per-category).
+    *
+    * All integer: the threshold is the floor solution, and the residual
+    * `budget − Σ min(cnt_i, t)` (< number of capped sources) is handed
+    * out as +1 to the first capped sources in (cnt, key) order, so
+    * `Σ alloc = budget` EXACTLY whenever `Σ cnt ≥ budget` — an
+    * assertable contract, replayed identically by the oracle.
+    *
+    * Scale posture: operates on the per-source count table — metadata
+    * scale by construction (|sources| ≪ rows), so the single-partition
+    * windows here are over |sources| rows; the heavy work (producing
+    * `counts`) is the caller's one aggregate over the corpus.
+    */
+  def waterfill(counts: DataFrame, keyCol: String, cntCol: String,
+                budget: Column): DataFrame = {
+    // `budget` may reference the scalars `tot` (Σ counts) and `nsrc`
+    // (source count) — e.g. expr("(tot * 6) div 10") for a 60% budget —
+    // or be a plain literal; it must be non-negative (fail-loud below)
+    val w = Window.partitionBy(lit(0)).orderBy(col("cnt"), col("key"))
+    val ordered = counts
+      .select(col(keyCol).cast("string").as("key"),
+        when(col(cntCol).cast("long") < 0,
+          raise_error(concat(lit("waterfill: negative count for key "), col(keyCol))))
+          .otherwise(col(cntCol).cast("long")).as("cnt"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(
+        counts.agg(count(lit(1)).cast("long").as("nsrc"),
+            sum(col(cntCol).cast("long")).as("tot"))
+          .withColumn("budget", budget.cast("long"))))
+    // first capped rank: smallest i where capping AT cnt_i already
+    // overshoots the budget; null ⇒ everything fits uncapped
+    val istar = ordered
+      .filter(col("p") - col("cnt") + col("cnt") * (col("nsrc") - col("i") + 1L) > col("budget"))
+      .agg(min(col("i")).as("istar"), min(col("p") - col("cnt")).as("pbelow"))
+    ordered.crossJoin(broadcast(istar))
+      .withColumn("t",
+        when(col("budget") < 0,
+          raise_error(concat(lit("waterfill: negative budget "), col("budget"))))
+          .when(col("istar").isNull, lit(null))
+          .otherwise(expr("(budget - pbelow) div (nsrc - istar + 1)")))
+      .withColumn("leftover",
+        when(col("istar").isNull, lit(0L))
+          .otherwise(col("budget") - col("pbelow") - col("t") * (col("nsrc") - col("istar") + 1L)))
+      .withColumn("alloc",
+        when(col("istar").isNull || col("i") < col("istar"), col("cnt"))
+          .otherwise(col("t") +
+            when(col("i") < col("istar") + col("leftover"), 1L).otherwise(0L)))
+      .withColumn("capped", col("istar").isNotNull && col("i") >= col("istar"))
+      .select(col("key").as(keyCol), col("cnt"), col("alloc"), col("capped"))
+  }
+
   def assign(df: DataFrame, keyCol: String,
              fractions: Seq[(String, Double)] =
                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
