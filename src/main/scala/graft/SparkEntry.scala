@@ -2065,6 +2065,32 @@ object SparkEntry {
       graft.text.Splits.waterfill(bySource, "source", "chars",
           budget = expr("(tot * 6) div 10"))
         .orderBy(col("source"))
+    }),
+
+    // Distributed BPE vocabulary learning (text/Bpe): classic
+    // word-dictionary BPE — corpus collapses once to (word, count),
+    // then 6 greedy merge rounds over the vocab-sized symbol table
+    // (islands + odd-parity selection = the reference implementation's
+    // left-to-right pass, relationally). The oracle replays all 6
+    // rounds including the argmax tie-breaks, so the learned merge
+    // table is checked end-to-end.
+    "q138_bpe_merges" -> ((s, dir) => {
+      val dict = graft.text.Bpe.wordDict(
+        Tables.documents(s, dir), wordPattern = "^[a-z]+$")
+      graft.text.Bpe.learnMerges(s, dict, rounds = 6).orderBy(col("round"))
+    }),
+
+    // The encoder counterpart: learn the 6-round table, then segment
+    // the dictionary with it. The oracle reads the same unrolled rounds
+    // out as the final per-word segmentation, so learn→apply round-trip
+    // consistency is hash-checked, not just the merge table.
+    "q139_bpe_segment" -> ((s, dir) => {
+      val dict = graft.text.Bpe.wordDict(
+        Tables.documents(s, dir), wordPattern = "^[a-z]+$")
+      val table = graft.text.Bpe.learnMerges(s, dict, rounds = 6)
+      graft.text.Bpe.segment(s, dict, table)
+        .select(col("word"), col("n"), concat_ws(" ", col("pieces")).as("pieces"))
+        .orderBy(col("word"))
     })
   )
 
@@ -2090,6 +2116,62 @@ object SparkEntry {
     * Spark `div` truncation agree on the non-negative operands here).
     * Built programmatically so every round is literally identical.
     */
+  /** q138 oracle: `n` unrolled BPE merge rounds over the word
+    * dictionary — per round the pair argmax (count desc, then
+    * lexicographic), greedy application via gaps-and-islands with
+    * odd-parity selection, and position re-densification. Built
+    * programmatically so every round is literally identical.
+    */
+  private def bpeOracle(n: Int): String =
+    s"""${bpeRoundsWith(n)}
+       |${(1 to n)
+          .map(k => s"SELECT $k AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM b$k")
+          .mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+
+  /** q139 oracle: the same $n unrolled rounds, read out as the final
+    * segmentation per word instead of the merge table. */
+  private def bpeSegmentOracle(n: Int): String =
+    s"""${bpeRoundsWith(n)}
+       |SELECT word, n, string_agg(sym, ' ' ORDER BY pos) AS pieces
+       |FROM s$n GROUP BY 1, 2 ORDER BY word""".stripMargin
+
+  private def bpeRoundsWith(n: Int): String = {
+    val roundCtes = (1 to n).map { k =>
+      s"""x$k AS MATERIALIZED (SELECT word, n, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s${k - 1}),
+         |b$k AS MATERIALIZED (SELECT sym AS l, nxt AS r, sum(n)::BIGINT AS cnt FROM x$k
+         |    WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |    ORDER BY cnt DESC, l, r LIMIT 1),
+         |sel$k AS MATERIALIZED (SELECT word, pos FROM (
+         |    SELECT word, pos, row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+         |    FROM (SELECT m.word, m.pos,
+         |            m.pos - row_number() OVER (PARTITION BY m.word ORDER BY m.pos) AS grp
+         |          FROM x$k m, b$k b WHERE m.sym = b.l AND m.nxt = b.r))
+         |  WHERE rn % 2 = 1),
+         |s$k AS MATERIALIZED (SELECT word, n, row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         |      CASE WHEN issel THEN l || r ELSE sym END AS sym
+         |    FROM (SELECT m.word, m.n, m.pos, m.sym,
+         |            (s.pos IS NOT NULL) AS issel,
+         |            (d.pos IS NOT NULL) AS isdrop, b.l, b.r
+         |          FROM x$k m
+         |          CROSS JOIN b$k b
+         |          LEFT JOIN sel$k s ON s.word = m.word AND s.pos = m.pos
+         |          LEFT JOIN sel$k d ON d.word = m.word AND d.pos = m.pos - 1)
+         |    WHERE NOT isdrop
+         |    UNION ALL
+         |    SELECT word, n, pos, sym FROM s${k - 1}
+         |    WHERE NOT EXISTS (SELECT 1 FROM b$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wd AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS word
+       |    FROM documents) WHERE word <> '' AND regexp_matches(word, '^[a-z]+$$')
+       |  GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT word, n, unnest(range(len(cs))) AS pos, unnest(cs) AS sym
+       |    FROM (SELECT word, n, string_split(word, '') AS cs FROM wd)),
+       |$roundCtes""".stripMargin
+  }
+
   private def pagerankOracle(n: Int): String = {
     val rounds = (1 to n).map { i =>
       s"""c$i AS (SELECT e.dst AS id, sum((r.r * 85) // (100 * d.outdeg))::BIGINT AS cin
@@ -3793,6 +3875,13 @@ object SparkEntry {
         |      FROM sc)
         |SELECT query_id, rn::BIGINT AS rank, vec_id, score
         |FROM r WHERE rn <= 10 ORDER BY 1, 2""".stripMargin,
+
+    // six unrolled merge rounds, argmax tie-breaks and greedy
+    // application included — see bpeOracle
+    "q138_bpe_merges" -> bpeOracle(6),
+
+    // same rounds, read out as the final segmentation per word
+    "q139_bpe_segment" -> bpeSegmentOracle(6),
 
     // identical integer tick test over the identical prefix layout —
     // the sample is a pure function of (ids, weights, n)
