@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BoundedCollectSet, MinHashSig, MinHashSigNgrams, NfcNormalize, NGrams, SimHash60, VectorDot, ZValue}
+import graft.functions.{BoundedCollectSet, JaroWinkler, MinHashSig, MinHashSigNgrams, NfcNormalize, NGrams, SimHash60, VectorDot, ZValue}
 
 /** Session extension wiring for the engine's custom Catalyst surface
   * (installed with
@@ -93,6 +93,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "simhash60 expects exactly 1 argument")
         SimHash60(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "jaro_winkler expects exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),

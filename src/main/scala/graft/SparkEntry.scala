@@ -2091,6 +2091,26 @@ object SparkEntry {
       graft.text.Bpe.segment(s, dict, table)
         .select(col("word"), col("n"), concat_ws(" ", col("pieces")).as("pieces"))
         .orderBy(col("word"))
+    }),
+
+    // Blocked Jaro–Winkler record linkage over the corpus vocabulary —
+    // the native codegen'd scorer (functions/JaroWinkler) gated against
+    // the oracle's jaro_winkler_similarity on identical blocks, so the
+    // byte-level algorithm (match window, floored transpositions,
+    // 0.7-threshold prefix boost) is hash-checked pair by pair.
+    "q140_jw_linkage" -> ((s, dir) => {
+      val v = graft.text.Fuzzy.vocabulary(
+        T(s, dir, "documents"), minLen = 4, maxLen = 12)
+        .filter(col("w").rlike("^[a-z]+$"))
+      // planted last-two-swap typos (q79's planted-'x' pattern): the
+      // uniform synthetic vocabulary has few natural look-alikes, so the
+      // gate would otherwise verify on a near-empty pair set
+      val planted = v.select(expr(
+        "concat(substring(w, 1, length(w)-2), substring(w, length(w), 1), " +
+          "substring(w, length(w)-1, 1))").as("w"))
+      graft.text.Fuzzy.jaroLinkage(v.unionByName(planted).distinct(),
+          threshold = 0.9)
+        .orderBy(col("w1"), col("w2"))
     })
   )
 
@@ -3882,6 +3902,25 @@ object SparkEntry {
 
     // same rounds, read out as the final segmentation per word
     "q139_bpe_segment" -> bpeSegmentOracle(6),
+
+    // identical 2-char-prefix blocks and length band; the engine's
+    // native expression must match jaro_winkler_similarity to the micro
+    "q140_jw_linkage" ->
+      """WITH v0 AS (SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) BETWEEN 4 AND 12 AND regexp_matches(w, '^[a-z]+$')),
+        |v AS (SELECT w FROM v0 UNION
+        |      SELECT substr(w, 1, length(w)-2) || substr(w, length(w), 1)
+        |          || substr(w, length(w)-1, 1) FROM v0),
+        |cand AS (SELECT a.w AS w1, b.w AS w2
+        |  FROM v a JOIN v b ON substr(a.w, 1, 2) = substr(b.w, 1, 2)
+        |    AND a.w < b.w AND abs(length(a.w) - length(b.w)) <= 2)
+        |SELECT w1, w2,
+        |  round(jaro_winkler_similarity(w1, w2) * 1000000.0)::BIGINT AS jw_micro
+        |FROM cand
+        |WHERE round(jaro_winkler_similarity(w1, w2) * 1000000.0)::BIGINT >= 900000
+        |ORDER BY w1, w2""".stripMargin,
 
     // identical integer tick test over the identical prefix layout —
     // the sample is a pure function of (ids, weights, n)

@@ -38,6 +38,11 @@ package object functions {
   def sign_bits(v: Column, nbits: Int): Column =
     ColumnShim.column(SignBits(ColumnShim.expression(v), nbits))
 
+  /** Jaro–Winkler similarity of two string columns (byte-level; exact
+    * for ASCII — the record-linkage scorer). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    ColumnShim.column(JaroWinkler(ColumnShim.expression(a), ColumnShim.expression(b)))
+
   /** Unicode NFC normalization of a string column (JDK Normalizer). */
   def nfc_normalize(text: Column): Column =
     ColumnShim.column(NfcNormalize(ColumnShim.expression(text)))
