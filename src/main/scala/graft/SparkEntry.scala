@@ -2111,6 +2111,19 @@ object SparkEntry {
       graft.text.Fuzzy.jaroLinkage(v.unionByName(planted).distinct(),
           threshold = 0.9)
         .orderBy(col("w1"), col("w2"))
+    }),
+
+    // Jensen–Shannon vocabulary drift between the en and es slices of
+    // the corpus — the third two-sample drift statistic (KS q114 for
+    // numeric, TV q115 for categorical, JSD here for full token
+    // distributions), in integer nano-nats per the fixed-point
+    // determinism contract (analytics/Drift.jsDivergence).
+    "q141_jsd_drift" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.text.Dedup.tokens(col("text"))).as("token"))
+      graft.analytics.Drift.jsDivergence(
+        toks, "token", "lang", lit("en"), lit("es"))
     })
   )
 
@@ -3921,6 +3934,33 @@ object SparkEntry {
         |FROM cand
         |WHERE round(jaro_winkler_similarity(w1, w2) * 1000000.0)::BIGINT >= 900000
         |ORDER BY w1, w2""".stripMargin,
+
+    // same per-category fixed-point contract: one nano-rounded term per
+    // token, exact integer sum — the order-independent JSD
+    "q141_jsd_drift" ->
+      """WITH tok AS (SELECT lang,
+        |    unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS token
+        |  FROM documents),
+        |sided AS (SELECT token,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS b
+        |  FROM tok WHERE lang IN ('en', 'es') AND token IS NOT NULL),
+        |pc AS (SELECT token, sum(a)::BIGINT AS ca, sum(b)::BIGINT AS cb
+        |  FROM sided GROUP BY 1),
+        |t AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM pc),
+        |terms AS (SELECT n_a, n_b, round((
+        |    (CASE WHEN ca > 0 THEN (ca::DOUBLE / n_a::DOUBLE)
+        |       * ln(2.0 * (ca::DOUBLE / n_a::DOUBLE)
+        |            / ((ca::DOUBLE / n_a::DOUBLE) + (cb::DOUBLE / n_b::DOUBLE)))
+        |     ELSE 0.0 END)
+        |    + (CASE WHEN cb > 0 THEN (cb::DOUBLE / n_b::DOUBLE)
+        |       * ln(2.0 * (cb::DOUBLE / n_b::DOUBLE)
+        |            / ((ca::DOUBLE / n_a::DOUBLE) + (cb::DOUBLE / n_b::DOUBLE)))
+        |     ELSE 0.0 END)) * 0.5 * 1000000000.0)::BIGINT AS nano
+        |  FROM pc, t)
+        |SELECT n_a, n_b, count(*)::BIGINT AS n_categories,
+        |  sum(nano)::BIGINT AS jsd_nano
+        |FROM terms GROUP BY 1, 2""".stripMargin,
 
     // identical integer tick test over the identical prefix layout —
     // the sample is a pure function of (ids, weights, n)

@@ -136,6 +136,54 @@ object Drift {
     * silently NULL and under-report). One keyed aggregation on the
     * category; everything after is category-cardinality-sized.
     */
+  /** Jensen–Shannon divergence (nats) between the categorical `catCol`
+    * distributions of the two populations:
+    * {{{ JSD = ½·KL(P‖M) + ½·KL(Q‖M),  M = (P+Q)/2,  ∈ [0, ln 2] }}}
+    * Output: one row (n_a, n_b, n_categories, jsd_nano) — the statistic
+    * in integer NANO-nats.
+    *
+    * The fixed-point form is the determinism contract, not a convenience:
+    * a double Σ over categories would make the result depend on partition
+    * order, so each per-category contribution
+    * `½·(p·ln(2p/(p+q)) + q·ln(2q/(p+q)))` (log-sum inequality ⇒ ≥ 0,
+    * absent sides contribute their `ln 2` half) is computed with a fixed
+    * per-row double-op sequence, rounded once to nano-units, and summed
+    * as exact integers — order-independent at any parallelism. `ln` is
+    * the one sub-ulp-platform-dependent op in the chain; contributions
+    * are O(1/|vocab|), so a last-ulp difference lands on a nano boundary
+    * with probability ~1e-10 per category — the quantum is chosen so the
+    * cross-engine gate cannot flake. Shape is [[tvDistance]]'s: one keyed
+    * aggregation on the category, then category-cardinality-sized work.
+    */
+  def jsDivergence(df: DataFrame, catCol: String, sideCol: String,
+                   sideA: Column, sideB: Column): DataFrame = {
+    val sided = df
+      .filter(col(catCol).isNotNull &&
+        (col(sideCol) === sideA || col(sideCol) === sideB))
+      .select(col(catCol).as("__c"),
+        when(col(sideCol) === sideA, 1L).otherwise(0L).as("__a"),
+        when(col(sideCol) === sideB, 1L).otherwise(0L).as("__b"))
+    val perCat = sided.groupBy(col("__c"))
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+      .localCheckpoint()
+    // empty sides fail loudly, same contract (and reason) as ksStatistic
+    val totals = perCat.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+      .select(Seq("n_a", "n_b").map(c =>
+        when(coalesce(col(c), lit(0L)) === 0L, raise_error(lit(
+          s"jsDivergence: side '$c' has no rows — the divergence is undefined")))
+          .otherwise(col(c)).as(c)): _*)
+    val p = col("__ca").cast("double") / col("n_a").cast("double")
+    val q = col("__cb").cast("double") / col("n_b").cast("double")
+    val pPart = when(col("__ca") > 0L, p * log(lit(2.0) * p / (p + q))).otherwise(0.0)
+    val qPart = when(col("__cb") > 0L, q * log(lit(2.0) * q / (p + q))).otherwise(0.0)
+    perCat.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        round((pPart + qPart) * 0.5 * 1000000000.0).cast("long").as("__nano"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_categories"), sum(col("__nano")).as("jsd_nano"))
+      .select(col("n_a"), col("n_b"), col("n_categories"), col("jsd_nano"))
+  }
+
   def tvDistance(df: DataFrame, catCol: String, sideCol: String,
                  sideA: Column, sideB: Column): DataFrame = {
     val sided = df

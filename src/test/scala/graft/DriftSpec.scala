@@ -122,6 +122,57 @@ class DriftSpec extends SparkTestBase {
       .collect().head.getDouble(3) == 1.0)
   }
 
+  // ------------------------------------------------------------------ JSD
+
+  test("jsDivergence == brute force nano sum; extremes hit 0 and ln 2") {
+    def brute(a: Seq[String], b: Seq[String]): (Long, Long, Long, Long) = {
+      val (na, nb) = (a.size.toLong, b.size.toLong)
+      val cats = (a ++ b).distinct
+      val nano = cats.map { c =>
+        val p = a.count(_ == c).toDouble / na.toDouble
+        val q = b.count(_ == c).toDouble / nb.toDouble
+        val pp = if (p > 0) p * math.log(2.0 * p / (p + q)) else 0.0
+        val qq = if (q > 0) q * math.log(2.0 * q / (p + q)) else 0.0
+        BigDecimal((pp + qq) * 0.5 * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      (na, nb, cats.size.toLong, nano)
+    }
+    val catGen = for { s <- Gen.oneOf("A", "B"); c <- Gen.oneOf("x", "y", "z", "w") } yield (s, c)
+    samples(Gen.listOfN(30, catGen), n = 4).foreach { xs =>
+      val a = xs.collect { case ("A", c) => c }
+      val b = xs.collect { case ("B", c) => c }
+      whenever(a.nonEmpty && b.nonEmpty) {
+        val got = Drift.jsDivergence(xs.toDF("side", "cat"), "cat", "side",
+          lit("A"), lit("B")).collect().head
+        assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+          brute(a, b), s"xs=$xs")
+      }
+    }
+    val samePs = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")).toDF("side", "cat")
+    assert(Drift.jsDivergence(samePs, "cat", "side", lit("A"), lit("B"))
+      .collect().head.getLong(3) == 0L)
+    // fully disjoint supports: JSD = ln 2 exactly (in nanos, both
+    // categories contribute round(0.5 * ln 2 * 1e9))
+    val disjoint = Seq(("A", "x"), ("B", "y")).toDF("side", "cat")
+    val lnTwoNano = 2 * BigDecimal(0.5 * math.log(2.0) * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(Drift.jsDivergence(disjoint, "cat", "side", lit("A"), lit("B"))
+      .collect().head.getLong(3) == lnTwoNano)
+  }
+
+  test("jsDivergence is symmetric in its sides and fails loudly on an empty side") {
+    val xs = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "x"), ("B", "z"))
+    val df = xs.toDF("side", "cat")
+    val ab = Drift.jsDivergence(df, "cat", "side", lit("A"), lit("B")).collect().head
+    val ba = Drift.jsDivergence(df, "cat", "side", lit("B"), lit("A")).collect().head
+    assert(ab.getLong(3) == ba.getLong(3))
+    val ex = intercept[Exception] {
+      Drift.jsDivergence(df, "cat", "side", lit("A"), lit("NOPE")).collect()
+    }
+    assert(messages(ex).exists(m => m != null && m.contains("undefined")))
+  }
+
   // -------------------------------------------------------------- fluency
 
   test("bigramFluency == brute-force corpus bigram counts; short docs score 0") {
