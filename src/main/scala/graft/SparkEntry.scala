@@ -2124,7 +2124,15 @@ object SparkEntry {
           explode(graft.text.Dedup.tokens(col("text"))).as("token"))
       graft.analytics.Drift.jsDivergence(
         toks, "token", "lang", lit("en"), lit("es"))
-    })
+    }),
+
+    // Exact phrase search over the positional inverted index — the
+    // alignment-join plan (one shuffle on (doc, anchor), query-term
+    // postings only) gated against the oracle's brute contiguous-window
+    // scan, occurrence counts included.
+    "q142_phrase_search" -> ((s, dir) =>
+      graft.text.Search.phraseSearch(
+        T(s, dir, "documents"), Seq("big", "order")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -3961,6 +3969,17 @@ object SparkEntry {
         |SELECT n_a, n_b, count(*)::BIGINT AS n_categories,
         |  sum(nano)::BIGINT AS jsd_nano
         |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    // brute contiguous-window scan of every token array — independent of
+    // the engine's alignment-join plan
+    "q142_phrase_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '[ \t\n\r\f]+') AS t
+        |  FROM documents)
+        |SELECT doc_id, count(*)::BIGINT AS n_occurrences
+        |FROM tok, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+        |WHERE t[i] = 'big' AND t[i+1] = 'order'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical integer tick test over the identical prefix layout —
     // the sample is a pure function of (ids, weights, n)

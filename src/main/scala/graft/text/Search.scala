@@ -86,6 +86,47 @@ object Search {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact phrase search over a positional inverted index: documents
+    * where the token sequence `phrase` occurs contiguously, with the
+    * occurrence count. Output: (doc_id, n_occurrences), doc-id order.
+    *
+    * Plan shape is the ALIGNMENT JOIN, not an m-way self-join of the
+    * postings list: each posting of a phrase term maps to the anchor
+    * position its occurrence would start at (`pos − i` for the i-th
+    * phrase slot, every slot when the phrase repeats a word), and one
+    * hash aggregation on (doc, anchor) counts distinct matched slots —
+    * `= m` means every slot aligned, i.e. one true occurrence. One
+    * shuffle keyed by (doc, anchor), volume = postings of the QUERY
+    * terms only (the `isInCollection` filter runs before the explode's
+    * output moves); the classic m−1 consecutive-position self-joins
+    * would shuffle the same postings m−1 times and skew on frequent
+    * terms. Overlapping occurrences are counted (each anchor is its own
+    * group), which is exactly the brute-force contiguous-window count
+    * the oracle replays.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val m = phrase.size
+    val session = docs.sparkSession
+    import session.implicits._
+    val slots = phrase.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("__slot", "token")
+    val pos = docs
+      .select(col(idCol).as("doc_id"), posexplode(Dedup.tokens(col(textCol))))
+      .toDF("doc_id", "__pos", "token")
+      .filter(col("token").isInCollection(phrase))
+    pos.join(broadcast(slots), Seq("token"))
+      .select(col("doc_id"), (col("__pos") - col("__slot")).as("__anchor"),
+        col("__slot"))
+      .groupBy(col("doc_id"), col("__anchor"))
+      .agg(countDistinct(col("__slot")).as("__hit"))
+      .filter(col("__hit") === m.toLong)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Vocabulary-growth curve (Heaps-law view): for each document in
     * doc-id order, the number of tokens first seen in it and the
     * cumulative vocabulary size up to and including it. Output:

@@ -76,6 +76,33 @@ class SearchAssocSpec extends SparkTestBase {
     assert(base.map(_.head) == Seq(1L, 3L))
   }
 
+  test("phraseSearch == brute contiguous-window count on random docs") {
+    val word = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    def brute(ts: Seq[String], p: Seq[String]): Long =
+      (0 to ts.size - p.size).count(i => ts.slice(i, i + p.size) == p).toLong
+    samples(Gen.listOfN(12, docGen), n = 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      for (phrase <- Seq(Seq("a", "b"), Seq("a", "a"), Seq("b", "a", "c"))) {
+        val want = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, brute(toks(t), phrase)) }
+          .filter(_._2 > 0).sortBy(_._1)
+        val got = Search.phraseSearch(docs, phrase).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == want, s"phrase=$phrase texts=$texts")
+      }
+    }
+  }
+
+  test("phraseSearch counts overlapping occurrences and repeated-word phrases") {
+    // "a a a" contains "a a" at anchors 0 and 1 (overlap) — each anchor
+    // is its own (doc, anchor) group, so both count
+    val docs = Seq((1L, "a a a"), (2L, "a b a b"), (3L, "b b")).toDF("doc_id", "text")
+    assert(rows(Search.phraseSearch(docs, Seq("a", "a"))) == Seq(Seq(1L, 2L)))
+    assert(rows(Search.phraseSearch(docs, Seq("a", "b", "a", "b"))) == Seq(Seq(2L, 1L)))
+    assert(Search.phraseSearch(docs, Seq("a", "c")).collect().isEmpty)
+  }
+
   test("vocabGrowth: bucketed two-pass prefix sum == single-partition form, any width") {
     val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
     val docGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
