@@ -2133,6 +2133,14 @@ object SparkEntry {
     "q142_phrase_search" -> ((s, dir) =>
       graft.text.Search.phraseSearch(
         T(s, dir, "documents"), Seq("big", "order")))
+,
+    // Directed shingle-containment pairs — the asymmetric near-dup
+    // measure (subset-duplicates that Jaccard q25 structurally misses),
+    // exact over the inverted index.
+    "q143_containment_dup" -> ((s, dir) =>
+      graft.text.Dedup.containmentPairs(T(s, dir, "documents"), n = 3,
+          threshold = 0.9)
+        .orderBy(col("contained_id"), col("container_id")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -3980,6 +3988,21 @@ object SparkEntry {
         |FROM tok, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
         |WHERE t[i] = 'big' AND t[i+1] = 'order'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact cross-pair containment over the same distinct-3-shingle
+    // space, both directions
+    "q143_containment_dup" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        |       FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT d1 AS contained_id, d2 AS container_id,
+        |  round(i::DOUBLE / c.n, 4) AS containment
+        |FROM inter JOIN cnt c ON c.doc_id = d1
+        |WHERE i::DOUBLE / c.n >= 0.9
+        |ORDER BY contained_id, container_id""".stripMargin,
 
     // identical integer tick test over the identical prefix layout —
     // the sample is a pure function of (ids, weights, n)

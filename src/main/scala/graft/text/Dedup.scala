@@ -142,6 +142,49 @@ object Dedup {
         .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
     }
 
+  /** Directed shingle-containment near-dup pairs:
+    * {{{ C(A→B) = |Sh(A) ∩ Sh(B)| / |Sh(A)| ≥ threshold }}}
+    * — document A's shingle set largely contained in B's. Output:
+    * (contained_id, container_id, containment), BOTH directions when
+    * both clear the threshold.
+    *
+    * This is the asymmetric complement of [[ngramJaccard]]: a short
+    * quote-plus-boilerplate copy of a long document has LOW Jaccard
+    * (the union is dominated by the long side) but containment ≈ 1 —
+    * the subset-duplicate class symmetric measures structurally miss.
+    * Same exact-candidate argument (shared shingle ⟺ containment > 0),
+    * same inverted-index plan and fail-loud caps, same `maxShingleDf`
+    * de-hot-key escape hatch; the only new work over the Jaccard pass
+    * is emitting each unordered candidate in both directions before the
+    * per-side division, which is pair-cardinality-sized.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
+                       maxShingleDf: Option[Int] = None): DataFrame =
+    withCachedIndex(shingleIndex(docs, n)) { sh0 =>
+      val sh = maxShingleDf match {
+        case None => sh0
+        case Some(m) =>
+          val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .filter(col("df") > m).select("shingle")
+          sh0.join(hot, Seq("shingle"), "left_anti")
+      }
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = Pipelines.cooccurrence(sh, "shingle", "doc_id",
+        failOnOverflow = true)
+        .select(col("track_id_1").as("a"), col("track_id_2").as("b"),
+          col("score").as("n_inter"))
+      val directed = inter
+        .select(col("a").as("contained_id"), col("b").as("container_id"), col("n_inter"))
+        .unionByName(inter
+          .select(col("b").as("contained_id"), col("a").as("container_id"), col("n_inter")))
+      directed
+        .join(cnt.select(col("doc_id").as("contained_id"), col("n_sh")), Seq("contained_id"))
+        .withColumn("containment", col("n_inter").cast("double") / col("n_sh"))
+        .filter(col("containment") >= threshold)
+        .select(col("contained_id"), col("container_id"),
+          round(col("containment"), 4).as("containment"))
+    }
+
   /** Per-document distinct shingle ARRAYS — the row-local form of
     * [[shingleIndex]] (no explode): one (doc_id, shingle-array) row per
     * document with ≥1 shingle.

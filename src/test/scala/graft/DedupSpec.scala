@@ -50,6 +50,40 @@ class DedupSpec extends SparkTestBase {
     assert(out == Seq(Seq(1L, 2L, 0.3333)))
   }
 
+  test("containmentPairs: subset-duplicate scores 1.0 toward its container only") {
+    // doc1's 2 shingles both appear in doc2 (C(1→2)=1.0) but doc2 has 4
+    // shingles, only 2 shared (C(2→1)=0.5 — below threshold): the
+    // asymmetric case Jaccard misses (J = 2/4 = 0.5 < 0.9)
+    val d = docs(
+      (1L, "a b c d"), // shingles {a b c, b c d}
+      (2L, "a b c d e f"), // {a b c, b c d, c d e, d e f}
+      (3L, "p q r s")) // disjoint
+    val out = rows(Dedup.containmentPairs(d, n = 3, threshold = 0.9))
+    assert(out == Seq(Seq(1L, 2L, 1.0)))
+    assert(rows(Dedup.ngramJaccard(d, n = 3, threshold = 0.9)).isEmpty)
+  }
+
+  test("containmentPairs == brute force over random doc sets, both directions") {
+    val word = org.scalacheck.Gen.oneOf("a", "b", "c", "d")
+    val docGen = org.scalacheck.Gen.chooseNum(3, 9)
+      .flatMap(n => org.scalacheck.Gen.listOfN(n, word)).map(_.mkString(" "))
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    samples(org.scalacheck.Gen.listOfN(8, docGen), n = 4).foreach { texts =>
+      val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+      val want = (for {
+        (ta, ia) <- texts.zipWithIndex; (tb, ib) <- texts.zipWithIndex
+        if ia != ib && sh(ta).nonEmpty
+        c = sh(ta).intersect(sh(tb)).size.toDouble / sh(ta).size
+        if c >= 0.5
+      } yield Seq[Any](ia.toLong, ib.toLong,
+        BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy(_.mkString("|"))
+      val got = rows(Dedup.containmentPairs(d, n = 3, threshold = 0.5))
+      assert(got == want, s"texts=$texts")
+    }
+  }
+
   test("minhashLsh finds the same high-similarity pairs as the exact op") {
     val d = docs(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
