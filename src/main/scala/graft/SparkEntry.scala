@@ -2140,7 +2140,14 @@ object SparkEntry {
     "q143_containment_dup" -> ((s, dir) =>
       graft.text.Dedup.containmentPairs(T(s, dir, "documents"), n = 3,
           threshold = 0.9)
-        .orderBy(col("contained_id"), col("container_id")))
+        .orderBy(col("contained_id"), col("container_id"))),
+
+    // Median/MAD robust outlier report per event type — the
+    // breakdown-point-0.5 anomaly layer (analytics/Robust); exact
+    // interpolating percentiles, 3·1.4826 cut.
+    "q144_mad_outliers" -> ((s, dir) =>
+      graft.analytics.Robust.madOutliers(
+        T(s, dir, "events"), "value", "event_type"))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4003,6 +4010,21 @@ object SparkEntry {
         |FROM inter JOIN cnt c ON c.doc_id = d1
         |WHERE i::DOUBLE / c.n >= 0.9
         |ORDER BY contained_id, container_id""".stripMargin,
+
+    // same two-stage exact-percentile MAD with the identical folded cut
+    "q144_mad_outliers" ->
+      """WITH e AS (SELECT event_type AS g, value AS v FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL),
+        |m1 AS (SELECT g, quantile_cont(v, 0.5) AS med FROM e GROUP BY 1),
+        |ad AS (SELECT e.g, abs(v - med) AS adv FROM e JOIN m1 USING (g)),
+        |m2 AS (SELECT g, count(*)::BIGINT AS n, quantile_cont(adv, 0.5) AS mad
+        |  FROM ad GROUP BY 1),
+        |o AS (SELECT a.g,
+        |    sum(CASE WHEN adv > (3.0 * 1.4826) * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |  FROM ad a JOIN m2 USING (g) GROUP BY 1)
+        |SELECT m2.g AS event_type, m2.n, round(m1.med, 4) AS med,
+        |  round(m2.mad, 4) AS mad, o.n_outliers
+        |FROM m2 JOIN m1 USING (g) JOIN o USING (g) ORDER BY 1""".stripMargin,
 
     // identical integer tick test over the identical prefix layout —
     // the sample is a pure function of (ids, weights, n)
