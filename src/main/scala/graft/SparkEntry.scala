@@ -2147,7 +2147,13 @@ object SparkEntry {
     // interpolating percentiles, 3·1.4826 cut.
     "q144_mad_outliers" -> ((s, dir) =>
       graft.analytics.Robust.madOutliers(
-        T(s, dir, "events"), "value", "event_type"))
+        T(s, dir, "events"), "value", "event_type")),
+
+    // Benford first-digit audit of order totals — fabricated-data
+    // screen; digit from exact integer cents via the decimal string
+    // (quality/Profile.benfordAudit), proportions in integer ppm.
+    "q145_benford" -> ((s, dir) =>
+      graft.quality.Profile.benfordAudit(T(s, dir, "orders"), "o_totalprice"))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4025,6 +4031,24 @@ object SparkEntry {
         |SELECT m2.g AS event_type, m2.n, round(m1.med, 4) AS med,
         |  round(m2.mad, 4) AS mad, o.n_outliers
         |FROM m2 JOIN m1 USING (g) JOIN o USING (g) ORDER BY 1""".stripMargin,
+
+    // digit from the integer-cents decimal string; law constants from
+    // the same round(log10(1+1/d)·1e6)
+    "q145_benford" ->
+      """WITH cents AS (SELECT round(o_totalprice * 100)::BIGINT AS c FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+        |obs AS (SELECT left(c::VARCHAR, 1)::BIGINT AS digit, count(*)::BIGINT AS n_obs
+        |  FROM cents GROUP BY 1),
+        |law AS (SELECT d::BIGINT AS digit,
+        |    round(log10(1.0 + 1.0 / d) * 1000000.0)::BIGINT AS benford_ppm
+        |  FROM generate_series(1, 9) AS g(d)),
+        |t AS (SELECT sum(n_obs)::BIGINT AS n FROM obs),
+        |j AS (SELECT l.digit, coalesce(o.n_obs, 0)::BIGINT AS n_obs, l.benford_ppm,
+        |    round(coalesce(o.n_obs, 0)::DOUBLE * 1000000.0 / t.n::DOUBLE)::BIGINT AS obs_ppm
+        |  FROM law l LEFT JOIN obs o ON l.digit = o.digit CROSS JOIN t)
+        |SELECT digit, n_obs, obs_ppm, benford_ppm,
+        |  (obs_ppm - benford_ppm)::BIGINT AS dev_ppm
+        |FROM j ORDER BY digit""".stripMargin,
 
     // identical integer tick test over the identical prefix layout —
     // the sample is a pure function of (ids, weights, n)

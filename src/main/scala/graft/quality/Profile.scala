@@ -144,6 +144,47 @@ object Profile {
     * One data-scale shuffle (the category count), checkpointed for its
     * two scalar consumers.
     */
+  /** Benford first-significant-digit audit of a positive money-like
+    * column — the classic fabricated-data / unit-mixup screen (natural
+    * multiplicative amounts follow P(d) = log₁₀(1 + 1/d); flat or
+    * spiked first-digit histograms flag synthetic or corrupted feeds).
+    * Output: 9 rows (digit, n_obs, obs_ppm, benford_ppm, dev_ppm) in
+    * digit order, proportions in integer parts-per-million.
+    *
+    * The first digit is extracted from the exact integer cents
+    * (`round(x·100)` as long, the repo's money convention) via the
+    * integer's decimal string — NOT `floor(x / 10^⌊log₁₀x⌋)`, whose
+    * transcendental log misclassifies exact powers of ten when log₁₀
+    * lands a last-ulp low. String heads of integers are exact in every
+    * engine. One map-side-combinable aggregation on a 9-value key; the
+    * expected-law constants are per-digit literals-by-construction
+    * (round(log₁₀(1+1/d)·1e6) over d = 1..9 — computed once on the
+    * driver, not per row).
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val law = (1 to 9).map(d =>
+      (d.toLong, math.round(math.log10(1.0 + 1.0 / d) * 1e6)))
+      .toDF("digit", "benford_ppm")
+    val cents = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(round(col(valueCol) * 100, 0).cast("long").as("__c"))
+    val obs = cents
+      .select(substring(col("__c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val total = obs.agg(sum(col("n_obs")).as("__n"))
+    obs.join(broadcast(law), Seq("digit"), "right")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(total))
+      .withColumn("obs_ppm",
+        round(col("n_obs").cast("double") * 1e6 / col("__n").cast("double"))
+          .cast("long"))
+      .select(col("digit"), col("n_obs"), col("obs_ppm"), col("benford_ppm"),
+        (col("obs_ppm") - col("benford_ppm")).as("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
   def concentration(df: DataFrame, catCol: String): DataFrame = {
     val counts = df.filter(col(catCol).isNotNull)
       .groupBy(col(catCol).cast("string").as("__g"))

@@ -45,6 +45,40 @@ class ProfileSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"profile must not join:\n$plan")
   }
 
+  test("benfordAudit: exact digit histogram in ppm, zero-count digits present") {
+    import spark.implicits._
+    // 10.00→digit 1 (×4), 2.50→2 (×2), 999.99→9 (×1); null/non-positive dropped
+    val vals: Seq[Option[Double]] = Seq(Some(10.0), Some(10.0), Some(10.0),
+      Some(10.0), Some(2.5), Some(2.5), Some(999.99), None, Some(0.0), Some(-5.0))
+    val df = vals.toDF("v")
+    val out = Profile.benfordAudit(df, "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq == (1L to 9L))
+    val byDigit = out.map(t => t._1 -> t._2).toMap
+    assert(byDigit == Map(1L -> 4L, 2L -> 2L, 9L -> 1L) ++
+      (3L to 8L).map(_ -> 0L).toMap)
+    // ppm: 4/7, 2/7, 1/7 rounded
+    val ppm = out.map(t => t._1 -> t._3).toMap
+    assert(ppm(1L) == math.round(4.0 * 1e6 / 7.0))
+    assert(ppm(2L) == math.round(2.0 * 1e6 / 7.0))
+    assert(ppm(3L) == 0L)
+    // law column is the driver-computed constant; dev is the difference
+    for ((d, _, obs, law, dev) <- out) {
+      assert(law == math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+      assert(dev == obs - law)
+    }
+  }
+
+  test("benfordAudit: digit of an exact power of ten is 1 (no log path)") {
+    import spark.implicits._
+    // 1000.00 == 100000 cents: the floor(log10) formulation is exactly
+    // the case that can misclassify this; the string head cannot
+    val df = Seq(1000.0, 0.01, 100.0).toDF("v")
+    val out = Profile.benfordAudit(df, "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) == 3L)
+  }
+
   test("profile rejects empty and unknown column lists") {
     intercept[IllegalArgumentException] { Profile.profile(sample, Seq.empty) }
     intercept[IllegalArgumentException] { Profile.profile(sample, Seq("nope")) }
