@@ -2153,7 +2153,13 @@ object SparkEntry {
     // screen; digit from exact integer cents via the decimal string
     // (quality/Profile.benfordAudit), proportions in integer ppm.
     "q145_benford" -> ((s, dir) =>
-      graft.quality.Profile.benfordAudit(T(s, dir, "orders"), "o_totalprice"))
+      graft.quality.Profile.benfordAudit(T(s, dir, "orders"), "o_totalprice")),
+
+    // Trailing-64-day EWMA (α = ½) of daily order volume — exact
+    // binary-power kernel, decimal-exact reductions, one float division
+    // at the end (analytics/Smoothing.dailyEwma).
+    "q146_ewma" -> ((s, dir) =>
+      graft.analytics.Smoothing.dailyEwma(T(s, dir, "orders"), "o_orderdate"))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4049,6 +4055,22 @@ object SparkEntry {
         |SELECT digit, n_obs, obs_ppm, benford_ppm,
         |  (obs_ppm - benford_ppm)::BIGINT AS dev_ppm
         |FROM j ORDER BY digit""".stripMargin,
+
+    // identical exact binary-power kernel over shifted-day joins; the
+    // decimal sums are order-independent so both engines agree bit-wise
+    "q146_ewma" ->
+      """WITH daily AS (SELECT o_orderdate::DATE AS d, count(*)::BIGINT AS x
+        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        |off AS (SELECT j, power(2.0, 63 - j)::DECIMAL(20,0) AS w
+        |  FROM generate_series(0, 63) AS g(j)),
+        |terms AS (SELECT a.d AS anchor, o2.x, f.w, f.j
+        |  FROM daily a CROSS JOIN off f
+        |  JOIN daily o2 ON o2.d = a.d - (f.j || ' days')::INTERVAL)
+        |SELECT strftime(anchor, '%Y-%m-%d') AS day,
+        |  sum(CASE WHEN j = 0 THEN x ELSE 0 END)::BIGINT AS x,
+        |  round(sum(w * x::DECIMAL(18,0))::DOUBLE / sum(w)::DOUBLE
+        |    * 1000000.0)::BIGINT AS ewma_micro
+        |FROM terms GROUP BY anchor ORDER BY day""".stripMargin,
 
     // identical integer tick test over the identical prefix layout —
     // the sample is a pure function of (ids, weights, n)
