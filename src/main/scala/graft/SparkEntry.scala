@@ -2159,7 +2159,13 @@ object SparkEntry {
     // binary-power kernel, decimal-exact reductions, one float division
     // at the end (analytics/Smoothing.dailyEwma).
     "q146_ewma" -> ((s, dir) =>
-      graft.analytics.Smoothing.dailyEwma(T(s, dir, "orders"), "o_orderdate"))
+      graft.analytics.Smoothing.dailyEwma(T(s, dir, "orders"), "o_orderdate")),
+
+    // Model-based quality filter: logistic scorer over the profile
+    // features with fixed reference coefficients
+    // (quality/ModelFilter.logitQuality), micro-unit scores.
+    "q147_quality_logit" -> ((s, dir) =>
+      graft.quality.ModelFilter.logitQuality(T(s, dir, "documents")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4071,6 +4077,30 @@ object SparkEntry {
         |  round(sum(w * x::DECIMAL(18,0))::DOUBLE / sum(w)::DOUBLE
         |    * 1000000.0)::BIGINT AS ewma_micro
         |FROM terms GROUP BY anchor ORDER BY day""".stripMargin,
+
+    // identical 4dp-rounded features, identical left-associated linear
+    // term, one exp, micro rounding
+    "q147_quality_logit" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars,
+        |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS punct_chars,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::BIGINT AS h_en,
+        |    len(list_distinct(toks))::BIGINT AS n_uniq
+        |  FROM t),
+        |f AS (SELECT doc_id,
+        |    round(h_en::DOUBLE / greatest(n_tokens, 1), 4) AS stop_r,
+        |    round(punct_chars::DOUBLE / greatest(n_chars, 1), 4) AS punct_r,
+        |    round(n_uniq::DOUBLE / greatest(n_tokens, 1), 4) AS uniq_r,
+        |    least(n_chars, 2000)::DOUBLE / 2000.0 AS len_norm
+        |  FROM b),
+        |z AS (SELECT doc_id,
+        |    -2.0 + 6.0 * stop_r + -8.0 * punct_r + 3.0 * uniq_r + 2.0 * len_norm AS z
+        |  FROM f)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)) * 1000000.0)::BIGINT AS score_micro,
+        |  round(1.0 / (1.0 + exp(-z)) * 1000000.0)::BIGINT >= 500000 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
 
     // identical integer tick test over the identical prefix layout —
     // the sample is a pure function of (ids, weights, n)
