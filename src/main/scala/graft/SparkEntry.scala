@@ -2165,7 +2165,15 @@ object SparkEntry {
     // features with fixed reference coefficients
     // (quality/ModelFilter.logitQuality), micro-unit scores.
     "q147_quality_logit" -> ((s, dir) =>
-      graft.quality.ModelFilter.logitQuality(T(s, dir, "documents")))
+      graft.quality.ModelFilter.logitQuality(T(s, dir, "documents"))),
+
+    // Top adjacent-bigram collocations by pointwise lift ratio (e^PMI,
+    // un-logged per the no-transcendentals discipline) — the
+    // phrase-mining pass behind multiword tokenizer vocabularies
+    // (text/LangModel.collocations).
+    "q148_collocations" -> ((s, dir) =>
+      graft.text.LangModel.collocations(
+        T(s, dir, "documents"), minCount = 5, k = 20))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4101,6 +4109,25 @@ object SparkEntry {
         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)) * 1000000.0)::BIGINT AS score_micro,
         |  round(1.0 / (1.0 + exp(-z)) * 1000000.0)::BIGINT >= 500000 AS keep
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // identical three-division chain over exact counts, micro-rounded
+    "q148_collocations" ->
+      """WITH t AS (SELECT string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |uni AS (SELECT w, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |bgl AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram FROM t,
+        |  LATERAL unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS g(i)),
+        |bg AS (SELECT bigram, count(*)::BIGINT AS n_xy FROM bgl GROUP BY 1),
+        |sc AS (SELECT (SELECT sum(c) FROM uni)::BIGINT AS nuni,
+        |              (SELECT sum(n_xy) FROM bg)::BIGINT AS nbi),
+        |j AS (SELECT string_split(bigram, ' ')[1] AS w1,
+        |             string_split(bigram, ' ')[2] AS w2, n_xy
+        |  FROM bg WHERE n_xy >= 5)
+        |SELECT w1, w2, n_xy,
+        |  round((n_xy::DOUBLE / nbi::DOUBLE) / (cx.c::DOUBLE / nuni::DOUBLE)
+        |    / (cy.c::DOUBLE / nuni::DOUBLE) * 1000000.0)::BIGINT AS score_micro
+        |FROM j JOIN uni cx ON cx.w = j.w1 JOIN uni cy ON cy.w = j.w2 CROSS JOIN sc
+        |ORDER BY score_micro DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // identical integer tick test over the identical prefix layout —
     // the sample is a pure function of (ids, weights, n)

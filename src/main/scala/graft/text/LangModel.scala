@@ -57,6 +57,58 @@ object LangModel {
       .orderBy(col("doc_id"))
   }
 
+  /** Top adjacent-token collocations — the phrase-mining pass behind
+    * multiword tokenizer vocabularies ("new york"-style units). Each
+    * bigram with support ≥ `minCount` is scored by the pointwise lift
+    * ratio (= e^PMI, the monotone un-logged form per the module's
+    * no-transcendentals discipline):
+    * {{{ score = (c_xy / N_bi) / (c_x / N_uni) / (c_y / N_uni) }}}
+    * — observed bigram probability over the independence expectation.
+    * Output: top `k` rows (w1, w2, n_xy, score_micro) by
+    * (score_micro desc, w1, w2).
+    *
+    * Determinism: all counts exact integers; the score is a FIXED chain
+    * of three correctly-rounded double divisions (never the
+    * c_xy·N²/(N_bi·c_x·c_y) integer form, whose N² overflows any fixed
+    * width at corpus scale), rounded once to micro-units.
+    *
+    * Scale posture: one bigram-keyed and one token-keyed
+    * map-side-combinable count; marginals are vocabulary-sized and join
+    * the (support-filtered) bigram counts on each word end; the two
+    * corpus-total scalars ride a broadcast cross join; top-k is a
+    * TakeOrderedAndProject.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 20,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toksDf = docs
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .localCheckpoint() // unigram and bigram passes both read it
+    val uni = toksDf.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bg = toksDf
+      .select(explode(expr(
+        "CASE WHEN size(toks) < 2 THEN array() ELSE transform(" +
+          "sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i])) END"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_xy"))
+    val scalars = uni.agg(sum(col("c")).as("__nuni"))
+      .crossJoin(bg.agg(sum(col("n_xy")).as("__nbi")))
+    val score =
+      (col("n_xy").cast("double") / col("__nbi").cast("double")) /
+        (col("__cx").cast("double") / col("__nuni").cast("double")) /
+        (col("__cy").cast("double") / col("__nuni").cast("double"))
+    bg.filter(col("n_xy") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c").as("__cx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("__cy")), Seq("w2"))
+      .crossJoin(broadcast(scalars))
+      .select(col("w1"), col("w2"), col("n_xy"),
+        round(score * 1e6).cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Out-of-vocabulary rate of an eval corpus against a train corpus's
     * token vocabulary: what fraction of eval token OCCURRENCES use a
     * token the training data never produced — the number that tells you

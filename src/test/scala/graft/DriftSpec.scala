@@ -195,6 +195,31 @@ class DriftSpec extends SparkTestBase {
     }
   }
 
+  test("collocations == brute-force lift ratio, top-k total order respected") {
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      "new york is a city and new york is big",
+      "the new day and the new year in new york",
+      "a b a b a b a b",
+      "york new is not new york")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val allToks = texts.map(toks)
+    val uni = allToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bgs = allToks.flatMap(ts => ts.zip(ts.drop(1)))
+    val bgc = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nUni, nBi) = (allToks.map(_.size).sum.toLong, bgs.size.toLong)
+    val want = bgc.toSeq.filter(_._2 >= 2).map { case ((a, b), nxy) =>
+      val s = (nxy.toDouble / nBi.toDouble) / (uni(a).toDouble / nUni.toDouble) /
+        (uni(b).toDouble / nUni.toDouble)
+      (a, b, nxy, math.round(s * 1e6))
+    }.sortBy { case (a, b, _, s) => (-s, a, b) }.take(5)
+    val got = graft.text.LangModel.collocations(docs, minCount = 2, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(got.map(t => (t._1, t._2)).contains(("new", "york")))
+  }
+
   test("oovRate == brute-force occurrence fraction; empty eval scores 0") {
     val word = Gen.oneOf("a", "b", "c", "d", "e")
     val docGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
