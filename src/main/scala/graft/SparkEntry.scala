@@ -2173,7 +2173,14 @@ object SparkEntry {
     // (text/LangModel.collocations).
     "q148_collocations" -> ((s, dir) =>
       graft.text.LangModel.collocations(
-        T(s, dir, "documents"), minCount = 5, k = 20))
+        T(s, dir, "documents"), minCount = 5, k = 20)),
+
+    // Population stability index between click and view value
+    // distributions — the fourth drift statistic (KS/TV/JSD/PSI), same
+    // nano fixed-point contract, half-count smoothed bins.
+    "q149_psi_drift" -> ((s, dir) =>
+      graft.analytics.Drift.psi(T(s, dir, "events"), "value",
+        "event_type", lit("click"), lit("view"), binWidth = 100.0))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4128,6 +4135,26 @@ object SparkEntry {
         |    / (cy.c::DOUBLE / nuni::DOUBLE) * 1000000.0)::BIGINT AS score_micro
         |FROM j JOIN uni cx ON cx.w = j.w1 JOIN uni cy ON cy.w = j.w2 CROSS JOIN sc
         |ORDER BY score_micro DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // identical half-count-smoothed per-bin terms, nano fixed-point sum
+    "q149_psi_drift" ->
+      """WITH e AS (SELECT floor(value / 100.0)::BIGINT AS bin,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |pb AS (SELECT bin, sum(a)::BIGINT AS ca, sum(b)::BIGINT AS cb FROM e GROUP BY 1),
+        |t AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+        |    count(*)::BIGINT AS n_bins FROM pb),
+        |terms AS (SELECT n_a, n_b, n_bins,
+        |    round(((ca::DOUBLE + 0.5) / (n_a::DOUBLE + 0.5 * n_bins::DOUBLE)
+        |         - (cb::DOUBLE + 0.5) / (n_b::DOUBLE + 0.5 * n_bins::DOUBLE))
+        |      * ln(((ca::DOUBLE + 0.5) / (n_a::DOUBLE + 0.5 * n_bins::DOUBLE))
+        |         / ((cb::DOUBLE + 0.5) / (n_b::DOUBLE + 0.5 * n_bins::DOUBLE)))
+        |      * 1000000000.0)::BIGINT AS nano
+        |  FROM pb, t)
+        |SELECT n_a, n_b, n_bins, sum(nano)::BIGINT AS psi_nano
+        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
 
     // identical integer tick test over the identical prefix layout —
     // the sample is a pure function of (ids, weights, n)

@@ -121,6 +121,60 @@ object Drift {
       .select(col("n_a"), col("n_b"), col("ks_d"))
   }
 
+  /** Population stability index between the two populations' `valueCol`
+    * distributions over fixed-width bins — the industry-standard model-
+    * monitoring drift score (PSI < 0.1 stable, > 0.25 action):
+    * {{{ PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i) }}}
+    * with half-count Laplace smoothing `p_i = (c_i + ½) / (n + ½·B)`
+    * (B = observed bins) so empty-on-one-side bins contribute a finite,
+    * defined term instead of ±∞. Output: one row
+    * (n_a, n_b, n_bins, psi_nano) — the statistic in integer nano-units.
+    *
+    * Same fixed-point determinism contract as [[jsDivergence]]: per-bin
+    * terms (≥ 0 — the factors share sign) from a fixed double-op chain,
+    * nano-rounded once, exact integer sum; `ln` again the only
+    * sub-ulp-platform op, orders below the quantum. Bin counts are one
+    * keyed aggregation; everything after is bin-cardinality-sized.
+    */
+  def psi(df: DataFrame, valueCol: String, sideCol: String,
+          sideA: Column, sideB: Column, binWidth: Double = 1.0): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val isFloating = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val finite =
+      if (isFloating) col(valueCol).isNotNull && !isnan(col(valueCol))
+      else col(valueCol).isNotNull
+    val sided = df
+      .filter(finite && (col(sideCol) === sideA || col(sideCol) === sideB))
+      .select(floor(col(valueCol) / binWidth).cast("long").as("__bin"),
+        when(col(sideCol) === sideA, 1L).otherwise(0L).as("__a"),
+        when(col(sideCol) === sideB, 1L).otherwise(0L).as("__b"))
+    val perBin = sided.groupBy(col("__bin"))
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+      .localCheckpoint()
+    val totals = perBin
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        count(lit(1)).as("n_bins"))
+      .select(
+        Seq("n_a", "n_b").map(c =>
+          when(coalesce(col(c), lit(0L)) === 0L, raise_error(lit(
+            s"psi: side '$c' has no finite non-null rows — the statistic " +
+              "is undefined"))).otherwise(col(c)).as(c)) :+ col("n_bins"): _*)
+    val p = (col("__ca").cast("double") + 0.5) /
+      (col("n_a").cast("double") + lit(0.5) * col("n_bins").cast("double"))
+    val q = (col("__cb").cast("double") + 0.5) /
+      (col("n_b").cast("double") + lit(0.5) * col("n_bins").cast("double"))
+    perBin.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"), col("n_bins"),
+        round((p - q) * log(p / q) * 1000000000.0).cast("long").as("__nano"))
+      .groupBy(col("n_a"), col("n_b"), col("n_bins"))
+      .agg(sum(col("__nano")).as("psi_nano"))
+      .select(col("n_a"), col("n_b"), col("n_bins"), col("psi_nano"))
+  }
+
   /** Total-variation distance between the categorical `catCol`
     * distributions of the two populations:
     * {{{ TV = ½ · Σ_c | p_a(c) − p_b(c) | ∈ [0, 1] }}}

@@ -122,6 +122,55 @@ class DriftSpec extends SparkTestBase {
       .collect().head.getDouble(3) == 1.0)
   }
 
+  // ------------------------------------------------------------------ PSI
+
+  test("psi == brute-force half-count-smoothed bin sum; identical sides ~ 0") {
+    def brute(a: Seq[Double], b: Seq[Double], w: Double): (Long, Long, Long, Long) = {
+      val bins = (a.map(x => math.floor(x / w).toLong) ++
+        b.map(x => math.floor(x / w).toLong)).distinct
+      val (na, nb, nBins) = (a.size.toLong, b.size.toLong, bins.size.toLong)
+      val nano = bins.map { bin =>
+        val ca = a.count(x => math.floor(x / w).toLong == bin).toLong
+        val cb = b.count(x => math.floor(x / w).toLong == bin).toLong
+        val p = (ca.toDouble + 0.5) / (na.toDouble + 0.5 * nBins.toDouble)
+        val q = (cb.toDouble + 0.5) / (nb.toDouble + 0.5 * nBins.toDouble)
+        BigDecimal((p - q) * math.log(p / q) * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      (na, nb, nBins, nano)
+    }
+    val v = Gen.chooseNum(-20, 40).map(_ / 4.0)
+    val sideGen = for { x <- v; s <- Gen.oneOf("A", "B") } yield (s, x)
+    samples(Gen.listOfN(40, sideGen), n = 4).foreach { xs =>
+      val a = xs.collect { case ("A", x) => x }
+      val b = xs.collect { case ("B", x) => x }
+      whenever(a.nonEmpty && b.nonEmpty) {
+        val df = xs.toDF("side", "value")
+        Seq(0.5, 3.0).foreach { w =>
+          val got = Drift.psi(df, "value", "side", lit("A"), lit("B"),
+            binWidth = w).collect().head
+          assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+            brute(a, b, w), s"w=$w xs=$xs")
+        }
+      }
+    }
+    // equal-count identical distributions: p == q in every bin → 0
+    val same = Seq(("A", 1.0), ("A", 5.0), ("B", 1.0), ("B", 5.0)).toDF("side", "value")
+    assert(Drift.psi(same, "value", "side", lit("A"), lit("B"))
+      .collect().head.getLong(3) == 0L)
+  }
+
+  test("psi fails loudly on an empty side; disjoint ranges score large") {
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 100.0), ("B", 101.0)).toDF("side", "value")
+    val psi = Drift.psi(df, "value", "side", lit("A"), lit("B"), binWidth = 1.0)
+      .collect().head.getLong(3)
+    assert(psi > 250000000L) // far past the 0.25 action threshold
+    val ex = intercept[Exception] {
+      Drift.psi(df, "value", "side", lit("A"), lit("NOPE")).collect()
+    }
+    assert(messages(ex).exists(m => m != null && m.contains("undefined")))
+  }
+
   // ------------------------------------------------------------------ JSD
 
   test("jsDivergence == brute force nano sum; extremes hit 0 and ln 2") {
