@@ -2180,7 +2180,15 @@ object SparkEntry {
     // nano fixed-point contract, half-count smoothed bins.
     "q149_psi_drift" -> ((s, dir) =>
       graft.analytics.Drift.psi(T(s, dir, "events"), "value",
-        "event_type", lit("click"), lit("view"), binWidth = 100.0))
+        "event_type", lit("click"), lit("view"), binWidth = 100.0)),
+
+    // PPJoin-style prefix-filter similarity join — the third exact-
+    // Jaccard plan (full inverted index q25, LSH-candidates q26, rarest-
+    // prefix candidates here), all gated against the SAME exact oracle.
+    "q150_prefix_join" -> ((s, dir) =>
+      graft.text.Dedup.prefixFilterJaccard(T(s, dir, "documents"), n = 3,
+          threshold = 0.4)
+        .orderBy(col("doc_id_1"), col("doc_id_2")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -2574,6 +2582,10 @@ object SparkEntry {
     // Same semantics as q25: LSH candidates are verified with the exact
     // Jaccard, and nothing in this corpus sits in the recall-risky band.
     "q26_minhash_lsh" -> ngramJaccardOracle,
+
+    // third plan, same exact result: the prefix-filter recall guarantee
+    // is checked by hash equality against the exhaustive oracle
+    "q150_prefix_join" -> ngramJaccardOracle,
 
     "q28_ann_cosine" ->
       """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -185,6 +185,66 @@ object Dedup {
           round(col("containment"), 4).as("containment"))
     }
 
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (the
+    * SSJoin/PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08) — same result set as [[ngramJaccard]], different candidate
+    * generator with a much smaller join volume.
+    *
+    * Shingles are globally ordered rarest-first (df asc, shingle asc);
+    * a doc with s shingles indexes only its first
+    * {{{ p = s − ⌈t·s⌉ + 1 }}}
+    * shingles under that order. The prefix lemma guarantees recall:
+    * J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉, and if no common element fell in a
+    * p-prefix the overlap could be at most ⌈t·s⌉ − 1 — contradiction —
+    * so every qualifying pair shares a PREFIX shingle. Survivors are
+    * verified row-locally with the exact intersection of the two
+    * distinct-shingle arrays.
+    *
+    * Why it scales past the full inverted index: [[ngramJaccard]] pays
+    * Σ_shingle df² pair emissions — dominated by FREQUENT shingles —
+    * while the prefix index keys docs only on their RAREST shingles, so
+    * hot shingles appear in almost no prefixes and the candidate volume
+    * collapses; the trade is one extra df aggregation plus a doc-keyed
+    * (never global) window to take each doc's prefix. Same fail-loud
+    * bucket cap on the candidate stage.
+    */
+  def prefixFilterJaccard(docs: DataFrame, n: Int = 3,
+                          threshold: Double = 0.4): DataFrame =
+    withCachedIndex(shingleIndex(docs, n)) { sh =>
+      val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("__s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
+      // p = s − ⌈t·s⌉ + 1, but the ceiling is computed as
+      // floor(t·s − 1e-9) + 1: when t·s is mathematically integral the
+      // float product can land a hair HIGH (0.4·5 = 2.0000…04), and a
+      // naive ceil would then shorten the prefix by one — silently
+      // voiding the recall guarantee for pairs at exactly the minimum
+      // overlap. The epsilon-down form only ever LENGTHENS the prefix
+      // (extra candidates, never lost ones).
+      val prefix = sh
+        .join(dfs, Seq("shingle"))
+        .join(perDoc, Seq("doc_id"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <=
+          col("__s") - floor(lit(threshold) * col("__s") - lit(1e-9)))
+        .select("doc_id", "shingle")
+      val cand = Pipelines.cooccurrence(prefix, "shingle", "doc_id",
+        failOnOverflow = true)
+        .select(col("track_id_1").as("doc_id_1"), col("track_id_2").as("doc_id_2"))
+      val arrs = docShingles(docs, n)
+      cand
+        .join(arrs.select(col("doc_id").as("doc_id_1"), col("sh").as("__sa")),
+          Seq("doc_id_1"))
+        .join(arrs.select(col("doc_id").as("doc_id_2"), col("sh").as("__sb")),
+          Seq("doc_id_2"))
+        .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+        .withColumn("jaccard", col("__i").cast("double") /
+          (size(col("__sa")).cast("long") + size(col("__sb")).cast("long") - col("__i")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
+    }
+
   /** Per-document distinct shingle ARRAYS — the row-local form of
     * [[shingleIndex]] (no explode): one (doc_id, shingle-array) row per
     * document with ≥1 shingle.

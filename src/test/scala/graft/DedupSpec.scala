@@ -84,6 +84,34 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("prefixFilterJaccard == ngramJaccard on random corpora (recall lemma holds)") {
+    val word = org.scalacheck.Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = org.scalacheck.Gen.chooseNum(3, 10)
+      .flatMap(n => org.scalacheck.Gen.listOfN(n, word)).map(_.mkString(" "))
+    samples(org.scalacheck.Gen.listOfN(10, docGen), n = 5).foreach { texts =>
+      val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+      for (t <- Seq(0.4, 0.5, 0.8)) {
+        val full = rows(Dedup.ngramJaccard(d, n = 3, threshold = t))
+        val pref = rows(Dedup.prefixFilterJaccard(d, n = 3, threshold = t))
+        assert(pref == full, s"t=$t texts=$texts")
+      }
+    }
+  }
+
+  test("prefixFilterJaccard: integral t·s boundary pair is not lost") {
+    // two docs with exactly 5 shingles each sharing exactly 2:
+    // J = 2/8 = 0.25; at t = 0.25, t·s = 1.25 → required overlap 2,
+    // prefix 4. At the float-hostile t = 0.4 with s = 5 (t·s = 2.0000…04),
+    // a naive ceil would shorten the prefix; built so the qualifying
+    // pair sits exactly at the minimum overlap ⌈t·s⌉ = 2.
+    val d = docs(
+      (1L, "a b c d e f g"), // shingles: abc bcd cde def efg (5)
+      (2L, "a b c d x y z")) // abc bcd cdx dxy xyz (5), shared {abc, bcd} = 2
+    // J = 2/(5+5-2) = 0.25
+    val out = rows(Dedup.prefixFilterJaccard(d, n = 3, threshold = 0.25))
+    assert(out == Seq(Seq(1L, 2L, 0.25)))
+  }
+
   test("minhashLsh finds the same high-similarity pairs as the exact op") {
     val d = docs(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
