@@ -2188,7 +2188,15 @@ object SparkEntry {
     "q150_prefix_join" -> ((s, dir) =>
       graft.text.Dedup.prefixFilterJaccard(T(s, dir, "documents"), n = 3,
           threshold = 0.4)
-        .orderBy(col("doc_id_1"), col("doc_id_2")))
+        .orderBy(col("doc_id_1"), col("doc_id_2"))),
+
+    // Segment-level dedup with document rebuild — the "line dedup"
+    // boilerplate-removal pass (corpus-wide keep-first at 10-token
+    // block granularity, docs re-assembled from surviving blocks;
+    // text/Dedup.blockDedup).
+    "q151_block_dedup" -> ((s, dir) =>
+      graft.text.Dedup.blockDedup(T(s, dir, "documents"), blockTokens = 10)
+        .orderBy(col("doc_id")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4399,6 +4407,25 @@ object SparkEntry {
         |  (nd * sxyd - sxd * syd) / (nd * (nd - 1)) AS covar_xy,
         |  (nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd)
         |    * (nd * syyd - syd * syd)) AS corr_xy
-        |FROM d ORDER BY l_returnflag""".stripMargin
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    // same 10-token segmentation (zipped unnest), keep-first by
+    // (doc_id, idx) per block content, rebuild via ordered string_agg
+    "q151_block_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |blk AS (SELECT doc_id, i AS idx,
+        |    array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS block
+        |  FROM tok, LATERAL unnest(generate_series(0, (len(toks)-1)//10)) AS g(i)),
+        |keep AS (SELECT doc_id, idx FROM (
+        |    SELECT doc_id, idx,
+        |      row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+        |    FROM blk) WHERE rn = 1)
+        |SELECT b.doc_id,
+        |  count(*)::BIGINT AS n_blocks,
+        |  count(k.idx)::BIGINT AS n_kept,
+        |  coalesce(string_agg(b.block, ' ' ORDER BY b.idx)
+        |    FILTER (WHERE k.idx IS NOT NULL), '') AS text_deduped
+        |FROM blk b LEFT JOIN keep k ON k.doc_id = b.doc_id AND k.idx = b.idx
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

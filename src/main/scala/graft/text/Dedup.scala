@@ -92,6 +92,57 @@ object Dedup {
         max(col(qualityCol)).as("keep_quality"),
         count(lit(1)).as("n_copies"))
 
+  /** Segment-level exact dedup with document REBUILD — the "line dedup"
+    * pass of web-corpus pipelines (remove every repeated boilerplate
+    * line corpus-wide, keep the first occurrence, and re-assemble each
+    * document from its surviving segments), generalized to a fixed
+    * `blockTokens`-token segmentation so it also applies to corpora
+    * without newline structure. Unlike [[exact]]/[[exactKeepBest]]
+    * (which drop whole documents) this edits documents in place:
+    * a doc survives with its duplicated segments excised.
+    *
+    * Semantics: tokens via the shared [[tokens]] normalization; block i
+    * = tokens [i·W, (i+1)·W) (trailing partial block included); a block
+    * instance survives iff (doc_id, idx) is the globally smallest
+    * occurrence of that block's content. Output per input doc:
+    * (doc_id, n_blocks, n_kept, text_deduped), text rebuilt from the
+    * surviving blocks in order ('' when nothing survives).
+    *
+    * 100 TB shape: document bodies cross the wire ONCE (the rebuild
+    * join on doc_id). The keep-first decision runs entirely on the
+    * narrow (md5(block), doc_id, idx) frame: a min(struct) groupBy —
+    * map-side combinable, no per-group row buffer — then a collect_list
+    * of kept indexes per doc (bounded by blocks-per-doc, i.e. doc
+    * length / W). The rebuild itself is row-local: the original text is
+    * re-segmented in place and filtered against the kept-index set.
+    */
+  def blockDedup(docs: DataFrame, blockTokens: Int = 10,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    val w = blockTokens
+    def blocksOf(text: Column): Column = {
+      val toks = tokens(text)
+      transform(
+        sequence(lit(0), floor((size(toks) - 1) / w).cast("int")),
+        i => concat_ws(" ", slice(toks, i * w + 1, lit(w))))
+    }
+    val ex = docs.select(col(idCol).as("doc_id"),
+        posexplode(blocksOf(col(textCol))).as(Seq("idx", "block")))
+      .select(md5(col("block")).as("bh"), col("doc_id"), col("idx"))
+    val keepSets = ex
+      .groupBy(col("bh"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
+      .groupBy(col("keep.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("keep.idx"))).as("__keep_idx"))
+    docs.select(col(idCol).as("doc_id"), blocksOf(col(textCol)).as("__blocks"))
+      .join(keepSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__blocks")).cast("long").as("n_blocks"),
+        coalesce(size(col("__keep_idx")), lit(0)).cast("long").as("n_kept"),
+        concat_ws(" ", filter(col("__blocks"),
+          (_, i) => array_contains(col("__keep_idx"), i))).as("text_deduped"))
+  }
+
   /** Inverted shingle index: one (doc_id, shingle) row per distinct
     * shingle occurrence. */
   def shingleIndex(docs: DataFrame, n: Int = 3,
