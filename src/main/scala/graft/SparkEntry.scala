@@ -2196,7 +2196,17 @@ object SparkEntry {
     // text/Dedup.blockDedup).
     "q151_block_dedup" -> ((s, dir) =>
       graft.text.Dedup.blockDedup(T(s, dir, "documents"), blockTokens = 10)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Exact order statistics with NO global sort — two bucketed
+    // histogram-refinement rounds narrow each quantile to a 1/B² value
+    // slice before anything is ranked; rank arithmetic is pure integer
+    // basis points (analytics/Quantiles.exactQuantiles).
+    "q152_exact_quantiles" -> ((s, dir) =>
+      graft.analytics.Quantiles.exactQuantiles(
+        T(s, dir, "lineitem"), "l_extendedprice",
+        qBasisPoints = Seq(100, 2500, 5000, 7500, 9900))
+        .orderBy(col("q_bp")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4426,6 +4436,18 @@ object SparkEntry {
         |  coalesce(string_agg(b.block, ' ' ORDER BY b.idx)
         |    FILTER (WHERE k.idx IS NOT NULL), '') AS text_deduped
         |FROM blk b LEFT JOIN keep k ON k.doc_id = b.doc_id AND k.idx = b.idx
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // declared k-th-smallest semantics replayed directly: k in integer
+    // basis points (ceil via div), element picked by row_number
+    "q152_exact_quantiles" ->
+      """WITH v AS (SELECT l_extendedprice::DOUBLE AS val FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice::DOUBLE)),
+        |n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+        |qs(q_bp) AS (VALUES (100), (2500), (5000), (7500), (9900))
+        |SELECT q_bp::INTEGER AS q_bp, n.n, r.val AS value
+        |FROM qs, n JOIN r ON r.rn = (q_bp * n.n + 9999) // 10000
+        |ORDER BY 1""".stripMargin
   )
 }

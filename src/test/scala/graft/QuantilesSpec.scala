@@ -1,0 +1,73 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.analytics.Quantiles
+
+class QuantilesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def brute(vals: Seq[Double], qbp: Int): Option[(Long, Double)] = {
+    val clean = vals.filterNot(_.isNaN).sorted
+    val n = clean.size.toLong
+    val k = (qbp * n + 9999) / 10000
+    if (k < 1) None else Some((n, clean((k - 1).toInt)))
+  }
+
+  private def run(vals: Seq[Double], qs: Seq[Int], b: Int = 16): Map[Int, (Long, Double)] =
+    Quantiles.exactQuantiles(vals.toDF("x"), "x", qs, buckets = b)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("matches the sorted-multiset k-th element on random data, several bucket widths") {
+    val gen = Gen.chooseNum(1, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-1e6, 1e6),
+        Gen.chooseNum(-5.0, 5.0),
+        Gen.oneOf(0.0, 1.5, -2.25)))) // duplicate-heavy point masses
+    val qs = Seq(1, 999, 2500, 5000, 7500, 9999, 10000)
+    for (vals <- samples(gen, n = 6); b <- Seq(2, 16, 64)) {
+      val got = run(vals, qs, b)
+      val want = qs.flatMap(q => brute(vals, q).map(q -> _)).toMap
+      assert(got == want, s"b=$b n=${vals.size}")
+    }
+  }
+
+  test("all-equal input degenerates to the single value at every quantile") {
+    val got = run(Seq.fill(50)(3.25), Seq(100, 5000, 10000))
+    assert(got == Map(100 -> ((50L, 3.25)), 5000 -> ((50L, 3.25)),
+      10000 -> ((50L, 3.25))))
+  }
+
+  test("nulls and NaNs are excluded from both rank and count") {
+    val df = Seq[Option[Double]](Some(1.0), None, Some(Double.NaN), Some(2.0),
+      Some(3.0)).toDF("x")
+    val got = Quantiles.exactQuantiles(df, "x", Seq(5000, 10000))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(5000 -> ((3L, 2.0)), 10000 -> ((3L, 3.0))))
+  }
+
+  test("empty input yields no rows") {
+    assert(run(Seq.empty, Seq(5000)).isEmpty)
+  }
+
+  test("extreme skew: a point mass holding 99% of rows") {
+    val vals = Seq.fill(990)(7.0) ++ (1 to 10).map(_.toDouble)
+    val got = run(vals, Seq(100, 5000, 9999), b = 8)
+    val want = Seq(100, 5000, 9999).flatMap(q => brute(vals, q).map(q -> _)).toMap
+    assert(got == want)
+  }
+
+  test("result is partitioning-invariant") {
+    val vals = (1 to 500).map(i => (i % 37).toDouble)
+    val a = Quantiles.exactQuantiles(vals.toDF("x").repartition(1), "x", Seq(2500, 7500))
+    val b = Quantiles.exactQuantiles(vals.toDF("x").repartition(13), "x", Seq(2500, 7500))
+    assert(rows(a) == rows(b))
+  }
+
+  test("arguments are validated") {
+    val df = Seq(1.0).toDF("x")
+    for ((qs, b) <- Seq((Seq.empty[Int], 16), (Seq(0), 16), (Seq(10001), 16),
+      (Seq(100, 100), 16), (Seq(100), 1)))
+      intercept[IllegalArgumentException](Quantiles.exactQuantiles(df, "x", qs, b))
+  }
+}
