@@ -2206,7 +2206,25 @@ object SparkEntry {
       graft.analytics.Quantiles.exactQuantiles(
         T(s, dir, "lineitem"), "l_extendedprice",
         qBasisPoints = Seq(100, 2500, 5000, 7500, 9900))
-        .orderBy(col("q_bp")))
+        .orderBy(col("q_bp"))),
+
+    // Range-sharded export: shard boundaries are EXACT key quantiles
+    // (q152's machinery, not repartitionByRange's sampling), so layout
+    // is a pure function of the data; audit read back from the actual
+    // files, disjoint ordered ranges asserted (ingest/Shards).
+    "q153_range_shards" -> ((s, dir) => {
+      val base = scratch("q153")
+      val ords = T(s, dir, "orders").select(col("o_orderkey"))
+      Shards.writeRangeSharded(ords, s"$base/shards", "o_orderkey",
+        nShards = 8, maxRecordsPerFile = 500L)
+      Shards.rangeShardAudit(s, s"$base/shards", "o_orderkey",
+          maxRecordsPerFile = 500L)
+        .select(col("shard_id"), col("n_rows"), col("n_keys"),
+          col("min_key").cast("long").as("min_key"),
+          col("max_key").cast("long").as("max_key"),
+          col("n_files"), col("files_capped"), col("range_disjoint"))
+        .orderBy(col("shard_id"))
+    })
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4448,6 +4466,26 @@ object SparkEntry {
         |qs(q_bp) AS (VALUES (100), (2500), (5000), (7500), (9900))
         |SELECT q_bp::INTEGER AS q_bp, n.n, r.val AS value
         |FROM qs, n JOIN r ON r.rn = (q_bp * n.n + 9999) // 10000
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // boundaries replayed via the same integer order-statistic rule;
+    // shard = count of boundaries strictly below the key; file counts
+    // exact ceil per the one-task-per-shard write contract
+    "q153_range_shards" ->
+      """WITH v AS (SELECT o_orderkey::DOUBLE AS k FROM orders),
+        |n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM v),
+        |qs(q_bp) AS (VALUES (1250), (2500), (3750), (5000), (6250), (7500), (8750)),
+        |bnd AS (SELECT r.k AS b FROM qs, n JOIN r ON r.rn = (q_bp * n.n + 9999) // 10000),
+        |a AS (SELECT k, (SELECT count(*) FROM bnd WHERE b < k)::BIGINT AS shard_id FROM v),
+        |g AS (SELECT shard_id, count(*)::BIGINT AS n_rows,
+        |    count(DISTINCT k)::BIGINT AS n_keys,
+        |    min(k)::BIGINT AS min_key, max(k)::BIGINT AS max_key,
+        |    ((count(*) + 499) // 500)::BIGINT AS n_files,
+        |    true AS files_capped
+        |  FROM a GROUP BY 1)
+        |SELECT shard_id, n_rows, n_keys, min_key, max_key, n_files, files_capped,
+        |  coalesce(min_key > lag(max_key) OVER (ORDER BY shard_id), true) AS range_disjoint
+        |FROM g ORDER BY 1""".stripMargin
   )
 }

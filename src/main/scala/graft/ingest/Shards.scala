@@ -80,6 +80,75 @@ object Shards {
       .parquet(outDir)
   }
 
+  /** Exact range-shard boundaries for `keyCol`: the (i/N)-quantiles for
+    * i = 1..N−1, computed by [[graft.analytics.Quantiles.exactQuantiles]]
+    * (basis points floor(i·10⁴/N)) and collapsed to ONE row holding the
+    * ascending boundary array. Exact quantiles — not
+    * `repartitionByRange`'s reservoir sampling — so the boundary set, and
+    * therefore every row's shard, is a pure function of the data: stable
+    * across reruns, cluster sizes, and task layouts.
+    */
+  def rangeBoundaries(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 2, s"range sharding needs nShards >= 2, got $nShards")
+    require(nShards <= 10000, s"basis-point boundaries support at most 10000 shards, got $nShards")
+    val bps = (1 until nShards).map(i => i * 10000 / nShards).distinct
+    graft.analytics.Quantiles.exactQuantiles(df, keyCol, bps)
+      .agg(sort_array(collect_list(col("value"))).as("bs"))
+  }
+
+  /** Range-sharded export: shard i holds the keys strictly above
+    * boundary i−1 and at most boundary i (ties sit LOW — a boundary
+    * value's rows all land below it, keeping the assignment a pure
+    * function of the key under duplicates). Shard ids are therefore
+    * key-ordered: every shard owns a contiguous, disjoint key range —
+    * the layout that gives downstream loaders range pruning and
+    * merge-friendly ordered consumption, where [[writeSharded]]'s hash
+    * layout gives uniform balance instead.
+    *
+    * The assignment is a row-local fold over the broadcast boundary
+    * array (`aggregate(bs, 0, acc + (key > b))` — O(N) per row, no
+    * per-boundary row blowup); everything else (single shuffle on
+    * shard_id, in-task sort, per-file cap, exact per-shard file counts)
+    * is [[writeSharded]]'s contract.
+    */
+  def writeRangeSharded(df: DataFrame, outDir: String, keyCol: String,
+                        nShards: Int, maxRecordsPerFile: Long = 1000000L): Unit = {
+    require(maxRecordsPerFile > 0,
+      s"maxRecordsPerFile must be positive, got $maxRecordsPerFile")
+    val bounds = rangeBoundaries(df, keyCol, nShards)
+    val key = col(keyCol).cast("double")
+    df.crossJoin(broadcast(bounds))
+      .withColumn("shard_id",
+        when(col(keyCol).isNull, raise_error(lit(
+          "writeRangeSharded: null shard key — range sharding is a pure " +
+            "function of the key; filter or impute null keys before export")))
+          .otherwise(aggregate(col("bs"), lit(0),
+            (acc, b) => acc + when(key > b, 1).otherwise(0))))
+      .drop("bs")
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(keyCol))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard_id")
+      .parquet(outDir)
+  }
+
+  /** [[shardAudit]] plus the range contract: shards read back from disk
+    * must form key-ordered, pairwise-disjoint ranges —
+    * `range_disjoint` asserts this shard's min key lies strictly above
+    * the previous non-empty shard's max (vacuous true for the first).
+    * The lag window runs over one row per shard, never data rows.
+    */
+  def rangeShardAudit(spark: SparkSession, outDir: String, keyCol: String,
+                      maxRecordsPerFile: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("shard_id"))
+    shardAudit(spark, outDir, keyCol, maxRecordsPerFile)
+      .withColumn("range_disjoint",
+        coalesce(col("min_key").cast("double") >
+          lag(col("max_key").cast("double"), 1).over(w), lit(true)))
+  }
+
   /** Write the audit of a finished export as a single-file JSON-lines
     * manifest under `outDir/_manifest` — the delivery contract a
     * downstream loader reads instead of listing directories: one record
