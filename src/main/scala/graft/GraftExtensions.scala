@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BoundedCollectSet, JaroWinkler, MinHashSig, MinHashSigNgrams, NfcNormalize, NGrams, SimHash60, VectorDot, ZValue}
+import graft.functions.{BoundedCollectSet, JaroWinkler, MinHashSig, MinHashSigNgrams, MisraGries, NfcNormalize, NGrams, SimHash60, VectorDot, ZValue}
 
 /** Session extension wiring for the engine's custom Catalyst surface
   * (installed with
@@ -127,6 +127,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // the analyzer wraps bare AggregateFunctions in an
         // AggregateExpression, same as the built-in collect_set
         BoundedCollectSet(children.head, cap, opName)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "misra_gries expects (item, k)")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"misra_gries k must be an integer literal, got $other")
+        }
+        MisraGries(children.head, k)
       }))
   }
 }

@@ -2224,6 +2224,19 @@ object SparkEntry {
           col("max_key").cast("long").as("max_key"),
           col("n_files"), col("files_capped"), col("range_disjoint"))
         .orderBy(col("shard_id"))
+    }),
+
+    // Misra–Gries heavy hitters with a DETERMINISTIC envelope (zero
+    // false-alarm probability, unlike the HLL/GK bands): the exact
+    // > n/(k+1) set must all be in the k=15 summary with bounded
+    // deficit. Item stream is a zipf-like pure function of event_id
+    // (the uniform testdata has no natural heavy hitter), so eviction
+    // genuinely fires: ~63 distinct items against 15 counters.
+    "q154_heavy_hitters" -> ((s, dir) => {
+      val items = Tables.events(s, dir)
+        .select(expr("1000 div (event_id % 1000 + 1)").as("item"))
+      graft.operators.Sketches.heavyHittersEnvelope(items, "item", k = 15)
+        .orderBy(col("item"))
     })
   )
 
@@ -4486,6 +4499,16 @@ object SparkEntry {
         |  FROM a GROUP BY 1)
         |SELECT shard_id, n_rows, n_keys, min_key, max_key, n_files, files_capped,
         |  coalesce(min_key > lag(max_key) OVER (ORDER BY shard_id), true) AS range_disjoint
-        |FROM g ORDER BY 1""".stripMargin
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // exact heavy set replayed (> n/16 in integer arithmetic); the two
+    // sketch booleans are HARD guarantees, pinned literally true
+    "q154_heavy_hitters" ->
+      """WITH it AS (SELECT 1000 // (event_id % 1000 + 1) AS item FROM events),
+        |n AS (SELECT count(*)::BIGINT AS n FROM it),
+        |c AS (SELECT item::BIGINT AS item, count(*)::BIGINT AS true_count
+        |      FROM it GROUP BY 1)
+        |SELECT item, true_count, true AS in_sketch, true AS est_within_band
+        |FROM c, n WHERE true_count * 16 > n.n ORDER BY 1""".stripMargin
   )
 }

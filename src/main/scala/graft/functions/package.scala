@@ -53,4 +53,10 @@ package object functions {
   def bounded_collect_set(c: Column, cap: Int, opName: String): Column =
     ColumnShim.column(
       BoundedCollectSet(ColumnShim.expression(c), cap, opName).toAggregateExpression())
+
+  /** Misra–Gries heavy-hitter summary (≤ k counters, mergeable,
+    * deterministic): map<item, est> with est ≤ true ≤ est + n/(k+1). */
+  def misra_gries(c: Column, k: Int): Column =
+    ColumnShim.column(
+      MisraGries(ColumnShim.expression(c), k).toAggregateExpression())
 }

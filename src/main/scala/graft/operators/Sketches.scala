@@ -47,6 +47,38 @@ object Sketches {
     * envelope shipped with at accuracy = 1000 and absorbs
     * interpolation-vs-element differences on small groups.
     */
+  /** Exact heavy-hitter set plus the [[graft.functions.MisraGries]]
+    * envelope: the items whose true frequency exceeds n/(k+1) — exactly
+    * the set the sketch GUARANTEES to contain — each with two pinned
+    * booleans the oracle asserts literally TRUE:
+    *
+    *   - `in_sketch`: the guaranteed-present item is in the summary;
+    *   - `est_within_band`: est ≤ true and (true − est)·(k+1) ≤ n —
+    *     the hard deterministic deficit bound, checked in INTEGER
+    *     arithmetic (no float n/(k+1) edge).
+    *
+    * Unlike the HLL/GK envelopes this one has zero false-alarm
+    * probability: Misra–Gries' bound is combinatorial, so a single
+    * `false` is an implementation bug, full stop.
+    */
+  def heavyHittersEnvelope(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    val sk = df.agg(
+      graft.functions.misra_gries(col(itemCol), k).as("mg"),
+      count(col(itemCol)).as("n"))
+    val ests = sk.select(explode(col("mg")).as(Seq("item", "est")))
+    df.where(col(itemCol).isNotNull) // MG and n both skip nulls
+      .groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("true_count"))
+      .crossJoin(broadcast(sk.select(col("n"))))
+      .where(col("true_count") * (k + 1) > col("n"))
+      .join(broadcast(ests), Seq("item"), "left")
+      .select(col("item"), col("true_count"),
+        col("est").isNotNull.as("in_sketch"),
+        (col("est") <= col("true_count") &&
+          (col("true_count") - col("est")) * (k + 1) <= col("n"))
+          .as("est_within_band"))
+  }
+
   def percentileEnvelope(df: DataFrame, groupCol: String, valCol: String,
                          qs: Seq[Double], accuracy: Int = 1000,
                          slackRanks: Double = 50.0): DataFrame = {
