@@ -2237,7 +2237,15 @@ object SparkEntry {
         .select(expr("1000 div (event_id % 1000 + 1)").as("item"))
       graft.operators.Sketches.heavyHittersEnvelope(items, "item", k = 15)
         .orderBy(col("item"))
-    })
+    }),
+
+    // Greedy k-center coreset — farthest-point-first diverse exemplar
+    // selection over the embedding space (vector/Coreset.kCenterGreedy);
+    // oracle unrolls the 6 greedy rounds with the same 3-dot float
+    // recipe and (md desc, id) argmax.
+    "q155_kcenter_coreset" -> ((s, dir) =>
+      graft.vector.Coreset.kCenterGreedy(T(s, dir, "embeddings"), k = 6)
+        .orderBy(col("round")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -2268,6 +2276,38 @@ object SparkEntry {
     * odd-parity selection, and position re-densification. Built
     * programmatically so every round is literally identical.
     */
+  /** q155 oracle: `k` unrolled greedy k-center rounds. Seed = smallest
+    * vec_id; each round computes every unselected vector's min squared
+    * distance to the selected set with the IDENTICAL float sequence the
+    * operator uses ((sq − 2·dot) + csq, sequential dots) and picks by
+    * (distance desc, id asc). Built programmatically so every round is
+    * literally identical; MATERIALIZED hints for the multiply-referenced
+    * CTEs (the bpeOracle lesson).
+    */
+  private def kcenterOracle(k: Int): String = {
+    val rounds = (1 until k).map { r =>
+      s"""m$r AS MATERIALIZED (SELECT a.vec_id, a.vec, a.sq,
+         |    min((a.sq - 2 * list_inner_product(a.vec, c.vec)) + c.sq) AS md
+         |  FROM vv a JOIN s$r c ON true
+         |  WHERE NOT EXISTS (SELECT 1 FROM s$r x WHERE x.vec_id = a.vec_id)
+         |  GROUP BY a.vec_id, a.vec, a.sq),
+         |c$r AS MATERIALIZED (SELECT vec_id, vec, sq, md FROM m$r
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |s${r + 1} AS MATERIALIZED (SELECT vec_id, vec, sq FROM s$r
+         |  UNION ALL SELECT vec_id, vec, sq FROM c$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
+       |vv AS (SELECT vec_id, vec, list_inner_product(vec, vec) AS sq FROM v
+       |       WHERE sqrt(list_inner_product(vec, vec)) > 0),
+       |s1 AS MATERIALIZED (SELECT vec_id, vec, sq FROM vv ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |SELECT 0 AS "round", vec_id, 0.0::DOUBLE AS dist_sq FROM s1
+       |${(1 until k).map(r =>
+          s"""UNION ALL SELECT $r AS "round", vec_id, round(md, 6) FROM c$r""")
+         .mkString("\n")}
+       |ORDER BY 1""".stripMargin
+  }
+
   private def bpeOracle(n: Int): String =
     s"""${bpeRoundsWith(n)}
        |${(1 to n)
@@ -4500,6 +4540,11 @@ object SparkEntry {
         |SELECT shard_id, n_rows, n_keys, min_key, max_key, n_files, files_capped,
         |  coalesce(min_key > lag(max_key) OVER (ORDER BY shard_id), true) AS range_disjoint
         |FROM g ORDER BY 1""".stripMargin,
+
+    // k-center rounds unrolled (the bpeOracle discipline): per round the
+    // min-distance via the identical (sq − 2·dot) + csq float sequence,
+    // pick by (md DESC, vec_id), NOT EXISTS excludes already-selected
+    "q155_kcenter_coreset" -> kcenterOracle(6),
 
     // exact heavy set replayed (> n/16 in integer arithmetic); the two
     // sketch booleans are HARD guarantees, pinned literally true
