@@ -2245,7 +2245,14 @@ object SparkEntry {
     // recipe and (md desc, id) argmax.
     "q155_kcenter_coreset" -> ((s, dir) =>
       graft.vector.Coreset.kCenterGreedy(T(s, dir, "embeddings"), k = 6)
-        .orderBy(col("round")))
+        .orderBy(col("round"))),
+
+    // Keyword-in-context concordance — every 'vector' occurrence with 3
+    // tokens of context, one shuffle-free projection pass
+    // (text/Search.kwic).
+    "q156_kwic" -> ((s, dir) =>
+      graft.text.Search.kwic(T(s, dir, "documents"), "vector", width = 3)
+        .orderBy(col("doc_id"), col("pos")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4540,6 +4547,16 @@ object SparkEntry {
         |SELECT shard_id, n_rows, n_keys, min_key, max_key, n_files, files_capped,
         |  coalesce(min_key > lag(max_key) OVER (ORDER BY shard_id), true) AS range_disjoint
         |FROM g ORDER BY 1""".stripMargin,
+
+    // zipped unnest for (pos, token), list slices clamped at the edges
+    "q156_kwic" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks, unnest(toks) AS token,
+        |    unnest(generate_series(1, len(toks))) AS pos1 FROM tok)
+        |SELECT doc_id, (pos1 - 1)::BIGINT AS pos,
+        |  coalesce(array_to_string(toks[greatest(pos1 - 3, 1):(pos1 - 1)], ' '), '') AS left_ctx,
+        |  coalesce(array_to_string(toks[(pos1 + 1):(pos1 + 3)], ' '), '') AS right_ctx
+        |FROM p WHERE token = 'vector' ORDER BY doc_id, pos""".stripMargin,
 
     // k-center rounds unrolled (the bpeOracle discipline): per round the
     // min-distance via the identical (sq − 2·dot) + csq float sequence,

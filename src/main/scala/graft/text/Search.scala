@@ -72,6 +72,35 @@ object Search {
     * |terms| — one shuffle on the doc key over query-term postings only.
     * Output: (doc_id, dl), ordered by doc_id.
     */
+  /** Keyword-in-context (KWIC) concordance: every occurrence of `term`
+    * in the corpus with up to `width` tokens of left and right context —
+    * the classic corpus-linguistics inspection surface (and the "show me
+    * how this token is actually used" debugging view of a tokenizer /
+    * filter pipeline). Matching is on the shared [[Dedup.tokens]]
+    * normalization; context never crosses document boundaries.
+    *
+    * Scale posture: one narrow projection pass — tokenize, posexplode,
+    * filter to the term's postings, row-local slices for the contexts.
+    * No shuffle at all (callers order the result if they need to); the
+    * explode's width is bounded by tokens-per-doc and only matching
+    * rows survive it.
+    */
+  def kwic(docs: DataFrame, term: String, width: Int = 3,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(term.nonEmpty, "kwic needs a non-empty term")
+    require(width >= 0, s"width must be >= 0, got $width")
+    docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "token")))
+      .where(col("token") === lower(lit(term)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", slice(col("toks"),
+          greatest(col("pos") - width, lit(0)) + 1,
+          least(col("pos"), lit(width)))).as("left_ctx"),
+        concat_ws(" ", slice(col("toks"),
+          col("pos") + 2, lit(width))).as("right_ctx"))
+  }
+
   def conjunctiveSearch(docs: DataFrame, terms: Seq[String],
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty, "conjunctiveSearch needs at least one term")

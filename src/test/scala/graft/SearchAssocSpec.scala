@@ -103,6 +103,36 @@ class SearchAssocSpec extends SparkTestBase {
     assert(Search.phraseSearch(docs, Seq("a", "c")).collect().isEmpty)
   }
 
+  test("kwic == brute sliding-context extraction on random corpora") {
+    val word = Gen.oneOf("a", "b", "c", "dd")
+    val doc = Gen.chooseNum(1, 15).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    for (docs <- samples(corpus, n = 6); w <- Seq(0, 2, 4)) {
+      val got = rows(Search.kwic(docs.toDF("doc_id", "text"), "b", width = w))
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        toks.zipWithIndex.collect { case ("b", p) =>
+          Seq[Any](id, p.toLong,
+            toks.slice(math.max(p - w, 0), p).mkString(" "),
+            toks.slice(p + 1, p + 1 + w).mkString(" "))
+        }
+      }.sortBy(_.mkString("|"))
+      assert(got == want, s"w=$w docs=$docs")
+    }
+  }
+
+  test("kwic contexts clamp at document edges and never cross documents") {
+    val docs = Seq((1L, "x q y"), (2L, "q"), (3L, "a b q")).toDF("doc_id", "text")
+    val got = rows(Search.kwic(docs, "q", width = 5))
+    assert(got == Seq(
+      Seq(1L, 1L, "x", "y"),
+      Seq(2L, 0L, "", ""),
+      Seq(3L, 2L, "a b", "")))
+    intercept[IllegalArgumentException](Search.kwic(docs, "", 3))
+    intercept[IllegalArgumentException](Search.kwic(docs, "q", -1))
+  }
+
   test("vocabGrowth: bucketed two-pass prefix sum == single-partition form, any width") {
     val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
     val docGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
