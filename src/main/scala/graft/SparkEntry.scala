@@ -2252,7 +2252,22 @@ object SparkEntry {
     // (text/Search.kwic).
     "q156_kwic" -> ((s, dir) =>
       graft.text.Search.kwic(T(s, dir, "documents"), "vector", width = 3)
-        .orderBy(col("doc_id"), col("pos")))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // Soft dedup: 1/cluster-size micro-unit weights over the q38
+    // near-dup clusters (keep every copy, down-weight boilerplate mass);
+    // per-source effective corpus size (text/Dedup.softDedupWeights).
+    "q157_soft_dedup" -> ((s, dir) => {
+      val docsT = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      Dedup.softDedupWeights(docsT,
+          Dedup.duplicateClusters(
+            Dedup.ngramJaccard(T(s, dir, "documents"), n = 3, threshold = 0.4)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("cluster_id")).as("n_clusters"),
+          sum(col("weight_micro")).as("eff_micro"))
+        .orderBy(col("source"))
+    })
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4547,6 +4562,36 @@ object SparkEntry {
         |SELECT shard_id, n_rows, n_keys, min_key, max_key, n_files, files_capped,
         |  coalesce(min_key > lag(max_key) OVER (ORDER BY shard_id), true) AS range_disjoint
         |FROM g ORDER BY 1""".stripMargin,
+
+    // q38's recursive-component core, extended: singletons cluster to
+    // themselves, weight = 1e6 // cluster_size in integer arithmetic
+    "q157_soft_dedup" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        |       FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM inter
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.4),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |cl AS (SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster_id
+        |       FROM nodes n JOIN reach r ON r.a = n.doc_id GROUP BY n.doc_id),
+        |alldocs AS (SELECT d.doc_id, d.source,
+        |    coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl USING (doc_id)),
+        |sz AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM alldocs GROUP BY 1)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT a.cluster_id)::BIGINT AS n_clusters,
+        |  sum(1000000 // sz.csize)::BIGINT AS eff_micro
+        |FROM alldocs a JOIN sz USING (cluster_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // zipped unnest for (pos, token), list slices clamped at the edges
     "q156_kwic" ->

@@ -450,6 +450,36 @@ object Dedup {
     * at least one pair; docs with no near-dups are trivially their own
     * cluster and need no row.
     */
+  /** Soft dedup: instead of DROPPING near-duplicates, weight every doc
+    * by the reciprocal of its duplicate-cluster size — the curation
+    * variant that keeps all copies but makes each cluster contribute one
+    * document's worth of training mass (so a 1000× boilerplate page
+    * stops dominating the loss without losing its one informative copy).
+    *
+    * `clusters` is [[duplicateClusters]] output (docs absent from it are
+    * singletons: cluster = self, weight 1). Weights are integer
+    * micro-units, `1 000 000 div cluster_size` — exact integer
+    * arithmetic on any engine; for sizes not dividing 10⁶ the per-doc
+    * floor undercounts a cluster's total by < 1 micro, a declared
+    * rounding, never a float.
+    *
+    * Output: the input columns plus (cluster_id, cluster_size,
+    * weight_micro). 100 TB shape: the cluster frame is pair-graph-sized
+    * and narrow; bodies cross two hash shuffles (id join, cluster-size
+    * join) — callers aggregating per source/shard (q157) project the
+    * bodies away first.
+    */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val cl = clusters.select(col("doc_id").as(idCol), col("cluster_id"))
+    val withCl = docs.join(cl, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val sizes = withCl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    withCl.join(sizes, Seq("cluster_id"))
+      .withColumn("weight_micro", expr("1000000 div cluster_size"))
+  }
+
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
     val e = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
     val edges = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).cache()

@@ -327,4 +327,33 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall { case (c, b, _) => Seq(1L, 2L, 3L).contains(c) && Seq(10L, 11L).contains(b) })
     assert(got.map(t => (t._1, t._2)).contains((1L, 10L)))
   }
+
+  test("softDedupWeights: reciprocal cluster weights, singletons at 1.0, floor division") {
+    import spark.implicits._
+    val d = Seq((1L, "s0"), (2L, "s0"), (3L, "s0"), (4L, "s1"), (5L, "s1"))
+      .toDF("doc_id", "source")
+    // explicit cluster graph: {1,2,3} one cluster, {4} via pairs-absent, {5} absent
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val got = Dedup.softDedupWeights(d, clusters)
+      .select("doc_id", "cluster_id", "cluster_size", "weight_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (4L, 4L, 1L, 1000000L), (5L, 5L, 1L, 1000000L)))
+    // cluster mass: each cluster contributes at most one doc's worth
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    assert(byCluster.values.forall(_ <= 1000000L))
+    assert(byCluster(1L) == 999999L) // declared floor undercount < 1 micro
+  }
+
+  test("softDedupWeights composes with duplicateClusters end-to-end") {
+    val d = docs(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "p q r s t u v w"))
+    val out = Dedup.softDedupWeights(d,
+        Dedup.duplicateClusters(Dedup.ngramJaccard(d)))
+      .select("doc_id", "weight_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 500000L), (2L, 500000L), (3L, 1000000L)))
+  }
 }
