@@ -2267,7 +2267,19 @@ object SparkEntry {
           count_distinct(col("cluster_id")).as("n_clusters"),
           sum(col("weight_micro")).as("eff_micro"))
         .orderBy(col("source"))
-    })
+    }),
+
+    // DSIR-style hashed-token importance: per-doc Σ ln(p_en/p_corpus)
+    // over 4096 md5 buckets in nano-nats (one ln per bucket, integer
+    // sums everywhere — text/Importance), rolled up per language.
+    "q158_importance_weights" -> ((s, dir) =>
+      graft.text.Importance.tokenImportanceNano(
+          T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+          col("lang") === "en")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"),
+          sum(col("imp_nano")).as("imp_nano"))
+        .orderBy(col("lang")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4562,6 +4574,29 @@ object SparkEntry {
         |SELECT shard_id, n_rows, n_keys, min_key, max_key, n_files, files_capped,
         |  coalesce(min_key > lag(max_key) OVER (ORDER BY shard_id), true) AS range_disjoint
         |FROM g ORDER BY 1""".stripMargin,
+
+    // same md5 buckets, same add-half smoothing, ONE nano-rounded ln
+    // per bucket, exact integer sums per doc then per language
+    "q158_importance_weights" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bk FROM tok),
+        |cs AS (SELECT bk, count(*)::BIGINT AS c_s FROM tk GROUP BY 1),
+        |ct AS (SELECT bk, count(*)::BIGINT AS c_t FROM tk WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS ns,
+        |    (count(*) FILTER (WHERE lang = 'en'))::BIGINT AS nt FROM tk),
+        |w AS (SELECT cs.bk,
+        |    round(ln(((coalesce(ct.c_t, 0) + 0.5) / (nt + 2048.0)) /
+        |             ((cs.c_s + 0.5) / (ns + 2048.0))) * 1000000000.0)::BIGINT AS nano
+        |  FROM cs LEFT JOIN ct USING (bk), tot),
+        |d AS (SELECT t.doc_id, t.lang, count(*)::BIGINT AS n_toks,
+        |    sum(w.nano)::BIGINT AS imp
+        |  FROM tk t JOIN w USING (bk) GROUP BY 1, 2)
+        |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_toks,
+        |  sum(imp)::BIGINT AS imp_nano
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q38's recursive-component core, extended: singletons cluster to
     // themselves, weight = 1e6 // cluster_size in integer arithmetic
