@@ -2269,6 +2269,22 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // First-seen dedup on the transformWithState arbitrary-state API
+    // (explicit RocksDB ValueState per key, checkpoint-durable, optional
+    // wall-clock TTL) — the third §2.9 dedup shape; same doubled staging
+    // and distinct-events oracle as q50 (streaming/StatefulDedup).
+    "q159_stateful_dedup" -> ((s, dir) => {
+      val base = scratch("q159")
+      stageEventsJson(s, dir, base, doubled = true)
+      graft.streaming.StatefulDedup.runFirstSeenToCompletion(s, s"$base/in",
+          s"$base/sink", s"$base/ckpt", statePartitions = Some(8))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          (sum(round(col("value") * 10000, 0).cast("long")) / 10000.0).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // DSIR-style hashed-token importance: per-doc Σ ln(p_en/p_corpus)
     // over 4096 md5 buckets in nano-nats (one ln per bucket, integer
     // sums everywhere — text/Importance), rolled up per language.
@@ -3261,6 +3277,16 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY n_docs DESC, shingle ASC LIMIT 20""".stripMargin,
 
     "q50_stream_dedup" ->
+      """WITH e AS (SELECT DISTINCT event_id, event_type, value FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  sum(round(value * 10000)::BIGINT)::BIGINT / 10000.0 AS sum_value
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same distinct-events contract as q50 — two independent dedup
+    // implementations (watermark dropDuplicates vs explicit
+    // transformWithState state) must agree with the batch oracle
+    "q159_stateful_dedup" ->
       """WITH e AS (SELECT DISTINCT event_id, event_type, value FROM events)
         |SELECT event_type, count(*) AS n,
         |  count(DISTINCT event_id) AS n_distinct,
