@@ -2295,7 +2295,20 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"),
           sum(col("imp_nano")).as("imp_nano"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // Exact ROC AUC (Mann–Whitney U, doubled-rank integers) of the q147
+    // quality scorer against the is-English label — does the filter
+    // favor the target language? (analytics/Eval.aucExact; rank prefix
+    // via the bucketed two-pass pattern, ties collapse before ranking.)
+    "q160_ranking_auc" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.analytics.Eval.aucExact(
+        graft.quality.ModelFilter.logitQuality(docs)
+          .join(docs.select(col("doc_id"), (col("lang") === "en").as("lbl")),
+            Seq("doc_id")),
+        "score_micro", "lbl")
+    })
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4277,6 +4290,39 @@ object SparkEntry {
         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)) * 1000000.0)::BIGINT AS score_micro,
         |  round(1.0 / (1.0 + exp(-z)) * 1000000.0)::BIGINT >= 500000 AS keep
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // q147's score chain + doubled-rank U statistic in pure integers
+    "q160_ranking_auc" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars,
+        |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS punct_chars,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::BIGINT AS h_en,
+        |    len(list_distinct(toks))::BIGINT AS n_uniq
+        |  FROM t),
+        |f AS (SELECT doc_id,
+        |    round(h_en::DOUBLE / greatest(n_tokens, 1), 4) AS stop_r,
+        |    round(punct_chars::DOUBLE / greatest(n_chars, 1), 4) AS punct_r,
+        |    round(n_uniq::DOUBLE / greatest(n_tokens, 1), 4) AS uniq_r,
+        |    least(n_chars, 2000)::DOUBLE / 2000.0 AS len_norm
+        |  FROM b),
+        |z AS (SELECT doc_id,
+        |    -2.0 + 6.0 * stop_r + -8.0 * punct_r + 3.0 * uniq_r + 2.0 * len_norm AS z
+        |  FROM f),
+        |sc AS (SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-z)) * 1000000.0)::BIGINT AS score FROM z),
+        |l AS (SELECT sc.score, (d.lang = 'en') AS lbl
+        |      FROM sc JOIN documents d USING (doc_id)),
+        |g AS (SELECT score, count(*)::BIGINT AS c,
+        |      (count(*) FILTER (WHERE lbl))::BIGINT AS p FROM l GROUP BY 1),
+        |o AS (SELECT c, p, sum(c) OVER (ORDER BY score
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g),
+        |u AS (SELECT sum(p)::BIGINT AS n_pos, sum(c - p)::BIGINT AS n_neg,
+        |      sum(p * ((cum - c + 1) * 2 + c - 1))::BIGINT AS r2 FROM o)
+        |SELECT n_pos, n_neg, (r2 - n_pos * (n_pos + 1))::BIGINT AS u2,
+        |  ((r2 - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg) AS auc_micro
+        |FROM u""".stripMargin,
 
     // identical three-division chain over exact counts, micro-rounded
     "q148_collocations" ->
