@@ -2193,9 +2193,12 @@ object SparkEntry {
     // Segment-level dedup with document rebuild — the "line dedup"
     // boilerplate-removal pass (corpus-wide keep-first at 10-token
     // block granularity, docs re-assembled from surviving blocks;
-    // text/Dedup.blockDedup).
+    // text/Dedup.blockDedup). Eager checkpoint: a bare count() would
+    // prune the row-local rebuild expressions and bill only the
+    // decision aggregates (the q96 honest-measurement lesson).
     "q151_block_dedup" -> ((s, dir) =>
       graft.text.Dedup.blockDedup(T(s, dir, "documents"), blockTokens = 10)
+        .localCheckpoint()
         .orderBy(col("doc_id"))),
 
     // Exact order statistics with NO global sort — two bucketed
