@@ -90,10 +90,14 @@ object Quantiles {
       .crossJoin(broadcast(geo.select(col("n"))))
       .withColumn("k", expr("(q_bp * n + 9999) div 10000"))
       .select(col("q_bp"), col("n"), col("k"))
+    // localCheckpoint: t1 (<= |qs| rows) feeds BOTH round 2 and the
+    // final target chain — without it the round-1 histogram subtree
+    // (and its global scan) executes twice
     val t1 = ks.join(hist1,
         col("cum") - col("cnt") < col("k") && col("k") <= col("cum"))
       .select(col("q_bp"), col("n"), col("bin").as("b1"),
         (col("k") - (col("cum") - col("cnt"))).as("k1"))
+      .localCheckpoint()
 
     // ---- round 2: sub-histogram of only the target bins (geo's n is
     // dropped here — t1 already carries it, and a duplicate would make

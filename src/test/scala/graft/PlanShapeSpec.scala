@@ -191,4 +191,44 @@ class PlanShapeSpec extends SparkTestBase {
     assert(unpartitionedWindows(
       graft.quality.Profile.skewReport(keys, Seq("user_id"), bucketWidth = 2)) == 1)
   }
+
+  test("kwic is one projection pass: zero shuffles") {
+    val d = docs((1L, "a b c d e"), (2L, "c a c"))
+    val out = graft.text.Search.kwic(d, "c", width = 2)
+    assert(shuffles(out).isEmpty, "kwic must not shuffle")
+  }
+
+  test("exactQuantiles windows run over histogram rows only, never data rows") {
+    val df = (1L to 400L).map(i => Tuple1((i % 37).toDouble)).toDF("x")
+    val out = graft.analytics.Quantiles.exactQuantiles(df, "x", Seq(2500, 7500), buckets = 16)
+    // the round-1 bin prefix (the one global window, <= buckets rows)
+    // runs inside the t1 localCheckpoint's job; the main plan must have
+    // NO unpartitioned window at all — rounds 2/3 partition by q_bp
+    assert(unpartitionedWindows(out) == 0)
+    val plan = executedPlanNodes(out).mkString("\n")
+    assert(!plan.contains("CartesianProduct"),
+      "geometry/target frames must ride broadcasts, not products")
+    assert(broadcasts(out).nonEmpty, "geometry must broadcast")
+  }
+
+  test("tokenImportanceNano broadcasts the bucket weight table into the per-doc sum") {
+    val d = (1 to 20).map(i => (i.toLong, if (i % 2 == 0) "en" else "de",
+      s"w${i % 5} w${i % 3}")).toDF("doc_id", "lang", "text")
+    val out = graft.text.Importance.tokenImportanceNano(d, col("lang") === "en",
+      nBuckets = 16)
+    assert(broadcasts(out).nonEmpty, "weight table must broadcast")
+    assert(!executedPlanNodes(out).mkString("\n").contains("SortMergeJoin"),
+      "the corpus-side weight join must be map-side (broadcast), not a shuffle join")
+  }
+
+  test("blockDedup: narrow decision shuffles; bodies cross the wire once") {
+    val d = docs((1L, "a b c d"), (2L, "a b x y"), (3L, "x y c d"))
+    val out = Dedup.blockDedup(d, blockTokens = 2)
+    // block-hash groupBy + kept-index groupBy are the only exchanges the
+    // decision path may add; the rebuild join broadcasts the narrow
+    // kept-index sets at this size (SMJ on doc_id at corpus scale)
+    assert(shuffles(out).size <= 3,
+      s"expected <=3 exchanges (hash agg, idx agg, rebuild), got ${shuffles(out).size}")
+    assert(!executedPlanNodes(out).mkString("\n").contains("CartesianProduct"))
+  }
 }
