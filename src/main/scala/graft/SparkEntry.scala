@@ -2311,7 +2311,23 @@ object SparkEntry {
           .join(docs.select(col("doc_id"), (col("lang") === "en").as("lbl")),
             Seq("doc_id")),
         "score_micro", "lbl")
-    })
+    }),
+
+    // Per-group exact order statistics — q152's machinery with every
+    // histogram window partitioned by group (no single-partition stage
+    // at any group count; analytics/Quantiles.exactQuantilesBy).
+    "q161_grouped_quantiles" -> ((s, dir) =>
+      graft.analytics.Quantiles.exactQuantilesBy(
+        T(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        qBasisPoints = Seq(100, 5000, 9900))
+        .orderBy(col("l_returnflag"), col("q_bp"))),
+
+    // Winsorized summary: clip order totals at exact p1/p99 and report
+    // the treatment (bounds, clipped counts, cent-exact clipped sum) —
+    // the outlier-robust preprocessing companion to q144's MAD report.
+    "q162_winsorized_stats" -> ((s, dir) =>
+      graft.analytics.Quantiles.winsorizedStats(
+        T(s, dir, "orders"), "o_totalprice", loBp = 100, hiBp = 9900))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4629,6 +4645,32 @@ object SparkEntry {
         |SELECT q_bp::INTEGER AS q_bp, n.n, r.val AS value
         |FROM qs, n JOIN r ON r.rn = (q_bp * n.n + 9999) // 10000
         |ORDER BY 1""".stripMargin,
+
+    // per-group rank formula, PARTITION BY group
+    "q161_grouped_quantiles" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS val FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice::DOUBLE)),
+        |n AS (SELECT g, count(*)::BIGINT AS n FROM v GROUP BY 1),
+        |r AS (SELECT g, val, row_number() OVER (PARTITION BY g ORDER BY val) AS rn FROM v),
+        |qs(q_bp) AS (VALUES (100), (5000), (9900))
+        |SELECT n.g AS l_returnflag, q_bp::INTEGER AS q_bp, n.n, r.val AS value
+        |FROM qs, n JOIN r ON r.g = n.g AND r.rn = (q_bp * n.n + 9999) // 10000
+        |ORDER BY 1, 2""".stripMargin,
+
+    // p1/p99 via the same rank rule, clip replayed with cent-exact sum
+    "q162_winsorized_stats" ->
+      """WITH v AS (SELECT o_totalprice::DOUBLE AS val FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice::DOUBLE)),
+        |n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+        |b AS (SELECT lo.val AS lo, hi.val AS hi FROM
+        |    (SELECT val FROM r, n WHERE rn = (100 * n.n + 9999) // 10000) lo,
+        |    (SELECT val FROM r, n WHERE rn = (9900 * n.n + 9999) // 10000) hi)
+        |SELECT n.n, b.lo AS lo_value, b.hi AS hi_value,
+        |  sum(CASE WHEN v.val < b.lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+        |  sum(CASE WHEN v.val > b.hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
+        |  sum(round(least(greatest(v.val, b.lo), b.hi) * 100)::BIGINT)::BIGINT AS clipped_sum_cents
+        |FROM v, b, n GROUP BY n.n, b.lo, b.hi""".stripMargin,
 
     // boundaries replayed via the same integer order-statistic rule;
     // shard = count of boundaries strictly below the key; file counts

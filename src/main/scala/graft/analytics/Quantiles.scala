@@ -21,25 +21,39 @@ import org.apache.spark.sql.functions._
   * on `lo ≤ v < hi` range predicates, whose float edges could disagree
   * with the bin assignment and drop a boundary row).
   *
-  * 100 TB shape: two full-scan map-side-combinable histogram aggregates
-  * (≤ B and ≤ |qs|·B narrow rows out), windows only over histogram rows
-  * (never data rows), geometry/target frames broadcast. The final rank
-  * scan groups the target slice by VALUE first, so its window is over
-  * distinct values inside a 1/B² slice — duplicates (the common skew
-  * case: one hot price point) collapse to one row before any sort. The
-  * residual caveat is n distinct values packed inside one 1/B² value
-  * range; a third refinement round is the mechanical extension if a
-  * corpus ever hits it.
+  * 100 TB shape: two map-side-combinable histogram aggregates (≤ B and
+  * ≤ |qs|·B narrow rows out per group), windows only over histogram rows
+  * partitioned by group (never data rows), per-group geometry/target
+  * frames riding AQE-broadcast equi-joins. The final rank scan groups
+  * the target slice by VALUE first, so its window is over distinct
+  * values inside a 1/B² slice — duplicates (the common skew case: one
+  * hot price point) collapse to one row before any sort. The residual
+  * caveat is n distinct values packed inside one 1/B² value range; a
+  * third refinement round is the mechanical extension if a corpus ever
+  * hits it.
   */
 object Quantiles {
 
-  /** @param qBasisPoints quantiles in basis points (2500 = p25); each in
-    *                     [1, 10000], 10000 = maximum.
-    * @return one row per requested quantile: (q_bp, n, value), empty when
-    *         the input has no non-null non-NaN values.
+  /** Global order statistics. @param qBasisPoints quantiles in basis
+    * points (2500 = p25), each in [1, 10000]. @return one row per
+    * quantile: (q_bp, n, value); empty when no non-null non-NaN values.
     */
   def exactQuantiles(df: DataFrame, valCol: String, qBasisPoints: Seq[Int],
-                     buckets: Int = 4096): DataFrame = {
+                     buckets: Int = 4096): DataFrame =
+    core(df.withColumn("__all", lit(0)), "__all", valCol, qBasisPoints, buckets)
+      .drop("__all")
+
+  /** Per-group order statistics — same contract, one (q_bp, n, value)
+    * row per (group, quantile). Histogram windows partition by group, so
+    * no stage ever funnels more than one group's ≤ B histogram rows
+    * through a single partition.
+    */
+  def exactQuantilesBy(df: DataFrame, groupCol: String, valCol: String,
+                       qBasisPoints: Seq[Int], buckets: Int = 4096): DataFrame =
+    core(df, groupCol, valCol, qBasisPoints, buckets)
+
+  private def core(df: DataFrame, grpCol: String, valCol: String,
+                   qBasisPoints: Seq[Int], buckets: Int): DataFrame = {
     require(qBasisPoints.nonEmpty, "at least one quantile")
     require(qBasisPoints.forall(q => q >= 1 && q <= 10000),
       s"q_bp out of [1, 10000]: ${qBasisPoints.mkString(", ")}")
@@ -50,15 +64,15 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val v = df.select(col(valCol).cast("double").as("v"))
+    val v = df.select(col(grpCol).as("__g"), col(valCol).cast("double").as("v"))
       .where(col("v").isNotNull && !isnan(col("v")))
 
-    // one-row geometry frame, broadcast into every scan
-    val geo = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
-      count(lit(1)).as("n"))
+    // per-group geometry (one narrow row per group)
+    val geo = v.groupBy(col("__g")).agg(min(col("v")).as("mn"),
+      max(col("v")).as("mx"), count(lit(1)).as("n"))
 
-    // round-1 bin: clamp(floor((v-mn)/w1)); all-equal input degenerates
-    // to bin 0 (w1 = 0 would divide by zero)
+    // round-1 bin: clamp(floor((v-mn)/w1)); an all-equal group
+    // degenerates to bin 0 (w1 = 0 would divide by zero)
     def bin1: Column = {
       val w1 = (col("mx") - col("mn")) / b
       when(col("mx") === col("mn"), lit(0)).otherwise(
@@ -74,56 +88,82 @@ object Quantiles {
           floor((col("v") - col("mn") - col("b1") * w1) / w2), lit(0)),
           lit(b - 1))).cast("int")
     }
-    val binW = Window.orderBy(col("bin"))
+    val binW = Window.partitionBy(col("__g")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val qW = Window.partitionBy(col("q_bp")).orderBy(col("bin"))
+    val qW = Window.partitionBy(col("__g"), col("q_bp")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // ---- round 1: global histogram -> per-q target bin + in-bin rank
-    val hist1 = v.crossJoin(broadcast(geo))
-      .select(bin1.as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    // ---- round 1: per-group histogram -> per-(group, q) target bin
+    val hist1 = v.join(geo, Seq("__g"))
+      .select(col("__g"), bin1.as("bin"))
+      .groupBy(col("__g"), col("bin")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(binW))
     // integer ceil-division — `div`, never float `/`: q_bp·n reaches
     // 10¹⁷ at trillion-row scale, past double's exact-integer range
-    val ks = qBasisPoints.toDF("q_bp")
-      .crossJoin(broadcast(geo.select(col("n"))))
+    val ks = geo.select(col("__g"), col("n"))
+      .crossJoin(broadcast(qBasisPoints.toDF("q_bp")))
       .withColumn("k", expr("(q_bp * n + 9999) div 10000"))
-      .select(col("q_bp"), col("n"), col("k"))
-    // localCheckpoint: t1 (<= |qs| rows) feeds BOTH round 2 and the
-    // final target chain — without it the round-1 histogram subtree
-    // (and its global scan) executes twice
-    val t1 = ks.join(hist1,
-        col("cum") - col("cnt") < col("k") && col("k") <= col("cum"))
-      .select(col("q_bp"), col("n"), col("bin").as("b1"),
+    // localCheckpoint: t1 (one row per group×quantile) feeds BOTH round
+    // 2 and the final target chain — without it the round-1 histogram
+    // subtree (and its full scan) executes twice
+    val t1 = ks.join(hist1, Seq("__g"))
+      .where(col("cum") - col("cnt") < col("k") && col("k") <= col("cum"))
+      .select(col("__g"), col("q_bp"), col("n"), col("bin").as("b1"),
         (col("k") - (col("cum") - col("cnt"))).as("k1"))
       .localCheckpoint()
 
-    // ---- round 2: sub-histogram of only the target bins (geo's n is
-    // dropped here — t1 already carries it, and a duplicate would make
-    // later col("n") references ambiguous)
-    val slice1 = v.crossJoin(broadcast(geo.select(col("mn"), col("mx"))))
+    // ---- round 2: sub-histogram of only the target bins
+    val slice1 = v.join(geo.select(col("__g"), col("mn"), col("mx")), Seq("__g"))
       .withColumn("b1", bin1)
-      .join(broadcast(t1), Seq("b1"))
+      .join(t1, Seq("__g", "b1"))
       .withColumn("b2", bin2)
-    val hist2 = slice1.groupBy(col("q_bp"), col("b2").as("bin"))
+    val hist2 = slice1.groupBy(col("__g"), col("q_bp"), col("b2").as("bin"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(qW))
-    val t2 = t1.join(hist2, Seq("q_bp"))
+    val t2 = t1.join(hist2, Seq("__g", "q_bp"))
       .where(col("cum") - col("cnt") < col("k1") && col("k1") <= col("cum"))
-      .select(col("q_bp"), col("n"), col("b1"), col("bin").as("b2"),
-        (col("k1") - (col("cum") - col("cnt"))).as("k2"))
+      .select(col("__g"), col("q_bp"), col("n"), col("b1"),
+        col("bin").as("b2"), (col("k1") - (col("cum") - col("cnt"))).as("k2"))
 
-    // ---- final: rank DISTINCT values of the 1/B^2 slice
-    val valW = Window.partitionBy(col("q_bp")).orderBy(col("v"))
+    // ---- final: rank DISTINCT values of each 1/B^2 slice
+    val valW = Window.partitionBy(col("__g"), col("q_bp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     slice1.drop("n", "k1")
-      .join(broadcast(t2), Seq("q_bp", "b1", "b2"))
-      .groupBy(col("q_bp"), col("n"), col("k2"), col("v"))
+      .join(t2, Seq("__g", "q_bp", "b1", "b2"))
+      .groupBy(col("__g"), col("q_bp"), col("n"), col("k2"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(valW))
       .where(col("cum") - col("cnt") < col("k2") && col("k2") <= col("cum"))
-      .select(col("q_bp"), col("n"), col("v").as("value"))
+      .select(col("__g").as(grpCol), col("q_bp"), col("n"), col("v").as("value"))
+  }
+
+  /** Winsorized (clipped) summary: clip `valCol` to its exact
+    * [loBp, hiBp] basis-point quantiles and report what that treatment
+    * did — the outlier-robust preprocessing companion to the MAD report
+    * (q144): (n, lo_value, hi_value, n_clipped_lo, n_clipped_hi,
+    * clipped_sum_cents). The sum is exact: values fix to integer cents
+    * BEFORE summing, so any engine replays it bit-for-bit.
+    *
+    * One pass over the data after the quantile machinery; the two clip
+    * bounds ride a broadcast 1-row frame.
+    */
+  def winsorizedStats(df: DataFrame, valCol: String,
+                      loBp: Int = 100, hiBp: Int = 9900,
+                      buckets: Int = 4096): DataFrame = {
+    require(loBp < hiBp, s"loBp must be < hiBp, got $loBp >= $hiBp")
+    val qs = exactQuantiles(df, valCol, Seq(loBp, hiBp), buckets)
+    val bounds = qs.agg(
+      min(when(col("q_bp") === loBp, col("value"))).as("lo"),
+      max(when(col("q_bp") === hiBp, col("value"))).as("hi"))
+    val v = df.select(col(valCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+    val clipped = least(greatest(col("v"), col("lo")), col("hi"))
+    v.crossJoin(broadcast(bounds))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("lo_value"), min(col("hi")).as("hi_value"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        sum(round(clipped * 100, 0).cast("long")).as("clipped_sum_cents"))
   }
 
   private val Window = org.apache.spark.sql.expressions.Window

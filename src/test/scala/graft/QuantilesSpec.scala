@@ -64,6 +64,35 @@ class QuantilesSpec extends SparkTestBase {
     assert(rows(a) == rows(b))
   }
 
+  test("exactQuantilesBy: every group matches the per-group brute force") {
+    val gen = Gen.chooseNum(10, 200).flatMap(n => Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b", "c")
+      x <- Gen.chooseNum(-100.0, 100.0)
+    } yield (g, x)))
+    val qs = Seq(1, 2500, 5000, 9999)
+    for (data <- samples(gen, n = 5); b <- Seq(4, 32)) {
+      val got = Quantiles.exactQuantilesBy(data.toDF("g", "x"), "g", "x", qs, b)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val want = data.groupBy(_._1).flatMap { case (g, rows) =>
+        qs.flatMap(q => brute(rows.map(_._2), q).map(r => (g, q) -> r)) }
+      assert(got == want, s"b=$b")
+    }
+  }
+
+  test("winsorizedStats: exact clip bounds, clipped counts, cent-exact sum") {
+    val vals = (1 to 100).map(_.toDouble) // p10 = 10, p90 = 90
+    val r = Quantiles.winsorizedStats(vals.toDF("x"), "x", loBp = 1000, hiBp = 9000)
+      .collect().head
+    assert(r.getLong(0) == 100L)
+    assert(r.getDouble(1) == 10.0 && r.getDouble(2) == 90.0)
+    assert(r.getLong(3) == 9L && r.getLong(4) == 10L) // 1..9 below, 91..100 above
+    val wantSum = vals.map(v => math.min(math.max(v, 10.0), 90.0) * 100).map(_.round).sum
+    assert(r.getLong(5) == wantSum)
+    intercept[IllegalArgumentException](
+      Quantiles.winsorizedStats(vals.toDF("x"), "x", loBp = 5000, hiBp = 5000))
+  }
+
   test("arguments are validated") {
     val df = Seq(1.0).toDF("x")
     for ((qs, b) <- Seq((Seq.empty[Int], 16), (Seq(0), 16), (Seq(10001), 16),
