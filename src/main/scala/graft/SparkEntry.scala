@@ -2327,7 +2327,19 @@ object SparkEntry {
     // the outlier-robust preprocessing companion to q144's MAD report.
     "q162_winsorized_stats" -> ((s, dir) =>
       graft.analytics.Quantiles.winsorizedStats(
-        T(s, dir, "orders"), "o_totalprice", loBp = 100, hiBp = 9900))
+        T(s, dir, "orders"), "o_totalprice", loBp = 100, hiBp = 9900)),
+
+    // Per-user trailing-3 digest on transformWithState LIST state — the
+    // feature-store "last N interactions" serving shape; recency is the
+    // (ts, event_id) total order, digest sum in integer ten-thousandths
+    // (streaming/StatefulTrail).
+    "q163_trailing_digest" -> ((s, dir) => {
+      val base = scratch("q163")
+      stageEventsJson(s, dir, base)
+      graft.streaming.StatefulTrail.runTrailingKToCompletion(s, s"$base/in",
+          s"$base/sink", s"$base/ckpt", k = 3, statePartitions = Some(8))
+        .orderBy(col("user_id"))
+    })
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -4645,6 +4657,18 @@ object SparkEntry {
         |SELECT q_bp::INTEGER AS q_bp, n.n, r.val AS value
         |FROM qs, n JOIN r ON r.rn = (q_bp * n.n + 9999) // 10000
         |ORDER BY 1""".stripMargin,
+
+    // one staged batch → one digest per user: trailing-3 by
+    // (ts desc, event_id desc), sum in integer ten-thousandths
+    "q163_trailing_digest" ->
+      """WITH e AS (SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+        |r AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, count(*)::INTEGER AS n_trail,
+        |  max(CASE WHEN rn = 1 THEN event_id END)::BIGINT AS last_event_id,
+        |  sum(round(value * 10000)::BIGINT)::BIGINT AS trail_cents
+        |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-group rank formula, PARTITION BY group
     "q161_grouped_quantiles" ->

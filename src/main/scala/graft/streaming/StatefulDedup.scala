@@ -77,6 +77,15 @@ object StatefulDedup {
       .toDF()
   }
 
+  /** The shared json event source in [[EventRow]] column order. */
+  private[streaming] def eventSource(spark: SparkSession, inPath: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
+      .json(inPath)
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+
   /** Bounded run to a parquet sink (AvailableNow), returning the sink
     * contents; transformWithState requires the RocksDB state store
     * provider, pinned here for the query's lifetime and restored after.
@@ -85,12 +94,28 @@ object StatefulDedup {
                                outPath: String, checkpointPath: String,
                                ttl: Option[Duration] = None,
                                statePartitions: Option[Int] = None): DataFrame = {
-    val src = spark.readStream
-      .schema("event_id LONG, user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
-      .json(inPath)
-      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("ts"))
+    runBounded(spark, firstSeen(eventSource(spark, inPath), ttl), outPath,
+      checkpointPath, statePartitions, wallClockMode = ttl.isDefined)
+    readSinkOrEmpty(spark, outPath,
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+  }
+
+  /** Bounded run of a transformWithState stream to a parquet sink with
+    * the RocksDB provider pinned for the query's lifetime.
+    *
+    * `wallClockMode = false` (TimeMode.None): AvailableNow drains and
+    * terminates. `wallClockMode = true` (TimeMode.ProcessingTime, e.g.
+    * TTL state): AvailableNow NEVER terminates and processAllAvailable
+    * never settles — the engine keeps scheduling maintenance
+    * micro-batches forever (both measured: batches kept committing
+    * until killed) — so the run is bounded explicitly: the staging
+    * contract is one json file = one data batch; stop once a committed
+    * batch has consumed input rows.
+    */
+  private[streaming] def runBounded(spark: SparkSession, stream: DataFrame,
+                                    outPath: String, checkpointPath: String,
+                                    statePartitions: Option[Int],
+                                    wallClockMode: Boolean): Unit = {
     val parts = "spark.sql.shuffle.partitions"
     val provider = "spark.sql.streaming.stateStore.providerClass"
     val prevParts = spark.conf.get(parts)
@@ -99,22 +124,15 @@ object StatefulDedup {
     spark.conf.set(provider,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val writer = firstSeen(src, ttl).writeStream
+      val writer = stream.writeStream
         .format("parquet")
         .outputMode("append")
         .option("checkpointLocation", checkpointPath)
         .option("path", outPath)
-      if (ttl.isEmpty) {
-        // pure TimeMode.None dedup: AvailableNow drains and terminates
+      if (!wallClockMode) {
         val q = writer.trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       } else {
-        // TimeMode.ProcessingTime schedules TTL-maintenance micro-batches
-        // forever: AvailableNow never terminates and processAllAvailable
-        // never settles (both measured — batches kept committing until
-        // killed). Bound the run explicitly instead: the staging contract
-        // is ONE json file = one data batch, so stop once a committed
-        // batch has consumed input rows.
         val q = writer.start()
         val deadline = System.nanoTime() + 120L * 1000000000L
         var drained = false
@@ -125,8 +143,8 @@ object StatefulDedup {
         q.stop()
         q.awaitTermination()
         if (!drained) throw new IllegalStateException(
-          "runFirstSeenToCompletion: no data micro-batch committed within " +
-            "the 120 s TTL-mode deadline")
+          "runBounded: no data micro-batch committed within the 120 s " +
+            "wall-clock-mode deadline")
       }
     } finally {
       spark.conf.set(parts, prevParts)
@@ -135,11 +153,16 @@ object StatefulDedup {
         case None => spark.conf.unset(provider)
       }
     }
+  }
+
+  /** Read a bounded run's sink; a zero-record source commits no batch
+    * and never creates the path — return an empty typed frame instead. */
+  private[streaming] def readSinkOrEmpty(spark: SparkSession, outPath: String,
+                                         ddl: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(outPath)
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP"))
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
     else spark.read.parquet(outPath)
   }
 }
