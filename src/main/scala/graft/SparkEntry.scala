@@ -2339,6 +2339,20 @@ object SparkEntry {
       graft.streaming.StatefulTrail.runTrailingKToCompletion(s, s"$base/in",
           s"$base/sink", s"$base/ckpt", k = 3, statePartitions = Some(8))
         .orderBy(col("user_id"))
+    }),
+
+    // Gap sessionization on transformWithState EVENT-TIME TIMERS — the
+    // third sessionization implementation sharing the q69/q129
+    // contract; far-future sentinels push the watermark so the timers
+    // flush every real session (streaming/StatefulSession).
+    "q164_timer_sessions" -> ((s, dir) => {
+      val base = scratch("q164")
+      stageEventsJson(s, dir, base, sentinels = true)
+      graft.streaming.StatefulSession.runSessionizeToCompletion(s, s"$base/in",
+          s"$base/sink", s"$base/ckpt", gapSeconds = 1800,
+          statePartitions = Some(8))
+        .where(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("start_us"))
     })
   )
 
@@ -3412,6 +3426,23 @@ object SparkEntry {
     // the native rule equals the islands rule: new session only at
     // gap > 30 min (closed-interval window merging, pinned by test)
     "q129_native_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS nb
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us,
+        |    sum(nb) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+        |  FROM f)
+        |SELECT user_id, min(us) AS start_us, max(us) AS last_us,
+        |  count(*)::BIGINT AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    // identical islands replay as q129 — three sessionization
+    // implementations (batch islands, native session_window, event-time
+    // TIMERS) gated against one contract
+    "q164_timer_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
         |f AS (SELECT user_id, event_id, us,
         |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
