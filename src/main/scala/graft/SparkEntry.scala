@@ -2353,6 +2353,18 @@ object SparkEntry {
           statePartitions = Some(8))
         .where(col("user_id") >= 0)
         .orderBy(col("user_id"), col("start_us"))
+    }),
+
+    // Per-user categorical profile on transformWithState MAP state —
+    // event_type → (count, cents) per user, one RocksDB entry per
+    // category (completes the Value/List/Map/Timer state quartet;
+    // streaming/StatefulProfile).
+    "q165_category_profile" -> ((s, dir) => {
+      val base = scratch("q165")
+      stageEventsJson(s, dir, base)
+      graft.streaming.StatefulProfile.runProfileToCompletion(s, s"$base/in",
+          s"$base/sink", s"$base/ckpt", statePartitions = Some(8))
+        .orderBy(col("user_id"), col("event_type"))
     })
   )
 
@@ -4688,6 +4700,13 @@ object SparkEntry {
         |SELECT q_bp::INTEGER AS q_bp, n.n, r.val AS value
         |FROM qs, n JOIN r ON r.rn = (q_bp * n.n + 9999) // 10000
         |ORDER BY 1""".stripMargin,
+
+    // one staged batch → one row per (user, category): final running
+    // totals, cents HALF_UP
+    "q165_category_profile" ->
+      """SELECT user_id, event_type, count(*)::BIGINT AS n,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // one staged batch → one digest per user: trailing-3 by
     // (ts desc, event_id desc), sum in integer ten-thousandths
