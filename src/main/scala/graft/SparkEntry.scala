@@ -2365,6 +2365,23 @@ object SparkEntry {
       graft.streaming.StatefulProfile.runProfileToCompletion(s, s"$base/in",
           s"$base/sink", s"$base/ckpt", statePartitions = Some(8))
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Dirty-ingestion quarantine: every 7th event line is deterministically
+    // mangled at staging; PERMISSIVE from_json routes it to quarantine,
+    // the clean side types fully, and the one-row audit pins the
+    // conservation law (ingest/Quarantine).
+    "q166_ingest_quarantine" -> ((s, dir) => {
+      val base = scratch("q166")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .select(when(col("event_id") % 7 === 0,
+            concat(lit("CORRUPT|"), to_json(struct(col("event_id")))))
+          .otherwise(to_json(struct(col("event_id"), col("user_id"),
+            col("value")))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$base/in")
+      graft.ingest.Quarantine.auditJsonLines(s, s"$base/in",
+        "event_id LONG, user_id LONG, value DOUBLE", "value")
     })
   )
 
@@ -4700,6 +4717,15 @@ object SparkEntry {
         |SELECT q_bp::INTEGER AS q_bp, n.n, r.val AS value
         |FROM qs, n JOIN r ON r.rn = (q_bp * n.n + 9999) // 10000
         |ORDER BY 1""".stripMargin,
+
+    // the corruption rule replayed: event_id % 7 == 0 lines are mangled
+    // at staging, everything else lands clean
+    "q166_ingest_quarantine" ->
+      """SELECT (count(*) FILTER (WHERE event_id % 7 <> 0))::BIGINT AS n_clean,
+        |  (count(*) FILTER (WHERE event_id % 7 = 0))::BIGINT AS n_quarantined,
+        |  (sum(round(value * 100)::BIGINT) FILTER (WHERE event_id % 7 <> 0))::BIGINT AS clean_cents,
+        |  true AS accounted
+        |FROM events""".stripMargin,
 
     // one staged batch → one row per (user, category): final running
     // totals, cents HALF_UP
