@@ -2371,6 +2371,25 @@ object SparkEntry {
     // mangled at staging; PERMISSIVE from_json routes it to quarantine,
     // the clean side types fully, and the one-row audit pins the
     // conservation law (ingest/Quarantine).
+    // Tokenizer fertility/compression report over the 6-round learned
+    // BPE: pieces-per-word-occurrence and chars-per-piece in integer
+    // micro-units — the "is this vocabulary any good" readout of a
+    // tokenizer pipeline (composes q138/q139's learn + segment).
+    "q167_bpe_fertility" -> ((s, dir) => {
+      val dict = graft.text.Bpe.wordDict(
+        Tables.documents(s, dir), wordPattern = "^[a-z]+$")
+      val table = graft.text.Bpe.learnMerges(s, dict, rounds = 6)
+      graft.text.Bpe.segment(s, dict, table)
+        .agg(count(lit(1)).as("n_distinct_words"),
+          sum(col("n")).as("n_words"),
+          sum(col("n") * size(col("pieces"))).as("n_pieces"),
+          sum(col("n") * length(col("word"))).as("n_chars"))
+        .select(col("n_distinct_words"), col("n_words"), col("n_pieces"),
+          col("n_chars"),
+          expr("(n_pieces * 1000000) div n_words").as("fertility_micro"),
+          expr("(n_chars * 1000000) div n_pieces").as("compression_micro"))
+    }),
+
     "q166_ingest_quarantine" -> ((s, dir) => {
       val base = scratch("q166")
       Tables.events(s, dir)
@@ -2458,6 +2477,19 @@ object SparkEntry {
     s"""${bpeRoundsWith(n)}
        |SELECT word, n, string_agg(sym, ' ' ORDER BY pos) AS pieces
        |FROM s$n GROUP BY 1, 2 ORDER BY word""".stripMargin
+
+  /** q167 oracle: the same rounds, collapsed to the corpus-level
+    * fertility/compression readout in integer micro-units. */
+  private def bpeFertilityOracle(n: Int): String =
+    s"""${bpeRoundsWith(n)},
+       |seg AS (SELECT word, n, count(*)::BIGINT AS pieces FROM s$n GROUP BY 1, 2),
+       |t AS (SELECT count(*)::BIGINT AS n_distinct_words, sum(n)::BIGINT AS n_words,
+       |    sum(n * pieces)::BIGINT AS n_pieces,
+       |    sum(n * length(word))::BIGINT AS n_chars FROM seg)
+       |SELECT n_distinct_words, n_words, n_pieces, n_chars,
+       |  (n_pieces * 1000000) // n_words AS fertility_micro,
+       |  (n_chars * 1000000) // n_pieces AS compression_micro
+       |FROM t""".stripMargin
 
   private def bpeRoundsWith(n: Int): String = {
     val roundCtes = (1 to n).map { k =>
@@ -4236,6 +4268,9 @@ object SparkEntry {
 
     // same rounds, read out as the final segmentation per word
     "q139_bpe_segment" -> bpeSegmentOracle(6),
+
+    // same unrolled rounds, corpus-level micro-unit readout
+    "q167_bpe_fertility" -> bpeFertilityOracle(6),
 
     // identical 2-char-prefix blocks and length band; the engine's
     // native expression must match jaro_winkler_similarity to the micro
