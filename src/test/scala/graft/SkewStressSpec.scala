@@ -133,6 +133,44 @@ class SkewStressSpec extends SparkTestBase {
     assert(out.count() == 2)
   }
 
+  // ---------------------------------------------- q151 family: blockDedup
+
+  test("blockDedup: a 1e5-copy boilerplate block completes map-side-combined") {
+    // one block content repeated 100k times across docs + fresh material;
+    // the keep-first decision is min(struct) per block hash — O(1) partial
+    // state per group regardless of duplication, so no cap is needed and
+    // the hot group must combine BEFORE the shuffle
+    val hot = spark.range(100000).select(col("id").as("doc_id"),
+      lit("the same boilerplate line repeats").as("text"))
+    val fresh = Seq((500000L, "aa bb cc dd ee"), (500001L, "ff gg hh ii jj"))
+      .toDF("doc_id", "text")
+    val out = Dedup.blockDedup(hot.unionByName(fresh), blockTokens = 5)
+    val aggs = executedPlanNodes(out).count {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+      case _ => false
+    }
+    assert(aggs >= 2, s"expected partial+final aggregation, saw $aggs aggregate nodes")
+    val kept = out.where(col("n_kept") > 0).collect()
+    // doc 0 owns the boilerplate; the two fresh docs keep their content
+    assert(kept.map(_.getLong(0)).sorted.toSeq == Seq(0L, 500000L, 500001L))
+    assert(out.count() == 100002L)
+  }
+
+  // --------------------------------------------- q154 family: Misra–Gries
+
+  test("misra_gries: a 1e6-copy hot item stays exact under constant memory") {
+    import graft.functions.misra_gries
+    val items = spark.range(1000000).select(lit(7L).as("x"))
+      .unionByName(spark.range(3000).select((col("id") % 30 + 100).as("x")))
+      .repartition(16)
+    val got = items.agg(misra_gries(col("x"), 5).as("mg"))
+      .select(explode(col("mg"))).as[(Long, Long)].collect().toMap
+    // the hot item's estimate can only be depressed by n/(k+1) total
+    assert(got.contains(7L), "guaranteed-heavy item missing")
+    assert(got(7L) <= 1000000L && (1000000L - got(7L)) * 6 <= 1003000L)
+    assert(got.size <= 5)
+  }
+
   // ------------------------------------- q128 family: crossMinhashNearDup
 
   test("crossMinhashNearDup: a >maxBucket identical-doc batch fails loudly") {
