@@ -2371,6 +2371,31 @@ object SparkEntry {
     // mangled at staging; PERMISSIVE from_json routes it to quarantine,
     // the clean side types fully, and the one-row audit pins the
     // conservation law (ingest/Quarantine).
+    // Leave-one-source-out jackknife of the corpus quality mean — which
+    // source drags the statistic, in exact integer micro-units
+    // (analytics/Eval.leaveOneGroupOut over the q147 scorer).
+    "q169_source_jackknife" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.analytics.Eval.leaveOneGroupOut(
+        graft.quality.ModelFilter.logitQuality(docs)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "source", "score_micro")
+        .orderBy(col("source"))
+    }),
+
+    // MMR diverse re-ranking: query = vec 0's embedding, pool = the
+    // rest; λ=0.5 greedy relevance-vs-redundancy picks with the
+    // incremental max-sim state (vector/Mmr.rerank; oracle unrolls the
+    // 6 rounds with the identical float recipe).
+    "q168_mmr_rerank" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qRow = emb.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).head()
+      graft.vector.Mmr.rerank(emb.where(col("vec_id") =!= 0),
+          qRow.getSeq[Double](0), k = 6, lambdaMicro = 500000)
+        .orderBy(col("round"))
+    }),
+
     // Tokenizer fertility/compression report over the 6-round learned
     // BPE: pieces-per-word-occurrence and chars-per-piece in integer
     // micro-units — the "is this vocabulary any good" readout of a
@@ -2461,6 +2486,41 @@ object SparkEntry {
        |${(1 until k).map(r =>
           s"""UNION ALL SELECT $r AS "round", vec_id, round(md, 6) FROM c$r""")
          .mkString("\n")}
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** q168 oracle: k unrolled MMR rounds (the kcenterOracle discipline).
+    * Query = vec 0; round-1 score uses the ms = −1 sentinel literally;
+    * later rounds take max cosine to the selected set — each cosine the
+    * same fused-dot float sequence, max order-independent. */
+  private def mmrOracle(k: Int): String = {
+    val score = "2.0 * 0.5 * rel - 0.5 * (1.0 + ms)"
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS MATERIALIZED (SELECT a.vec_id, a.vec, a.nrm, a.rel,
+         |    max(list_inner_product(a.vec, c.vec) / (a.nrm * c.nrm)) AS ms
+         |  FROM base a JOIN s$r c ON true
+         |  WHERE NOT EXISTS (SELECT 1 FROM s$r x WHERE x.vec_id = a.vec_id)
+         |  GROUP BY a.vec_id, a.vec, a.nrm, a.rel),
+         |c$r AS MATERIALIZED (SELECT vec_id, vec, nrm, $score AS mmr
+         |  FROM m$r ORDER BY mmr DESC, vec_id LIMIT 1),
+         |s${r + 1} AS MATERIALIZED (SELECT vec_id, vec, nrm FROM s$r
+         |  UNION ALL SELECT vec_id, vec, nrm FROM c$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
+       |n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v
+       |      WHERE sqrt(list_inner_product(vec, vec)) > 0),
+       |q AS (SELECT vec, nrm FROM n WHERE vec_id = 0),
+       |base AS (SELECT a.vec_id, a.vec, a.nrm,
+       |    list_inner_product(a.vec, q.vec) / (a.nrm * q.nrm) AS rel
+       |  FROM n a, q WHERE a.vec_id <> 0),
+       |c1 AS MATERIALIZED (SELECT vec_id, vec, nrm,
+       |    2.0 * 0.5 * rel - 0.5 * (1.0 + -1.0) AS mmr
+       |  FROM base ORDER BY mmr DESC, vec_id LIMIT 1),
+       |s2 AS MATERIALIZED (SELECT vec_id, vec, nrm FROM c1),
+       |$rounds
+       |${(1 to k).map(r =>
+          s"""SELECT ${r - 1} AS "round", vec_id, round(mmr, 6) AS mmr_score FROM c$r""")
+         .mkString("\nUNION ALL\n")}
        |ORDER BY 1""".stripMargin
   }
 
@@ -4271,6 +4331,39 @@ object SparkEntry {
 
     // same unrolled rounds, corpus-level micro-unit readout
     "q167_bpe_fertility" -> bpeFertilityOracle(6),
+
+    // MMR rounds unrolled, identical float recipe and λ literal
+    "q168_mmr_rerank" -> mmrOracle(6),
+
+    // q147's score chain + integer leave-one-out means (all values
+    // non-negative, so // and truncating div agree)
+    "q169_source_jackknife" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars,
+        |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS punct_chars,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::BIGINT AS h_en,
+        |    len(list_distinct(toks))::BIGINT AS n_uniq
+        |  FROM t),
+        |f AS (SELECT doc_id,
+        |    round(h_en::DOUBLE / greatest(n_tokens, 1), 4) AS stop_r,
+        |    round(punct_chars::DOUBLE / greatest(n_chars, 1), 4) AS punct_r,
+        |    round(n_uniq::DOUBLE / greatest(n_tokens, 1), 4) AS uniq_r,
+        |    least(n_chars, 2000)::DOUBLE / 2000.0 AS len_norm
+        |  FROM b),
+        |z AS (SELECT doc_id,
+        |    -2.0 + 6.0 * stop_r + -8.0 * punct_r + 3.0 * uniq_r + 2.0 * len_norm AS z
+        |  FROM f),
+        |sc AS (SELECT d.source, round(1.0 / (1.0 + exp(-z)) * 1000000.0)::BIGINT AS v
+        |  FROM z JOIN documents d USING (doc_id)),
+        |g AS (SELECT source, count(*)::BIGINT AS n, sum(v)::BIGINT AS s
+        |  FROM sc GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS tn, sum(s)::BIGINT AS ts FROM g)
+        |SELECT source, n,
+        |  ((ts - s) // (tn - n))::BIGINT AS loo_mean,
+        |  ((ts - s) // (tn - n) - ts // tn)::BIGINT AS dev_from_full
+        |FROM g, tot ORDER BY 1""".stripMargin,
 
     // identical 2-char-prefix blocks and length band; the engine's
     // native expression must match jaro_winkler_similarity to the micro

@@ -35,6 +35,35 @@ object Eval {
     * one window over buckets, and within-bucket windows over distinct
     * values only. `scoreCol` must be integral; `labelCol` boolean.
     */
+  /** Leave-one-group-out sensitivity (the jackknife's group form): for
+    * each group, the corpus mean of `valCol` recomputed WITHOUT that
+    * group, and its deviation from the full mean — "which source is
+    * dragging the corpus statistic, and by how much" for a quality
+    * score, a drift statistic, or any integral metric. All integer:
+    * `valCol` must already be in fixed-point units (micro scores, cents)
+    * and means are integer `div`s — deterministic on any engine, no
+    * variance-formula floats.
+    *
+    * A single-group input has no leave-one-out to compute (N − N_g = 0)
+    * and fails loudly. 100 TB shape: one map-side-combinable groupBy to
+    * (group, sum, count) plus a broadcast 1-row total — the data is
+    * scanned once.
+    */
+  def leaveOneGroupOut(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("grp"), col(valCol).cast("long").as("v"))
+      .where(col("grp").isNotNull && col("v").isNotNull)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val tot = g.agg(sum(col("n")).as("tn"), sum(col("s")).as("ts"))
+    g.crossJoin(broadcast(tot))
+      .select(col("grp").as(groupCol), col("n"),
+        when(col("tn") === col("n"),
+          raise_error(lit("leaveOneGroupOut: a single group has no " +
+            "leave-one-out mean — need at least two groups")))
+          .otherwise(expr("(ts - s) div (tn - n)")).as("loo_mean"),
+        (expr("(ts - s) div (tn - n)") - expr("ts div tn")).as("dev_from_full"))
+  }
+
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
                bucketShift: Int = 10): DataFrame = {
     require(bucketShift >= 0 && bucketShift <= 62,

@@ -61,4 +61,21 @@ class EvalSpec extends SparkTestBase {
     val b = Eval.aucExact(data.toDF("score", "lbl").repartition(13), "score", "lbl")
     assert(rows(a) == rows(b))
   }
+
+  test("leaveOneGroupOut matches the integer brute force and flags the dragging group") {
+    val data = Seq(("a", 100L), ("a", 200L), ("b", 1000L), ("b", 2000L), ("c", 150L))
+    val got = Eval.leaveOneGroupOut(data.toDF("src", "v"), "src", "v")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val tn = 5L; val ts = data.map(_._2).sum
+    val want = data.groupBy(_._1).map { case (g, rows) =>
+      val (n, s) = (rows.size.toLong, rows.map(_._2).sum)
+      (g, n, (ts - s) / (tn - n), (ts - s) / (tn - n) - ts / tn)
+    }.toSeq.sortBy(_._1)
+    assert(got == want)
+    // group b holds the big values: removing it must drop the mean most
+    assert(got.minBy(_._4)._1 == "b")
+    val e = intercept[Exception](
+      Eval.leaveOneGroupOut(Seq(("only", 1L)).toDF("src", "v"), "src", "v").collect())
+    assert(messages(e).exists(_.contains("leaveOneGroupOut")))
+  }
 }
