@@ -2371,6 +2371,15 @@ object SparkEntry {
     // mangled at staging; PERMISSIVE from_json routes it to quarantine,
     // the clean side types fully, and the one-row audit pins the
     // conservation law (ingest/Quarantine).
+    // Equi-depth histogram of lineitem quantity — 10 exact-quantile
+    // buckets over a heavily-tied integer-valued column (ties sit low,
+    // buckets exactly defined though uneven;
+    // analytics/Quantiles.equiDepthHistogram).
+    "q170_equidepth_histogram" -> ((s, dir) =>
+      graft.analytics.Quantiles.equiDepthHistogram(
+        T(s, dir, "lineitem"), "l_quantity", nBuckets = 10)
+        .orderBy(col("bucket"))),
+
     // Leave-one-source-out jackknife of the corpus quality mean — which
     // source drags the statistic, in exact integer micro-units
     // (analytics/Eval.leaveOneGroupOut over the q147 scorer).
@@ -4334,6 +4343,21 @@ object SparkEntry {
 
     // MMR rounds unrolled, identical float recipe and λ literal
     "q168_mmr_rerank" -> mmrOracle(6),
+
+    // decile boundaries via the integer rank rule, ties-low assignment
+    "q170_equidepth_histogram" ->
+      """WITH v AS (SELECT l_quantity::DOUBLE AS val FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity::DOUBLE)),
+        |n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+        |qs(q_bp) AS (VALUES (1000), (2000), (3000), (4000), (5000),
+        |                    (6000), (7000), (8000), (9000)),
+        |bnd AS (SELECT r.val AS b
+        |        FROM qs, n JOIN r ON r.rn = (q_bp * n.n + 9999) // 10000),
+        |a AS (SELECT val, (SELECT count(*) FROM bnd WHERE b < val)::INTEGER AS bucket FROM v)
+        |SELECT bucket, count(*)::BIGINT AS n_rows,
+        |  min(val) AS min_val, max(val) AS max_val
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q147's score chain + integer leave-one-out means (all values
     // non-negative, so // and truncating div agree)

@@ -137,6 +137,35 @@ object Quantiles {
       .select(col("__g").as(grpCol), col("q_bp"), col("n"), col("v").as("value"))
   }
 
+  /** Equi-depth histogram profile: the value domain cut at the exact
+    * i/N quantiles, every bucket's exact (count, min, max) — the
+    * distribution readout a profiler wants when equi-WIDTH bins hide
+    * the mass (one hot price point, long tails). Bucket membership is
+    * the [[graft.ingest.Shards.writeRangeSharded]] rule — count of
+    * boundaries strictly below the value, ties sit low — so under
+    * heavy ties buckets are intentionally UNEVEN but exactly defined
+    * (equal mass is impossible when one value holds >1/N of the rows).
+    *
+    * One assignment pass over the data after the quantile machinery;
+    * boundaries ride a broadcast 1-row array.
+    */
+  def equiDepthHistogram(df: DataFrame, valCol: String,
+                         nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 10000,
+      s"nBuckets out of [2, 10000]: $nBuckets")
+    val bps = (1 until nBuckets).map(i => i * 10000 / nBuckets).distinct
+    val bounds = exactQuantiles(df, valCol, bps)
+      .agg(sort_array(collect_list(col("value"))).as("bs"))
+    val v = df.select(col(valCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+    v.crossJoin(broadcast(bounds))
+      .withColumn("bucket", aggregate(col("bs"), lit(0),
+        (acc, b) => acc + when(col("v") > b, 1).otherwise(0)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+  }
+
   /** Winsorized (clipped) summary: clip `valCol` to its exact
     * [loBp, hiBp] basis-point quantiles and report what that treatment
     * did — the outlier-robust preprocessing companion to the MAD report

@@ -93,6 +93,24 @@ class QuantilesSpec extends SparkTestBase {
       Quantiles.winsorizedStats(vals.toDF("x"), "x", loBp = 5000, hiBp = 5000))
   }
 
+  test("equiDepthHistogram: exact buckets under heavy ties, full row conservation") {
+    // 1..10 each repeated 10 times, 4 buckets: boundaries at p25/p50/p75
+    val vals = (1 to 10).flatMap(v => Seq.fill(10)(v.toDouble))
+    val got = Quantiles.equiDepthHistogram(vals.toDF("x"), "x", nBuckets = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    // brute replay: boundaries = k-th smallest at ceil(bp*n/10000)
+    val sorted = vals.sorted
+    val bs = Seq(2500, 5000, 7500).map(bp =>
+      sorted(((bp * 100L + 9999) / 10000 - 1).toInt))
+    val want = vals.groupBy(v => bs.count(_ < v)).map { case (b, vs) =>
+      (b, vs.size.toLong, vs.min, vs.max) }.toSeq.sortBy(_._1)
+    assert(got == want)
+    assert(got.map(_._2).sum == 100L)
+    intercept[IllegalArgumentException](
+      Quantiles.equiDepthHistogram(vals.toDF("x"), "x", nBuckets = 1))
+  }
+
   test("arguments are validated") {
     val df = Seq(1.0).toDF("x")
     for ((qs, b) <- Seq((Seq.empty[Int], 16), (Seq(0), 16), (Seq(10001), 16),
