@@ -2503,7 +2503,7 @@ object SparkEntry {
     * later rounds take max cosine to the selected set — each cosine the
     * same fused-dot float sequence, max order-independent. */
   private def mmrOracle(k: Int): String = {
-    val score = "2.0 * 0.5 * rel - 0.5 * (1.0 + ms)"
+    val score = "0.5 * rel - 0.5 * (1.0 + ms)"
     val rounds = (2 to k).map { r =>
       s"""m$r AS MATERIALIZED (SELECT a.vec_id, a.vec, a.nrm, a.rel,
          |    max(list_inner_product(a.vec, c.vec) / (a.nrm * c.nrm)) AS ms
@@ -2523,7 +2523,7 @@ object SparkEntry {
        |    list_inner_product(a.vec, q.vec) / (a.nrm * q.nrm) AS rel
        |  FROM n a, q WHERE a.vec_id <> 0),
        |c1 AS MATERIALIZED (SELECT vec_id, vec, nrm,
-       |    2.0 * 0.5 * rel - 0.5 * (1.0 + -1.0) AS mmr
+       |    0.5 * rel - 0.5 * (1.0 + -1.0) AS mmr
        |  FROM base ORDER BY mmr DESC, vec_id LIMIT 1),
        |s2 AS MATERIALIZED (SELECT vec_id, vec, nrm FROM c1),
        |$rounds

@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * candidate pool scored against a query, greedily take the item
   * maximizing
   *
-  *   mmr = 2·λ·rel(item, query) − (1 − λ)·(1 + maxSim(item, selected))
+  *   mmr = λ·rel(item, query) − (1 − λ)·(1 + maxSim(item, selected))
   *
-  * a positive-shifted affine form of the classic λ·rel − (1−λ)·maxSim
-  * (same argmax: rel and cosine live in [−1, 1], the shift only keeps
-  * intermediate terms engine-friendly; the first pick, with no selected
-  * set, maximizes rel alone). High relevance, low redundancy — the
-  * search-result and RAG-context diversifier.
+  * — the classic λ·rel − (1−λ)·maxSim plus a constant −(1−λ) shift,
+  * which cannot move any argmax (the penalty term just starts at 0 via
+  * the ms = −1 sentinel instead of at −(1−λ)); the first pick, with no
+  * selected set, maximizes rel alone. High relevance, low redundancy —
+  * the search-result and RAG-context diversifier.
   *
   * Determinism contract = [[Coreset]]'s: cosines through the fused
   * sequential-dot [[graft.functions.VectorDot]] (bit-replayable, the
@@ -63,7 +63,7 @@ object Mmr {
     var exhausted = false
     while (r < k && !exhausted) {
       val ids = picked.map(_._2)
-      val score = lit(2.0) * lam * col("rel") -
+      val score = lit(lam) * col("rel") -
         lit(1.0 - lam) * (lit(1.0) + col("ms"))
       val pick = state.where(!col("vec_id").isin(ids: _*))
         .select(col("vec_id"), col("v"), col("norm"), score.as("mmr"))

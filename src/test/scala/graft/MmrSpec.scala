@@ -29,7 +29,7 @@ class MmrSpec extends SparkTestBase {
     while (r < k && picked.size < live.size) {
       val chosen = picked.map(_._2).toSet
       val (id, sc) = live.map(_._1).filterNot(chosen)
-        .map(i => i -> n0(2.0 * lam * rel(i) - (1.0 - lam) * (1.0 + ms(i))))
+        .map(i => i -> n0(lam * rel(i) - (1.0 - lam) * (1.0 + ms(i))))
         .maxBy { case (i, s) => (s, -i) }
       picked ::= ((r, id, sc))
       ms = ms.map { case (i, m) =>
