@@ -2371,6 +2371,20 @@ object SparkEntry {
     // mangled at staging; PERMISSIVE from_json routes it to quarantine,
     // the clean side types fully, and the one-row audit pins the
     // conservation law (ingest/Quarantine).
+    // Temporal train/test split with a leakage embargo: trailing 90
+    // days = test, a 14-day excluded gap, max-anchored deterministic
+    // boundaries (text/Splits.temporalEmbargoSplit over orders).
+    "q171_embargo_split" -> ((s, dir) =>
+      graft.text.Splits.temporalEmbargoSplit(
+          T(s, dir, "orders"), "o_orderdate",
+          holdoutDays = 90, embargoDays = 14)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_orders"),
+          date_format(min(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("min_date"),
+          date_format(max(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("max_date"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("revenue_cents"))
+        .orderBy(col("split"))),
+
     // Equi-depth histogram of lineitem quantity — 10 exact-quantile
     // buckets over a heavily-tied integer-valued column (ties sit low,
     // buckets exactly defined though uneven;
@@ -4343,6 +4357,20 @@ object SparkEntry {
 
     // MMR rounds unrolled, identical float recipe and λ literal
     "q168_mmr_rerank" -> mmrOracle(6),
+
+    // max-anchored boundaries replayed in date arithmetic
+    "q171_embargo_split" ->
+      """WITH a AS (SELECT max(o_orderdate::DATE) AS mx FROM orders),
+        |l AS (SELECT o_orderdate::DATE AS d, o_totalprice,
+        |    CASE WHEN o_orderdate::DATE > mx - 90 THEN 'test'
+        |         WHEN o_orderdate::DATE <= mx - 104 THEN 'train'
+        |         ELSE 'embargo' END AS split
+        |  FROM orders, a)
+        |SELECT split, count(*)::BIGINT AS n_orders,
+        |  strftime(min(d), '%Y-%m-%d') AS min_date,
+        |  strftime(max(d), '%Y-%m-%d') AS max_date,
+        |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // decile boundaries via the integer rank rule, ties-low assignment
     "q170_equidepth_histogram" ->

@@ -39,6 +39,38 @@ object Splits {
     * the mixture-construction op (e.g. downsample web text to 10%, keep
     * books at 100%) expressed as one filter, no shuffle. Strata absent
     * from `rates` are dropped. */
+  /** Temporal train/test split with an EMBARGO gap — the time-series
+    * leakage control the hash splits above cannot express: test = the
+    * trailing `holdoutDays` (anchored at the column's max date, the P4
+    * deterministic-anchor discipline), train = everything at least
+    * `embargoDays` older than the test boundary, and the rows in
+    * between are labeled `embargo` and belong to NEITHER side — lagged
+    * or windowed features computed on train rows otherwise peek across
+    * the boundary into test time.
+    *
+    * Pure function of (row date, corpus max date): deterministic on any
+    * layout; the anchor rides a broadcast 1-row frame; one projection
+    * pass otherwise. Empty input yields an empty frame.
+    */
+  def temporalEmbargoSplit(df: DataFrame, dateCol: String,
+                           holdoutDays: Int, embargoDays: Int): DataFrame = {
+    require(holdoutDays >= 1, s"holdoutDays must be >= 1, got $holdoutDays")
+    require(embargoDays >= 0, s"embargoDays must be >= 0, got $embargoDays")
+    val anchor = df.agg(max(col(dateCol).cast("date")).as("__max_d"))
+    df.crossJoin(broadcast(anchor))
+      .withColumn("split",
+        when(col(dateCol).cast("date").isNull,
+          raise_error(lit("temporalEmbargoSplit: null date — a row " +
+            "without a date has no place on the timeline; filter or " +
+            "impute first")))
+          .when(col(dateCol).cast("date") >
+            date_sub(col("__max_d"), holdoutDays), lit("test"))
+          .when(col(dateCol).cast("date") <=
+            date_sub(col("__max_d"), holdoutDays + embargoDays), lit("train"))
+          .otherwise(lit("embargo")))
+      .drop("__max_d")
+  }
+
   def sampleStratified(df: DataFrame, strataCol: String, keyCol: String,
                        rates: Map[String, Double]): DataFrame = {
     val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>

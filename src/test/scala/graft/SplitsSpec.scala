@@ -167,4 +167,29 @@ class SplitsSpec extends SparkTestBase {
     // clustered doc takes the REPRESENTATIVE's split, not its own
     assert(byDoc(7L)._2 == plain(1L) && byDoc(19L)._2 == plain(1L))
   }
+
+  test("temporalEmbargoSplit: trailing holdout, excluded gap, boundary dates exact") {
+    val rows = (1 to 100).map(i => (i.toLong, java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i - 1).toString)))
+    val out = Splits.temporalEmbargoSplit(
+        rows.toDF("id", "d"), "d", holdoutDays = 10, embargoDays = 5)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // max = day 100; test: days 91..100; embargo: 86..90; train: <= 85
+    (1L to 85L).foreach(i => assert(out(i) == "train", s"day $i"))
+    (86L to 90L).foreach(i => assert(out(i) == "embargo", s"day $i"))
+    (91L to 100L).foreach(i => assert(out(i) == "test", s"day $i"))
+    // zero embargo: the gap label disappears entirely
+    val noGap = Splits.temporalEmbargoSplit(
+        rows.toDF("id", "d"), "d", holdoutDays = 10, embargoDays = 0)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(noGap == Map("train" -> 90L, "test" -> 10L))
+    // null dates fail loudly; arguments validated
+    val withNull = (rows.map { case (i, d) => (i, Option(d)) } :+
+      ((101L, None: Option[java.sql.Date]))).toDF("id", "d")
+    val e = intercept[Exception](
+      Splits.temporalEmbargoSplit(withNull, "d", 10, 5).collect())
+    assert(messages(e).exists(_.contains("temporalEmbargoSplit")))
+    intercept[IllegalArgumentException](
+      Splits.temporalEmbargoSplit(rows.toDF("id", "d"), "d", 0, 5))
+  }
 }
