@@ -29,7 +29,14 @@ object Bench {
     // tenants and single-shot wall-clock varies several-fold; the min is
     // the standard noise-suppressed estimate. Reported via "repeats".
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter (prefix match on the qN part or
+    // full name) for focused re-measures — e.g. the VERDICT r7 #3
+    // quiet-load replays; full runs leave it unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(f => f.contains(n) || f.contains(n.takeWhile(_ != '_'))) }
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
@@ -61,27 +68,40 @@ object Bench {
     // Best-effort self-archive of the full-precision record: stdout
     // captures can truncate (see the compact line below); a run that can
     // write its working directory leaves the complete evidence on disk.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SELF.json"), fullLine + "\n")
-    catch { case _: Exception => () }
-    // Line 2 (LAST): a compact self-contained duplicate of the same
-    // record. The harness that archives this run keeps only a fixed-size
-    // TAIL of stdout (~2 KB): at 97 queries the full-name line above is
-    // ~2.7 KB, so its head falls outside the window and the archived
-    // record is unparseable (BENCH_r04/r05 "parsed": null, q1–q32 lost).
-    // Keys here are the qN prefix of each query name — unique across the
-    // registry (asserted) — and values are centiseconds-rounded, which
-    // keeps the complete line ~1.3 KB: whole-line-inside-the-window with
-    // margin, so the gate artifact is self-contained again.
+    // ... but never from a FILTERED run — a partial map must not shadow
+    // the complete gate artifact
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SELF.json"), fullLine + "\n")
+      catch { case _: Exception => () }
+      // Second copy at a fixed absolute path: the driver may launch Bench
+      // from a cwd other than the repo root, and the judge reads
+      // /root/repo/BENCH_SELF.json for the complete per-query map
+      // (VERDICT r7 #5 — the stdout tail cannot carry 171+ queries).
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_SELF.json"), fullLine + "\n")
+      catch { case _: Exception => () }
+    }
+    // Line 2 (LAST): a compact record sized to ALWAYS fit the harness's
+    // fixed-size stdout TAIL (~2.3 KB). At 171 queries even a
+    // centisecond qN-keyed map overflows the window (BENCH_r07
+    // "parsed": null, line head cut mid-map) — and the registry keeps
+    // growing — so the tail line now carries only the BASELINE headline
+    // set (the original reference-surface queries q1–q22 that
+    // BASELINE.md tracks) plus the grand total and query count; the
+    // complete map is on line 1 and in BENCH_SELF.json. ~0.5 KB,
+    // whole-line-inside-the-window at any registry size.
     def cs(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val short = results.map { case (k, v, _) => (k.takeWhile(_ != '_'), v) }
     require(short.map(_._1).distinct.size == results.size,
       "qN prefixes must stay unique for the compact bench line")
-    val qsShort = short.map { case (k, v) => s""""$k":${cs(v)}""" }.mkString("{", ",", "}")
-    val errsShort = results.collect { case (k, _, Some(m)) =>
-      s""""${k.takeWhile(_ != '_')}":"${esc(m.take(80))}"""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","n_queries":${results.size},"queries":$qsShort,"errors":$errsShort,"load_avg":${cs(load)},"repeats":$repeats,"sf":"$sfDir","note":"keys are qN prefixes of SparkEntry.queries names; full-name record on the previous line"}""")
+    val headline = short.filter { case (k, _) =>
+      k.drop(1).toIntOption.exists(_ <= 22) }
+    val qsShort = headline.map { case (k, v) => s""""$k":${cs(v)}""" }.mkString("{", ",", "}")
+    val headTotal = headline.collect { case (_, v) if v >= 0 => v }.sum
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":${cs(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"headline_total":${cs(headTotal)},"queries":$qsShort,"load_avg":${cs(load)},"repeats":$repeats,"sf":"$sfDir","note":"queries = q1-q22 headline set; complete ${results.size}-query map on line 1 and in BENCH_SELF.json"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

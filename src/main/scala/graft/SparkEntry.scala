@@ -2385,6 +2385,40 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100, 0).cast("long")).as("revenue_cents"))
         .orderBy(col("split"))),
 
+    // Avro producer leg (closes S14): RecommendationEvent rows built from
+    // orders (custkey → first-3 orderkeys + last order date), encoded in
+    // the Confluent wire frame exactly as the reference's Schema-Registry
+    // serializer would (KafkaEventProducer.cs:27–36,
+    // RecommendationEventSchema.cs:5–19), then decoded back. Gated on
+    // BOTH directions: decoded fields must round-trip AND the encoded
+    // byte length must equal the oracle's independent zigzag-varint
+    // replay of the Avro binary spec — a wrong varint, missing array
+    // terminator, or frame drift shifts avro_len and fails the hash.
+    "q172_avro_roundtrip" -> ((s, dir) => {
+      import graft.functions.{avro_decode, avro_encode}
+      val sch = graft.streaming.StreamIngest.RecommendationEventAvroSchema
+      T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          slice(sort_array(collect_list(col("o_orderkey"))), 1, 3)
+            .as("recommendations"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd'T'HH:mm:ss")
+            .as("timestamp"))
+        .select(avro_encode(
+          struct(col("o_custkey").as("requestedUserId"),
+            col("recommendations"), col("timestamp")),
+          sch, schemaId = 7).as("payload"))
+        .select(length(col("payload")).cast("long").as("avro_len"),
+          avro_decode(col("payload"), sch, schemaId = 7).as("d"))
+        .select(col("d.requestedUserId").as("user_id"),
+          size(col("d.recommendations")).cast("long").as("n_recs"),
+          expr("aggregate(d.recommendations, 0L, (a, x) -> a + x)")
+            .as("rec_sum"),
+          col("d.timestamp").as("ts"),
+          col("avro_len"))
+        .orderBy(col("user_id"))
+    }),
+
     // Equi-depth histogram of lineitem quantity — 10 exact-quantile
     // buckets over a heavily-tied integer-valued column (ties sit low,
     // buckets exactly defined though uneven;
@@ -4372,6 +4406,35 @@ object SparkEntry {
         |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the decoded fields replay as plain SQL (roundtrip identity) and
+    // avro_len replays the Avro 1.x binary spec independently:
+    // 5-byte Confluent frame + zigzag-varint(uid) + one array block
+    // (varint count, items, 0x00 terminator; every custkey has ≥1
+    // order, so the count block is always present) + varint(strlen) +
+    // the 19 UTF-8 chars of the ISO-second timestamp
+    "q172_avro_roundtrip" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id,
+        |         (array_agg(o_orderkey ORDER BY o_orderkey))[1:3] AS recs,
+        |         strftime(max(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS ts
+        |  FROM orders GROUP BY 1)
+        |SELECT user_id, len(recs)::BIGINT AS n_recs,
+        |  list_sum(recs)::BIGINT AS rec_sum, ts,
+        |  (5
+        |   + CASE WHEN 2*user_id < 128 THEN 1 WHEN 2*user_id < 16384 THEN 2
+        |          WHEN 2*user_id < 2097152 THEN 3
+        |          WHEN 2*user_id < 268435456 THEN 4
+        |          WHEN 2*user_id < 34359738368 THEN 5 ELSE 6 END
+        |   + CASE WHEN 2*len(recs) < 128 THEN 1 ELSE 2 END
+        |   + list_sum(list_transform(recs, x ->
+        |          CASE WHEN 2*x < 128 THEN 1 WHEN 2*x < 16384 THEN 2
+        |               WHEN 2*x < 2097152 THEN 3
+        |               WHEN 2*x < 268435456 THEN 4
+        |               WHEN 2*x < 34359738368 THEN 5 ELSE 6 END))
+        |   + 1
+        |   + 1 + len(ts))::BIGINT AS avro_len
+        |FROM r ORDER BY 1""".stripMargin,
+
     // decile boundaries via the integer rank rule, ties-low assignment
     "q170_equidepth_histogram" ->
       """WITH v AS (SELECT l_quantity::DOUBLE AS val FROM lineitem
@@ -4642,7 +4705,7 @@ object SparkEntry {
         |        sum(wt) OVER (ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM w),
         |prm AS (SELECT sum(wt) // 100 AS step, (sum(wt) // 100) // 2 AS off FROM w)
-        |SELECT doc_id AS id, wt AS w, copies FROM (
+        |SELECT doc_id AS id, wt AS w, copies::BIGINT AS copies FROM (
         |  SELECT doc_id, wt,
         |    least(100, greatest(0,
         |      CASE WHEN c - off >= 0 THEN (c - off) // step + 1 ELSE 0 END))
@@ -4665,12 +4728,12 @@ object SparkEntry {
         |f AS (SELECT min(i) AS istar, min(p - cnt) AS pbelow FROM o, g
         |      WHERE p - cnt + cnt * (g.nsrc - i + 1) > g.budget)
         |SELECT key AS source, cnt,
-        |  CASE WHEN f.istar IS NULL OR o.i < f.istar THEN cnt
+        |  (CASE WHEN f.istar IS NULL OR o.i < f.istar THEN cnt
         |       ELSE (g.budget - f.pbelow) // (g.nsrc - f.istar + 1)
         |            + CASE WHEN o.i < f.istar +
         |                ((g.budget - f.pbelow) % (g.nsrc - f.istar + 1))
         |              THEN 1 ELSE 0 END
-        |  END AS alloc,
+        |  END)::BIGINT AS alloc,
         |  (f.istar IS NOT NULL AND o.i >= f.istar) AS capped
         |FROM o, g, f ORDER BY 1""".stripMargin,
 

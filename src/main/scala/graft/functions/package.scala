@@ -59,4 +59,14 @@ package object functions {
   def misra_gries(c: Column, k: Int): Column =
     ColumnShim.column(
       MisraGries(ColumnShim.expression(c), k).toAggregateExpression())
+
+  /** Avro binary encoding of a struct column under an Avro schema JSON;
+    * `schemaId >= 0` adds the 5-byte Confluent Schema Registry frame. */
+  def avro_encode(c: Column, schemaJson: String, schemaId: Int = -1): Column =
+    ColumnShim.column(AvroEncode(ColumnShim.expression(c), schemaJson, schemaId))
+
+  /** Inverse of [[avro_encode]]; with `schemaId >= 0` the Confluent frame
+    * is required and verified (fail-loud on corrupt payloads). */
+  def avro_decode(c: Column, schemaJson: String, schemaId: Int = -1): Column =
+    ColumnShim.column(AvroDecode(ColumnShim.expression(c), schemaJson, schemaId))
 }

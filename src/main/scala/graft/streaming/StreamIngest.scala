@@ -123,13 +123,43 @@ object StreamIngest {
     * Program.cs:57–66): payload rows serialized back to JSON `value`
     * records and written to a topic. Compiles against stock Spark; needs
     * the spark-sql-kafka connector at runtime (same as the source).
-    * Avro + Schema Registry (the reference's second producer) is a wire-
-    * format concern the offline environment cannot exercise (no
-    * spark-avro module shipped); JSON is the semantic equivalent here.
     */
   def writeKafka(payload: DataFrame, bootstrapServers: String, topic: String): Unit =
     payload
       .select(to_json(struct(payload.columns.toIndexedSeq.map(col): _*)).as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+
+  /** The reference's second producer value schema, verbatim semantics
+    * (RecommendationEventSchema.cs:5–19): the Avro record the C#
+    * `AvroSerializer<RecommendationEvent>` registers and emits. */
+  val RecommendationEventAvroSchema: String =
+    """{"type":"record","name":"RecommendationEvent",
+      |"namespace":"com.harman.music","fields":[
+      |{"name":"requestedUserId","type":"long"},
+      |{"name":"recommendations","type":{"type":"array","items":"long"}},
+      |{"name":"timestamp","type":"string"}]}""".stripMargin
+
+  /** Avro leg of S14 (KafkaEventProducer.cs:27–36, the Schema-Registry
+    * producer): rows with columns (requestedUserId, recommendations,
+    * timestamp) encoded to the Confluent wire format — magic byte +
+    * big-endian schema id + Avro binary — via [[graft.functions
+    * .avro_encode]] (built on the classpath's core Avro library; the
+    * spark-avro connector module is absent offline). `schemaId` is what a
+    * live deployment would get from registering
+    * [[RecommendationEventAvroSchema]] with the registry REST API once at
+    * startup. The byte-exact encoding is oracle-gated by
+    * q172_avro_roundtrip; only the broker handshake itself remains
+    * untestable offline.
+    */
+  def writeKafkaAvro(payload: DataFrame, bootstrapServers: String,
+                     topic: String, schemaId: Int): Unit =
+    payload
+      .select(graft.functions.avro_encode(
+        struct(col("requestedUserId"), col("recommendations"), col("timestamp")),
+        RecommendationEventAvroSchema, schemaId).as("value"))
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
