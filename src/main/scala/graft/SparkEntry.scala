@@ -2419,6 +2419,46 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Cohen's kappa between the logistic quality model and a cheap
+    // length-rule rater — the chance-corrected agreement check that a
+    // heuristic can (or cannot) stand in for the model filter
+    // (analytics/Eval.cohenKappa); pure-integer 2×2 arithmetic with
+    // explicit floor semantics on the possibly-negative numerator.
+    "q173_rater_kappa" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val rated = graft.quality.ModelFilter.logitQuality(docs)
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .select(col("keep").as("model_keep"),
+          (col("n_chars") >= 100 && col("n_chars") <= 400).as("rule_keep"))
+      graft.analytics.Eval.cohenKappa(rated, "model_keep", "rule_keep")
+    }),
+
+    // Reliability diagram + Brier score of the quality model's sigmoid
+    // against the q160 language label — per-decile mean prediction vs
+    // empirical rate, global Brier on every row via the broadcast
+    // scalar frame (analytics/Eval.calibrationBins).
+    "q174_calibration_bins" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = graft.quality.ModelFilter.logitQuality(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("score_micro"), (col("lang") === "en").as("is_en"))
+      graft.analytics.Eval.calibrationBins(scored, "score_micro", "is_en")
+    }),
+
+    // Reciprocal-rank fusion of the q108 BM25 leg with a raw
+    // length-normalized TF leg — hybrid retrieval without score
+    // calibration; per-leg contributions are exact integer nano-units
+    // (text/Search.rrfFusion, kFuse = 60).
+    "q175_rrf_fusion" -> ((s, dir) =>
+      graft.text.Search.rrfFusion(T(s, dir, "documents"),
+        terms = Seq("spark", "join"), k = 10)),
+
+    // Length-bucketed batching profile: power-of-two cap ladder,
+    // truncation counted at the top cap, per-bucket padding efficiency
+    // in micro-units (text/Splits.lengthBuckets).
+    "q176_length_buckets" -> ((s, dir) =>
+      graft.text.Splits.lengthBuckets(T(s, dir, "documents"))),
+
     // Equi-depth histogram of lineitem quantity — 10 exact-quantile
     // buckets over a heavily-tied integer-valued column (ties sit low,
     // buckets exactly defined though uneven;
@@ -2522,6 +2562,32 @@ object SparkEntry {
     * literally identical; MATERIALIZED hints for the multiply-referenced
     * CTEs (the bpeOracle lesson).
     */
+  /** Shared DuckDB replay of [[graft.quality.ModelFilter.logitQuality]]'s
+    * score chain (the q147/q160 CTE pipeline), ending in
+    * `sc(doc_id, score_micro)` — reused by the q173/q174 eval oracles so
+    * the scorer replay lives in one place. */
+  private val logitScoreCtes: String =
+    """t AS (SELECT doc_id, text,
+      |    string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+      |b AS (SELECT doc_id,
+      |    len(toks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars,
+      |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS punct_chars,
+      |    len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::BIGINT AS h_en,
+      |    len(list_distinct(toks))::BIGINT AS n_uniq
+      |  FROM t),
+      |f AS (SELECT doc_id,
+      |    round(h_en::DOUBLE / greatest(n_tokens, 1), 4) AS stop_r,
+      |    round(punct_chars::DOUBLE / greatest(n_chars, 1), 4) AS punct_r,
+      |    round(n_uniq::DOUBLE / greatest(n_tokens, 1), 4) AS uniq_r,
+      |    least(n_chars, 2000)::DOUBLE / 2000.0 AS len_norm
+      |  FROM b),
+      |z AS (SELECT doc_id,
+      |    -2.0 + 6.0 * stop_r + -8.0 * punct_r + 3.0 * uniq_r + 2.0 * len_norm AS z
+      |  FROM f),
+      |sc AS (SELECT doc_id,
+      |    round(1.0 / (1.0 + exp(-z)) * 1000000.0)::BIGINT AS score_micro FROM z)"""
+      .stripMargin
+
   private def kcenterOracle(k: Int): String = {
     val rounds = (1 until k).map { r =>
       s"""m$r AS MATERIALIZED (SELECT a.vec_id, a.vec, a.sq,
@@ -4434,6 +4500,99 @@ object SparkEntry {
         |   + 1
         |   + 1 + len(ts))::BIGINT AS avro_len
         |FROM r ORDER BY 1""".stripMargin,
+
+    // the q147 score chain + the 2×2 table; the kappa CASE spells floor
+    // division with nonnegative `//`s exactly as the engine does
+    "q173_rater_kappa" ->
+      (s"""WITH $logitScoreCtes,
+        |r AS (SELECT sc.doc_id, sc.score_micro >= 500000 AS ra,
+        |        d.n_chars BETWEEN 100 AND 400 AS rb
+        |      FROM sc JOIN documents d USING (doc_id)),
+        |tt AS (SELECT
+        |  (count(*) FILTER (WHERE ra AND rb))::BIGINT AS both_true,
+        |  (count(*) FILTER (WHERE ra AND NOT rb))::BIGINT AS only_a,
+        |  (count(*) FILTER (WHERE NOT ra AND rb))::BIGINT AS only_b,
+        |  (count(*) FILTER (WHERE NOT ra AND NOT rb))::BIGINT AS neither
+        |  FROM r),
+        |k AS (SELECT both_true, only_a, only_b, neither,
+        |  both_true + only_a + only_b + neither AS n,
+        |  (both_true + only_a) * (both_true + only_b)
+        |    + (only_b + neither) * (only_a + neither) AS s FROM tt)
+        |SELECT both_true, only_a, only_b, neither, n::BIGINT AS n,
+        |  (CASE WHEN (n * (both_true + neither) - s) >= 0
+        |    THEN ((n * (both_true + neither) - s) * 1000000) // (n * n - s)
+        |    ELSE -((-((n * (both_true + neither) - s) * 1000000)
+        |            + (n * n - s) - 1) // (n * n - s))
+        |  END)::BIGINT AS kappa_micro
+        |FROM k""").stripMargin,
+
+    // same score chain; deciles, per-bin integer means, global Brier
+    "q174_calibration_bins" ->
+      (s"""WITH $logitScoreCtes,
+        |l AS (SELECT sc.score_micro AS p, (d.lang = 'en') AS y
+        |      FROM sc JOIN documents d USING (doc_id)),
+        |tb AS (SELECT least(p // 100000, 9) AS bin, p,
+        |         CASE WHEN y THEN 1000000 ELSE 0 END AS ym FROM l),
+        |bins AS (SELECT bin, count(*)::BIGINT AS n_rows, sum(p)::BIGINT AS sp,
+        |         (count(*) FILTER (WHERE ym > 0))::BIGINT AS np
+        |         FROM tb GROUP BY 1),
+        |g AS (SELECT count(*)::BIGINT AS n,
+        |      sum((p - ym) * (p - ym))::BIGINT AS se FROM tb)
+        |SELECT bin::BIGINT AS bin, n_rows,
+        |  (sp // n_rows)::BIGINT AS mean_p_micro,
+        |  ((np * 1000000) // n_rows)::BIGINT AS pos_rate_micro,
+        |  (se // (n * 1000000))::BIGINT AS brier_micro
+        |FROM bins, g ORDER BY 1""").stripMargin,
+
+    // both legs replayed (q108's BM25 chain + the TF leg), ranked with
+    // the identical tie-break, fused in integer nano-units
+    "q175_rrf_fusion" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+        |qt AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok
+        |  WHERE token IN ('spark', 'join') GROUP BY 1, 2),
+        |qdf AS (SELECT token, count(*)::BIGINT AS df FROM qt GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |s AS (SELECT q.doc_id,
+        |    round((q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * (dl.dl / ad.avgdl)))
+        |      * ((nn.n - d.df + 0.5) / (d.df + 0.5)) * 1000000.0)::BIGINT AS score_micro
+        |  FROM qt q JOIN qdf d USING (token) JOIN dl ON dl.doc_id = q.doc_id
+        |  CROSS JOIN nn CROSS JOIN ad),
+        |bm AS (SELECT doc_id, sum(score_micro)::BIGINT AS bm25_micro
+        |  FROM s GROUP BY 1 ORDER BY bm25_micro DESC, doc_id ASC LIMIT 10),
+        |bmr AS (SELECT doc_id, row_number() OVER
+        |  (ORDER BY bm25_micro DESC, doc_id ASC)::BIGINT AS bm25_rank FROM bm),
+        |qtf AS (SELECT doc_id, sum(tf)::BIGINT AS qtf FROM qt GROUP BY 1),
+        |tfl AS (SELECT q.doc_id, (q.qtf * 1000000) // dl.dl AS tf_micro
+        |  FROM qtf q JOIN dl ON dl.doc_id = q.doc_id
+        |  ORDER BY tf_micro DESC, q.doc_id ASC LIMIT 10),
+        |tfr AS (SELECT doc_id, row_number() OVER
+        |  (ORDER BY tf_micro DESC, doc_id ASC)::BIGINT AS tf_rank FROM tfl)
+        |SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id, b.bm25_rank, t.tf_rank,
+        |  (COALESCE(1000000000 // (60 + b.bm25_rank), 0)
+        |   + COALESCE(1000000000 // (60 + t.tf_rank), 0))::BIGINT AS rrf_nano
+        |FROM bmr b FULL OUTER JOIN tfr t ON b.doc_id = t.doc_id
+        |ORDER BY rrf_nano DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // cap ladder, truncation at the top cap, per-bucket efficiency
+    "q176_length_buckets" ->
+      """WITH t AS (SELECT len(string_split_regex(lower(text), '[ \t\n\r\f]+'))::BIGINT AS tokens
+        |  FROM documents),
+        |a AS (SELECT tokens,
+        |  CASE WHEN tokens <= 16 THEN 16 WHEN tokens <= 32 THEN 32
+        |       WHEN tokens <= 64 THEN 64 WHEN tokens <= 128 THEN 128
+        |       WHEN tokens <= 256 THEN 256 WHEN tokens <= 512 THEN 512
+        |       WHEN tokens <= 1024 THEN 1024 WHEN tokens <= 2048 THEN 2048
+        |       ELSE 4096 END AS bucket_cap,
+        |  least(tokens, 4096) AS kept FROM t)
+        |SELECT bucket_cap::BIGINT AS bucket_cap, count(*)::BIGINT AS n_docs,
+        |  (count(*) FILTER (WHERE tokens > 4096))::BIGINT AS n_truncated,
+        |  sum(kept)::BIGINT AS kept_tokens,
+        |  (count(*) * bucket_cap)::BIGINT AS padded_tokens,
+        |  ((sum(kept) * 1000000) // (count(*) * bucket_cap))::BIGINT AS efficiency_micro
+        |FROM a GROUP BY bucket_cap ORDER BY 1""".stripMargin,
 
     // decile boundaries via the integer rank rule, ties-low assignment
     "q170_equidepth_histogram" ->

@@ -99,4 +99,110 @@ object Eval {
           .otherwise(expr("(u2 * 1000000) div (2 * n_pos * n_neg)"))
           .as("auc_micro"))
   }
+
+  /** Cohen's kappa between two boolean raters — the chance-corrected
+    * agreement of two CLASSIFIERS over the same rows (quality model vs
+    * heuristic rule, old filter vs new filter): the standard check that
+    * a cheap rater can stand in for an expensive one. Everything is
+    * integer: with the 2×2 table (a = both true, b = only A, c = only
+    * B, d = neither, n = a+b+c+d),
+    * {{{
+    *   kappa = (n·(a+d) − S) / (n² − S),  S = (a+b)(a+c) + (c+d)(b+d)
+    * }}}
+    * emitted as `kappa_micro = floor(kappa · 10⁶)` — the numerator can
+    * be negative (worse-than-chance agreement; for the binary 2×2 case
+    * kappa IS bounded in [−1, 1]: num ≥ −den reduces to
+    * `n(a+d) ≥ (a−d)² − (b−c)²`, which holds since (a−d)² ≤ n(a+d)),
+    * and Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, so the floor is spelled with nonnegative divisions only:
+    * `−((−x + den − 1) div den)` on the negative branch. An oracle
+    * replaying the identical CASE matches bit-for-bit.
+    *
+    * Fail-loud edges: constant raters make pe = 1 (denominator 0 —
+    * kappa undefined), and n beyond ~2·10⁶ rows overflows
+    * `|num|·10⁶ ≤ 2n²·10⁶` in BIGINT — both raise instead of returning
+    * garbage. At 100 TB the 2×2 table is still four counts (one
+    * map-side-combinable aggregate); only the final scalar arithmetic
+    * needs DECIMAL there.
+    */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val t = df.select(col(colA).cast("boolean").as("ra"),
+        col(colB).cast("boolean").as("rb"))
+      .where(col("ra").isNotNull && col("rb").isNotNull)
+      // coalesce: a global agg over ZERO rows yields null sums, which
+      // would null-skip every guard below instead of raising
+      .agg(coalesce(sum(when(col("ra") && col("rb"), 1L).otherwise(0L)), lit(0L)).as("both_true"),
+        coalesce(sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)), lit(0L)).as("only_a"),
+        coalesce(sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)), lit(0L)).as("only_b"),
+        coalesce(sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)), lit(0L)).as("neither"))
+    t.select(col("both_true"), col("only_a"), col("only_b"), col("neither"),
+        (col("both_true") + col("only_a") + col("only_b") + col("neither"))
+          .as("n"))
+      .withColumn("__s",
+        (col("both_true") + col("only_a")) * (col("both_true") + col("only_b")) +
+        (col("only_b") + col("neither")) * (col("only_a") + col("neither")))
+      .withColumn("__num",
+        (col("n") * (col("both_true") + col("neither")) - col("__s")) * 1000000L)
+      .withColumn("__den", col("n") * col("n") - col("__s"))
+      .select(col("both_true"), col("only_a"), col("only_b"), col("neither"),
+        col("n"),
+        when(col("n") === 0 || col("__den") === 0,
+          raise_error(lit("cohenKappa: empty input or constant raters — " +
+            "chance agreement is 1, kappa is undefined")))
+          .when(col("n") > 2000000L,
+            raise_error(lit("cohenKappa: n > 2e6 overflows the BIGINT " +
+              "kappa arithmetic — compute the 2x2 table in DECIMAL")))
+          .when(col("__num") >= 0, expr("__num div __den"))
+          .otherwise(-expr("(-__num + __den - 1) div __den"))
+          .as("kappa_micro"))
+  }
+
+  /** Reliability (calibration) diagram of a probabilistic scorer in
+    * integer micro-units: rows bucketed by predicted probability
+    * (`pMicroCol` ∈ [0, 10⁶], `nBins` equal-width bins, the 1.0 edge
+    * folded into the last bin), each bin reporting its size, mean
+    * predicted probability, and empirical positive rate — the per-bin
+    * gap IS the calibration error. The global Brier score (mean squared
+    * error of p against the 0/10⁶ label, in micro-units) rides every
+    * row via a broadcast one-row frame — the established
+    * scalar-parameter delivery, so one result surface carries both the
+    * curve and the headline number.
+    *
+    * Integer posture: `(p − y·10⁶)²` ≤ 10¹² per row keeps the Brier sum
+    * in BIGINT to ~9·10⁶ rows (fail-loud above); per-bin divisions are
+    * nonnegative `div`s. Empty input yields an EMPTY diagram (AQE's
+    * empty-relation propagation would skip a scalar-side raise anyway —
+    * the curve of nothing is nothing, not an error). 100 TB shape: one
+    * map-side-combinable groupBy on the bin key (≤ nBins groups) + one
+    * scalar aggregate.
+    */
+  def calibrationBins(df: DataFrame, pMicroCol: String, labelCol: String,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && 1000000 % nBins == 0,
+      s"nBins must divide 1e6 and be >= 2, got $nBins")
+    val w = 1000000L / nBins
+    val t = df.select(col(pMicroCol).cast("long").as("p"),
+        col(labelCol).cast("boolean").as("y"))
+      .where(col("p").isNotNull && col("y").isNotNull)
+      .select(when(col("p") < 0 || col("p") > 1000000L,
+          raise_error(lit("calibrationBins: p_micro outside [0, 1e6]")))
+          .otherwise(least(expr(s"p div ${w}L"), lit(nBins - 1L)).cast("long"))
+          .as("bin"),
+        col("p"), when(col("y"), 1000000L).otherwise(0L).as("ym"))
+    val bins = t.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("p")).as("__sp"),
+        sum(when(col("ym") > 0, 1L).otherwise(0L)).as("__np"))
+    val brier = t.agg(count(lit(1)).as("__n"),
+        sum((col("p") - col("ym")) * (col("p") - col("ym"))).as("__se"))
+      .select(when(col("__n") > 9000000L,
+          raise_error(lit("calibrationBins: n > 9e6 overflows the BIGINT " +
+            "Brier sum — pre-aggregate or use DECIMAL")))
+        .otherwise(expr("__se div (__n * 1000000)")).as("brier_micro"))
+    bins.crossJoin(broadcast(brier))
+      .select(col("bin"), col("n_rows"),
+        expr("__sp div n_rows").as("mean_p_micro"),
+        expr("(__np * 1000000) div n_rows").as("pos_rate_micro"),
+        col("brier_micro"))
+      .orderBy(col("bin"))
+  }
 }

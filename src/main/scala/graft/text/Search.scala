@@ -66,6 +66,57 @@ object Search {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion of two retrieval legs — the standard hybrid
+    * of a lexical ranker and a second signal without score calibration:
+    * here [[bm25TopDocs]] fused with a length-normalized term-frequency
+    * ranking (`tf_micro = Σtf·10⁶ div dl` — a deliberately different
+    * lexical view: BM25's idf weighting and tf saturation vs raw
+    * density). Each leg contributes `10⁹ div (kFuse + rank)` in exact
+    * integer nano-units (floor division — engines agree; the classic
+    * kFuse = 60 of Cormack et al., SIGIR'09), a doc missing from a leg
+    * contributes 0, and the fused top-`k` orders by
+    * (rrf_nano desc, doc_id asc).
+    *
+    * Scale posture: both legs end in TakeOrderedAndProject top-`k`, so
+    * the rank windows and the outer join below run on two k-row frames
+    * — serving-sized by construction, the same bounded-input argument
+    * as MMR's candidate pool. The corpus-scale work is inside
+    * [[bm25TopDocs]]'s three hash aggregations, shared posting filter
+    * included; nothing here re-touches the corpus.
+    */
+  def rrfFusion(docs: DataFrame, terms: Seq[String], k: Int = 10,
+                kFuse: Int = 60, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "rrfFusion needs at least one query term")
+    require(kFuse >= 1, s"kFuse must be >= 1, got $kFuse")
+    val legA = bm25TopDocs(docs, terms, k, textCol = textCol, idCol = idCol)
+      .select(col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("bm25_micro").desc, col("doc_id").asc))
+          .cast("long").as("bm25_rank"))
+    val tok = docs.select(col(idCol).as("doc_id"),
+        Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val legB = tok.filter(col("token").isInCollection(terms))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("qtf"))
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"), expr("(qtf * 1000000) div dl").as("tf_micro"))
+      .orderBy(col("tf_micro").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("tf_micro").desc, col("doc_id").asc))
+          .cast("long").as("tf_rank"))
+    legA.join(legB, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("tf_rank"),
+        (coalesce(expr(s"1000000000 div ($kFuse + bm25_rank)"), lit(0L)) +
+         coalesce(expr(s"1000000000 div ($kFuse + tf_rank)"), lit(0L)))
+          .as("rrf_nano"))
+      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Conjunctive (AND) search: documents containing EVERY term in
     * `terms`, with their token length. The posting-list intersection is
     * expressed as distinct-(doc, term) membership counted up to

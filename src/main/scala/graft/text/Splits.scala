@@ -317,6 +317,48 @@ object Splits {
       .select(col("key").as(keyCol), col("cnt"), col("alloc"), col("capped"))
   }
 
+  /** Length-bucketed batching profile — the padding-efficiency planner
+    * for fixed-shape training batches: each document is assigned the
+    * smallest bucket cap from `caps` that holds its token count
+    * ([[Dedup.tokens]] normalization, the shared tokenizer), documents
+    * longer than the top cap are TRUNCATED to it (the real training
+    * semantics of a max context length, counted explicitly rather than
+    * hidden), and each bucket reports its doc count, truncation count,
+    * kept-token total, padded-token total (`n_docs · cap`), and
+    * `efficiency_micro = kept·10⁶ div padded` — the fraction of batch
+    * compute that lands on real tokens. Bucket choice IS the knob: a
+    * coarse ladder wastes compute as padding, a fine ladder shrinks
+    * per-bucket batch pools; this profile is the data for that trade.
+    *
+    * Determinism: the cap ladder is an explicit foldRight CASE chain
+    * (no log2 floats at power-of-two boundaries); all divisions are
+    * nonnegative integer `div`s. Scale posture: one narrow pass to
+    * (cap, tokens) then a map-side-combinable groupBy on ≤ |caps| keys
+    * — no data-sized shuffle, no window.
+    */
+  def lengthBuckets(docs: DataFrame,
+                    caps: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L,
+                      1024L, 2048L, 4096L),
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps,
+      s"caps must be a strictly ascending non-empty ladder, got $caps")
+    val top = caps.last
+    val t = docs.select(size(Dedup.tokens(col(textCol))).cast("long").as("tokens"))
+    val capCol = caps.init.foldRight(lit(top): Column) {
+      case (cap, acc) => when(col("tokens") <= cap, lit(cap)).otherwise(acc)
+    }
+    t.select(capCol.as("bucket_cap"), col("tokens"),
+        least(col("tokens"), lit(top)).as("kept"))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tokens") > top, 1L).otherwise(0L)).as("n_truncated"),
+        sum(col("kept")).as("kept_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket_cap"))
+      .withColumn("efficiency_micro",
+        expr("(kept_tokens * 1000000) div padded_tokens"))
+      .orderBy(col("bucket_cap"))
+  }
+
   def assign(df: DataFrame, keyCol: String,
              fractions: Seq[(String, Double)] =
                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {

@@ -78,4 +78,78 @@ class EvalSpec extends SparkTestBase {
       Eval.leaveOneGroupOut(Seq(("only", 1L)).toDF("src", "v"), "src", "v").collect())
     assert(messages(e).exists(_.contains("leaveOneGroupOut")))
   }
+
+  /** Exact integer reference: floor(kappa · 10⁶) via Math.floorDiv —
+    * no doubles, so boundary cases (kappa exactly 0, −1, rationals
+    * landing on integers) can't be off by an ulp. */
+  private def bruteKappa(pairs: Seq[(Boolean, Boolean)]): Long = {
+    val n = pairs.size.toLong
+    val a = pairs.count(p => p._1 && p._2).toLong
+    val b = pairs.count(p => p._1 && !p._2).toLong
+    val c = pairs.count(p => !p._1 && p._2).toLong
+    val d = pairs.count(p => !p._1 && !p._2).toLong
+    val s = (a + b) * (a + c) + (c + d) * (b + d)
+    Math.floorDiv((n * (a + d) - s) * 1000000L, n * n - s)
+  }
+
+  private def runKappa(pairs: Seq[(Boolean, Boolean)]): (Long, Long, Long, Long, Long, Long) = {
+    val r = Eval.cohenKappa(pairs.toDF("ra", "rb"), "ra", "rb")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.length == 1)
+    r.head
+  }
+
+  test("cohenKappa matches the double-precision floor on random raters") {
+    val gen = for {
+      n <- Gen.chooseNum(4, 300)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false)))
+      // both raters must vary (constant raters are the fail-loud case)
+      forced = (true, true) +: (true, false) +: (false, true) +: (false, false) +: rows
+    } yield forced
+    for (pairs <- samples(gen, n = 10))
+      assert(runKappa(pairs)._6 == bruteKappa(pairs), s"pairs=$pairs")
+  }
+
+  test("cohenKappa: perfect agreement 1e6, -1e6 floor, negative floor exact") {
+    val perfect = Seq((true, true), (true, true), (false, false))
+    assert(runKappa(perfect)._6 == 1000000L)
+    // disagreement on every row, balanced marginals: kappa = -1 exactly
+    // (the binary-rater lower bound — see the operator doc)
+    val inverted = Seq((true, false), (false, true), (true, false), (false, true))
+    assert(runKappa(inverted)._6 == -1000000L)
+    // skewed disagreement: kappa = -0.6 exactly — the negative branch's
+    // nonneg-division floor must not truncate toward zero
+    val skew = Seq((true, false), (true, false), (true, false), (false, true))
+    assert(runKappa(skew)._6 == -600000L && bruteKappa(skew) == -600000L)
+  }
+
+  test("cohenKappa fails loudly on constant raters and empty input") {
+    val e = intercept[Exception](runKappa(Seq((true, true), (true, true))))
+    assert(messages(e).exists(_.contains("cohenKappa")))
+    val e2 = intercept[Exception](runKappa(Seq.empty))
+    assert(messages(e2).exists(_.contains("cohenKappa")))
+  }
+
+  private def runCal(rows: Seq[(Long, Boolean)], nBins: Int = 10) =
+    Eval.calibrationBins(rows.toDF("p", "y"), "p", "y", nBins)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("calibrationBins: bins, integer means, rates, and Brier by hand") {
+    // bin 0: p=50000 y=false; bin 9: p=900000 y=true, p=1000000 y=true
+    // (the 1.0 edge folds into the last bin)
+    val rows = Seq((50000L, false), (900000L, true), (1000000L, true))
+    val got = runCal(rows)
+    // brier = (50000² + 100000² + 0) / (3·10⁶) = (25e8+1e10)/3e6 = 4166 (floor)
+    val brier = (50000L * 50000L + 100000L * 100000L) / (3L * 1000000L)
+    assert(got == Seq(
+      (0L, 1L, 50000L, 0L, brier),
+      (9L, 2L, 950000L, 1000000L, brier)))
+  }
+
+  test("calibrationBins: out-of-range p raises; empty input yields an empty diagram") {
+    val e = intercept[Exception](runCal(Seq((1000001L, true), (5L, false))))
+    assert(messages(e).exists(_.contains("calibrationBins")))
+    assert(runCal(Seq.empty).isEmpty)
+    intercept[IllegalArgumentException](runCal(Seq((1L, true)), nBins = 7))
+  }
 }

@@ -52,6 +52,49 @@ class SearchAssocSpec extends SparkTestBase {
     }
   }
 
+  test("rrfFusion == brute two-leg reciprocal-rank fusion in nano-units") {
+    val word = Gen.oneOf("spark", "join", "scan", "merge", "the", "a")
+    val docGen = Gen.chooseNum(1, 9).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    samples(Gen.listOfN(14, docGen), n = 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val terms = Seq("spark", "join")
+      val (k1, b) = (1.2, 0.75)
+      val tokenized = texts.zipWithIndex.map { case (t, i) => i.toLong -> toks(t) }.toMap
+      val n = texts.size.toLong
+      val avgdl = tokenized.values.map(_.size).sum.toDouble / n
+      val df = terms.map(t => t -> tokenized.values.count(_.contains(t)).toLong).toMap
+      val bmLeg = tokenized.toSeq.flatMap { case (id, tk) =>
+        val scores = terms.flatMap { t =>
+          val tf = tk.count(_ == t).toLong
+          if (tf == 0 || df(t) == 0) None
+          else {
+            val tfn = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (tk.size / avgdl)))
+            val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
+            Some(math.floor(tfn * idf * 1e6 + 0.5).toLong)
+          }
+        }
+        if (scores.isEmpty) None else Some((id, scores.sum))
+      }.sortBy { case (id, s) => (-s, id) }.take(10)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val tfLeg = tokenized.toSeq.flatMap { case (id, tk) =>
+        val qtf = tk.count(terms.contains).toLong
+        if (qtf == 0) None else Some((id, qtf * 1000000L / tk.size))
+      }.sortBy { case (id, s) => (-s, id) }.take(10)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val want = (bmLeg.keySet ++ tfLeg.keySet).toSeq.map { id =>
+        val rrf = bmLeg.get(id).map(r => 1000000000L / (60L + r)).getOrElse(0L) +
+          tfLeg.get(id).map(r => 1000000000L / (60L + r)).getOrElse(0L)
+        (id, bmLeg.get(id), tfLeg.get(id), rrf)
+      }.sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+      val got = Search.rrfFusion(docs, terms, k = 10).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3))).toSeq
+      assert(got == want, s"got=$got want=$want texts=$texts")
+    }
+  }
+
   test("conjunctiveSearch == all-terms membership brute force") {
     val word = Gen.oneOf("spark", "merge", "window", "x", "y")
     val docGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))

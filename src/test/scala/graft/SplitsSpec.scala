@@ -192,4 +192,27 @@ class SplitsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Splits.temporalEmbargoSplit(rows.toDF("id", "d"), "d", 0, 5))
   }
+
+  test("lengthBuckets: ladder assignment, truncation, efficiency by hand") {
+    // token counts: 3 → cap 4; 4 → cap 4 (boundary inclusive); 5, 7 →
+    // cap 8; 20, 25 → truncated to top cap 16
+    val texts = Seq(3, 4, 5, 7, 20, 25).zipWithIndex
+      .map { case (t, i) => (i.toLong, Seq.fill(t)("w").mkString(" ")) }
+    val got = Splits.lengthBuckets(texts.toDF("doc_id", "text"),
+        caps = Seq(4L, 8L, 16L))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (4L, 2L, 0L, 7L, 8L, 7L * 1000000L / 8L),
+      (8L, 2L, 0L, 12L, 16L, 12L * 1000000L / 16L),
+      (16L, 2L, 2L, 32L, 32L, 1000000L)))
+  }
+
+  test("lengthBuckets rejects an unsorted or duplicated cap ladder") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Splits.lengthBuckets(df, caps = Seq(8L, 4L)))
+    intercept[IllegalArgumentException](
+      Splits.lengthBuckets(df, caps = Seq(4L, 4L, 8L)))
+    intercept[IllegalArgumentException](Splits.lengthBuckets(df, caps = Nil))
+  }
 }
