@@ -231,4 +231,67 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected <=3 exchanges (hash agg, idx agg, rebuild), got ${shuffles(out).size}")
     assert(!executedPlanNodes(out).mkString("\n").contains("CartesianProduct"))
   }
+
+  test("cohenKappa collapses to one global aggregate: a single exchange, no window") {
+    val d = (1 to 40).map(i => (i % 2 == 0, i % 3 == 0)).toDF("ra", "rb")
+    val out = graft.analytics.Eval.cohenKappa(d, "ra", "rb")
+    // partial agg map-side, one exchange to the single final group
+    assert(shuffles(out).size == 1,
+      s"expected the one final-agg exchange, got ${shuffles(out).size}")
+    assert(!executedPlanNodes(out).mkString("\n").contains("Window"))
+  }
+
+  test("calibrationBins: bin-key agg + scalar Brier ride <=3 exchanges; Brier broadcasts") {
+    val d = (0 to 50).map(i => (i * 19000L, i % 2 == 0)).toDF("p", "y")
+    val out = graft.analytics.Eval.calibrationBins(d, "p", "y")
+    assert(broadcasts(out).nonEmpty, "the 1-row Brier frame must broadcast")
+    // bin agg + scalar agg (+ the orderBy range exchange) — never a
+    // data-sized join shuffle
+    assert(shuffles(out).size <= 3,
+      s"expected <=3 exchanges (bin agg, scalar agg, sort), got ${shuffles(out).size}")
+    assert(!executedPlanNodes(out).mkString("\n").contains("CartesianProduct"))
+  }
+
+  test("rrfFusion windows rank only post-limit k-row frames, never the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{CollectLimitExec, TakeOrderedAndProjectExec}
+    val d = (1 to 30).map(i =>
+      (i.toLong, Seq.fill(i % 4 + 1)("spark").mkString(" ") + " filler"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Search.rrfFusion(d, Seq("spark"), k = 5)
+    val nodes = executedPlanNodes(out)
+    // every WindowExec must sit above a limit (its input is a top-k
+    // frame, k rows by construction) — walk each window's subtree and
+    // demand a limit node below it
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "rank windows expected")
+    windows.foreach { w =>
+      def subtree(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val inner = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        p +: inner.flatMap(subtree)
+      }
+      val hasLimit = subtree(w).drop(1).exists {
+        case _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+        case g: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case _ => false
+      }
+      assert(hasLimit, s"window ranks a non-limited frame:\n$w")
+    }
+  }
+
+  test("lengthBuckets is one map-side-combinable agg on <=|caps| keys: one exchange") {
+    val d = (1 to 30).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.text.Splits.lengthBuckets(d, caps = Seq(8L, 16L, 32L))
+    // cap-key agg + the output orderBy range exchange; no join, no window
+    assert(shuffles(out).size <= 2,
+      s"expected <=2 exchanges (cap agg, sort), got ${shuffles(out).size}")
+    val plan = executedPlanNodes(out).mkString("\n")
+    assert(!plan.contains("Window") && !plan.contains("Join"))
+  }
 }
