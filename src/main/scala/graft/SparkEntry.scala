@@ -2459,6 +2459,46 @@ object SparkEntry {
     "q176_length_buckets" -> ((s, dir) =>
       graft.text.Splits.lengthBuckets(T(s, dir, "documents"))),
 
+    // Distinct l-diversity audit over the events fact: groups keyed by
+    // (cohort, day) that pass k-anonymity by size can still leak the
+    // sensitive event_type when it is near-constant inside the group —
+    // the homogeneity attack (quality/Anonymity.lDiversity, l = 3).
+    "q177_l_diversity" -> ((s, dir) =>
+      graft.quality.Anonymity.lDiversity(T(s, dir, "events"),
+          quasi = Seq(
+            "cohort" -> (col("user_id") % 20),
+            "day" -> to_date(col("ts"))),
+          sensitive = col("event_type"), l = 3)
+        .orderBy(col("cohort"), col("day"))),
+
+    // Exact nDCG@10 + MRR of the BM25 ranking against graded relevance
+    // (2·is-English + is-substantial): position discounts are Scala-
+    // computed literals on BOTH engines, so the log₂ never runs inside
+    // either (analytics/Eval.rankedNdcgMrr; dcgWeightMicro).
+    "q178_ranking_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, dir, "documents")
+      val ranked = graft.text.Search.bm25TopDocs(docs, Seq("spark", "join"), k = 10)
+        .select(col("doc_id"), row_number().over(
+            Window.orderBy(col("bm25_micro").desc, col("doc_id").asc))
+          .cast("long").as("rank"))
+        .join(docs.select(col("doc_id"),
+          ((col("lang") === "en").cast("long") * 2 +
+            (col("n_chars") >= 150).cast("long")).as("rel")), Seq("doc_id"))
+      graft.analytics.Eval.rankedNdcgMrr(ranked, "rank", "rel", k = 10)
+    }),
+
+    // Large-star/small-star connected components (Kiveris et al.,
+    // KDD'14) over the SAME near-dup edge set as q38 — the O(log n)-
+    // round plan for long duplicate chains where min-label propagation
+    // needs diameter rounds; gated against the IDENTICAL recursive-
+    // closure oracle (the multi-plan discipline of the three exact-
+    // Jaccard joins). graph/ConnectedComponents.twoPhase.
+    "q179_cc_twophase" -> ((s, dir) =>
+      graft.graph.ConnectedComponents.twoPhase(
+          Dedup.ngramJaccard(Tables.documents(s, dir), n = 3, threshold = 0.4))
+        .orderBy(col("doc_id"))),
+
     // Equi-depth histogram of lineitem quantity — 10 exact-quantile
     // buckets over a heavily-tied integer-valued column (ties sit low,
     // buckets exactly defined though uneven;
@@ -2587,6 +2627,74 @@ object SparkEntry {
       |sc AS (SELECT doc_id,
       |    round(1.0 / (1.0 + exp(-z)) * 1000000.0)::BIGINT AS score_micro FROM z)"""
       .stripMargin
+
+  /** Recursive-closure connected components over the q38 near-dup edge
+    * set — ground truth for BOTH cc plans (q38 min-label propagation,
+    * q179 large-star/small-star). */
+  private val ccClusterOracle: String =
+    """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |       FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT d1, d2 FROM inter
+      |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+      |          WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.4),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |nodes AS (SELECT DISTINCT a AS doc_id FROM edges)
+      |SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster_id,
+      |  least(n.doc_id, min(r.b)) = n.doc_id AS is_kept
+      |FROM nodes n JOIN reach r ON r.a = n.doc_id
+      |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
+
+  /** q178's DuckDB replay: BM25 chain + graded relevance + the SAME
+    * Scala-computed position-discount literals the plan embeds. */
+  private def ndcgOracle(k: Int): String = {
+    val weights = (1 to k)
+      .map(i => s"($i, ${graft.analytics.Eval.dcgWeightMicro(i)})")
+      .mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+')) AS token
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+      |qt AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok
+      |  WHERE token IN ('spark', 'join') GROUP BY 1, 2),
+      |qdf AS (SELECT token, count(*)::BIGINT AS df FROM qt GROUP BY 1),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+      |s AS (SELECT q.doc_id,
+      |    round((q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * (dl.dl / ad.avgdl)))
+      |      * ((nn.n - d.df + 0.5) / (d.df + 0.5)) * 1000000.0)::BIGINT AS score_micro
+      |  FROM qt q JOIN qdf d USING (token) JOIN dl ON dl.doc_id = q.doc_id
+      |  CROSS JOIN nn CROSS JOIN ad),
+      |bm AS (SELECT doc_id, sum(score_micro)::BIGINT AS bm25_micro
+      |  FROM s GROUP BY 1 ORDER BY bm25_micro DESC, doc_id ASC LIMIT $k),
+      |bmr AS (SELECT doc_id, row_number() OVER
+      |  (ORDER BY bm25_micro DESC, doc_id ASC)::BIGINT AS r FROM bm),
+      |rel AS (SELECT b.r,
+      |    (CASE WHEN d.lang = 'en' THEN 2 ELSE 0 END
+      |     + CASE WHEN d.n_chars >= 150 THEN 1 ELSE 0 END)::BIGINT AS rel
+      |  FROM bmr b JOIN documents d USING (doc_id)),
+      |w(pos, wt) AS (VALUES $weights),
+      |ideal AS (SELECT rel, r,
+      |    row_number() OVER (ORDER BY rel DESC, r ASC)::BIGINT AS ir FROM rel),
+      |agg AS (SELECT count(*)::BIGINT AS n_ranked,
+      |    coalesce(sum(i.rel * wr.wt), 0)::BIGINT AS dcg_micro,
+      |    coalesce(sum(i.rel * wi.wt), 0)::BIGINT AS idcg_micro,
+      |    coalesce(min(CASE WHEN i.rel > 0 THEN i.r END), 0)::BIGINT AS first_rel_rank
+      |  FROM ideal i JOIN w wr ON wr.pos = i.r JOIN w wi ON wi.pos = i.ir)
+      |SELECT n_ranked, dcg_micro, idcg_micro,
+      |  (CASE WHEN idcg_micro = 0 THEN 0
+      |        ELSE (dcg_micro * 1000000) // idcg_micro END)::BIGINT AS ndcg_micro,
+      |  first_rel_rank,
+      |  (CASE WHEN first_rel_rank = 0 THEN 0
+      |        ELSE 1000000000 // first_rel_rank END)::BIGINT AS mrr_nano
+      |FROM agg""".stripMargin
+  }
 
   private def kcenterOracle(k: Int): String = {
     val rounds = (1 until k).map { r =>
@@ -3212,26 +3320,11 @@ object SparkEntry {
         |SELECT pack_bucket, pack_id, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "q38_dedup_clusters" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-        |       FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-        |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT d1, d2 FROM inter
-        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
-        |          WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.4),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges)
-        |SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster_id,
-        |  least(n.doc_id, min(r.b)) = n.doc_id AS is_kept
-        |FROM nodes n JOIN reach r ON r.a = n.doc_id
-        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
+    "q38_dedup_clusters" -> ccClusterOracle,
+
+    // the SAME oracle gates the large-star/small-star plan: two
+    // different distributed CC algorithms, one ground truth
+    "q179_cc_twophase" -> ccClusterOracle,
 
     "q39_stratified_sample" ->
       """WITH kept AS (
@@ -4593,6 +4686,19 @@ object SparkEntry {
         |  (count(*) * bucket_cap)::BIGINT AS padded_tokens,
         |  ((sum(kept) * 1000000) // (count(*) * bucket_cap))::BIGINT AS efficiency_micro
         |FROM a GROUP BY bucket_cap ORDER BY 1""".stripMargin,
+
+    // straight replay: group, size, distinct sensitive, the l cut
+    "q177_l_diversity" ->
+      """WITH g AS (SELECT (user_id % 20)::VARCHAR AS cohort,
+        |    strftime(ts::DATE, '%Y-%m-%d') AS day,
+        |    count(*)::BIGINT AS cnt,
+        |    count(DISTINCT event_type)::BIGINT AS n_sensitive
+        |  FROM events GROUP BY 1, 2)
+        |SELECT cohort, day, cnt, n_sensitive, n_sensitive < 3 AS at_risk
+        |FROM g ORDER BY cohort, day""".stripMargin,
+
+    // BM25 chain + graded relevance + Scala-literal position discounts
+    "q178_ranking_ndcg" -> ndcgOracle(10),
 
     // decile boundaries via the integer rank rule, ties-low assignment
     "q170_equidepth_histogram" ->

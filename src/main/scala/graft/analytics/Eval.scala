@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -155,6 +155,63 @@ object Eval {
           .when(col("__num") >= 0, expr("__num div __den"))
           .otherwise(-expr("(-__num + __den - 1) div __den"))
           .as("kappa_micro"))
+  }
+
+  /** Position-discount weight for [[rankedNdcgMrr]]: `round(10⁶ /
+    * log₂(pos+1))`. Computed ONCE here in Scala and embedded as a
+    * LITERAL on both engines (the plan's when-chain and the oracle's
+    * VALUES table are generated from this same function), so the
+    * transcendental log never runs inside either engine — the
+    * BM25-rational-idf determinism discipline applied to DCG. */
+  def dcgWeightMicro(pos: Int): Long = {
+    require(pos >= 1, s"position must be >= 1, got $pos")
+    math.round(1e6 / (math.log(pos + 1.0) / math.log(2.0)))
+  }
+
+  /** Exact nDCG@k and MRR@k of one ranked result list — the retrieval
+    * quality headline over a ranking an engine query produced (BM25,
+    * RRF, ANN top-k) joined to graded relevance labels. Input: ≤ k rows
+    * with a 1-based dense `rankCol` and an integral `relCol` ≥ 0.
+    * Output row: `n_ranked`, `dcg_micro = Σ rel·w(rank)`,
+    * `idcg_micro = Σ rel·w(ideal rank)` (relevances re-sorted
+    * descending — equal-rel permutations tie, so the ideal is unique as
+    * a VALUE), `ndcg_micro = dcg·10⁶ div idcg` (0 when nothing relevant
+    * was retrievable — an all-zero list scores 0, it is not an error),
+    * and `mrr_nano = 10⁹ div (first rank with rel > 0)` (0 if none).
+    *
+    * Scale posture: the input is a top-k frame by construction
+    * (serving-sized — the MMR/RRF bounded-input argument); the ideal
+    * re-rank window and final aggregate run on k rows. Corpus-scale
+    * cost lives in the upstream ranker, not here.
+    */
+  def rankedNdcgMrr(ranked: DataFrame, rankCol: String, relCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k out of [1, 1000]: $k")
+    def w(rc: Column): Column = (1 to k).foldLeft(lit(0L)) {
+      case (acc, i) => when(rc === i, lit(dcgWeightMicro(i))).otherwise(acc)
+    }
+    val t = ranked.select(col(rankCol).cast("long").as("r"),
+        col(relCol).cast("long").as("rel"))
+      .select(
+        when(col("r") < 1 || col("r") > k,
+          raise_error(lit(s"rankedNdcgMrr: rank outside [1, $k]")))
+        .when(col("rel") < 0,
+          raise_error(lit("rankedNdcgMrr: negative relevance")))
+        .otherwise(col("r")).as("r"), col("rel"))
+    val ideal = t.withColumn("ir",
+      row_number().over(Window.orderBy(col("rel").desc, col("r").asc))
+        .cast("long"))
+    ideal.agg(count(lit(1)).as("n_ranked"),
+        coalesce(sum(col("rel") * w(col("r"))), lit(0L)).as("dcg_micro"),
+        coalesce(sum(col("rel") * w(col("ir"))), lit(0L)).as("idcg_micro"),
+        coalesce(min(when(col("rel") > 0, col("r"))), lit(0L)).as("__fr"))
+      .select(col("n_ranked"), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") === 0, 0L)
+          .otherwise(expr("(dcg_micro * 1000000) div idcg_micro"))
+          .as("ndcg_micro"),
+        col("__fr").as("first_rel_rank"),
+        when(col("__fr") === 0, 0L)
+          .otherwise(expr("1000000000 div __fr")).as("mrr_nano"))
   }
 
   /** Reliability (calibration) diagram of a probabilistic scorer in

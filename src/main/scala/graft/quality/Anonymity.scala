@@ -41,6 +41,31 @@ object Anonymity {
       .withColumn("at_risk", col("cnt") < k)
   }
 
+  /** Distinct l-diversity audit — k-anonymity's sequel: a group can be
+    * comfortably large and still disclose everyone's sensitive value if
+    * that value is (near-)constant inside it (the homogeneity attack).
+    * Per quasi-identifier group: size, number of DISTINCT sensitive
+    * values, and `at_risk = n_sensitive < l`. A group passes k-anonymity
+    * with cnt ≥ k yet flags here when all its members share one
+    * sensitive value.
+    *
+    * Scale posture: one exact distinct aggregate — Spark plans it as the
+    * standard two-phase expand/partial-agg (the (group, sensitive) key
+    * shuffles once, then the group key); no collect_set materializes a
+    * hot group's value list. At extreme cardinalities swap the exact
+    * count for approx_count_distinct and the envelope-oracle pattern.
+    */
+  def lDiversity(df: DataFrame, quasi: Seq[(String, Column)],
+                 sensitive: Column, l: Int): DataFrame = {
+    require(quasi.nonEmpty && l >= 2, "need quasi-identifiers and l >= 2")
+    df.select(quasi.map { case (n, c) => c.cast("string").as(n) } :+
+        sensitive.cast("string").as("__sens"): _*)
+      .groupBy(quasi.map(q => col(q._1)): _*)
+      .agg(count(lit(1)).as("cnt"),
+        count_distinct(col("__sens")).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
+
   /** Minimal generalization to k-anonymity over a ladder of
     * progressively coarser quasi-identifier encodings.
     *

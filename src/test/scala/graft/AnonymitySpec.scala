@@ -77,4 +77,33 @@ class AnonymitySpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("same columns"))
   }
+
+  test("lDiversity flags homogeneous groups that k-anonymity passes") {
+    // group u: 4 records, ONE sensitive value — k-safe at k=3, l-risky
+    // at l=2; group v: 2 records, 2 values — l-safe, k-risky
+    val df = (Seq.fill(4)(("u", "cancer")) ++ Seq(("v", "flu"), ("v", "cold")))
+      .toDF("city", "diag")
+    val got = Anonymity.lDiversity(df, Seq("city" -> col("city")),
+      col("diag"), l = 2)
+    assert(rowSet(got) == Set(
+      Seq("u", 4L, 1L, true), Seq("v", 2L, 2L, false)))
+    val audit = Anonymity.audit(df, Seq("city" -> col("city")), k = 3)
+    assert(rowSet(audit).contains(Seq("u", 4L, false)),
+      "the homogeneous group must be k-anonymous — that IS the gap l-diversity closes")
+  }
+
+  test("lDiversity == brute distinct count per group on random records") {
+    for (recs <- samples(org.scalacheck.Gen.listOfN(60, recGen), n = 6)) {
+      val df = recs.toDF("city", "job", "age")
+      val got = Anonymity.lDiversity(df,
+        Seq("city" -> col("city")), col("job"), l = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq.sortBy(_._1)
+      val want = recs.groupBy(_._1).map { case (city, rows) =>
+        val distinct = rows.map(_._2).distinct.size.toLong
+        (city, rows.size.toLong, distinct, distinct < 3)
+      }.toSeq.sortBy(_._1)
+      assert(got == want)
+    }
+  }
 }

@@ -146,6 +146,41 @@ class EvalSpec extends SparkTestBase {
       (9L, 2L, 950000L, 1000000L, brier)))
   }
 
+  test("rankedNdcgMrr: hand case, perfect ranking, all-zero relevance") {
+    def run(rows: Seq[(Long, Long)], k: Int = 10) =
+      Eval.rankedNdcgMrr(rows.toDF("rank", "rel"), "rank", "rel", k)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val w = (1 to 10).map(Eval.dcgWeightMicro)
+    // ranks 1..3 with rel (0, 2, 1): dcg = 2w2 + w3; ideal order
+    // (2,1,0) → idcg = 2w1 + w2; first relevant at rank 2
+    val (n, dcg, idcg, ndcg, fr, mrr) = run(Seq((1L, 0L), (2L, 2L), (3L, 1L)))
+    assert(n == 3 && dcg == 2 * w(1) + w(2) && idcg == 2 * w(0) + w(1))
+    assert(ndcg == dcg * 1000000L / idcg && ndcg < 1000000L)
+    assert(fr == 2L && mrr == 1000000000L / 2)
+    // already-ideal ranking: ndcg exactly 1e6, mrr 1e9
+    val ideal = run(Seq((1L, 3L), (2L, 1L), (3L, 0L)))
+    assert(ideal._4 == 1000000L && ideal._6 == 1000000000L)
+    // nothing relevant: 0s, not an error
+    assert(run(Seq((1L, 0L), (2L, 0L))) == (2L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("rankedNdcgMrr is permutation-safe on tied relevances and rejects bad input") {
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("rank", "rel")
+    // two orderings of the same tied-relevance multiset: same idcg
+    val a = Eval.rankedNdcgMrr(df(Seq((1L, 1L), (2L, 2L), (3L, 2L))), "rank", "rel", 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val b = Eval.rankedNdcgMrr(df(Seq((1L, 2L), (2L, 2L), (3L, 1L))), "rank", "rel", 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(a._3 == b._3, "idcg must not depend on which tied doc came first")
+    assert(b._4 == 1000000L, "descending relevance IS the ideal")
+    val e = intercept[Exception](
+      Eval.rankedNdcgMrr(df(Seq((11L, 1L))), "rank", "rel", 10).collect())
+    assert(messages(e).exists(_.contains("rankedNdcgMrr")))
+    val e2 = intercept[Exception](
+      Eval.rankedNdcgMrr(df(Seq((1L, -1L))), "rank", "rel", 10).collect())
+    assert(messages(e2).exists(_.contains("negative relevance")))
+  }
+
   test("calibrationBins: out-of-range p raises; empty input yields an empty diagram") {
     val e = intercept[Exception](runCal(Seq((1000001L, true), (5L, false))))
     assert(messages(e).exists(_.contains("calibrationBins")))
