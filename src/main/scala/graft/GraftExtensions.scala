@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BoundedCollectSet, JaroWinkler, MinHashSig, MinHashSigNgrams, MisraGries, NfcNormalize, NGrams, SimHash60, VectorDot, ZValue}
+import org.apache.spark.sql.types.StringType
+import graft.functions.{AvroDecode, AvroEncode, BoundedCollectSet, JaroWinkler, MinHashSig, MinHashSigNgrams, MisraGries, NfcNormalize, NGrams, SimHash60, VectorDot, ZValue}
 
 /** Session extension wiring for the engine's custom Catalyst surface
   * (installed with
@@ -127,6 +128,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // the analyzer wraps bare AggregateFunctions in an
         // AggregateExpression, same as the built-in collect_set
         BoundedCollectSet(children.head, cap, opName)
+      }))
+    // (r8) the Avro wire codec: schema JSON and the optional Confluent
+    // schema id must be literals — the schema binds at analysis time
+    def schemaIdOf(children: Seq[Expression], name: String): Int =
+      if (children.size == 3) children(2) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$name schema_id must be an integer literal, got $other")
+      } else -1
+    def schemaJsonOf(children: Seq[Expression], name: String): String =
+      children(1) match {
+        case Literal(s, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$name schema_json must be a string literal, got $other")
+      }
+    ext.injectFunction((
+      FunctionIdentifier("avro_encode"),
+      new ExpressionInfo(classOf[AvroEncode].getName, "avro_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          "avro_encode expects (struct, schema_json[, schema_id])")
+        AvroEncode(children.head, schemaJsonOf(children, "avro_encode"),
+          schemaIdOf(children, "avro_encode"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("avro_decode"),
+      new ExpressionInfo(classOf[AvroDecode].getName, "avro_decode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          "avro_decode expects (binary, schema_json[, schema_id])")
+        AvroDecode(children.head, schemaJsonOf(children, "avro_decode"),
+          schemaIdOf(children, "avro_decode"))
       }))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),

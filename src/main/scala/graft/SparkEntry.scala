@@ -2499,6 +2499,46 @@ object SparkEntry {
           Dedup.ngramJaccard(Tables.documents(s, dir), n = 3, threshold = 0.4))
         .orderBy(col("doc_id"))),
 
+    // Deterministic negative sampling for contrastive training: ≤5
+    // md5-drawn non-interacted items per user from 25 vectorized trials
+    // (recommend/NegativeSampling); per-user sums pin every draw, and
+    // the oracle replays the identical md5 arithmetic and rejection.
+    "q180_negative_sampling" -> ((s, dir) => {
+      val likes = Pipelines.likes(T(s, dir, "orders"), T(s, dir, "lineitem"))
+      val nParts = T(s, dir, "part").count()
+      graft.recommend.NegativeSampling.sample(likes, nParts, k = 5, trials = 25)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_neg"), sum(col("item_id")).as("neg_sum"),
+          sum(col("trial")).as("trial_sum"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Pseudo-relevance-feedback expansion: terms of the top-3 BM25 hits
+    // ranked by feedback-tf × rational idf, original query terms
+    // excluded (text/Search.prfExpansion — Rocchio's positive half).
+    "q181_prf_expansion" -> ((s, dir) =>
+      graft.text.Search.prfExpansion(T(s, dir, "documents"),
+        Seq("spark", "join"), feedbackDocs = 3, expansionK = 5)),
+
+    // Deterministic epoch shuffle: dense global training order from the
+    // bucketed two-pass enumeration (no single-partition window), the
+    // per-decile position-weighted checksum pinning the ENTIRE order
+    // (text/Splits.trainingOrder).
+    "q182_training_order" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val total = docs.agg(count(lit(1)).as("__n"))
+      graft.text.Splits.trainingOrder(docs, "doc_id")
+        .crossJoin(broadcast(total))
+        .select(expr("((pos - 1) * 10) div __n").as("decile"),
+          col("pos"), col("doc_id"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
+          sum(((col("pos") % 1000003L) * ((col("doc_id") % 1000003L) + 1L))
+            % 1000000007L).as("ord_checksum"))
+        .orderBy(col("decile"))
+    }),
+
     // Equi-depth histogram of lineitem quantity — 10 exact-quantile
     // buckets over a heavily-tied integer-valued column (ties sit low,
     // buckets exactly defined though uneven;
@@ -4699,6 +4739,75 @@ object SparkEntry {
 
     // BM25 chain + graded relevance + Scala-literal position discounts
     "q178_ranking_ndcg" -> ndcgOracle(10),
+
+    // every md5 draw, the anti-join rejection, and the keep-first-trial
+    // dedup replayed verbatim
+    "q180_negative_sampling" ->
+      """WITH pos AS (SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |np AS (SELECT count(*)::BIGINT AS n FROM part),
+        |u AS (SELECT DISTINCT user_id FROM pos),
+        |c AS (SELECT u.user_id, t AS trial,
+        |    ('0x' || substr(md5(u.user_id::VARCHAR || '-' || t::VARCHAR), 1, 8))::BIGINT
+        |      % np.n AS item_id
+        |  FROM u CROSS JOIN np, LATERAL unnest(generate_series(0, 24)) AS g(t)),
+        |nov AS (SELECT c.user_id, c.trial, c.item_id
+        |        FROM c ANTI JOIN pos USING (user_id, item_id)),
+        |ded AS (SELECT user_id, item_id, min(trial) AS trial
+        |        FROM nov GROUP BY 1, 2),
+        |rk AS (SELECT user_id, trial, item_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY trial) AS rk
+        |  FROM ded)
+        |SELECT user_id, count(*)::BIGINT AS n_neg,
+        |  sum(item_id)::BIGINT AS neg_sum, sum(trial)::BIGINT AS trial_sum
+        |FROM rk WHERE rk <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bm25 chain → top-3 feedback docs → tf·idf term ranking, query
+    // terms excluded, identical HALF_UP micro-rounding
+    "q181_prf_expansion" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+        |qt AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok
+        |  WHERE token IN ('spark', 'join') GROUP BY 1, 2),
+        |qdf AS (SELECT token, count(*)::BIGINT AS df FROM qt GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |s AS (SELECT q.doc_id,
+        |    round((q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * (dl.dl / ad.avgdl)))
+        |      * ((nn.n - d.df + 0.5) / (d.df + 0.5)) * 1000000.0)::BIGINT AS score_micro
+        |  FROM qt q JOIN qdf d USING (token) JOIN dl ON dl.doc_id = q.doc_id
+        |  CROSS JOIN nn CROSS JOIN ad),
+        |fb AS (SELECT doc_id FROM (
+        |    SELECT doc_id, sum(score_micro)::BIGINT AS bm FROM s GROUP BY 1
+        |    ORDER BY bm DESC, doc_id ASC LIMIT 3)),
+        |fbtf AS (SELECT t.token, count(*)::BIGINT AS fb_tf FROM tok t
+        |  SEMI JOIN fb ON fb.doc_id = t.doc_id
+        |  WHERE t.token NOT IN ('spark', 'join') GROUP BY 1),
+        |cdf AS (SELECT token, count(*)::BIGINT AS df FROM (
+        |    SELECT DISTINCT t.doc_id, t.token FROM tok t
+        |    SEMI JOIN fbtf f ON f.token = t.token) GROUP BY 1)
+        |SELECT f.token AS term,
+        |  round(f.fb_tf * (nn.n - c.df + 0.5) / (c.df + 0.5) * 1000000.0)::BIGINT
+        |    AS score_micro
+        |FROM fbtf f JOIN cdf c USING (token) CROSS JOIN nn
+        |ORDER BY score_micro DESC, term ASC LIMIT 5""".stripMargin,
+
+    // the identical md5-60-bit order replayed with one flat row_number
+    // (the oracle may be single-partition; the engine may not)
+    "q182_training_order" ->
+      """WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY hh, doc_id)::BIGINT AS pos FROM h),
+        |n AS (SELECT count(*)::BIGINT AS n FROM documents)
+        |SELECT (((pos - 1) * 10) // n.n)::BIGINT AS decile,
+        |  count(*)::BIGINT AS n_rows,
+        |  min(pos)::BIGINT AS min_pos, max(pos)::BIGINT AS max_pos,
+        |  sum(((pos % 1000003) * ((doc_id % 1000003) + 1)) % 1000000007)::BIGINT
+        |    AS ord_checksum
+        |FROM p, n GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // decile boundaries via the integer rank rule, ties-low assignment
     "q170_equidepth_histogram" ->

@@ -117,6 +117,48 @@ object Search {
       .limit(k)
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio's positive
+    * half, tf·idf-weighted): run the query, assume the top
+    * `feedbackDocs` BM25 hits are relevant, and rank the terms they
+    * contain — feedback term frequency × the rational idf of [[Search]]
+    * (un-logged, micro-rounded) — excluding the original query terms.
+    * The top `expansionK` terms are what a retrieval pipeline appends
+    * for the second-pass query. Ties break on the term string.
+    *
+    * Scale posture: the feedback doc set is k rows ([[bm25TopDocs]]'s
+    * TakeOrderedAndProject); its token explosion is k documents' worth,
+    * and the corpus-side document frequencies move ONLY candidate-term
+    * postings (semi-join pushed before the df shuffle — the
+    * query-term-filter discipline of BM25 applied to the expansion
+    * vocabulary). No corpus-sized window, no driver loop.
+    */
+  def prfExpansion(docs: DataFrame, terms: Seq[String], feedbackDocs: Int = 3,
+                   expansionK: Int = 5, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(feedbackDocs >= 1 && expansionK >= 1,
+      s"need feedbackDocs >= 1 and expansionK >= 1")
+    val top = bm25TopDocs(docs, terms, feedbackDocs,
+        textCol = textCol, idCol = idCol)
+      .select(col("doc_id"))
+    val tok = docs.select(col(idCol).as("doc_id"),
+        Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val fbTf = tok.join(top, Seq("doc_id"), "left_semi")
+      .where(!col("token").isInCollection(terms))
+      .groupBy(col("token")).agg(count(lit(1)).as("fb_tf"))
+    val candDf = tok.join(fbTf.select(col("token")), Seq("token"), "left_semi")
+      .select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    fbTf.join(candDf, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("token").as("term"),
+        round(col("fb_tf") * (col("__n") - col("df") + 0.5) /
+          (col("df") + 0.5) * 1e6, 0).cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+      .limit(expansionK)
+  }
+
   /** Conjunctive (AND) search: documents containing EVERY term in
     * `terms`, with their token length. The posting-list intersection is
     * expressed as distinct-(doc, term) membership counted up to

@@ -359,6 +359,46 @@ object Splits {
       .orderBy(col("bucket_cap"))
   }
 
+  /** Deterministic global training order — the epoch-shuffle
+    * materializer: every row gets a dense 1-based `pos` in the order of
+    * a keyed hash (md5-derived 60-bit value, tie-break on the key), so
+    * the "shuffled" training sequence is a pure function of the corpus —
+    * the same order on any cluster, resumable mid-epoch at any offset,
+    * and replayable by the oracle (`randomSplit`/`orderBy(rand())` are
+    * neither).
+    *
+    * Scale posture: a global `row_number` is a single-partition window —
+    * the classic scale-killer — so enumeration is the bucketed TWO-PASS
+    * pattern ([[graft.text.Search.vocabGrowth]]'s shape, proven in
+    * q152's quantiles): the hash's top bits form `nBuckets` contiguous
+    * ranges, per-bucket counts (one tiny agg) turn into broadcast
+    * offsets via a window over nBuckets ROWS, and each bucket numbers
+    * its own rows independently — `pos = offset + rank-within-bucket`.
+    * No data-sized window, no skew (hash buckets are uniform by
+    * construction).
+    */
+  def trainingOrder(df: DataFrame, keyCol: String,
+                    nBuckets: Int = 256): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536 &&
+      (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two in [2, 65536], got $nBuckets")
+    val shift = 60 - Integer.numberOfTrailingZeros(nBuckets)
+    val t = df.select(col(keyCol),
+        conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+      .withColumn("__b", shiftright(col("__h"), shift))
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = t.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(w) - col("__c"))
+      .select(col("__b"), col("__off"))
+    val inBucket = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), col(keyCol))
+    t.join(broadcast(offsets), Seq("__b"))
+      .withColumn("pos", (row_number().over(inBucket) + col("__off")).cast("long"))
+      .select(col(keyCol), col("pos"))
+  }
+
   def assign(df: DataFrame, keyCol: String,
              fractions: Seq[(String, Double)] =
                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {

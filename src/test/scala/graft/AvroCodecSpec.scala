@@ -94,6 +94,30 @@ class AvroCodecSpec extends SparkTestBase {
     }
   }
 
+  test("GraftExtensions registers avro_encode/avro_decode for SQL text") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val schemaLit = Sch.replace("'", "''").replace("\n", " ")
+      val r = s2.sql(
+        s"""SELECT d.requestedUserId AS uid, d.timestamp AS ts FROM (
+           |  SELECT avro_decode(avro_encode(
+           |    named_struct('requestedUserId', 9L,
+           |      'recommendations', array(1L, 2L), 'timestamp', 'x'),
+           |    '$schemaLit', 7), '$schemaLit', 7) AS d)""".stripMargin)
+        .collect().head
+      assert(r.getLong(0) == 9L && r.getString(1) == "x")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("unsupported Avro shapes are rejected at bind time, not mid-stream") {
     val multi =
       """{"type":"record","name":"M","fields":[

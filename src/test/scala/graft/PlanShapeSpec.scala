@@ -284,6 +284,36 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("trainingOrder: the only unpartitioned window runs over bucket rows, not data") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = (1L to 400L).map(Tuple1(_)).toDF("doc_id")
+    val out = graft.text.Splits.trainingOrder(df, "doc_id")
+    val windows = executedPlanNodes(out).collect { case w: WindowExec => w }
+    // one window partitions by bucket (the per-bucket rank); the offset
+    // window is unpartitioned but its input is the <=256-row bucket-count
+    // aggregate — assert it sits above an aggregate, not the data scan
+    val unpart = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 1, s"expected exactly the offset window, got ${unpart.size}")
+    assert(unpart.head.toString.contains("__c") ||
+      unpart.head.child.toString.contains("HashAggregate"),
+      "the unpartitioned window must consume the bucket-count aggregate")
+    assert(broadcasts(out).nonEmpty, "bucket offsets must broadcast back")
+  }
+
+  test("negative sampling explodes the user list, not the positives, and anti-joins once") {
+    val pos = (1L to 50L).flatMap(u => Seq((u, u % 7), (u, u % 11)))
+      .toDF("user_id", "track_id")
+    val out = graft.recommend.NegativeSampling.sample(pos, 100L, 3, 10)
+    val plan = executedPlanNodes(out).mkString("\n")
+    assert(plan.contains("Generate"), "the bounded trial explode must exist")
+    assert(!plan.contains("CartesianProduct"))
+    // windows key on user (keep-first + top-k): no unpartitioned window
+    import org.apache.spark.sql.execution.window.WindowExec
+    val unpart = executedPlanNodes(out)
+      .collect { case w: WindowExec => w }.filter(_.partitionSpec.isEmpty)
+    assert(unpart.isEmpty, "no global window in the sampling path")
+  }
+
   test("lengthBuckets is one map-side-combinable agg on <=|caps| keys: one exchange") {
     val d = (1 to 30).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
       .toDF("doc_id", "text")

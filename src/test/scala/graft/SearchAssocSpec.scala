@@ -95,6 +95,40 @@ class SearchAssocSpec extends SparkTestBase {
     }
   }
 
+  test("prfExpansion == brute feedback-tf x idf term ranking") {
+    val word = Gen.oneOf("spark", "join", "scan", "merge", "the", "a", "b")
+    val docGen = Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    samples(Gen.listOfN(12, docGen), n = 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val terms = Seq("spark", "join")
+      val (k1, b) = (1.2, 0.75)
+      val tokenized = texts.zipWithIndex.map { case (t, i) => i.toLong -> toks(t) }.toMap
+      val n = texts.size.toLong
+      val avgdl = tokenized.values.map(_.size).sum.toDouble / n
+      val qdf = terms.map(t => t -> tokenized.values.count(_.contains(t)).toLong).toMap
+      val fbDocs = tokenized.toSeq.flatMap { case (id, tk) =>
+        val scores = terms.flatMap { t =>
+          val tf = tk.count(_ == t).toLong
+          if (tf == 0 || qdf(t) == 0) None
+          else {
+            val tfn = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (tk.size / avgdl)))
+            Some(math.floor(tfn * ((n - qdf(t) + 0.5) / (qdf(t) + 0.5)) * 1e6 + 0.5).toLong)
+          }
+        }
+        if (scores.isEmpty) None else Some((id, scores.sum))
+      }.sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+      val fbTf = fbDocs.toSeq.flatMap(tokenized(_)).filterNot(terms.contains)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = fbTf.toSeq.map { case (term, tf) =>
+        val df = tokenized.values.count(_.contains(term)).toLong
+        (term, math.floor(tf * ((n - df + 0.5) / (df + 0.5)) * 1e6 + 0.5).toLong)
+      }.sortBy { case (t, s) => (-s, t) }.take(5)
+      val got = Search.prfExpansion(docs, terms, feedbackDocs = 3, expansionK = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == want, s"got=$got want=$want texts=$texts")
+    }
+  }
+
   test("conjunctiveSearch == all-terms membership brute force") {
     val word = Gen.oneOf("spark", "merge", "window", "x", "y")
     val docGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))

@@ -207,6 +207,31 @@ class SplitsSpec extends SparkTestBase {
       (16L, 2L, 2L, 32L, 32L, 1000000L)))
   }
 
+  test("trainingOrder is a dense 1..n permutation matching the flat row_number") {
+    val df = (1L to 500L).map(i => Tuple1(i * 7)).toDF("doc_id")
+    val got = Splits.trainingOrder(df, "doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._2).sorted == (1L to 500L), "positions must be dense 1..n")
+    // the order must equal the single-partition reference: sort by the
+    // same md5-60-bit value with key tie-break
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h(k: Long): Long = java.lang.Long.parseLong(md5hex(k.toString).take(15), 16)
+    val want = got.map(_._1).sortBy(k => (h(k), k)).zipWithIndex
+      .map { case (k, i) => (k, i + 1L) }.sortBy(_._1)
+    assert(got.sortBy(_._1) == want)
+  }
+
+  test("trainingOrder is partitioning-invariant and bucket-count-invariant") {
+    val df = (1L to 300L).map(Tuple1(_)).toDF("doc_id")
+    val a = rows(Splits.trainingOrder(df.repartition(1), "doc_id"))
+    val b = rows(Splits.trainingOrder(df.repartition(17), "doc_id"))
+    val c = rows(Splits.trainingOrder(df, "doc_id", nBuckets = 16))
+    assert(a == b && a == c)
+    intercept[IllegalArgumentException](Splits.trainingOrder(df, "doc_id", 100))
+  }
+
   test("lengthBuckets rejects an unsorted or duplicated cap ladder") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
