@@ -2539,6 +2539,61 @@ object SparkEntry {
         .orderBy(col("decile"))
     }),
 
+    // Streaming Avro consumption — the reference's second producer topic
+    // replayed offline: Confluent-framed Avro payloads staged as a
+    // binary column, readStream → avro_decode → checkpointed parquet
+    // sink (exactly-once, Trigger.AvailableNow), sink read back and
+    // aggregated. The oracle is the q172 derivation minus the wire
+    // column (decode ∘ encode is the identity over the frame), so the
+    // gate covers the full stream-source→decode→persist path.
+    "q184_stream_avro" -> ((s, dir) => {
+      import graft.functions.{avro_decode, avro_encode}
+      val base = scratch("q184")
+      val sch = graft.streaming.StreamIngest.RecommendationEventAvroSchema
+      T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(slice(sort_array(collect_list(col("o_orderkey"))), 1, 3)
+            .as("recommendations"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd'T'HH:mm:ss")
+            .as("timestamp"))
+        .select(avro_encode(struct(col("o_custkey").as("requestedUserId"),
+          col("recommendations"), col("timestamp")), sch, schemaId = 7)
+          .as("payload"))
+        .write.mode("overwrite").parquet(s"$base/in")
+      val inSchema = new org.apache.spark.sql.types.StructType()
+        .add("payload", org.apache.spark.sql.types.BinaryType)
+      val q = s.readStream.schema(inSchema).parquet(s"$base/in")
+        .select(avro_decode(col("payload"), sch, schemaId = 7).as("d"))
+        .select(col("d.requestedUserId").as("user_id"),
+          col("d.recommendations").as("recommendations"),
+          col("d.timestamp").as("ts"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/sink")
+        .select(col("user_id"),
+          size(col("recommendations")).cast("long").as("n_recs"),
+          expr("aggregate(recommendations, 0L, (a, x) -> a + x)")
+            .as("rec_sum"),
+          col("ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Perceptual-fingerprint near-dup over binary payloads: 256-bin
+    // byte histograms (fixed-width; payloads never shuffle), candidates
+    // via the LOSSLESS size band L1 ≥ |n_bytes₁ − n_bytes₂| riding the
+    // banded RangeJoin, exact L1 ≤ 20 filter
+    // (multimodal/Multimodal.histogramNearDup).
+    "q183_payload_histdup" -> ((s, dir) =>
+      graft.multimodal.Multimodal.histogramNearDup(
+          graft.multimodal.Multimodal.toMedia(s, T(s, dir, "documents")),
+          threshold = 20L)
+        .orderBy(col("doc_id_1"), col("doc_id_2"))),
+
     // Equi-depth histogram of lineitem quantity — 10 exact-quantile
     // buckets over a heavily-tied integer-valued column (ties sit low,
     // buckets exactly defined though uneven;
@@ -4808,6 +4863,41 @@ object SparkEntry {
         |  sum(((pos % 1000003) * ((doc_id % 1000003) + 1)) % 1000000007)::BIGINT
         |    AS ord_checksum
         |FROM p, n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q172's derivation minus the wire-length column: the streamed
+    // decode must reproduce the staged fields exactly
+    "q184_stream_avro" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id,
+        |         (array_agg(o_orderkey ORDER BY o_orderkey))[1:3] AS recs,
+        |         strftime(max(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS ts
+        |  FROM orders GROUP BY 1)
+        |SELECT user_id, len(recs)::BIGINT AS n_recs,
+        |  list_sum(recs)::BIGINT AS rec_sum, ts
+        |FROM r ORDER BY 1""".stripMargin,
+
+    // byte histograms replayed from ascii() (pure-ASCII fixture: chars
+    // ARE bytes, the q100 discipline), sparse-union L1 per candidate
+    // pair, identical size band and threshold
+    "q183_payload_histdup" ->
+      """WITH ch AS (SELECT doc_id, ascii(c) AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |  WHERE c <> ''),
+        |h AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, length(text)::BIGINT AS nb FROM documents),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM n a JOIN n b
+        |  ON a.doc_id < b.doc_id AND abs(a.nb - b.nb) <= 20),
+        |terms AS (
+        |  SELECT p.d1, p.d2, h.b, h.c AS c1, 0::BIGINT AS c2
+        |  FROM pairs p JOIN h ON h.doc_id = p.d1
+        |  UNION ALL
+        |  SELECT p.d1, p.d2, h.b, 0::BIGINT, h.c
+        |  FROM pairs p JOIN h ON h.doc_id = p.d2),
+        |perbin AS (SELECT d1, d2, b, abs(sum(c1) - sum(c2)) AS d
+        |  FROM terms GROUP BY 1, 2, 3),
+        |l1 AS (SELECT d1, d2, sum(d)::BIGINT AS l1 FROM perbin GROUP BY 1, 2)
+        |SELECT d1 AS doc_id_1, d2 AS doc_id_2, l1 FROM l1
+        |WHERE l1 <= 20 ORDER BY 1, 2""".stripMargin,
 
     // decile boundaries via the integer rank rule, ties-low assignment
     "q170_equidepth_histogram" ->

@@ -127,4 +127,47 @@ object Multimodal {
         sum(col("checksum")).as("checksum_sum"),
         min(col("head_byte")).as("min_head"))
       .orderBy(col("source"))
+
+  /** Byte-histogram near-duplicate pairs over binary payloads — the
+    * perceptual-fingerprint dedup shape for media columns (a real
+    * deployment swaps the byte histogram for pHash/chromaprint; the
+    * candidate generation, distance filter, and never-shuffle-payloads
+    * plumbing are identical). Each payload reduces partition-locally to
+    * a 256-bin byte histogram (fixed-width — the only thing that ever
+    * crosses a shuffle); near-dups are pairs with L1 histogram distance
+    * ≤ `threshold`.
+    *
+    * Candidate generation is LOSSLESS by arithmetic, not heuristic:
+    * L1(h₁, h₂) ≥ |Σh₁ − Σh₂| = |n_bytes₁ − n_bytes₂|, so every
+    * qualifying pair lies within `threshold` in payload size and the
+    * banded [[graft.operators.RangeJoin.within]] (fixed 3-bucket
+    * fan-out) reaches all of them — no all-pairs product, no recall
+    * loss for the exact filter to hide.
+    */
+  def histogramNearDup(records: Dataset[MediaRecord],
+                       threshold: Long): DataFrame = {
+    import records.sparkSession.implicits._
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val hist = records.mapPartitions { it =>
+      it.map { r =>
+        val h = new Array[Long](256)
+        var i = 0
+        while (i < r.payload.length) {
+          h(r.payload(i) & 0xff) += 1; i += 1
+        }
+        (r.doc_id, r.payload.length.toLong, h)
+      }
+    }.toDF("doc_id", "n_bytes", "hist")
+    val a = hist.select(col("doc_id").as("doc_id_1"),
+      col("n_bytes").as("nb_1"), col("hist").as("hist_1"))
+    val b = hist.select(col("doc_id").as("doc_id_2"),
+      col("n_bytes").as("nb_2"), col("hist").as("hist_2"))
+    graft.operators.RangeJoin.within(a, b, "nb_1", "nb_2", threshold)
+      .where(col("doc_id_1") < col("doc_id_2"))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(hist_1, hist_2, (x, y) -> abs(x - y)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .where(col("l1") <= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), col("l1"))
+  }
 }

@@ -173,4 +173,40 @@ class TextModulesSpec extends SparkTestBase {
     assert(out(0).getDouble(4) == 0.5)
     assert(out(1).getDouble(4) == 0.0)
   }
+
+  test("histogramNearDup == brute byte-histogram L1 with threshold") {
+    def hist(s: String): Array[Long] = {
+      val h = new Array[Long](256)
+      s.getBytes("UTF-8").foreach(b => h(b & 0xff) += 1)
+      h
+    }
+    def l1(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    // 1 vs 2: swap two chars → l1 = 0 (anagram, the histogram blind
+    // spot — DOCUMENTED perceptual behavior); 1 vs 3: one char
+    // changed → l1 = 2; 4 is far in size → blocked out
+    val texts = Seq((1L, "abcabc", "s"), (2L, "cbacba", "s"),
+      (3L, "abcabd", "s"), (4L, "a" * 50, "s"))
+    val d = docs(texts: _*)
+    val got = Multimodal.histogramNearDup(Multimodal.toMedia(spark, d), 5L)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    val byId = texts.map(t => t._1 -> hist(t._2)).toMap
+    val nb = texts.map(t => t._1 -> t._2.length.toLong).toMap
+    val want = (for {
+      a <- byId.keys; b <- byId.keys if a < b
+      if math.abs(nb(a) - nb(b)) <= 5 && l1(byId(a), byId(b)) <= 5
+    } yield (a, b, l1(byId(a), byId(b)))).toSeq.sortBy(p => (p._1, p._2))
+    assert(got == want)
+    assert(got.contains((1L, 2L, 0L)) && got.contains((1L, 3L, 2L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("histogramNearDup size band is lossless at the exact boundary") {
+    // sizes differ by exactly the threshold and all diff mass is the
+    // size delta: l1 == threshold must SURVIVE (band edge inclusive)
+    val d = docs((1L, "aaaa", "s"), (2L, "aaaaaa", "s"))
+    val got = Multimodal.histogramNearDup(Multimodal.toMedia(spark, d), 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L)))
+  }
 }
