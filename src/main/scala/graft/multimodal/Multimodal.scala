@@ -137,12 +137,40 @@ object Multimodal {
     * crosses a shuffle); near-dups are pairs with L1 histogram distance
     * ≤ `threshold`.
     *
-    * Candidate generation is LOSSLESS by arithmetic, not heuristic:
-    * L1(h₁, h₂) ≥ |Σh₁ − Σh₂| = |n_bytes₁ − n_bytes₂|, so every
-    * qualifying pair lies within `threshold` in payload size and the
-    * banded [[graft.operators.RangeJoin.within]] (fixed 3-bucket
-    * fan-out) reaches all of them — no all-pairs product, no recall
-    * loss for the exact filter to hide.
+    * Candidate generation is LOSSLESS by arithmetic, not heuristic.
+    * Two bounds gate candidacy before any 256-long array moves:
+    *
+    *  1. grid band — L1 ≥ |Σ_G h₁ − Σ_G h₂| for ANY bin subset G
+    *     (drop the |x−y| terms outside G), so total size (G = all
+    *     bins) and the two group sums G₀ = classes {0,3,6,…},
+    *     G₁ = {1,4,7,…} of the partition sketch below are each
+    *     1-Lipschitz under L1. The 3-D banded [[graft.operators
+    *     .RangeJoin.withinAll]] joins on (size, g0, g1) with fixed 27×
+    *     fan-out — no all-pairs product, and bucket populations shrink
+    *     multiplicatively vs the 1-D size band (which melts down when
+    *     sizes pile up: at the 10× replay every replica set shares one
+    *     size bucket and a 1-D band streamed ~10⁸ candidates, 93 s;
+    *     the grid splits them on letter/digit-group mass);
+    *  2. partition sketch — for any PARTITION {V₁..Vₖ} of the 256
+    *     bins, Σᵢ |Σ_{Vᵢ}h₁ − Σ_{Vᵢ}h₂| ≤ L1 (disjoint classes, one
+    *     triangle inequality per class). The classes are letter
+    *     4-grams (a–d, e–h, …, u–z), space, each digit 0–9 its own
+    *     class, and everything-else — an 18-long sketch whose bound
+    *     sits close to the true L1 for text payloads, so the
+    *     surviving candidate set is ≈ the answer set. (Per-digit bins
+    *     matter: corpora with versioned/serial-numbered duplicates
+    *     differ ONLY in digit bytes, and a sketch that pools digits
+    *     scores those pairs at bound 0 — every such pair then pays
+    *     the full-histogram fetch. Measured at the 10× replay, whose
+    *     replicas differ exactly that way: pooled-digit sketch 93 s,
+    *     per-digit 18-bin sketch prunes them arithmetically.)
+    *
+    * The band join runs on these NARROW sketch rows; full histograms
+    * are fetched by two id equi-joins ONLY for pairs whose sketch
+    * bound passes, then the exact L1 decides. (A first cut shipped the
+    * arrays through the size-band join — 2 KB per row × every
+    * size-coincident pair — and measured 317 s at sf1; the sketch
+    * bound is the fix, same answer by the partition inequality.)
     */
   def histogramNearDup(records: Dataset[MediaRecord],
                        threshold: Long): DataFrame = {
@@ -151,19 +179,49 @@ object Multimodal {
     val hist = records.mapPartitions { it =>
       it.map { r =>
         val h = new Array[Long](256)
+        val sk = new Array[Long](18)
         var i = 0
         while (i < r.payload.length) {
-          h(r.payload(i) & 0xff) += 1; i += 1
+          val b = r.payload(i) & 0xff
+          h(b) += 1
+          sk(
+            if (b == 0x20) 6
+            else if (b >= 'a' && b <= 'z') math.min((b - 'a') / 4, 5)
+            else if (b >= '0' && b <= '9') 7 + (b - '0')
+            else 17) += 1
+          i += 1
         }
-        (r.doc_id, r.payload.length.toLong, h)
+        var g0 = 0L; var g1 = 0L
+        var j = 0
+        while (j < 18) {
+          if (j % 3 == 0) g0 += sk(j) else if (j % 3 == 1) g1 += sk(j)
+          j += 1
+        }
+        (r.doc_id, r.payload.length.toLong, g0, g1, sk, h)
       }
-    }.toDF("doc_id", "n_bytes", "hist")
-    val a = hist.select(col("doc_id").as("doc_id_1"),
-      col("n_bytes").as("nb_1"), col("hist").as("hist_1"))
-    val b = hist.select(col("doc_id").as("doc_id_2"),
-      col("n_bytes").as("nb_2"), col("hist").as("hist_2"))
-    graft.operators.RangeJoin.within(a, b, "nb_1", "nb_2", threshold)
+    }.toDF("doc_id", "n_bytes", "g0", "g1", "sketch", "hist")
+      .localCheckpoint() // histograms computed once, reused by 3 branches
+    val narrow = hist.select(col("doc_id"), col("n_bytes"), col("g0"),
+      col("g1"), col("sketch"))
+    val a = narrow.select(col("doc_id").as("doc_id_1"),
+      col("n_bytes").as("nb_1"), col("g0").as("g0_1"), col("g1").as("g1_1"),
+      col("sketch").as("sk_1"))
+    val b = narrow.select(col("doc_id").as("doc_id_2"),
+      col("n_bytes").as("nb_2"), col("g0").as("g0_2"), col("g1").as("g1_2"),
+      col("sketch").as("sk_2"))
+    val cands = graft.operators.RangeJoin.withinAll(a, b,
+        Seq("nb_1", "g0_1", "g1_1"), Seq("nb_2", "g0_2", "g1_2"), threshold)
       .where(col("doc_id_1") < col("doc_id_2"))
+      .withColumn("__lb", expr(
+        "aggregate(zip_with(sk_1, sk_2, (x, y) -> abs(x - y)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .where(col("__lb") <= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    cands
+      .join(hist.select(col("doc_id").as("doc_id_1"), col("hist").as("hist_1")),
+        Seq("doc_id_1"))
+      .join(hist.select(col("doc_id").as("doc_id_2"), col("hist").as("hist_2")),
+        Seq("doc_id_2"))
       .withColumn("l1", expr(
         "aggregate(zip_with(hist_1, hist_2, (x, y) -> abs(x - y)), " +
           "0L, (acc, x) -> acc + x)"))

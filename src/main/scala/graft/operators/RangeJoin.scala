@@ -71,6 +71,55 @@ object RangeJoin {
       .drop("__b")
   }
 
+  /** Multi-dimensional banded join: pairs within `tol` on EVERY listed
+    * dimension simultaneously. Same explode-neighbors construction as
+    * [[within]], applied per dimension — the composite join key is the
+    * k-tuple of buckets, fan-out a fixed 3^k per left row, and a pair
+    * can still meet in exactly one composite bucket (the right row has
+    * one bucket per dimension), so no dedup pass.
+    *
+    * Why it exists: a 1-D band prunes only on that one value, and when
+    * the corpus piles up inside single buckets (e.g. document sizes at
+    * 10× replication) the join output grows with the SQUARE of the
+    * bucket population. Each extra dimension multiplies the bucket key
+    * space, shrinking populations multiplicatively for constant 3×
+    * fan-out per dim — the standard grid-file trick. Used by
+    * [[graft.multimodal.Multimodal.histogramNearDup]], which derives
+    * extra lossless dimensions from disjoint histogram-bin group sums
+    * (each is 1-Lipschitz under the L1 metric being banded).
+    *
+    * Keep k small (2–4): pruning is multiplicative but fan-out is
+    * exponential, and dimensions only help if they are not perfectly
+    * correlated with ones already present. */
+  def withinAll(left: DataFrame, right: DataFrame,
+                leftVals: Seq[String], rightVals: Seq[String],
+                tol: Long): DataFrame = {
+    require(tol > 0, s"tolerance must be positive, got $tol")
+    require(leftVals.nonEmpty && leftVals.length == rightVals.length,
+      s"dimension lists must be non-empty and equal-length: " +
+        s"${leftVals.length} vs ${rightVals.length}")
+    val shared = left.columns.intersect(right.columns)
+    require(shared.isEmpty,
+      s"left/right column collision (rename before joining): ${shared.mkString(",")}")
+    var lb = left
+    leftVals.zipWithIndex.foreach { case (c, i) =>
+      lb = lb.withColumn(s"__v$i", floorBucket(c, tol))
+        .withColumn(s"__b$i", explode(array(expr(s"try_subtract(__v$i, 1L)"),
+          col(s"__v$i"), expr(s"try_add(__v$i, 1L)"))))
+        .drop(s"__v$i")
+    }
+    var rb = right
+    rightVals.zipWithIndex.foreach { case (c, i) =>
+      rb = rb.withColumn(s"__b$i", floorBucket(c, tol))
+    }
+    val keys = leftVals.indices.map(i => s"__b$i")
+    lb.join(rb, keys)
+      .filter(leftVals.zip(rightVals).map { case (l, r) =>
+        expr(s"try_subtract(`$l`, `$r`)").between(-tol, tol)
+      }.reduce(_ && _))
+      .drop(keys: _*)
+  }
+
   /** Keyed interval overlap join: pairs of (left, right) rows sharing
     * `keys` whose CLOSED integral intervals `[start, end]` overlap
     * (`ls <= re AND rs <= le`). The theta form plans as a per-key nested

@@ -114,6 +114,50 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got == Set((1L, 10L), (2L, 30L)))
   }
 
+  test("withinAll matches the brute-force multi-dim theta join, negatives included") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val row = Gen.zip(Gen.choose(-30L, 30L), Gen.choose(-30L, 30L), Gen.choose(-30L, 30L))
+    val gen = Gen.zip(Gen.listOf(row), Gen.listOf(row))
+    (1 to 6).flatMap(i => gen.apply(Gen.Parameters.default.withSize(15), Seed(i.toLong)))
+      .foreach { case (ls, rs) =>
+        val tol = 7L
+        val expected = (for {
+          (l, li) <- ls.zipWithIndex
+          (r, ri) <- rs.zipWithIndex
+          if math.abs(l._1 - r._1) <= tol && math.abs(l._2 - r._2) <= tol &&
+            math.abs(l._3 - r._3) <= tol
+        } yield (li.toLong, ri.toLong)).toSet
+        val left = ls.zipWithIndex.map { case ((x, y, z), i) => (i.toLong, x, y, z) }
+          .toDF("lid", "lx", "ly", "lz")
+        val right = rs.zipWithIndex.map { case ((x, y, z), i) => (i.toLong, x, y, z) }
+          .toDF("rid", "rx", "ry", "rz")
+        val got = RangeJoin.withinAll(left, right,
+            Seq("lx", "ly", "lz"), Seq("rx", "ry", "rz"), tol)
+          .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.length == got.toSet.size, s"duplicate pairs: ls=$ls rs=$rs")
+        assert(got.toSet == expected, s"ls=$ls rs=$rs")
+      }
+  }
+
+  test("withinAll single dimension degenerates to within") {
+    val left = Seq((1L, 0L)).toDF("lid", "lv")
+    val right = Seq((1L, 7L), (2L, 8L), (3L, -7L), (4L, -8L)).toDF("rid", "rv")
+    val got = RangeJoin.withinAll(left, right, Seq("lv"), Seq("rv"), 7L)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("withinAll domain extremes: no wrapped pair survives any dimension") {
+    val left = Seq((1L, Long.MaxValue, 0L)).toDF("lid", "lx", "ly")
+    val right = Seq((1L, Long.MinValue, 0L), (2L, Long.MaxValue - 3L, 2L))
+      .toDF("rid", "rx", "ry")
+    val got = RangeJoin.withinAll(left, right,
+        Seq("lx", "ly"), Seq("rx", "ry"), 5L)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L))
+  }
+
   test("intervalOverlap fails loudly on inverted intervals and over-cap spans") {
     val ok = Seq((1L, 1L, 0L, 5L)).toDF("k", "lid", "ls", "le")
     val inverted = Seq((1L, 9L, 10L, 0L)).toDF("k", "rid", "rs", "re")
