@@ -2539,6 +2539,29 @@ object SparkEntry {
         .orderBy(col("decile"))
     }),
 
+    // k-fold cross-validation assignment under the q126 leakage
+    // contract: fold = md5-bucket(near-dup-cluster representative) % k,
+    // so a duplicate cluster can never straddle folds and folds are a
+    // pure replayable function of content keys (text/Splits.kFold).
+    "q185_kfold_split" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val clusters = graft.text.Dedup.duplicateClusters(
+        graft.text.Dedup.ngramJaccard(docs, n = 3, threshold = 0.4))
+      graft.text.Splits.kFold(docs.select("doc_id"), "doc_id", clusters, k = 5)
+        .select(col("doc_id"), col("split_key"), col("fold"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus clustering profile: deterministic fixed-point k-means
+    // (8 cells, 2 Lloyd's rounds), every vector assigned to its
+    // max-cosine cell, one report row per cluster — cardinality,
+    // smallest member, summed member→centroid cosine in micro-units —
+    // the topic-map / cluster-balanced-sampling input
+    // (vector/Similarity.kmeansClusterProfile).
+    "q186_cluster_profile" -> ((s, dir) =>
+      graft.vector.Similarity.kmeansClusterProfile(
+        T(s, dir, "embeddings"), nCentroids = 8, iterations = 2)),
+
     // Streaming Avro consumption — the reference's second producer topic
     // replayed offline: Confluent-framed Avro payloads staged as a
     // binary column, readStream → avro_decode → checkpointed parquet
@@ -4863,6 +4886,77 @@ object SparkEntry {
         |  sum(((pos % 1000003) * ((doc_id % 1000003) + 1)) % 1000000007)::BIGINT
         |    AS ord_checksum
         |FROM p, n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q126's recursive-CTE cluster replay, folded modulo k instead of
+    // thresholded into train/val/test
+    "q185_kfold_split" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        |       FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM inter
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.4),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |clus AS (SELECT r.a AS doc_id, least(r.a, min(r.b)) AS cluster_id
+        |         FROM reach r GROUP BY 1),
+        |rep AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+        |        FROM documents d LEFT JOIN clus c USING (doc_id))
+        |SELECT doc_id, split_key,
+        |  (('0x' || substr(md5(split_key::VARCHAR), 1, 8))::BIGINT % 10000 % 5)::BIGINT AS fold
+        |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // the q35 fixed-point Lloyd's replay (seed = 8 smallest ids, two
+    // micro-unit mean rounds), then a full max-cosine assignment and
+    // the per-cluster report
+    "q186_cluster_profile" ->
+      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d) WHERE nrm > 0),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vec_id, cent_id, v FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM n x, c0 c) WHERE rn = 1),
+        |e1 AS (SELECT cent_id, unnest(range(len(v))) AS j, unnest(v) AS x FROM a1),
+        |g1 AS (SELECT cent_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
+        |       FROM e1 GROUP BY 1, 2),
+        |m1 AS (SELECT cent_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
+        |       FROM g1 GROUP BY 1),
+        |c1 AS (SELECT c0.cent_id, COALESCE(m1.cv, c0.cv) AS cv,
+        |         sqrt(list_inner_product(COALESCE(m1.cv, c0.cv), COALESCE(m1.cv, c0.cv))) AS cnrm
+        |       FROM c0 LEFT JOIN m1 USING (cent_id)),
+        |a2 AS (
+        |  SELECT vec_id, cent_id, v FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM n x, c1 c) WHERE rn = 1),
+        |e2 AS (SELECT cent_id, unnest(range(len(v))) AS j, unnest(v) AS x FROM a2),
+        |g2 AS (SELECT cent_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
+        |       FROM e2 GROUP BY 1, 2),
+        |m2 AS (SELECT cent_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
+        |       FROM g2 GROUP BY 1),
+        |c AS (SELECT c1.cent_id, COALESCE(m2.cv, c1.cv) AS cv,
+        |        sqrt(list_inner_product(COALESCE(m2.cv, c1.cv), COALESCE(m2.cv, c1.cv))) AS cnrm
+        |      FROM c1 LEFT JOIN m2 USING (cent_id)),
+        |asg AS (
+        |  SELECT vec_id, cent_id, s FROM (
+        |    SELECT x.vec_id, c.cent_id,
+        |      round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) AS s,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM n x, c) WHERE rn = 1)
+        |SELECT cent_id, count(*)::BIGINT AS n_vecs, min(vec_id)::BIGINT AS min_vec_id,
+        |  sum(round(s * 1000000)::BIGINT)::BIGINT AS cohesion_micro
+        |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q172's derivation minus the wire-length column: the streamed
     // decode must reproduce the staged fields exactly

@@ -254,6 +254,34 @@ object Splits {
     assign(withRep, "split_key", fractions)
   }
 
+  /** Leakage-aware k-fold cross-validation assignment: every row's fold
+    * is `bucket(split_key) % k`, where split_key is its near-dup-cluster
+    * representative (so a duplicate cluster can never straddle folds —
+    * the same leakage contract as [[assignLeakProof]], which this is
+    * the k-way generalization of) or the row key when unclustered.
+    * Folds are a pure function of content keys: stable under reruns,
+    * partitioning, and corpus growth, and exactly replayable by an
+    * oracle. Uniformity is md5-bucket uniformity modulo k (off by at
+    * most 1/Buckets per fold when k ∤ Buckets — negligible and, unlike
+    * a random split, reproducible).
+    *
+    * Scale: one left join against the (small) cluster map — broadcast
+    * while it fits — then a projection; no shuffle of the corpus. */
+  def kFold(df: DataFrame, keyCol: String, clusters: DataFrame, k: Int,
+            clusterKeyCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(df.columns.contains(keyCol), s"unknown key column $keyCol")
+    require(clusters.columns.contains(clusterKeyCol) &&
+        clusters.columns.contains("cluster_id"),
+      s"clusters must carry ($clusterKeyCol, cluster_id); got " +
+        clusters.columns.mkString(", "))
+    val c = clusters.select(col(clusterKeyCol).as(keyCol), col("cluster_id"))
+    df.join(c, Seq(keyCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(keyCol)))
+      .drop("cluster_id")
+      .withColumn("fold", bucket(col("split_key")) % k)
+  }
+
   /** Assign a split label per row. `fractions` are (label, weight) in
     * priority order and should sum to ≤ 1; leftover buckets take the
     * last label. */

@@ -398,6 +398,52 @@ object Similarity {
     cents
   }
 
+  /** Corpus clustering profile — k-means as a first-class curation
+    * operator, not just the IVF internal: [[trainCentroids]]' Lloyd's
+    * rounds, a final max-cosine assignment of EVERY vector, then one
+    * per-cluster report row (cardinality, smallest member id, summed
+    * member→centroid cosine in integer micro-units). The report is what
+    * a cluster-balanced sampling / topic-map pass consumes: which
+    * regions of embedding space are heavy, and how coherent each is.
+    *
+    * Determinism carries through: centroids are fixed-point bit-exact
+    * (see trainCentroids), assignment ties break to the lowest cent_id,
+    * and cohesion sums 6-dp-rounded scores as integers — exactly
+    * associative, so the DuckDB oracle replays every round and the
+    * report hash-matches at any partition count.
+    *
+    * Scale: training is trainCentroids' posture (broadcast C, narrow
+    * partial-mean shuffle); the final pass is one broadcast-join scan
+    * with a map-side-combined two-level aggregate — no N×C shuffle, no
+    * window. Cohesion in LONG micro-units cannot overflow before
+    * ~9·10¹² members per cluster.
+    */
+  def kmeansClusterProfile(embeddings: DataFrame, nCentroids: Int = 8,
+                           iterations: Int = 2): DataFrame = {
+    require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val data = prep(embeddings).cache()
+    try {
+      val cents = broadcast(
+        trainCentroidsPrepped(data, nCentroids, iterations)
+          .withColumn("cnorm", sqrt(dot("cv", "cv"))))
+      data.crossJoin(cents)
+        .withColumn("__cs", round(dot("v", "cv") / (col("norm") * col("cnorm")), 6))
+        .groupBy(col("vec_id"))
+        // argmax cent + its score in one partial-aggregable pass: the
+        // chosen centroid maximizes (__cs, -cent_id), so its score IS
+        // max(__cs) — no second join back to fetch it
+        .agg(max_by(col("cent_id"),
+            struct(col("__cs"), (-col("cent_id")).cast("long"))).as("cent_id"),
+          max(col("__cs")).as("__s"))
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("vec_id")).as("min_vec_id"),
+          sum(round(col("__s") * 1000000).cast("long")).as("cohesion_micro"))
+        .orderBy(col("cent_id"))
+    } finally data.unpersist()
+  }
+
   /** IVF (inverted-file) ANN: vectors are assigned to their
     * nearest-centroid cell once; a query scores only the cells of its
     * `nProbe` nearest centroids. Exact scoring inside probed cells, so

@@ -268,4 +268,31 @@ class SimilaritySpec extends SparkTestBase {
       assert(exact((r(0), r(1))) == r(2), s"score mismatch for ${r(0)}→${r(1)}")
     }
   }
+
+  test("kmeansClusterProfile: partitions all vectors, coherent on planted clusters") {
+    // four tight orthogonal clusters of 8 vectors each
+    def v(axis: Int, eps: Float): Seq[Float] =
+      (0 until 4).map(d =>
+        (if (d == axis) 1f else 0f) + (if (d == (axis + 1) % 4) eps else 0f))
+    val pts = (0 until 32).map(i => (i.toLong, v(i % 4, 0.01f * (i % 5 + 1))))
+    val vs = emb(pts: _*)
+    val got = rows(Similarity.kmeansClusterProfile(vs, nCentroids = 4,
+      iterations = 2).select("cent_id", "n_vecs", "min_vec_id", "cohesion_micro"))
+    // every vector lands in exactly one report row
+    assert(got.map(_(1).asInstanceOf[Long]).sum == 32L)
+    // seeds are the 4 smallest ids; on planted clusters each cell holds
+    // exactly one axis's 8 members, and each member is near-parallel to
+    // its centroid: cohesion_micro ≈ 8 × 10⁶ per cell
+    assert(got.size == 4)
+    got.foreach { r =>
+      assert(r(1).asInstanceOf[Long] == 8L, s"unbalanced cell: $r")
+      val coh = r(3).asInstanceOf[Long]
+      assert(coh > 7900000L && coh <= 8000000L, s"low cohesion: $r")
+    }
+    // fixed-point determinism: bit-identical across partitionings
+    val again = rows(Similarity.kmeansClusterProfile(vs.repartition(7),
+      nCentroids = 4, iterations = 2)
+      .select("cent_id", "n_vecs", "min_vec_id", "cohesion_micro"))
+    assert(got == again)
+  }
 }

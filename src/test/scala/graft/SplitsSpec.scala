@@ -240,4 +240,33 @@ class SplitsSpec extends SparkTestBase {
       Splits.lengthBuckets(df, caps = Seq(4L, 4L, 8L)))
     intercept[IllegalArgumentException](Splits.lengthBuckets(df, caps = Nil))
   }
+
+  test("kFold: cluster members share a fold, folds are dense and stable") {
+    // docs 1..200; clusters: {1,2,3}→1, {10,11}→10
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val df = (1L to 200L).map(Tuple1(_)).toDF("doc_id")
+    val got = Splits.kFold(df, "doc_id", clusters, k = 5)
+      .select("doc_id", "split_key", "fold")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 200)
+    val byId = got.map(r => r._1 -> r).toMap
+    // clustered docs key on the representative and so share the fold
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)._3).distinct.size == 1)
+    // unclustered docs key on themselves
+    assert(byId(42L)._2 == 42L)
+    // every fold in [0, 5) and all present at n=200
+    assert(got.map(_._3).toSet == (0L until 5L).toSet)
+    // pure function of keys: repartitioning changes nothing
+    val again = Splits.kFold(df.repartition(13), "doc_id", clusters, k = 5)
+      .select("doc_id", "split_key", "fold")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.sortBy(_._1) == again.sortBy(_._1))
+    intercept[IllegalArgumentException](
+      Splits.kFold(df, "doc_id", clusters, k = 1))
+    intercept[IllegalArgumentException](
+      Splits.kFold(df, "doc_id", clusters.select(col("doc_id")), k = 5))
+  }
 }
