@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.types.StringType
-import graft.functions.{AvroDecode, AvroEncode, BoundedCollectSet, JaroWinkler, MinHashSig, MinHashSigNgrams, MisraGries, NfcNormalize, NGrams, SimHash60, VectorDot, ZValue}
+import graft.functions.{AvroDecode, AvroEncode, BoundedCollectSet, CharEntropy, JaroWinkler, MinHashSig, MinHashSigNgrams, MisraGries, NfcNormalize, NGrams, SimHash60, VectorDot, VectorMoments, ZValue}
 
 /** Session extension wiring for the engine's custom Catalyst surface
   * (installed with
@@ -160,6 +160,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "avro_decode expects (binary, schema_json[, schema_id])")
         AvroDecode(children.head, schemaJsonOf(children, "avro_decode"),
           schemaIdOf(children, "avro_decode"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vector_moments"),
+      new ExpressionInfo(classOf[VectorMoments].getName, "vector_moments"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "vector_moments expects exactly 1 argument")
+        VectorMoments(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "char_entropy expects exactly 1 argument")
+        CharEntropy(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),

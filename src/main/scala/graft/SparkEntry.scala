@@ -2562,6 +2562,40 @@ object SparkEntry {
       graft.vector.Similarity.kmeansClusterProfile(
         T(s, dir, "embeddings"), nCentroids = 8, iterations = 2)),
 
+    // Per-dimension embedding standardization audit: mean/std in
+    // micro-units plus 3σ-outlier component counts, all off ONE
+    // constant-buffer vector_moments pass (d + d(d+1)/2 doubles per
+    // partition partial — never a rows×dims shuffle) and one broadcast
+    // z-test re-scan in exact micro-unit arithmetic
+    // (vector/Stats.standardizeAudit).
+    "q187_embedding_standardize" -> ((s, dir) =>
+      graft.vector.Stats.standardizeAudit(T(s, dir, "embeddings"))
+        .orderBy(col("dim"))),
+
+    // Top principal component, the textbook distributed split (MLlib
+    // RowMatrix shape): covariance from the same vector_moments pass,
+    // micro-rounded so engine and oracle power-iterate the SAME d×d
+    // matrix; 3 driver-side rounds on 32 KB of metadata, iterates
+    // re-pinned to micro-units each round so float summation-order
+    // drift cannot compound (vector/Stats.pcaTopComponent).
+    "q188_pca_power" -> ((s, dir) =>
+      graft.vector.Stats.pcaTopComponent(T(s, dir, "embeddings"), iters = 3)
+        .orderBy(col("dim"))),
+
+    // Character-entropy quality gate (C4/Gopher rule family): Shannon
+    // entropy of each doc's codepoint distribution in micro-bits via
+    // the row-local char_entropy expression — one codegen'd pass, zero
+    // shuffle, where the composable form explodes rows×chars through a
+    // two-level aggregate (functions/CharEntropy.scala).
+    "q189_char_entropy" -> ((s, dir) => {
+      import graft.functions.char_entropy
+      T(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+          char_entropy(col("text")).as("entropy_micro"))
+        .withColumn("low_entropy", col("entropy_micro") < 2000000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming Avro consumption — the reference's second producer topic
     // replayed offline: Confluent-framed Avro payloads staged as a
     // binary column, readStream → avro_decode → checkpointed parquet
@@ -4957,6 +4991,70 @@ object SparkEntry {
         |SELECT cent_id, count(*)::BIGINT AS n_vecs, min(vec_id)::BIGINT AS min_vec_id,
         |  sum(round(s * 1000000)::BIGINT)::BIGINT AS cohesion_micro
         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // population mean/std per dimension, micro-rounded, then the 3σ
+    // component count in the same exact micro-unit comparison the
+    // engine uses (no float division at the boundary)
+    "q187_embedding_standardize" ->
+      """WITH d AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |             generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |st AS (SELECT i, avg(x) AS mu,
+        |         sqrt(greatest(avg(x*x) - avg(x)*avg(x), 0)) AS sd
+        |       FROM d GROUP BY 1),
+        |sm AS (SELECT i, round(mu * 1e6)::BIGINT AS mean_micro,
+        |         round(sd * 1e6)::BIGINT AS std_micro FROM st)
+        |SELECT sm.i::BIGINT AS dim, sm.mean_micro, sm.std_micro,
+        |  sum(CASE WHEN sm.std_micro > 0
+        |        AND abs(d.x * 1e6 - sm.mean_micro) > 3 * sm.std_micro
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM d JOIN sm ON d.i = sm.i
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // the engine's exact protocol replayed: micro-rounded population
+    // covariance, v0 = 1/sqrt(d), three (C·v, normalize, micro-round)
+    // rounds, Rayleigh eigenvalue on the final iterate
+    "q188_pca_power" ->
+      """WITH d AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |             generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |m AS (SELECT i, avg(x) AS mu FROM d GROUP BY 1),
+        |g AS (SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS e2
+        |      FROM d a JOIN d b USING (vec_id) GROUP BY 1, 2),
+        |cm AS (SELECT g.i, g.j,
+        |         round((g.e2 - ma.mu * mb.mu) * 1e6)::BIGINT AS c
+        |       FROM g JOIN m ma ON g.i = ma.i JOIN m mb ON g.j = mb.i),
+        |dd AS (SELECT count(*)::DOUBLE AS d FROM m),
+        |v0 AS (SELECT i, 1.0 / sqrt(dd.d) AS v FROM m, dd),
+        |w1 AS (SELECT cm.i, sum(cm.c / 1e6 * v0.v) AS w
+        |       FROM cm JOIN v0 ON cm.j = v0.i GROUP BY 1),
+        |v1 AS (SELECT i, round(w / (SELECT sqrt(sum(w*w)) FROM w1) * 1e6) / 1e6 AS v FROM w1),
+        |w2 AS (SELECT cm.i, sum(cm.c / 1e6 * v1.v) AS w
+        |       FROM cm JOIN v1 ON cm.j = v1.i GROUP BY 1),
+        |v2 AS (SELECT i, round(w / (SELECT sqrt(sum(w*w)) FROM w2) * 1e6) / 1e6 AS v FROM w2),
+        |w3 AS (SELECT cm.i, sum(cm.c / 1e6 * v2.v) AS w
+        |       FROM cm JOIN v2 ON cm.j = v2.i GROUP BY 1),
+        |v3 AS (SELECT i, round(w / (SELECT sqrt(sum(w*w)) FROM w3) * 1e6) / 1e6 AS v FROM w3),
+        |lam AS (SELECT round(sum(va.v * (cm.c / 1e6) * vb.v) * 1e6)::BIGINT AS l
+        |        FROM cm JOIN v3 va ON cm.i = va.i JOIN v3 vb ON cm.j = vb.i)
+        |SELECT v3.i::BIGINT AS dim, round(v3.v * 1e6)::BIGINT AS loading_micro,
+        |  lam.l AS eigval_micro
+        |FROM v3, lam ORDER BY 1""".stripMargin,
+
+    // per-doc codepoint histogram entropy in micro-bits; string_split
+    // by '' is grapheme-level, equal to codepoints on this all-ASCII
+    // corpus (the engine's Scaladoc records the contract)
+    "q189_char_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |h AS (SELECT doc_id, ch, count(*)::DOUBLE AS cnt FROM c GROUP BY 1, 2),
+        |e AS (SELECT doc_id, sum(cnt)::DOUBLE AS n, sum(cnt * log2(cnt)) AS clc
+        |      FROM h GROUP BY 1)
+        |SELECT d.doc_id, length(d.text)::BIGINT AS n,
+        |  CASE WHEN length(d.text) = 0 THEN 0
+        |       ELSE round((log2(e.n) - e.clc / e.n) * 1e6)::BIGINT END AS entropy_micro,
+        |  (CASE WHEN length(d.text) = 0 THEN 0
+        |        ELSE round((log2(e.n) - e.clc / e.n) * 1e6)::BIGINT END
+        |   < 2000000) AS low_entropy
+        |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+        |ORDER BY 1""".stripMargin,
 
     // q172's derivation minus the wire-length column: the streamed
     // decode must reproduce the staged fields exactly

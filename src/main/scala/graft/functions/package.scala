@@ -69,4 +69,16 @@ package object functions {
     * is required and verified (fail-loud on corrupt payloads). */
   def avro_decode(c: Column, schemaJson: String, schemaId: Int = -1): Column =
     ColumnShim.column(AvroDecode(ColumnShim.expression(c), schemaJson, schemaId))
+
+  /** Mergeable first/second moments of an `array<double>` column:
+    * struct<n, s[d], s2[d(d+1)/2 upper triangle]> — one constant-size
+    * partial per partition (the distributed half of PCA/standardize). */
+  def vector_moments(v: Column): Column =
+    ColumnShim.column(VectorMoments(ColumnShim.expression(v)).toAggregateExpression())
+
+  /** Shannon entropy of a string's codepoint distribution in integer
+    * micro-bits (row-local, zero shuffle — the character-entropy
+    * quality gate). */
+  def char_entropy(text: Column): Column =
+    ColumnShim.column(CharEntropy(ColumnShim.expression(text)))
 }
