@@ -2596,6 +2596,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): within-k-means-cell cosine near-dup
+    // groups, keep the member FARTHEST from its centroid per group (the
+    // paper's diversity-preserving rule). Planted q48-style perturbed
+    // copies give the gate real duplicate groups to adjudicate; the
+    // oracle replays centroid training, assignment, pair scoring, the
+    // component closure, and every keep decision
+    // (vector/Similarity.semanticDedup).
+    "q190_semantic_dedup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val planted = base.filter(col("vec_id") < 12)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          expr("concat(array(embedding[0] + 0.01d), slice(embedding, 2, size(embedding) - 1))")
+            .as("embedding"))
+      Similarity.semanticDedup(base.unionByName(planted),
+          nCentroids = 8, iterations = 2, threshold = 0.92)
+        .orderBy(col("vec_id"))
+    }),
+
     // Streaming Avro consumption — the reference's second producer topic
     // replayed offline: Confluent-framed Avro payloads staged as a
     // binary column, readStream → avro_decode → checkpointed parquet
@@ -5055,6 +5075,78 @@ object SparkEntry {
         |   < 2000000) AS low_entropy
         |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
         |ORDER BY 1""".stripMargin,
+
+    // the q186 training/assignment chain over the planted union, then
+    // within-cell pair scoring, recursive component closure, and the
+    // (ccos_micro, vec_id)-argmin keep rule — every decision replayed
+    "q190_semantic_dedup" ->
+      """WITH RECURSIVE b AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, v FROM b
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, list_prepend(v[1] + 0.01, v[2:]) AS v
+        |  FROM b WHERE vec_id < 12),
+        |n AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d) WHERE nrm > 0),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vec_id, cent_id, v FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM n x, c0 c) WHERE rn = 1),
+        |e1 AS (SELECT cent_id, unnest(range(len(v))) AS j, unnest(v) AS x FROM a1),
+        |g1 AS (SELECT cent_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
+        |       FROM e1 GROUP BY 1, 2),
+        |m1 AS (SELECT cent_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
+        |       FROM g1 GROUP BY 1),
+        |c1 AS (SELECT c0.cent_id, COALESCE(m1.cv, c0.cv) AS cv,
+        |         sqrt(list_inner_product(COALESCE(m1.cv, c0.cv), COALESCE(m1.cv, c0.cv))) AS cnrm
+        |       FROM c0 LEFT JOIN m1 USING (cent_id)),
+        |a2 AS (
+        |  SELECT vec_id, cent_id, v FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM n x, c1 c) WHERE rn = 1),
+        |e2 AS (SELECT cent_id, unnest(range(len(v))) AS j, unnest(v) AS x FROM a2),
+        |g2 AS (SELECT cent_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
+        |       FROM e2 GROUP BY 1, 2),
+        |m2 AS (SELECT cent_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
+        |       FROM g2 GROUP BY 1),
+        |cf AS (SELECT c1.cent_id, COALESCE(m2.cv, c1.cv) AS cv,
+        |        sqrt(list_inner_product(COALESCE(m2.cv, c1.cv), COALESCE(m2.cv, c1.cv))) AS cnrm
+        |      FROM c1 LEFT JOIN m2 USING (cent_id)),
+        |asg AS (
+        |  SELECT vec_id, cent_id, s FROM (
+        |    SELECT x.vec_id, c.cent_id,
+        |      round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) AS s,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM n x, cf c) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT ax.vec_id AS d1, ay.vec_id AS d2
+        |  FROM asg ax JOIN asg ay
+        |    ON ax.cent_id = ay.cent_id AND ax.vec_id < ay.vec_id
+        |  JOIN n x ON x.vec_id = ax.vec_id
+        |  JOIN n y ON y.vec_id = ay.vec_id
+        |  WHERE round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.92),
+        |edges AS (SELECT d1 AS a, d2 AS bb FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, bb) AS (
+        |  SELECT a, bb FROM edges
+        |  UNION
+        |  SELECT r.a, e.bb FROM reach r JOIN edges e ON r.bb = e.a),
+        |grp AS (SELECT a AS vec_id, least(a, min(bb)) AS gid FROM reach GROUP BY 1),
+        |g AS (SELECT asg.vec_id, asg.cent_id,
+        |        round(asg.s * 1000000)::BIGINT AS ccos_micro,
+        |        COALESCE(grp.gid, asg.vec_id) AS group_id
+        |      FROM asg LEFT JOIN grp ON asg.vec_id = grp.vec_id),
+        |rep AS (SELECT group_id, vec_id AS rep_id FROM (
+        |          SELECT group_id, vec_id,
+        |            row_number() OVER (PARTITION BY group_id
+        |              ORDER BY ccos_micro, vec_id) AS rn FROM g) WHERE rn = 1)
+        |SELECT g.vec_id, g.cent_id, g.ccos_micro, g.group_id,
+        |  (g.vec_id = rep.rep_id) AS keep
+        |FROM g JOIN rep USING (group_id) ORDER BY 1""".stripMargin,
 
     // q172's derivation minus the wire-length column: the streamed
     // decode must reproduce the staged fields exactly

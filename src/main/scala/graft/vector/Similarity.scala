@@ -444,6 +444,91 @@ object Similarity {
     } finally data.unpersist()
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the corpus with
+    * the deterministic k-means of [[kmeansClusterProfile]], find
+    * above-threshold cosine pairs ONLY within each cell, connect them
+    * into duplicate groups, and keep ONE representative per group — the
+    * member with the LOWEST cosine to its centroid (the paper's
+    * diversity-preserving choice: of a semantic duplicate set, retain
+    * the example farthest from the cluster's center of mass), ties to
+    * the lowest id. Singletons keep themselves.
+    *
+    * Scale posture: the quadratic term is Σ|cell|² — governed by the
+    * centroid count, exactly the paper's lever (they run k = 11k on
+    * LAION) — and guarded here by a fail-loud `maxCellSize` check
+    * BEFORE pair generation, the BoundedCollectSet discipline: a
+    * degenerate clustering errors with the offending cell, it does not
+    * OOM. Assignment is one broadcast-centroid scan; pair scoring
+    * shuffles on cell id only; grouping reuses
+    * [[graft.text.Dedup.duplicateClusters]]' log-bounded label
+    * propagation.
+    *
+    * Determinism: centroids are fixed-point bit-exact, assignment and
+    * pair cosines round to 6 dp before any comparison, and the keep
+    * rule orders by (ccos_micro, vec_id) — integers — so the oracle
+    * replays every decision.
+    *
+    * Output: (vec_id, cent_id, ccos_micro, group_id, keep), one row per
+    * (nonzero-norm) vector.
+    */
+  def semanticDedup(embeddings: DataFrame, nCentroids: Int = 8,
+                    iterations: Int = 2, threshold: Double = 0.92,
+                    maxCellSize: Int = 100000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    require(maxCellSize > 1, s"maxCellSize must be > 1, got $maxCellSize")
+    val data = prep(embeddings).cache()
+    try {
+      val cents = broadcast(
+        trainCentroidsPrepped(data, nCentroids, iterations)
+          .withColumn("cnorm", sqrt(dot("cv", "cv"))))
+      val assigned = data.crossJoin(cents)
+        .withColumn("__cs", round(dot("v", "cv") / (col("norm") * col("cnorm")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cent_id"), col("v"), col("norm")),
+            struct(col("__cs"), (-col("cent_id")).cast("long"))).as("s"),
+          max(col("__cs")).as("__cs"))
+        .select(col("vec_id"), col("s.cent_id").as("cent_id"),
+          col("s.v").as("v"), col("s.norm").as("norm"),
+          round(col("__cs") * 1000000).cast("long").as("ccos_micro"))
+        // pair generation and the keep join both re-read this frame;
+        // localCheckpoint also truncates the training lineage
+        .localCheckpoint()
+      val sizes = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("cell_n"))
+      // the guard rides the CONSUMED vec_id column (a standalone guard
+      // column would be pruned away, raise_error and all)
+      val guarded = assigned.join(broadcast(sizes), Seq("cent_id"))
+        .withColumn("vec_id", when(col("cell_n") > maxCellSize,
+          raise_error(concat(lit(s"semanticDedup: cell "), col("cent_id"),
+            lit(s" exceeds maxCellSize=$maxCellSize (size "), col("cell_n"),
+            lit(") — raise nCentroids")))
+          .cast("long")).otherwise(col("vec_id")))
+        .drop("cell_n")
+      val a = guarded.select(col("cent_id"), col("vec_id").as("doc_id_1"),
+        col("v").as("va"), col("norm").as("na"))
+      val b = guarded.select(col("cent_id"), col("vec_id").as("doc_id_2"),
+        col("v").as("vb"), col("norm").as("nb"))
+      val pairs = a.join(b, Seq("cent_id"))
+        .filter(col("doc_id_1") < col("doc_id_2"))
+        .filter(round(dot("va", "vb") / (col("na") * col("nb")), 6)
+          >= threshold)
+        .select(col("doc_id_1"), col("doc_id_2"))
+      val comps = graft.text.Dedup.duplicateClusters(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id").as("group_id"))
+      val grouped = assigned.select(col("vec_id"), col("cent_id"), col("ccos_micro"))
+        .join(comps, Seq("vec_id"), "left")
+        .withColumn("group_id", coalesce(col("group_id"), col("vec_id")))
+      val reps = grouped.groupBy(col("group_id"))
+        .agg(min_by(col("vec_id"), struct(col("ccos_micro"), col("vec_id")))
+          .as("rep_id"))
+      // reps is group-cardinality (~N at 100 TB: mostly singletons) —
+      // shuffle join on group_id, NOT a broadcast
+      grouped.join(reps, Seq("group_id"))
+        .select(col("vec_id"), col("cent_id"), col("ccos_micro"),
+          col("group_id"), (col("vec_id") === col("rep_id")).as("keep"))
+    } finally data.unpersist()
+  }
+
   /** IVF (inverted-file) ANN: vectors are assigned to their
     * nearest-centroid cell once; a query scores only the cells of its
     * `nProbe` nearest centroids. Exact scoring inside probed cells, so
