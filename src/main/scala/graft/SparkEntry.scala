@@ -2616,6 +2616,37 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Streaming drift monitor: per-day value histograms aggregated IN
+    // the stream (watermarked tumbling windows, checkpointed sink),
+    // then every day scored against day-1's distribution with the PSI
+    // fixed-point contract — the input-drift alarm a production
+    // ingestion pipeline runs continuously
+    // (streaming/StreamAgg.windowedHistogram +
+    // analytics/Drift.psiVsFirstWindow).
+    "q191_stream_drift" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_streamd").toString
+      val ev = Tables.events(s, dir)
+      val sentinel = ev.agg(max(col("ts")).as("mx"))
+        .select(lit(0L).as("user_id"), lit("__sentinel").as("event_type"),
+          (unix_micros(col("mx")) + lit(30L * 86400L * 1000000L)).as("ts_us"),
+          lit(0.0).as("value"))
+      ev.select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .unionByName(sentinel)
+        .select(to_json(struct(col("user_id"), col("event_type"),
+          col("ts_us"), col("value"))).as("value"))
+        // one file ⇒ one micro-batch (the q32 sentinel contract)
+        .coalesce(1)
+        .write.mode("overwrite").text(s"$base/in")
+      graft.analytics.Drift.psiVsFirstWindow(
+        StreamAgg.runHistogramToCompletion(s, s"$base/in", s"$base/sink",
+          s"$base/ckpt", windowLength = "1 day", watermarkDelay = "1 minute",
+          binWidth = 25.0, statePartitions = Some(8)))
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("window_day"),
+          col("n_ref"), col("n_win"), col("n_bins"), col("psi_nano"))
+        .orderBy(col("window_day"))
+    }),
+
     // Streaming Avro consumption — the reference's second producer topic
     // replayed offline: Confluent-framed Avro payloads staged as a
     // binary column, readStream → avro_decode → checkpointed parquet
@@ -5147,6 +5178,40 @@ object SparkEntry {
         |SELECT g.vec_id, g.cent_id, g.ccos_micro, g.group_id,
         |  (g.vec_id = rep.rep_id) AS keep
         |FROM g JOIN rep USING (group_id) ORDER BY 1""".stripMargin,
+
+    // per-day histogram replay, then the PSI fixed-point math per day
+    // vs the first day over the union of both sides' bins
+    "q191_stream_drift" ->
+      """WITH h AS (
+        |  SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |    floor(value / 25.0)::BIGINT AS bin, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |w0 AS (SELECT min(day) AS d0 FROM h),
+        |ref AS (SELECT bin, n AS cb FROM h, w0 WHERE day = d0),
+        |wins AS (SELECT day, bin, n AS ca FROM h, w0 WHERE day <> d0),
+        |grid AS (
+        |  SELECT DISTINCT day, bin FROM (
+        |    SELECT w.day, r.bin FROM (SELECT DISTINCT day FROM wins) w, ref r
+        |    UNION ALL SELECT day, bin FROM wins)),
+        |f AS (
+        |  SELECT g.day, g.bin, COALESCE(wins.ca, 0) AS ca, COALESCE(ref.cb, 0) AS cb
+        |  FROM grid g
+        |  LEFT JOIN wins ON g.day = wins.day AND g.bin = wins.bin
+        |  LEFT JOIN ref ON g.bin = ref.bin),
+        |tot AS (SELECT day, sum(ca)::BIGINT AS n_win, count(*)::BIGINT AS n_bins
+        |        FROM f GROUP BY 1),
+        |rt AS (SELECT sum(cb)::BIGINT AS n_ref FROM ref),
+        |terms AS (
+        |  SELECT f.day, rt.n_ref, tot.n_win, tot.n_bins,
+        |    round(((f.ca + 0.5) / (tot.n_win + 0.5 * tot.n_bins)
+        |         - (f.cb + 0.5) / (rt.n_ref + 0.5 * tot.n_bins))
+        |      * ln(((f.ca + 0.5) / (tot.n_win + 0.5 * tot.n_bins))
+        |         / ((f.cb + 0.5) / (rt.n_ref + 0.5 * tot.n_bins)))
+        |      * 1000000000)::BIGINT AS nano
+        |  FROM f JOIN tot ON f.day = tot.day, rt)
+        |SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS window_day,
+        |  n_ref, n_win, n_bins, sum(nano)::BIGINT AS psi_nano
+        |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
 
     // q172's derivation minus the wire-length column: the streamed
     // decode must reproduce the staged fields exactly

@@ -263,4 +263,59 @@ object Drift {
           (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .as("tv"))
   }
+
+  /** Per-window PSI against the FIRST window's histogram — the batch
+    * half of a streaming drift monitor: feed it the (window_start, bin,
+    * n) sink of [[graft.streaming.StreamAgg.windowedHistogram]] and
+    * every later window is scored against the cold-start baseline with
+    * [[psi]]'s exact fixed-point contract (half-count Laplace smoothing
+    * over the bins observed in EITHER side of that window's pair,
+    * per-bin nano-rounded terms, exact integer sum).
+    *
+    * Scale: the histogram is (windows × bins) metadata, so every join
+    * here is metadata-sized; the corpus-scale work already happened in
+    * the streaming aggregation. The reference side is broadcast (one
+    * window's bins); the bins-union grid is windows × bins rows.
+    *
+    * Output: (window_start, n_ref, n_win, n_bins, psi_nano), one row
+    * per non-baseline window.
+    */
+  def psiVsFirstWindow(hist: DataFrame, windowCol: String = "window_start",
+                       binCol: String = "bin", cntCol: String = "n"): DataFrame = {
+    // eager guard, not raise_error-in-plan: an EMPTY input produces no
+    // rows for any downstream expression to evaluate, so an in-plan
+    // guard can never fire — and the input is metadata-sized (windows ×
+    // bins), so the extra action is free
+    require(!hist.isEmpty,
+      "psiVsFirstWindow: empty histogram — no baseline window")
+    val w0 = hist.agg(min(col(windowCol)).as("__w0"))
+    val sided = hist.select(col(windowCol).as("__w"), col(binCol).as("bin"),
+      col(cntCol).cast("long").as("__n")).crossJoin(broadcast(w0))
+    val ref = sided.filter(col("__w") === col("__w0"))
+      .select(col("bin"), col("__n").as("__cb"))
+      .localCheckpoint()
+    val wins = sided.filter(col("__w") =!= col("__w0"))
+      .select(col("__w"), col("bin"), col("__n").as("__ca"))
+    val grid = wins.select(col("__w")).distinct()
+      .crossJoin(broadcast(ref.select(col("bin"))))
+      .unionByName(wins.select(col("__w"), col("bin")))
+      .distinct()
+    val full = grid
+      .join(wins, Seq("__w", "bin"), "left")
+      .join(broadcast(ref), Seq("bin"), "left")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val totals = full.groupBy(col("__w"))
+      .agg(sum(col("__ca")).as("n_win"), count(lit(1)).as("n_bins"))
+    val refTotal = ref.agg(sum(col("__cb")).as("n_ref"))
+    val p = (col("__ca").cast("double") + 0.5) /
+      (col("n_win").cast("double") + lit(0.5) * col("n_bins").cast("double"))
+    val q = (col("__cb").cast("double") + 0.5) /
+      (col("n_ref").cast("double") + lit(0.5) * col("n_bins").cast("double"))
+    full.join(broadcast(totals), Seq("__w"))
+      .crossJoin(broadcast(refTotal))
+      .select(col("__w").as(windowCol), col("n_ref"), col("n_win"), col("n_bins"),
+        round((p - q) * log(p / q) * 1000000000.0).cast("long").as("__nano"))
+      .groupBy(col(windowCol), col("n_ref"), col("n_win"), col("n_bins"))
+      .agg(sum(col("__nano")).as("psi_nano"))
+  }
 }

@@ -398,4 +398,40 @@ object StreamAgg {
     readSink(spark, outPath, org.apache.spark.sql.types.StructType.fromDDL(
       "window_start TIMESTAMP, event_type STRING, n LONG, sum_value DOUBLE"))
   }
+
+  /** Per-window fixed-width value histogram — the streaming input of a
+    * drift monitor ([[graft.analytics.Drift.psiVsFirstWindow]] consumes
+    * the sink): tumbling event-time windows, append mode, one (window,
+    * bin, count) row per closed window. State per window is
+    * bin-cardinality, evicted by the watermark — the same bounded-state
+    * contract as [[windowedCounts]].
+    */
+  def windowedHistogram(events: DataFrame, windowLength: String = "1 day",
+                        watermarkDelay: String = "1 minute",
+                        binWidth: Double = 25.0): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    events
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("bin"), col("n"))
+  }
+
+  /** Bounded run of [[windowedHistogram]] over staged JSON events →
+    * checkpointed parquet sink, read back (the q32 harness shape). */
+  def runHistogramToCompletion(spark: SparkSession, inPath: String, outPath: String,
+                               checkpointPath: String, windowLength: String = "1 day",
+                               watermarkDelay: String = "1 minute",
+                               binWidth: Double = 25.0,
+                               statePartitions: Option[Int] = None): DataFrame = {
+    val src = jsonEventSource(spark, inPath,
+      "user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
+    runToParquet(spark,
+      windowedHistogram(src, windowLength, watermarkDelay, binWidth),
+      outPath, checkpointPath, statePartitions)
+    readSink(spark, outPath, org.apache.spark.sql.types.StructType.fromDDL(
+      "window_start TIMESTAMP, bin LONG, n LONG"))
+  }
 }
