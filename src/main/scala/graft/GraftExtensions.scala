@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.types.StringType
-import graft.functions.{AvroDecode, AvroEncode, BoundedCollectSet, CharEntropy, JaroWinkler, MinHashSig, MinHashSigNgrams, MisraGries, NfcNormalize, NGrams, SimHash60, VectorDot, VectorMoments, ZValue}
+import graft.functions.{AvroDecode, AvroEncode, BoundedCollectSet, CharEntropy, HllCount, HllSketch, HllUnion, JaroWinkler, MinHashSig, MinHashSigNgrams, MisraGries, NfcNormalize, NGrams, SimHash60, VectorDot, VectorMoments, ZValue}
 
 /** Session extension wiring for the engine's custom Catalyst surface
   * (installed with
@@ -160,6 +160,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "avro_decode expects (binary, schema_json[, schema_id])")
         AvroDecode(children.head, schemaJsonOf(children, "avro_decode"),
           schemaIdOf(children, "avro_decode"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketch].getName, "hll_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "hll_sketch expects (value[, precision])")
+        val p = if (children.size == 2) children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"hll_sketch precision must be an integer literal, got $other")
+        } else 12
+        HllSketch(children.head, p)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_union"),
+      new ExpressionInfo(classOf[HllUnion].getName, "hll_union"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "hll_union expects exactly 1 argument")
+        HllUnion(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_count"),
+      new ExpressionInfo(classOf[HllCount].getName, "hll_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "hll_count expects exactly 1 argument")
+        HllCount(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("vector_moments"),

@@ -2647,6 +2647,39 @@ object SparkEntry {
         .orderBy(col("window_day"))
     }),
 
+    // Persisted-sketch distinct counting: per-day HLL register blocks
+    // written to a parquet sketch table, weekly uniques answered by
+    // MERGING the stored sketches (no rescan of the fact). Gated on the
+    // envelope discipline (q42) PLUS the union identity — the weekly
+    // merge of daily sketches must be register-for-register IDENTICAL
+    // to a sketch built directly over the week's rows, because max is
+    // associative/commutative/idempotent (functions/HllSketch.scala).
+    "q192_hll_sketch_column" -> ((s, dir) => {
+      import graft.functions.{hll_count, hll_sketch, hll_union}
+      val base = scratch("q192")
+      val ev = Tables.events(s, dir)
+        .select(weekofyear(to_date(col("ts"))).cast("long").as("week"),
+          to_date(col("ts")).as("day"), col("user_id"))
+      ev.groupBy(col("week"), col("day"))
+        .agg(hll_sketch(col("user_id"), 12).as("sk"))
+        .write.mode("overwrite").parquet(s"$base/sketches")
+      val weeklyFromStored = s.read.parquet(s"$base/sketches")
+        .groupBy(col("week"))
+        .agg(hll_union(col("sk")).as("sk_merged"))
+      val weeklyDirect = ev.groupBy(col("week"))
+        .agg(hll_sketch(col("user_id"), 12).as("sk_direct"),
+          countDistinct(col("user_id")).as("exact_users"))
+      // 5σ of HLL's ~1.04/√m standard error at m = 2^12
+      val band = 5.0 * 1.04 / math.sqrt(4096.0)
+      weeklyFromStored.join(weeklyDirect, Seq("week"))
+        .select(col("week"), col("exact_users"),
+          (abs(hll_count(col("sk_merged")) - col("exact_users"))
+            .cast("double") / col("exact_users").cast("double")
+            <= band).as("within_env"),
+          (col("sk_merged") === col("sk_direct")).as("merge_consistent"))
+        .orderBy(col("week"))
+    }),
+
     // Streaming Avro consumption — the reference's second producer topic
     // replayed offline: Confluent-framed Avro payloads staged as a
     // binary column, readStream → avro_decode → checkpointed parquet
@@ -5212,6 +5245,14 @@ object SparkEntry {
         |SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS window_day,
         |  n_ref, n_win, n_bins, sum(nano)::BIGINT AS psi_nano
         |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    // exact weekly uniques; the envelope and the union identity are
+    // asserted literally TRUE (the q42/q154 sketch-gate discipline)
+    "q192_hll_sketch_column" ->
+      """SELECT weekofyear(ts::DATE)::BIGINT AS week,
+        |  count(DISTINCT user_id)::BIGINT AS exact_users,
+        |  true AS within_env, true AS merge_consistent
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q172's derivation minus the wire-length column: the streamed
     // decode must reproduce the staged fields exactly

@@ -81,4 +81,18 @@ package object functions {
     * quality gate). */
   def char_entropy(text: Column): Column =
     ColumnShim.column(CharEntropy(ColumnShim.expression(text)))
+
+  /** HyperLogLog registers of a column as a PERSISTABLE binary sketch
+    * (2^p bytes; merge-tree/partitioning/replay invariant). */
+  def hll_sketch(c: Column, p: Int = 12): Column =
+    ColumnShim.column(HllSketch(ColumnShim.expression(c), p).toAggregateExpression())
+
+  /** Element-wise max merge of stored [[hll_sketch]] blocks — the
+    * no-rescan range union. */
+  def hll_union(c: Column): Column =
+    ColumnShim.column(HllUnion(ColumnShim.expression(c)).toAggregateExpression())
+
+  /** Cardinality estimate of a stored sketch block (±1.04/√(2^p)). */
+  def hll_count(c: Column): Column =
+    ColumnShim.column(HllCount(ColumnShim.expression(c)))
 }
