@@ -2680,6 +2680,39 @@ object SparkEntry {
         .orderBy(col("week"))
     }),
 
+    // The quantile sibling of q192's sketch table, composed entirely
+    // from built-ins: per-day equi-width histogram arrays stored to
+    // parquet, weekly rollups by zip_with integer addition (no fact
+    // rescan), p50/p95 interpolated from exact integer cumulative
+    // counts — so unlike GK/KLL the ESTIMATES themselves replay in the
+    // oracle bit-for-bit, no envelope needed
+    // (analytics/Quantiles.equiWidthSketch).
+    "q193_hist_sketch_quantiles" -> ((s, dir) => {
+      import graft.analytics.Quantiles
+      val base = scratch("q193")
+      val ev = Tables.events(s, dir)
+        .select(weekofyear(to_date(col("ts"))).cast("long").as("week"),
+          to_date(col("ts")).as("day"), col("value"))
+      Quantiles.equiWidthSketch(ev, "value", Seq("week", "day"),
+          lo = 0.0, hi = 500.0, bins = 100)
+        .write.mode("overwrite").parquet(s"$base/sketches")
+      val weekly = s.read.parquet(s"$base/sketches")
+        .groupBy(col("week"))
+        .agg(Quantiles.mergeSketches(col("sketch"), bins = 100).as("sk"))
+      val direct = Quantiles.equiWidthSketch(ev, "value", Seq("week"),
+          lo = 0.0, hi = 500.0, bins = 100)
+        .withColumnRenamed("sketch", "sk_direct")
+      weekly.join(direct, Seq("week"))
+        .select(col("week"),
+          aggregate(col("sk"), lit(0L), (a, x) => a + x).as("n"),
+          round(Quantiles.quantileFromSketch(col("sk"), 0.5, 0.0, 500.0, 100)
+            * 1e6).cast("long").as("p50_micro"),
+          round(Quantiles.quantileFromSketch(col("sk"), 0.95, 0.0, 500.0, 100)
+            * 1e6).cast("long").as("p95_micro"),
+          (col("sk") === col("sk_direct")).as("merge_consistent"))
+        .orderBy(col("week"))
+    }),
+
     // Streaming Avro consumption — the reference's second producer topic
     // replayed offline: Confluent-framed Avro payloads staged as a
     // binary column, readStream → avro_decode → checkpointed parquet
@@ -5253,6 +5286,40 @@ object SparkEntry {
         |  count(DISTINCT user_id)::BIGINT AS exact_users,
         |  true AS within_env, true AS merge_consistent
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the histogram is exact integers, so the whole estimator replays:
+    // same bin rule, same continuous rank r = q(n−1), same fixed
+    // double-op interpolation chain
+    "q193_hist_sketch_quantiles" ->
+      """WITH e AS (SELECT weekofyear(ts::DATE)::BIGINT AS week, value
+        |           FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT week,
+        |        CASE WHEN value < 0 THEN 0
+        |             WHEN value >= 500 THEN 101
+        |             ELSE floor(value / 5.0)::BIGINT + 1 END AS bin,
+        |        count(*)::BIGINT AS c
+        |      FROM e GROUP BY 1, 2),
+        |nn AS (SELECT week, sum(c)::BIGINT AS n FROM b GROUP BY 1),
+        |cm AS (SELECT week, bin, c,
+        |         COALESCE(sum(c) OVER (PARTITION BY week ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |       FROM b),
+        |p50 AS (
+        |  SELECT cm.week,
+        |    round((0.0 + 5.0 * ((cm.bin - 1)
+        |      + (0.5 * (nn.n - 1) - cm.cum) / cm.c)) * 1e6)::BIGINT AS p50_micro
+        |  FROM cm JOIN nn USING (week)
+        |  WHERE cm.cum <= 0.5 * (nn.n - 1) AND 0.5 * (nn.n - 1) < cm.cum + cm.c),
+        |p95 AS (
+        |  SELECT cm.week,
+        |    round((0.0 + 5.0 * ((cm.bin - 1)
+        |      + (0.95 * (nn.n - 1) - cm.cum) / cm.c)) * 1e6)::BIGINT AS p95_micro
+        |  FROM cm JOIN nn USING (week)
+        |  WHERE cm.cum <= 0.95 * (nn.n - 1) AND 0.95 * (nn.n - 1) < cm.cum + cm.c)
+        |SELECT nn.week, nn.n, p50.p50_micro, p95.p95_micro,
+        |  true AS merge_consistent
+        |FROM nn JOIN p50 USING (week) JOIN p95 USING (week)
+        |ORDER BY 1""".stripMargin,
 
     // q172's derivation minus the wire-length column: the streamed
     // decode must reproduce the staged fields exactly

@@ -195,5 +195,102 @@ object Quantiles {
         sum(round(clipped * 100, 0).cast("long")).as("clipped_sum_cents"))
   }
 
+  /** Equi-width histogram sketch TABLE: per-grain dense `array<long>`
+    * bin counts over `[lo, hi)` — the persistable quantile sibling of
+    * the q192 HLL sketch column, composed ENTIRELY from built-ins (no
+    * custom aggregate): a stored sketch row per grain, range rollups by
+    * element-wise integer addition ([[mergeSketches]]), quantiles
+    * interpolated from cumulative counts ([[quantileFromSketch]]).
+    * Fixed-bin histograms are what production percentile dashboards
+    * actually store at 100 TB (constant size per grain, associative
+    * integer merges, no rescan) — and unlike GK/KLL the whole structure
+    * is exact integers, so estimates replay in the oracle to the bit.
+    *
+    * Layout: `bins + 2` entries — [0] underflow (< lo), [1..bins]
+    * in-range, [bins+1] overflow (≥ hi). Out-of-range values are
+    * COUNTED, not dropped, so Σ = n always and a mis-sized range is
+    * visible (and [[quantileFromSketch]] fails loudly if a requested
+    * quantile lands in an edge bin). Null values are skipped.
+    */
+  def equiWidthSketch(df: DataFrame, valCol: String, grainCols: Seq[String],
+                      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / bins
+    val bin = when(col(valCol) < lo, 0L)
+      .when(col(valCol) >= hi, (bins + 1).toLong)
+      .otherwise(floor((col(valCol) - lo) / w).cast("long") + 1L)
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy((grainCols.map(col) :+ bin.as("__bin")): _*)
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(grainCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__bin"), col("__c"))))
+        .as("__m"))
+      .select((grainCols.map(col) :+
+        expr(s"transform(sequence(0, ${bins + 1}), " +
+          "i -> coalesce(element_at(__m, CAST(i AS BIGINT)), 0L))")
+          .as("sketch")): _*)
+  }
+
+  /** Element-wise sum of stored sketch arrays — the range rollup.
+    * `aggregate` over the collected per-grain arrays (bounded: one
+    * array per merged grain row, each `bins + 2` longs); integer adds
+    * are exactly associative/commutative, so the merged sketch is
+    * bit-identical to one built directly over the union's rows. */
+  def mergeSketches(sketchCol: Column, bins: Int): Column =
+    aggregate(collect_list(sketchCol),
+      expr(s"array_repeat(0L, ${bins + 2})"),
+      (acc, x) => zip_with(acc, x, _ + _))
+
+  /** Quantile interpolated from a sketch's cumulative counts: with
+    * continuous rank `r = q·(n−1)` landing in in-range bin `b` (1-based
+    * layout) holding `cnt` values after `cum` earlier ones, the
+    * estimate is `lo + w·(b−1 + (r−cum)/cnt)` — a fixed double-op chain
+    * over exact integers, replayed bit-for-bit by the oracle. Fails
+    * loudly when `r` lands in an under/overflow bin (the range was
+    * mis-sized for this quantile) or the sketch is empty.
+    */
+  def quantileFromSketch(sketchCol: Column, q: Double,
+                         lo: Double, hi: Double, bins: Int): Column = {
+    require(q >= 0 && q <= 1, s"q in [0,1], got $q")
+    val w = (hi - lo) / bins
+    // one pass builds (bin, cumBefore, cnt) structs; filter to the bin
+    // containing r, which is unique because cum is strictly increasing
+    // across non-empty bins
+    val n = aggregate(sketchCol, lit(0L), (a, x) => a + x)
+    val r = lit(q) * (n - lit(1L)).cast("double")
+    // cumBefore per index via a running fold is awkward in pure HOFs;
+    // zip index + slice-sum stays O(bins²) but bins is a constant ~100
+    val est = {
+      val idx = sequence(lit(0), lit(bins + 1))
+      val cumBefore = transform(idx, i =>
+        aggregate(slice(sketchCol, lit(1), i), lit(0L), (a, x) => a + x))
+      val cands = filter(
+        zip_with(idx, cumBefore, (i, c) => struct(i.as("b"), c.as("cum"))),
+        s => {
+          val cnt = element_at(sketchCol, (s.getField("b") + lit(1)).cast("int"))
+          cnt > 0 && s.getField("cum").cast("double") <= r &&
+            r < (s.getField("cum") + cnt).cast("double")
+        })
+      // r == n−1 exactly (q = 1): the predicate above is half-open —
+      // fall back to the LAST non-empty bin
+      val lastNonEmpty = element_at(filter(
+        zip_with(idx, cumBefore, (i, c) => struct(i.as("b"), c.as("cum"))),
+        s => element_at(sketchCol, (s.getField("b") + lit(1)).cast("int")) > 0), -1)
+      val chosen = coalesce(element_at(cands, 1), lastNonEmpty)
+      val b = chosen.getField("b")
+      val cum = chosen.getField("cum")
+      val cnt = element_at(sketchCol, (b + lit(1)).cast("int"))
+      when(n === 0L, raise_error(lit("quantileFromSketch: empty sketch")))
+        .when(b === 0 || b === bins + 1, raise_error(concat(
+          lit(s"quantileFromSketch: q=$q lands in an out-of-range bin — " +
+            s"resize [$lo, $hi)"))))
+        .otherwise(lit(lo) + lit(w) *
+          ((b - lit(1)).cast("double") +
+            (r - cum.cast("double")) / cnt.cast("double")))
+    }
+    est
+  }
+
   private val Window = org.apache.spark.sql.expressions.Window
 }
