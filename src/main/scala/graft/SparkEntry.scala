@@ -2713,6 +2713,17 @@ object SparkEntry {
         .orderBy(col("week"))
     }),
 
+    // Sketch algebra: pairwise audience overlap across event types via
+    // inclusion–exclusion on per-segment HLL sketches — |A∩B| answered
+    // from THREE register blocks (est A + est B − est A∪B, the union
+    // one register-wise hll_merge2), no pairwise key join; the exact
+    // overlap rides along only for the gate
+    // (operators/Sketches.overlapEnvelope).
+    "q194_sketch_overlap" -> ((s, dir) =>
+      graft.operators.Sketches.overlapEnvelope(
+          T(s, dir, "events"), "event_type", "user_id", p = 12)
+        .orderBy(col("seg_a"), col("seg_b"))),
+
     // Streaming Avro consumption — the reference's second producer topic
     // replayed offline: Confluent-framed Avro payloads staged as a
     // binary column, readStream → avro_decode → checkpointed parquet
@@ -5320,6 +5331,19 @@ object SparkEntry {
         |  true AS merge_consistent
         |FROM nn JOIN p50 USING (week) JOIN p95 USING (week)
         |ORDER BY 1""".stripMargin,
+
+    // exact pairwise user overlap; the inclusion–exclusion estimate's
+    // envelope is asserted literally TRUE
+    "q194_sketch_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type AS seg FROM events),
+        |k AS (SELECT DISTINCT event_type AS seg, user_id AS u FROM events),
+        |ov AS (SELECT a.seg AS sa, b.seg AS sb, count(*)::BIGINT AS c
+        |       FROM k a JOIN k b ON a.u = b.u AND a.seg < b.seg GROUP BY 1, 2)
+        |SELECT x.seg AS seg_a, y.seg AS seg_b,
+        |  COALESCE(ov.c, 0)::BIGINT AS exact_overlap, true AS within_env
+        |FROM s x JOIN s y ON x.seg < y.seg
+        |LEFT JOIN ov ON ov.sa = x.seg AND ov.sb = y.seg
+        |ORDER BY 1, 2""".stripMargin,
 
     // q172's derivation minus the wire-length column: the streamed
     // decode must reproduce the staged fields exactly

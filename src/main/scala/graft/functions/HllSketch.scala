@@ -145,6 +145,37 @@ case class HllUnion(
     copy(child = newChild)
 }
 
+/** Register-wise max of TWO sketch columns as a scalar expression —
+  * the pairwise union for sketch algebra (overlap via
+  * inclusion–exclusion) without forcing a per-pair explode through the
+  * [[HllUnion]] aggregate. Null if either side is null; mixed
+  * precisions fail loudly. */
+case class HllMerge2(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_merge2"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two binary sketches, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HllSketch.merged(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = graft.functions.HllSketch.merged($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HllMerge2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Cardinality estimate of a stored register block (scalar, codegen'd
   * as one static call). Empty sketch → 0; null → null. */
 case class HllCount(child: Expression) extends UnaryExpression {
@@ -183,6 +214,14 @@ object HllSketch {
       if (other(i) > buf(i)) buf(i) = other(i)
       i += 1
     }
+  }
+
+  /** Fresh register block holding the element-wise max of two sketches
+    * (neither input mutated — scan buffers may be reused). */
+  def merged(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = a.clone()
+    maxInto(out, b, "hll_merge2")
+    out
   }
 
   /** Flajolet α_m bias constant. */

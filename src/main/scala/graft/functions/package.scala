@@ -95,4 +95,9 @@ package object functions {
   /** Cardinality estimate of a stored sketch block (±1.04/√(2^p)). */
   def hll_count(c: Column): Column =
     ColumnShim.column(HllCount(ColumnShim.expression(c)))
+
+  /** Pairwise register-wise max of two sketch columns (sketch algebra:
+    * overlap by inclusion–exclusion without a per-pair explode). */
+  def hll_merge2(a: Column, b: Column): Column =
+    ColumnShim.column(HllMerge2(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

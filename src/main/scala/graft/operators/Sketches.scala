@@ -79,6 +79,57 @@ object Sketches {
           .as("est_within_band"))
   }
 
+  /** Pairwise audience overlap from PER-SEGMENT HLL sketches — sketch
+    * algebra, the payoff of a stored sketch table
+    * ([[graft.functions.HllSketch]]): |A∩B| estimated by
+    * inclusion–exclusion `est(A) + est(B) − est(A∪B)`, where the union
+    * sketch is one register-wise max — NO rescan, NO pairwise key join.
+    * The exact overlap (computed here for the gate; at 100 TB you'd
+    * skip it — that's the point) rides a distinct-pair self-join.
+    *
+    * Envelope: each of the three estimates carries ~1.04/√m relative
+    * error on ITS OWN cardinality, so the intersection's absolute error
+    * is bounded (to first order) by σ·(|A| + |B| + |A∪B|)·1.04/√m; the
+    * default 5σ band makes a false alarm vanishingly unlikely while a
+    * broken merge (the failure this guards) blows through it instantly.
+    *
+    * Output: one row per unordered segment pair (seg_a < seg_b):
+    * (seg_a, seg_b, exact_overlap, within_env).
+    */
+  def overlapEnvelope(df: DataFrame, segCol: String, keyCol: String,
+                      p: Int = 12, sigmas: Double = 5.0): DataFrame = {
+    import graft.functions.{hll_count, hll_sketch}
+    val rsd = 1.04 / math.sqrt((1L << p).toDouble)
+    val sketches = df.groupBy(col(segCol).as("seg"))
+      .agg(hll_sketch(col(keyCol), p).as("sk"),
+        countDistinct(col(keyCol)).as("exact_n"))
+      .localCheckpoint() // tiny (segment cardinality); read 3× below
+    val a = sketches.select(col("seg").as("seg_a"), col("sk").as("sk_a"),
+      col("exact_n").as("n_a"))
+    val b = sketches.select(col("seg").as("seg_b"), col("sk").as("sk_b"),
+      col("exact_n").as("n_b"))
+    val pairs = a.join(b, col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        hll_count(col("sk_a")).as("est_a"), hll_count(col("sk_b")).as("est_b"),
+        hll_count(graft.functions.hll_merge2(col("sk_a"), col("sk_b")))
+          .as("est_ab"))
+    // exact distinct-pair overlap for the gate
+    val keys = df.select(col(segCol).as("seg"), col(keyCol).as("k")).distinct()
+    val exact = keys.select(col("seg").as("seg_a"), col("k"))
+      .join(keys.select(col("seg").as("seg_b"), col("k")), Seq("k"))
+      .filter(col("seg_a") < col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    pairs.join(exact, Seq("seg_a", "seg_b"), "left")
+      .na.fill(0L, Seq("exact_overlap"))
+      .select(col("seg_a"), col("seg_b"), col("exact_overlap"),
+        (abs(col("est_a") + col("est_b") - col("est_ab") - col("exact_overlap"))
+          .cast("double")
+          <= lit(sigmas * rsd) *
+            (col("n_a") + col("n_b") + col("est_ab")).cast("double"))
+          .as("within_env"))
+  }
+
   def percentileEnvelope(df: DataFrame, groupCol: String, valCol: String,
                          qs: Seq[Double], accuracy: Int = 1000,
                          slackRanks: Double = 50.0): DataFrame = {

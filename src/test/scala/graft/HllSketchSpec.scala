@@ -78,4 +78,28 @@ class HllSketchSpec extends SparkTestBase {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("hll_merge2 equals the aggregate union bit-for-bit and never mutates inputs") {
+    val a = sketchOf((1L to 300L).toSeq)
+    val b = sketchOf((200L to 500L).toSeq)
+    val viaPair = Seq((a, b)).toDF("a", "b")
+      .select(graft.functions.hll_merge2(col("a"), col("b"))).head().getAs[Array[Byte]](0)
+    val viaAgg = Seq(a, b).toDF("sk").agg(hll_union(col("sk"))).head().getAs[Array[Byte]](0)
+    assert(viaPair.sameElements(viaAgg))
+    assert(a.sameElements(sketchOf((1L to 300L).toSeq)), "left input mutated")
+  }
+
+  test("overlapEnvelope: inclusion-exclusion overlap within band, zero-overlap pairs kept") {
+    // segs: x={1..400}, y={201..600} (overlap 200), z={10001..10200} (disjoint)
+    val rows = (1L to 400L).map(("x", _)) ++ (201L to 600L).map(("y", _)) ++
+      (10001L to 10200L).map(("z", _))
+    val got = graft.operators.Sketches.overlapEnvelope(
+        rows.toDF("seg", "k"), "seg", "k", p = 12)
+      .orderBy("seg_a", "seg_b").collect()
+    assert(got.length == 3)
+    val xy = got.find(r => r.getString(0) == "x" && r.getString(1) == "y").get
+    assert(xy.getLong(2) == 200L && xy.getBoolean(3))
+    val xz = got.find(r => r.getString(0) == "x" && r.getString(1) == "z").get
+    assert(xz.getLong(2) == 0L && xz.getBoolean(3), s"disjoint pair kept with env: $xz")
+  }
 }
