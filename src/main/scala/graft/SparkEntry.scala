@@ -2724,6 +2724,53 @@ object SparkEntry {
           T(s, dir, "events"), "event_type", "user_id", p = 12)
         .orderBy(col("seg_a"), col("seg_b"))),
 
+    // Heavy hitters IN streaming state: the mergeable Misra–Gries
+    // summary (q154's aggregate) lives inside a watermarked window
+    // aggregation — micro-batch/partition partials merge through the
+    // state buffer and the sketch's HARD guarantees survive (presence
+    // above n/(k+1), est ≤ true, bounded deficit), which is what the
+    // gate asserts per closed window
+    // (streaming/StreamAgg.windowedHeavyHitters).
+    "q195_stream_heavy_hitters" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_streamhh").toString
+      val ev = Tables.events(s, dir)
+      val sentinel = ev.agg(max(col("ts")).as("mx"))
+        .select(lit(0L).as("user_id"), lit("__sentinel").as("event_type"),
+          (unix_micros(col("mx")) + lit(30L * 86400L * 1000000L)).as("ts_us"),
+          lit(0.0).as("value"))
+      ev.select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .unionByName(sentinel)
+        .select(to_json(struct(col("user_id"), col("event_type"),
+          col("ts_us"), col("value"))).as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").text(s"$base/in")
+      val k = 8
+      val ests = StreamAgg.runHeavyHittersToCompletion(s, s"$base/in",
+          s"$base/sink", s"$base/ckpt", itemCol = "event_type", k = k,
+          windowLength = "1 day", watermarkDelay = "1 minute",
+          statePartitions = Some(8))
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("window_day"),
+          col("n"), explode(col("mg")).as(Seq("item", "est")))
+      val exact = ev.groupBy(
+          date_format(col("ts"), "yyyy-MM-dd").as("window_day"),
+          col("event_type").as("item"))
+        .agg(count(lit(1)).as("true_count"))
+      // guaranteed set from EXACT counts (deterministic); the sketch
+      // side contributes only the pinned booleans
+      exact.join(ests.select(col("window_day"), col("n")).distinct(),
+          Seq("window_day"))
+        .filter(col("true_count") * (k + 1) > col("n"))
+        .join(ests.select(col("window_day"), col("item"), col("est")),
+          Seq("window_day", "item"), "left")
+        .select(col("window_day"), col("item"), col("true_count"),
+          col("est").isNotNull.as("in_sketch"),
+          (col("est") <= col("true_count") &&
+            (col("true_count") - col("est")) * (k + 1) <= col("n"))
+            .as("est_within_band"))
+        .orderBy(col("window_day"), col("item"))
+    }),
+
     // Streaming Avro consumption — the reference's second producer topic
     // replayed offline: Confluent-framed Avro payloads staged as a
     // binary column, readStream → avro_decode → checkpointed parquet
@@ -5344,6 +5391,20 @@ object SparkEntry {
         |FROM s x JOIN s y ON x.seg < y.seg
         |LEFT JOIN ov ON ov.sa = x.seg AND ov.sb = y.seg
         |ORDER BY 1, 2""".stripMargin,
+
+    // the guaranteed set from exact counts; the sketch booleans are
+    // asserted literally TRUE (Misra–Gries' combinatorial bound has
+    // zero false-alarm probability — q154's discipline, now streaming)
+    "q195_stream_heavy_hitters" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS window_day,
+        |             event_type AS item FROM events),
+        |n AS (SELECT window_day, count(*)::BIGINT AS n FROM d GROUP BY 1),
+        |c AS (SELECT window_day, item, count(*)::BIGINT AS true_count
+        |      FROM d GROUP BY 1, 2)
+        |SELECT c.window_day, c.item, c.true_count,
+        |  true AS in_sketch, true AS est_within_band
+        |FROM c JOIN n USING (window_day)
+        |WHERE c.true_count * 9 > n.n ORDER BY 1, 2""".stripMargin,
 
     // q172's derivation minus the wire-length column: the streamed
     // decode must reproduce the staged fields exactly

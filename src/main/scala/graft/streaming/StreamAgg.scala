@@ -419,6 +419,42 @@ object StreamAgg {
       .select(col("window.start").as("window_start"), col("bin"), col("n"))
   }
 
+  /** Per-window Misra–Gries heavy-hitter summary IN streaming state —
+    * the mergeable-summary property is exactly what makes a sketch
+    * legal here: micro-batch partials merge into the window's state
+    * buffer through any partial-aggregation tree (Agarwal et al., PODS
+    * 2012), and the summary's hard guarantees (est ≤ true, deficit ≤
+    * n/(k+1), every item above n/(k+1) present) survive every merge.
+    * State per window is ≤ k counters + a count, watermark-evicted.
+    * Output per closed window: (window_start, mg map, n).
+    */
+  def windowedHeavyHitters(events: DataFrame, itemCol: String, k: Int,
+                           windowLength: String = "1 day",
+                           watermarkDelay: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(graft.functions.misra_gries(col(itemCol), k).as("mg"),
+        count(col(itemCol)).as("n"))
+      .select(col("window.start").as("window_start"), col("mg"), col("n"))
+
+  /** Bounded run of [[windowedHeavyHitters]] over staged JSON events →
+    * checkpointed parquet sink, read back. */
+  def runHeavyHittersToCompletion(spark: SparkSession, inPath: String,
+                                  outPath: String, checkpointPath: String,
+                                  itemCol: String, k: Int,
+                                  windowLength: String = "1 day",
+                                  watermarkDelay: String = "1 minute",
+                                  statePartitions: Option[Int] = None): DataFrame = {
+    val src = jsonEventSource(spark, inPath,
+      "user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
+    runToParquet(spark,
+      windowedHeavyHitters(src, itemCol, k, windowLength, watermarkDelay),
+      outPath, checkpointPath, statePartitions)
+    readSink(spark, outPath, org.apache.spark.sql.types.StructType.fromDDL(
+      "window_start TIMESTAMP, mg MAP<STRING, BIGINT>, n BIGINT"))
+  }
+
   /** Bounded run of [[windowedHistogram]] over staged JSON events →
     * checkpointed parquet sink, read back (the q32 harness shape). */
   def runHistogramToCompletion(spark: SparkSession, inPath: String, outPath: String,
