@@ -2771,6 +2771,18 @@ object SparkEntry {
         .orderBy(col("window_day"), col("item"))
     }),
 
+    // Embedding-store int8 quantization: per-dim affine codes from one
+    // min/max pass, round-trip error hard-bounded by scale/2 per dim.
+    // min/max are order-independent, so — unlike mean-based paths —
+    // every code and error value is bit-deterministic and the gate
+    // hashes them directly (vector/Stats.quantizeInt8).
+    "q196_embedding_quantize" -> ((s, dir) =>
+      graft.vector.Stats.quantizeInt8(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          col("max_err_micro"), col("within_bound"))
+        .orderBy(col("vec_id"))),
+
     // Streaming Avro consumption — the reference's second producer topic
     // replayed offline: Confluent-framed Avro payloads staged as a
     // binary column, readStream → avro_decode → checkpointed parquet
@@ -5405,6 +5417,28 @@ object SparkEntry {
         |  true AS in_sketch, true AS est_within_band
         |FROM c JOIN n USING (window_day)
         |WHERE c.true_count * 9 > n.n ORDER BY 1, 2""".stripMargin,
+
+    // same min/max params, same code/err chains — min/max are
+    // order-independent so everything replays exactly
+    "q196_embedding_quantize" ->
+      """WITH d AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |             generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |p AS (SELECT i, min(x) AS lo, (max(x) - min(x)) / 255.0 AS s
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT d.vec_id,
+        |        CASE WHEN p.s = 0 THEN 0
+        |             ELSE least(255.0, greatest(0.0, round((d.x - p.lo) / p.s)))::BIGINT
+        |        END AS code,
+        |        CASE WHEN p.s = 0 THEN abs(d.x - p.lo)
+        |             ELSE abs((d.x - p.lo)
+        |               - least(255.0, greatest(0.0, round((d.x - p.lo) / p.s))) * p.s)
+        |        END AS err,
+        |        p.s AS s
+        |      FROM d JOIN p USING (i))
+        |SELECT vec_id, sum(code)::BIGINT AS code_sum,
+        |  round(max(err) * 1e6)::BIGINT AS max_err_micro,
+        |  bool_and(err - s / 2 <= 1e-6) AS within_bound
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q172's derivation minus the wire-length column: the streamed
     // decode must reproduce the staged fields exactly

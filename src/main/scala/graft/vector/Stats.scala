@@ -63,6 +63,68 @@ object Stats {
       .select(col("dim"), col("mean_micro"), col("std_micro"), col("n_outliers"))
   }
 
+  /** Per-dimension affine int8 quantization of an embedding corpus —
+    * the embedding-STORE compression op (4× over float32, 8× over
+    * float64) a 100 TB vector table runs before anything else touches
+    * it: codes `round((x − min_d)/scale_d)` clamped to [0, 255] with
+    * `scale_d = (max_d − min_d)/255` from one per-dimension min/max
+    * pass; a constant dimension (scale 0) quantizes to code 0 with
+    * zero error rather than dividing by zero.
+    *
+    * Everything is a fixed double-op chain over corpus statistics, so
+    * the codes — and therefore the round-trip error — are DETERMINISTIC
+    * and the gate hashes them directly (no envelope): per vector, the
+    * code sum and the max dequantization error in micro-units, plus the
+    * hard bound `max_err ≤ scale_d/2 + ε` that affine rounding
+    * guarantees per dimension.
+    *
+    * Scale: min/max is one map-side-combinable d-group aggregate; the
+    * quantization pass broadcasts the d-row parameter table as two
+    * aligned arrays and runs row-local `zip_with`/`transform` — no
+    * shuffle of the corpus.
+    *
+    * Output: (vec_id, codes array<int>, max_err_micro, within_bound).
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(vecCol)
+    val params = emb.select(posexplode(v).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .groupBy()
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, lo))), e -> e.lo)")
+          .as("los"),
+        expr("transform(array_sort(collect_list(struct(dim, hi))), e -> e.hi)")
+          .as("his"))
+      .select(col("los"),
+        zip_with(col("his"), col("los"), (h, l) => (h - l) / lit(255.0))
+          .as("scales"))
+    val code = expr(
+      """zip_with(zip_with(__v, __los, (x, l) -> x - l), __scales,
+        |  (d, s) -> CASE WHEN s = 0D THEN 0
+        |                 ELSE CAST(least(255D, greatest(0D, round(d / s))) AS INT)
+        |            END)""".stripMargin)
+    val dequantErr = expr(
+      """zip_with(zip_with(zip_with(__v, __los, (x, l) -> x - l), __scales,
+        |  (d, s) -> CASE WHEN s = 0D THEN abs(d)
+        |            ELSE abs(d - least(255D, greatest(0D, round(d / s))) * s) END),
+        |  __scales, (e, s) -> e - s / 2D)""".stripMargin)
+    emb.select(col(idCol).as("vec_id"), v.as("__v"))
+      .crossJoin(broadcast(params.select(col("los").as("__los"),
+        col("scales").as("__scales"))))
+      .select(col("vec_id"), code.as("codes"),
+        expr("""CAST(round(aggregate(zip_with(zip_with(__v, __los, (x, l) -> x - l),
+          |  __scales, (d, s) -> CASE WHEN s = 0D THEN abs(d)
+          |    ELSE abs(d - least(255D, greatest(0D, round(d / s))) * s) END),
+          |  0D, (a, e) -> CASE WHEN e > a THEN e ELSE a END) * 1e6) AS BIGINT)"""
+          .stripMargin).as("max_err_micro"),
+        // affine rounding guarantees err ≤ scale/2 per dim (+1 micro of
+        // rounding slack on the comparison itself)
+        aggregate(dequantErr, lit(true).cast("boolean"),
+          (acc, e) => acc && e <= lit(1e-6)).as("within_bound"))
+  }
+
   /** Top principal component by the textbook distributed split
     * (identical to MLlib RowMatrix: Gramian on the cluster, eigensolve
     * on the driver): ONE moments pass builds the d×d population

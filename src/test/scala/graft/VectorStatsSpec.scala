@@ -101,4 +101,43 @@ class VectorStatsSpec extends SparkTestBase {
       assert(a == b)
     }
   }
+
+  test("quantizeInt8: anchors, error bound, constant-dim guard") {
+    // dim 0 spans [0, 255] (scale 1 — codes are the values themselves);
+    // dim 1 constant (scale 0 — code 0, zero error)
+    val vs = Seq(Seq(0.0, 7.0), Seq(51.0, 7.0), Seq(255.0, 7.0))
+    val got = Stats.quantizeInt8(df(vs)).orderBy("vec_id").collect()
+    assert(got.map(_.getSeq[Int](1)).toSeq ==
+      Seq(Seq(0, 0), Seq(51, 0), Seq(255, 0)))
+    assert(got.forall(_.getLong(2) == 0L), "exact grid quantizes losslessly")
+    assert(got.forall(_.getBoolean(3)))
+  }
+
+  test("quantizeInt8: round-trip error within scale/2 on random corpora") {
+    val gen = for {
+      d <- Gen.chooseNum(1, 6)
+      vs <- Gen.listOfN(40, Gen.listOfN(d, Gen.chooseNum(-10.0, 10.0)))
+    } yield vs
+    for (vs <- samples(gen, n = 4)) {
+      val got = Stats.quantizeInt8(df(vs)).collect()
+      assert(got.length == vs.size)
+      assert(got.forall(_.getBoolean(3)), "within_bound must hold everywhere")
+      // cross-check one error against a driver-side recompute
+      val d = vs.head.size
+      val lo = (0 until d).map(i => vs.map(_(i)).min)
+      val sc = (0 until d).map(i => (vs.map(_(i)).max - lo(i)) / 255.0)
+      got.foreach { r =>
+        val v = vs(r.getLong(0).toInt)
+        val err = (0 until d).map { i =>
+          if (sc(i) == 0) 0.0
+          else {
+            val c = math.min(255.0, math.max(0.0, math.round((v(i) - lo(i)) / sc(i)).toDouble))
+            math.abs((v(i) - lo(i)) - c * sc(i))
+          }
+        }.max
+        assert(math.abs(r.getLong(2) - math.floor(err * 1e6 + 0.5)) <= 1,
+          s"vec ${r.getLong(0)}")
+      }
+    }
+  }
 }
