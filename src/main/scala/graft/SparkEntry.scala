@@ -2783,6 +2783,16 @@ object SparkEntry {
           col("max_err_micro"), col("within_bound"))
         .orderBy(col("vec_id"))),
 
+    // Serving over the quantized store: top-k by integer code dot
+    // product — all-integer scores make ranks, ties, AND scores
+    // exactly replayable (full hash gate, no rounded-score contract
+    // needed); corpus crosses once against the broadcast coded queries
+    // through the bounded heap (vector/Stats.int8TopK).
+    "q197_ann_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.vector.Stats.int8TopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
+
     // Streaming Avro consumption — the reference's second producer topic
     // replayed offline: Confluent-framed Avro payloads staged as a
     // binary column, readStream → avro_decode → checkpointed parquet
@@ -5439,6 +5449,30 @@ object SparkEntry {
         |  round(max(err) * 1e6)::BIGINT AS max_err_micro,
         |  bool_and(err - s / 2 <= 1e-6) AS within_bound
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q196's code chain for every vector, then integer dots and the
+    // (dot DESC, vec_id) ranking — all integers, replayed exactly
+    "q197_ann_int8" ->
+      """WITH d AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |             generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |p AS (SELECT i, min(x) AS lo, (max(x) - min(x)) / 255.0 AS s
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT d.vec_id, d.i,
+        |        CASE WHEN p.s = 0 THEN 0
+        |             ELSE least(255.0, greatest(0.0, round((d.x - p.lo) / p.s)))::BIGINT
+        |        END AS code
+        |      FROM d JOIN p USING (i)),
+        |q AS (SELECT vec_id AS query_id, i, code FROM c WHERE vec_id < 5),
+        |dots AS (
+        |  SELECT q.query_id, c.vec_id, sum(q.code * c.code)::BIGINT AS dot
+        |  FROM c JOIN q USING (i) WHERE c.vec_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, dot,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY dot DESC, vec_id)::BIGINT AS rank
+        |      FROM dots)
+        |SELECT query_id, rank, vec_id, dot FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // q172's derivation minus the wire-length column: the streamed
     // decode must reproduce the staged fields exactly

@@ -87,7 +87,7 @@ object Similarity {
     * (query_id, rank, vec_id, score) rows, rank 1-based, deterministic
     * (score desc, vec_id asc) order — the single definition of the
     * ranking contract for all three ANN variants. */
-  private def rankTopK(scored: org.apache.spark.sql.Dataset[Scored], k: Int): DataFrame = {
+  private[vector] def rankTopK(scored: org.apache.spark.sql.Dataset[Scored], k: Int): DataFrame = {
     import scored.sparkSession.implicits._
     val agg = new TopKAgg(k).toColumn.name("top")
     scored.groupByKey(_.query_id).agg(agg)

@@ -85,10 +85,11 @@ object Stats {
     *
     * Output: (vec_id, codes array<int>, max_err_micro, within_bound).
     */
-  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val v = asDouble(vecCol)
-    val params = emb.select(posexplode(v).as(Seq("dim", "x")))
+  /** One-row (los, scales) parameter frame for [[quantizeInt8]]: per-dim
+    * corpus min and `(max − min)/255`. min/max are order-independent —
+    * the reason the whole quantization is bit-deterministic. */
+  def quantizeParams(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb.select(posexplode(asDouble(vecCol)).as(Seq("dim", "x")))
       .groupBy(col("dim"))
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .groupBy()
@@ -100,6 +101,27 @@ object Stats {
       .select(col("los"),
         zip_with(col("his"), col("los"), (h, l) => (h - l) / lit(255.0))
           .as("scales"))
+
+  /** Codes only, under a CALLER-supplied parameter frame — how queries
+    * are quantized against a corpus's params at serving time. */
+  def quantizeCodesWith(df: DataFrame, params: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val code = expr(
+      """zip_with(zip_with(__v, __los, (x, l) -> x - l), __scales,
+        |  (d, s) -> CASE WHEN s = 0D THEN 0
+        |                 ELSE CAST(least(255D, greatest(0D, round(d / s))) AS INT)
+        |            END)""".stripMargin)
+    df.select(col(idCol).as("vec_id"), asDouble(vecCol).as("__v"))
+      .crossJoin(broadcast(params.select(col("los").as("__los"),
+        col("scales").as("__scales"))))
+      .select(col("vec_id"), code.as("codes"))
+  }
+
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(vecCol)
+    val params = quantizeParams(emb, vecCol)
     val code = expr(
       """zip_with(zip_with(__v, __los, (x, l) -> x - l), __scales,
         |  (d, s) -> CASE WHEN s = 0D THEN 0
@@ -123,6 +145,38 @@ object Stats {
         // rounding slack on the comparison itself)
         aggregate(dequantErr, lit(true).cast("boolean"),
           (acc, e) => acc && e <= lit(1e-6)).as("within_bound"))
+  }
+
+  /** Top-k retrieval over the QUANTIZED store — the serving payoff of
+    * [[quantizeInt8]]: queries are coded with the corpus's params and
+    * scored by the integer code dot product (≤ d·255² ≈ 4.2M at d = 64,
+    * exact in a long and in the Double the bounded heap carries).
+    * Everything is integer, so ranks, ties (score desc, id asc), and
+    * scores replay in the oracle exactly — a full hash gate, where
+    * float-cosine ANN needs rounded scores.
+    *
+    * Scale: the corpus crosses ONCE against the broadcast coded query
+    * set and reduces through [[Similarity.TopKAgg]]'s bounded heap —
+    * |queries|·k rows cross the shuffle, the q28 contract, now at a
+    * quarter the scan bandwidth (int8 vs float32).
+    */
+  def int8TopK(emb: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val params = quantizeParams(emb)
+    val corpus = quantizeCodesWith(emb, params)
+    val q = quantizeCodesWith(queries, params)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("codes"), col("qcodes"),
+            (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double").as("score"))
+      .as[Similarity.Scored]
+    Similarity.rankTopK(scored, k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("score").cast("long").as("dot"))
   }
 
   /** Top principal component by the textbook distributed split

@@ -140,4 +140,29 @@ class VectorStatsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("int8TopK ranks by exact integer dot and agrees with a driver recompute") {
+    val gen = Gen.listOfN(30, Gen.listOfN(5, Gen.chooseNum(-4.0, 4.0)))
+    for (vs <- samples(gen, n = 3)) {
+      val corpus = df(vs)
+      val got = Stats.int8TopK(corpus, corpus.filter(col("vec_id") < 2), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // driver replay of the whole chain
+      val d = vs.head.size
+      val lo = (0 until d).map(i => vs.map(_(i)).min)
+      val sc = (0 until d).map(i => (vs.map(_(i)).max - lo(i)) / 255.0)
+      def codes(v: Seq[Double]): Seq[Long] = (0 until d).map { i =>
+        if (sc(i) == 0) 0L
+        else math.min(255L, math.max(0L, math.round((v(i) - lo(i)) / sc(i))))
+      }
+      val want = (0 until 2).flatMap { qid =>
+        val qc = codes(vs(qid))
+        vs.indices.filter(_ != qid)
+          .map(j => (j.toLong, codes(vs(j)).zip(qc).map { case (a, b) => a * b }.sum))
+          .sortBy { case (id, dt) => (-dt, id) }.take(5).zipWithIndex
+          .map { case ((id, dt), r) => (qid.toLong, (r + 1).toLong, id, dt) }
+      }
+      assert(got.toSeq == want, s"got=${got.toSeq}")
+    }
+  }
 }
