@@ -2783,6 +2783,50 @@ object SparkEntry {
           col("max_err_micro"), col("within_bound"))
         .orderBy(col("vec_id"))),
 
+    // Streaming distinct-count sketches: per-day HLL registers built IN
+    // watermarked window state (idempotent max — replays can't double-
+    // count), then (a) each day's estimate enveloped against the exact
+    // batch distinct and (b) the month union of STREAM-written sketches
+    // asserted register-identical to a BATCH-built month sketch — the
+    // stream and batch paths must land the same bytes
+    // (streaming/StreamAgg.windowedDistinctSketch).
+    "q198_stream_distinct_sketch" -> ((s, dir) => {
+      import graft.functions.{hll_count, hll_sketch, hll_union}
+      val base = java.nio.file.Files.createTempDirectory("graft_streamds").toString
+      val ev = Tables.events(s, dir)
+      val sentinel = ev.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+          (unix_micros(col("mx")) + lit(30L * 86400L * 1000000L)).as("ts_us"),
+          lit(0.0).as("value"))
+      ev.select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .unionByName(sentinel)
+        .select(to_json(struct(col("user_id"), col("event_type"),
+          col("ts_us"), col("value"))).as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").text(s"$base/in")
+      val sink = StreamAgg.runDistinctSketchToCompletion(s, s"$base/in",
+        s"$base/sink", s"$base/ckpt", keyCol = "user_id", p = 12,
+        windowLength = "1 day", watermarkDelay = "1 minute",
+        statePartitions = Some(8))
+      val exact = ev.groupBy(
+          date_format(col("ts"), "yyyy-MM-dd").as("window_day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val band = 5.0 * 1.04 / math.sqrt(4096.0)
+      val monthly = sink.agg(hll_union(col("sk")).as("msk"))
+        .crossJoin(ev.agg(hll_sketch(col("user_id"), 12).as("bsk")))
+        .select((col("msk") === col("bsk")).as("month_union_consistent"))
+      sink.select(date_format(col("window_start"), "yyyy-MM-dd")
+            .as("window_day"), col("sk"))
+        .join(exact, Seq("window_day"))
+        .crossJoin(broadcast(monthly))
+        .select(col("window_day"), col("exact_users"),
+          (abs(hll_count(col("sk")) - col("exact_users")).cast("double")
+            / col("exact_users").cast("double") <= band).as("within_env"),
+          col("month_union_consistent"))
+        .orderBy(col("window_day"))
+    }),
+
     // Serving over the quantized store: top-k by integer code dot
     // product — all-integer scores make ranks, ties, AND scores
     // exactly replayable (full hash gate, no rounded-score contract
@@ -5449,6 +5493,14 @@ object SparkEntry {
         |  round(max(err) * 1e6)::BIGINT AS max_err_micro,
         |  bool_and(err - s / 2 <= 1e-6) AS within_bound
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact per-day distinct; the envelope and the stream-vs-batch
+    // register identity are asserted literally TRUE
+    "q198_stream_distinct_sketch" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS window_day,
+        |  count(DISTINCT user_id)::BIGINT AS exact_users,
+        |  true AS within_env, true AS month_union_consistent
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q196's code chain for every vector, then integer dots and the
     // (dot DESC, vec_id) ranking — all integers, replayed exactly

@@ -438,6 +438,40 @@ object StreamAgg {
         count(col(itemCol)).as("n"))
       .select(col("window.start").as("window_start"), col("mg"), col("n"))
 
+  /** Per-window distinct-count HLL sketch in streaming state — same
+    * licence as [[windowedHeavyHitters]]: register max is associative/
+    * commutative/IDEMPOTENT, so micro-batch partials merge through the
+    * window's state buffer and (unlike a count) even replayed rows
+    * cannot double-count. State per window is 2^p bytes, watermark-
+    * evicted. Output per closed window: (window_start, sk, n_rows).
+    */
+  def windowedDistinctSketch(events: DataFrame, keyCol: String, p: Int = 12,
+                             windowLength: String = "1 day",
+                             watermarkDelay: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(graft.functions.hll_sketch(col(keyCol), p).as("sk"),
+        count(col(keyCol)).as("n_rows"))
+      .select(col("window.start").as("window_start"), col("sk"), col("n_rows"))
+
+  /** Bounded run of [[windowedDistinctSketch]] over staged JSON events →
+    * checkpointed parquet sink, read back. */
+  def runDistinctSketchToCompletion(spark: SparkSession, inPath: String,
+                                    outPath: String, checkpointPath: String,
+                                    keyCol: String, p: Int = 12,
+                                    windowLength: String = "1 day",
+                                    watermarkDelay: String = "1 minute",
+                                    statePartitions: Option[Int] = None): DataFrame = {
+    val src = jsonEventSource(spark, inPath,
+      "user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
+    runToParquet(spark,
+      windowedDistinctSketch(src, keyCol, p, windowLength, watermarkDelay),
+      outPath, checkpointPath, statePartitions)
+    readSink(spark, outPath, org.apache.spark.sql.types.StructType.fromDDL(
+      "window_start TIMESTAMP, sk BINARY, n_rows BIGINT"))
+  }
+
   /** Bounded run of [[windowedHeavyHitters]] over staged JSON events →
     * checkpointed parquet sink, read back. */
   def runHeavyHittersToCompletion(spark: SparkSession, inPath: String,
