@@ -2827,6 +2827,40 @@ object SparkEntry {
         .orderBy(col("window_day"))
     }),
 
+    // Join-size planning from key summaries: the CMS inner product
+    // min_j Σ_w a[j][w]·b[j][w] estimates |A ⋈ B| from two stored
+    // counter matrices WITHOUT running the join (Cormode &
+    // Muthukrishnan 2005 §4.2) — a hard overestimate (collisions only
+    // add), ε = e/width above truth w.p. 1−e^−depth; deterministic
+    // here, so both bounds gate as literal TRUE
+    // (functions/CmsSketch.scala).
+    "q199_join_size_sketch" -> ((s, dir) => {
+      import graft.functions.{cms_inner, cms_sketch}
+      val eps = math.E / 2048.0
+      val cases = Seq(
+        ("customer_orders", T(s, dir, "customer"), "c_custkey",
+          T(s, dir, "orders"), "o_custkey"),
+        ("orders_lineitem", T(s, dir, "orders"), "o_orderkey",
+          T(s, dir, "lineitem"), "l_orderkey"))
+      cases.map { case (nm, a, ka, b, kb) =>
+        val sa = a.agg(cms_sketch(col(ka), 5, 2048).as("ska"),
+          count(col(ka)).as("na"))
+        val sb = b.agg(cms_sketch(col(kb), 5, 2048).as("skb"),
+          count(col(kb)).as("nb"))
+        val ex = a.select(col(ka).as("k"))
+          .join(b.select(col(kb).as("k")), Seq("k"))
+          .agg(count(lit(1)).as("exact_join_size"))
+        sa.crossJoin(sb).crossJoin(ex)
+          .select(lit(nm).as("pair"), col("exact_join_size"),
+            (cms_inner(col("ska"), col("skb")) >= col("exact_join_size"))
+              .as("overcount_ok"),
+            (cms_inner(col("ska"), col("skb")).cast("double")
+              <= col("exact_join_size").cast("double")
+                + lit(eps) * col("na").cast("double") * col("nb").cast("double"))
+              .as("within_eps"))
+      }.reduce(_ unionByName _).orderBy(col("pair"))
+    }),
+
     // Serving over the quantized store: top-k by integer code dot
     // product — all-integer scores make ranks, ties, AND scores
     // exactly replayable (full hash gate, no rounded-score contract
@@ -5493,6 +5527,20 @@ object SparkEntry {
         |  round(max(err) * 1e6)::BIGINT AS max_err_micro,
         |  bool_and(err - s / 2 <= 1e-6) AS within_bound
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact join sizes; the hard overestimate and the ε bound are
+    // asserted literally TRUE
+    "q199_join_size_sketch" ->
+      """SELECT 'customer_orders' AS pair,
+        |  (SELECT count(*) FROM customer c JOIN orders o
+        |     ON c.c_custkey = o.o_custkey)::BIGINT AS exact_join_size,
+        |  true AS overcount_ok, true AS within_eps
+        |UNION ALL
+        |SELECT 'orders_lineitem',
+        |  (SELECT count(*) FROM orders o JOIN lineitem l
+        |     ON o.o_orderkey = l.l_orderkey)::BIGINT,
+        |  true, true
+        |ORDER BY 1""".stripMargin,
 
     // exact per-day distinct; the envelope and the stream-vs-batch
     // register identity are asserted literally TRUE

@@ -100,4 +100,15 @@ package object functions {
     * overlap by inclusion–exclusion without a per-pair explode). */
   def hll_merge2(a: Column, b: Column): Column =
     ColumnShim.column(HllMerge2(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Count-min sketch with exposed counters (depth×width longs) — the
+    * join-size-planning summary; merge is element-wise add. */
+  def cms_sketch(c: Column, depth: Int = 5, width: Int = 2048): Column =
+    ColumnShim.column(CmsSketch(ColumnShim.expression(c), depth, width)
+      .toAggregateExpression())
+
+  /** CMS inner product `min_j Σ_w a·b` — a HARD overestimate of the
+    * join output size between the two sketched key columns. */
+  def cms_inner(a: Column, b: Column): Column =
+    ColumnShim.column(CmsInnerProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
 }
