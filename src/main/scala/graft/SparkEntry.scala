@@ -2861,6 +2861,19 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy(col("pair"))
     }),
 
+    // Set algebra on KMV / theta sketches: pairwise audience
+    // intersection AND difference answered directly from stored
+    // k-minimum-hash samples (q194's HLL can only inclusion–exclusion
+    // the intersection, with error riding the union size). Three pinned
+    // contracts: both estimates inside the σ·|A∪B|/√k sampling band,
+    // and the bit-for-bit merge identity — the fold of per-segment
+    // sketches equals one sketch over all rows
+    // (operators/Sketches.kmvSetOpsEnvelope, functions/KmvSketch.scala).
+    "q200_theta_setops" -> ((s, dir) =>
+      graft.operators.Sketches.kmvSetOpsEnvelope(
+          T(s, dir, "events"), "event_type", "user_id", k = 512)
+        .orderBy(col("seg_a"), col("seg_b"))),
+
     // Serving over the quantized store: top-k by integer code dot
     // product — all-integer scores make ranks, ties, AND scores
     // exactly replayable (full hash gate, no rounded-score contract
@@ -5541,6 +5554,24 @@ object SparkEntry {
         |     ON o.o_orderkey = l.l_orderkey)::BIGINT,
         |  true, true
         |ORDER BY 1""".stripMargin,
+
+    // exact overlap and difference from distinct-pair joins; the two
+    // sampling-band booleans and the bit-for-bit merge identity are
+    // asserted literally TRUE
+    "q200_theta_setops" ->
+      """WITH s AS (SELECT DISTINCT event_type AS seg FROM events),
+        |k AS (SELECT DISTINCT event_type AS seg, user_id AS u FROM events),
+        |n AS (SELECT seg, count(*)::BIGINT AS n FROM k GROUP BY 1),
+        |ov AS (SELECT a.seg AS sa, b.seg AS sb, count(*)::BIGINT AS c
+        |       FROM k a JOIN k b ON a.u = b.u AND a.seg < b.seg GROUP BY 1, 2)
+        |SELECT x.seg AS seg_a, y.seg AS seg_b,
+        |  COALESCE(ov.c, 0)::BIGINT AS exact_overlap,
+        |  (na.n - COALESCE(ov.c, 0))::BIGINT AS exact_only_a,
+        |  true AS int_in_env, true AS diff_in_env, true AS merge_identity
+        |FROM s x JOIN s y ON x.seg < y.seg
+        |JOIN n na ON na.seg = x.seg
+        |LEFT JOIN ov ON ov.sa = x.seg AND ov.sb = y.seg
+        |ORDER BY 1, 2""".stripMargin,
 
     // exact per-day distinct; the envelope and the stream-vs-batch
     // register identity are asserted literally TRUE

@@ -111,4 +111,26 @@ package object functions {
     * join output size between the two sketched key columns. */
   def cms_inner(a: Column, b: Column): Column =
     ColumnShim.column(CmsInnerProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** KMV / theta sketch: the k minimum distinct hash values — the
+    * distinct sketch whose samples answer intersections and differences
+    * DIRECTLY (HLL can only inclusion–exclusion an intersection). */
+  def kmv_sketch(c: Column, k: Int): Column =
+    ColumnShim.column(KmvSketch(ColumnShim.expression(c), k).toAggregateExpression())
+
+  /** Union of two stored KMV blobs (keep k smallest distinct). */
+  def kmv_merge2(a: Column, b: Column): Column =
+    ColumnShim.column(KmvMerge2(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Cardinality estimate of a stored KMV blob — exact below k. */
+  def kmv_count(c: Column): Column =
+    ColumnShim.column(KmvCount(ColumnShim.expression(c)))
+
+  /** Direct |A∩B| estimate from two stored KMV blobs. */
+  def kmv_intersect(a: Column, b: Column): Column =
+    ColumnShim.column(KmvIntersect(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Direct |A∖B| estimate from two stored KMV blobs. */
+  def kmv_difference(a: Column, b: Column): Column =
+    ColumnShim.column(KmvDifference(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

@@ -130,6 +130,66 @@ object Sketches {
           .as("within_env"))
   }
 
+  /** Pairwise set algebra from PER-SEGMENT KMV sketches
+    * ([[graft.functions.KmvSketch]]) — the operation q194's HLL
+    * inclusion–exclusion can't do well: |A∩B| and |A∖B| answered
+    * DIRECTLY from the stored hash samples, with error that shrinks
+    * with k (RSE ≈ 1/√(k−2) per estimate) instead of riding the union
+    * size. At 100 TB the per-segment sketches are a tiny stored table
+    * and every pairwise audience question is sketch-only — the exact
+    * values computed here exist only for the gate.
+    *
+    * Three pinned contracts per unordered pair (seg_a < seg_b):
+    *
+    *   - `int_in_env`:  |est∩ − exact∩| ≤ σ·|A∪B|/√k  (sampling error
+    *     of a k-sample of the union, θ-estimation term absorbed);
+    *   - `diff_in_env`: same band for |A∖B|;
+    *   - `merge_identity` (constant column): the fold of per-segment
+    *     sketches via kmv_merge2 is BIT-FOR-BIT equal to one sketch
+    *     built over all rows — keep-k-smallest-distinct is an
+    *     idempotent semilattice, so merge shape and replays cannot
+    *     change the bytes. A broken offer/trim shows up here first.
+    */
+  def kmvSetOpsEnvelope(df: DataFrame, segCol: String, keyCol: String,
+                        k: Int = 512, sigmas: Double = 5.0): DataFrame = {
+    import graft.functions.{kmv_difference, kmv_intersect, kmv_merge2, kmv_sketch}
+    val sketches = df.groupBy(col(segCol).as("seg"))
+      .agg(kmv_sketch(col(keyCol), k).as("sk"),
+        countDistinct(col(keyCol)).as("exact_n"))
+      .localCheckpoint() // tiny (segment cardinality); read 3× below
+    val emptyBlob = graft.functions.KmvSketch.empty(k)
+    val identity = sketches.agg(collect_list(col("sk")).as("sks"))
+      .crossJoin(df.agg(kmv_sketch(col(keyCol), k).as("sk_all")))
+      .select((aggregate(col("sks"), lit(emptyBlob),
+        (acc, x) => kmv_merge2(acc, x)) === col("sk_all")).as("merge_identity"))
+    val a = sketches.select(col("seg").as("seg_a"), col("sk").as("sk_a"),
+      col("exact_n").as("n_a"))
+    val b = sketches.select(col("seg").as("seg_b"), col("sk").as("sk_b"),
+      col("exact_n").as("n_b"))
+    val ests = a.join(b, col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        kmv_intersect(col("sk_a"), col("sk_b")).as("est_int"),
+        kmv_difference(col("sk_a"), col("sk_b")).as("est_diff"))
+    val keys = df.where(col(keyCol).isNotNull)
+      .select(col(segCol).as("seg"), col(keyCol).as("key")).distinct()
+    val exact = keys.select(col("seg").as("seg_a"), col("key"))
+      .join(keys.select(col("seg").as("seg_b"), col("key")), Seq("key"))
+      .filter(col("seg_a") < col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val band = lit(sigmas / math.sqrt(k.toDouble))
+    val exactUnion = (col("n_a") + col("n_b") - col("exact_overlap")).cast("double")
+    ests.join(exact, Seq("seg_a", "seg_b"), "left")
+      .na.fill(0L, Seq("exact_overlap"))
+      .select(col("seg_a"), col("seg_b"), col("exact_overlap"),
+        (col("n_a") - col("exact_overlap")).as("exact_only_a"),
+        (abs(col("est_int") - col("exact_overlap")).cast("double")
+          <= band * exactUnion + lit(sigmas)).as("int_in_env"),
+        (abs(col("est_diff") - (col("n_a") - col("exact_overlap"))).cast("double")
+          <= band * exactUnion + lit(sigmas)).as("diff_in_env"))
+      .crossJoin(broadcast(identity))
+  }
+
   def percentileEnvelope(df: DataFrame, groupCol: String, valCol: String,
                          qs: Seq[Double], accuracy: Int = 1000,
                          slackRanks: Double = 50.0): DataFrame = {
