@@ -2874,6 +2874,19 @@ object SparkEntry {
           T(s, dir, "events"), "event_type", "user_id", k = 512)
         .orderBy(col("seg_a"), col("seg_b"))),
 
+    // Priority sampling (Duffield–Lund–Thorup): a 100-doc
+    // without-replacement weighted sample whose max(w, τ) estimates
+    // make ANY downstream subset-sum unbiased — the one-scan answer to
+    // budget questions about a corpus too big to rescan. The u draw is
+    // md5-derived, so sample, τ, and every estimate replay EXACTLY in
+    // the oracle — a full hash gate on a sampling operator, plus the
+    // Var ≤ W²/(k−1) band on the realized total
+    // (operators/Sampling.prioritySample).
+    "q201_priority_sample" -> ((s, dir) =>
+      graft.operators.Sampling.prioritySample(
+          T(s, dir, "documents"), "doc_id", "n_chars", k = 100)
+        .orderBy(col("id"))),
+
     // Serving over the quantized store: top-k by integer code dot
     // product — all-integer scores make ranks, ties, AND scores
     // exactly replayable (full hash gate, no rounded-score contract
@@ -5572,6 +5585,25 @@ object SparkEntry {
         |JOIN n na ON na.seg = x.seg
         |LEFT JOIN ov ON ov.sa = x.seg AND ov.sb = y.seg
         |ORDER BY 1, 2""".stripMargin,
+
+    // full replay: the same md5 draw, priorities, τ and estimates come
+    // out of SQL — every value hash-gated, band included
+    "q201_priority_sample" ->
+      """WITH r AS (SELECT doc_id AS id, n_chars::BIGINT AS w,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+        |      / 4294967296.0 AS u FROM documents),
+        |p AS (SELECT id, w, w::DOUBLE / u AS pri FROM r),
+        |o AS (SELECT id, w, pri,
+        |        row_number() OVER (ORDER BY pri DESC, id) AS rk FROM p),
+        |t AS (SELECT COALESCE(max(CASE WHEN rk = 101 THEN pri END), 0.0) AS tau FROM o),
+        |kept AS (SELECT id, w,
+        |           round(greatest(w::DOUBLE, t.tau) * 1e6)::BIGINT AS est_micro
+        |         FROM o, t WHERE rk <= 100),
+        |wt AS (SELECT sum(w)::BIGINT AS wtot FROM r),
+        |b AS (SELECT (abs(sum(est_micro)::DOUBLE - wtot::DOUBLE * 1e6)
+        |        <= 5e6 / sqrt(99.0) * wtot::DOUBLE) AS total_in_band
+        |      FROM kept, wt GROUP BY wtot)
+        |SELECT id, w, est_micro, total_in_band FROM kept, b ORDER BY id""".stripMargin,
 
     // exact per-day distinct; the envelope and the stream-vs-batch
     // register identity are asserted literally TRUE

@@ -87,4 +87,65 @@ object Sampling {
       .filter(col("copies") >= 1)
       .select(col("id"), col("w"), col("copies"))
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a size-k
+    * WITHOUT-replacement weighted sample that carries an unbiased
+    * subset-sum estimator — the complement to [[ppsSystematic]]'s
+    * with-replacement mixture ticks. Each row gets priority
+    * `p = w / u` with `u` uniform in (0,1); the k highest-priority rows
+    * are kept; τ is the (k+1)-th priority; each kept row estimates its
+    * stratum as `ŵ = max(w, τ)`. Any downstream subset-sum
+    * `Σ_{kept ∩ S} ŵ` is then unbiased for `Σ_S w` — the property that
+    * makes a 100-row sample answer per-source/per-language budget
+    * questions about a 100 TB corpus with NO second scan.
+    *
+    * `u` is hash-derived (first 8 md5 hex of the id, midpoint-offset,
+    * over 2^32), not an RNG — the identical draw replays in any engine,
+    * so the ENTIRE sample, τ, and every estimate are exact-replayable
+    * (the q201 oracle hash-gates all of them; no envelope needed).
+    *
+    * Scale posture: priorities are a projection; the only global
+    * structure is top-(k+1), which Spark executes as
+    * TakeOrderedAndProject (per-partition bounded heaps, no sort, no
+    * extra shuffle). τ and the total-weight scalar travel as broadcast
+    * 1-row frames.
+    *
+    * Output: (id, w, est_micro, total_in_band) for the k kept rows —
+    * `est_micro = round(max(w, τ)·1e6)`, and `total_in_band` pins the
+    * realized full-population estimate `Σ ŵ` inside the
+    * `σ·W/√(k−1)` band implied by the estimator's variance bound
+    * (Var ≤ W²/(k−1) for any weights).
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     sigmas: Double = 5.0): DataFrame = {
+    require(k > 1, "sample size must exceed 1 (tau needs a k+1-th row)")
+    val rows = df.select(col(idCol).cast("long").as("id"),
+        when(col(weightCol).cast("long") <= 0,
+          raise_error(concat(lit(s"prioritySample: non-positive weight in '$weightCol' at id "),
+            col(idCol).cast("string"))))
+          .otherwise(col(weightCol).cast("long")).as("w"))
+      // u in (0,1): md5-derived 32-bit draw at midpoint offset — 0 and 1
+      // are both unreachable, so w/u can neither overflow nor divide by 0
+      .withColumn("u",
+        (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") + 0.5) / 4294967296.0)
+      .withColumn("pri", col("w").cast("double") / col("u"))
+    // top-(k+1): TakeOrderedAndProject — bounded per-partition heaps
+    val top = rows.orderBy(col("pri").desc, col("id").asc).limit(k + 1)
+      .localCheckpoint() // ≤ k+1 rows, read three times below
+    val tau = top.agg(
+      when(count(lit(1)) === (k + 1), min(col("pri"))).otherwise(lit(0.0)).as("tau"))
+    val wtot = df.agg(sum(col(weightCol).cast("long")).as("wtot"))
+    val kept = top.orderBy(col("pri").desc, col("id").asc).limit(k)
+      .crossJoin(broadcast(tau))
+      .select(col("id"), col("w"),
+        round(greatest(col("w").cast("double"), col("tau")) * 1e6).cast("long")
+          .as("est_micro"))
+    val band = kept.agg(sum(col("est_micro")).as("s"))
+      .crossJoin(broadcast(wtot))
+      .select((abs(col("s").cast("double") - col("wtot").cast("double") * 1e6)
+        <= lit(sigmas * 1e6 / math.sqrt((k - 1).toDouble)) * col("wtot").cast("double"))
+        .as("total_in_band"))
+    kept.crossJoin(broadcast(band))
+  }
 }

@@ -135,4 +135,53 @@ class SamplingSpec extends SparkTestBase {
     }
     assert(messages(e).exists(_.contains("negative budget")))
   }
+
+  // -------------------------------------------------- priority sample
+
+  /** Driver transcription of the md5 midpoint draw and the DLT
+    * estimator — same hex slice, same double-op chain. */
+  private def priBrute(rows: Seq[(Long, Long)], k: Int): Seq[(Long, Long, Long)] = {
+    def u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    }
+    val byPri = rows.map { case (id, w) => (id, w, w.toDouble / u(id)) }
+      .sortBy { case (id, _, pri) => (-pri, id) }
+    val tau = if (byPri.size >= k + 1) byPri(k)._3 else 0.0
+    byPri.take(k).map { case (id, w, _) =>
+      (id, w, math.round(math.max(w.toDouble, tau) * 1e6))
+    }.sortBy(_._1)
+  }
+
+  test("prioritySample == driver brute force (sample, tau, estimates)") {
+    samples(wRows, n = 5).foreach { rows0 =>
+      Seq(7, 20).foreach { k =>
+        val got = Sampling.prioritySample(rows0.toDF("doc_id", "wt"),
+            "doc_id", "wt", k)
+          .select("id", "w", "est_micro")
+        assert(rowSet(got) ==
+          priBrute(rows0, k).map { case (a, b, c) => Seq[Any](a, b, c) }.toSet)
+      }
+    }
+  }
+
+  test("population smaller than k: all rows kept, estimates exact (tau=0)") {
+    val rows0 = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+    val got = Sampling.prioritySample(rows0.toDF("doc_id", "wt"), "doc_id", "wt", 5)
+      .orderBy("id").collect()
+    assert(got.length == 3)
+    assert(got.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 10L * 1000000L), (2L, 20L * 1000000L), (3L, 30L * 1000000L)))
+    assert(got.forall(_.getBoolean(3))) // exact estimates are always in band
+  }
+
+  test("priority sample: non-positive weight fails loudly") {
+    val e = intercept[Exception] {
+      Sampling.prioritySample(Seq((1L, 0L)).toDF("doc_id", "wt"),
+        "doc_id", "wt", 2).collect()
+    }
+    assert(messages(e).exists(m => m != null && m.contains("non-positive weight")))
+  }
 }
