@@ -2887,6 +2887,19 @@ object SparkEntry {
           T(s, dir, "documents"), "doc_id", "n_chars", k = 100)
         .orderBy(col("id"))),
 
+    // Johnson–Lindenstrauss 64→16 projection with deterministic
+    // Rademacher signs (Achlioptas 2003): shrinks every downstream
+    // ANN/dedup scan 4× while preserving geometry; micro fixed-point
+    // integer multiply-accumulate makes the ENTIRE projection
+    // hash-replayable (norms + position-weighted checksum), with the
+    // E[‖p‖²] = d′·‖x‖² concentration band riding along
+    // (vector/Project.jlSketch).
+    "q202_jl_projection" -> ((s, dir) =>
+      graft.vector.Project.jlSketch(
+          T(s, dir, "embeddings"), "vec_id", "embedding",
+          inDims = 64, outDims = 16)
+        .orderBy(col("id"))),
+
     // Serving over the quantized store: top-k by integer code dot
     // product — all-integer scores make ranks, ties, AND scores
     // exactly replayable (full hash gate, no rounded-score contract
@@ -5604,6 +5617,25 @@ object SparkEntry {
         |        <= 5e6 / sqrt(99.0) * wtot::DOUBLE) AS total_in_band
         |      FROM kept, wt GROUP BY wtot)
         |SELECT id, w, est_micro, total_in_band FROM kept, b ORDER BY id""".stripMargin,
+
+    // full integer replay: same md5-parity signs, same micro
+    // fixed-point MAC — norms, checksum and band all hash-gated
+    "q202_jl_projection" ->
+      """WITH d AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 1e6)::BIGINT AS xm,
+        |             generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |s AS (SELECT i, j,
+        |        CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 8))::BIGINT
+        |               % 2 = 0 THEN 1::BIGINT ELSE (-1)::BIGINT END AS sgn
+        |      FROM range(64) t(i), range(16) u(j)),
+        |p AS (SELECT d.vec_id, s.j, sum(d.xm * s.sgn)::BIGINT AS pj
+        |      FROM d JOIN s ON d.i = s.i GROUP BY 1, 2),
+        |x AS (SELECT vec_id, sum(xm * xm)::BIGINT AS x_norm2 FROM d GROUP BY 1),
+        |agg AS (SELECT vec_id, sum(pj * pj)::BIGINT AS p_norm2,
+        |          sum((j + 1) * pj)::BIGINT AS p_checksum FROM p GROUP BY 1)
+        |SELECT x.vec_id AS id, x.x_norm2, agg.p_norm2, agg.p_checksum,
+        |  (abs(agg.p_norm2 - 16 * x.x_norm2)::DOUBLE
+        |     <= 5.0 * sqrt(2.0 / 16.0) * 16.0 * x.x_norm2::DOUBLE) AS distortion_ok
+        |FROM x JOIN agg USING (vec_id) ORDER BY 1""".stripMargin,
 
     // exact per-day distinct; the envelope and the stream-vs-batch
     // register identity are asserted literally TRUE
