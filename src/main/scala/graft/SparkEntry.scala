@@ -2900,6 +2900,36 @@ object SparkEntry {
           inDims = 64, outDims = 16)
         .orderBy(col("id"))),
 
+    // Dataset content fingerprint (ingest/Fingerprint): order- and
+    // partitioning-invariant per-source digests that roll up additively
+    // (Σ per-source fp == one global fp, gated as rollup_ok), plus a
+    // tamper demo — one character appended to every doc_id%1000==7 text
+    // moves every affected source's fingerprint (drift_detected), which
+    // a count/sum audit would never see.
+    "q203_dataset_fingerprint" -> ((s, dir) => {
+      import graft.ingest.Fingerprint
+      val docs = T(s, dir, "documents")
+      def enc(text: org.apache.spark.sql.Column) =
+        Seq(col("doc_id").cast("string"), col("lang"),
+          col("n_chars").cast("string"), text)
+      val base = Fingerprint.fingerprint(docs, "source", enc(col("text")))
+      val mutated = docs.withColumn("text",
+        when(col("doc_id") % 1000 === 7, concat(col("text"), lit("!")))
+          .otherwise(col("text")))
+      val mut = Fingerprint.fingerprint(mutated, "source", enc(col("text")))
+        .select(col("slice"), col("fp").as("fp_mut"))
+      val global = Fingerprint.fingerprint(
+        docs.withColumn("__slice", lit("all")), "__slice", enc(col("text")))
+      val rollup = base.agg(sum(col("fp")).as("fp_sum"))
+        .crossJoin(broadcast(global.select(col("fp").as("fp_all"))))
+        .select((col("fp_sum") === col("fp_all")).as("rollup_ok"))
+      base.join(mut, Seq("slice"))
+        .select(col("slice").as("source"), col("n_rows"), col("fp"),
+          col("fp_mut"), (col("fp") =!= col("fp_mut")).as("drift_detected"))
+        .crossJoin(broadcast(rollup))
+        .orderBy(col("source"))
+    }),
+
     // Serving over the quantized store: top-k by integer code dot
     // product — all-integer scores make ranks, ties, AND scores
     // exactly replayable (full hash gate, no rounded-score contract
@@ -5636,6 +5666,26 @@ object SparkEntry {
         |  (abs(agg.p_norm2 - 16 * x.x_norm2)::DOUBLE
         |     <= 5.0 * sqrt(2.0 / 16.0) * 16.0 * x.x_norm2::DOUBLE) AS distortion_ok
         |FROM x JOIN agg USING (vec_id) ORDER BY 1""".stripMargin,
+
+    // same md5 slice, same U+0001 canonical encoding — every digest
+    // hash-gated; rollup and drift booleans replay in SQL
+    "q203_dataset_fingerprint" ->
+      """WITH d AS (SELECT source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || lang || chr(1)
+        |       || n_chars::VARCHAR || chr(1) || text), 1, 8))::BIGINT AS h,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || lang || chr(1)
+        |       || n_chars::VARCHAR || chr(1)
+        |       || CASE WHEN doc_id % 1000 = 7 THEN text || '!' ELSE text END),
+        |       1, 8))::BIGINT AS hm
+        |  FROM documents),
+        |s AS (SELECT source, count(*)::BIGINT AS n_rows,
+        |        sum(h)::BIGINT AS fp, sum(hm)::BIGINT AS fp_mut
+        |      FROM d GROUP BY 1),
+        |g AS (SELECT sum(h)::BIGINT AS fp_all FROM d),
+        |r AS (SELECT (sum(fp) = max(g.fp_all)) AS rollup_ok FROM s, g)
+        |SELECT source, n_rows, fp, fp_mut, (fp <> fp_mut) AS drift_detected,
+        |  rollup_ok
+        |FROM s, r ORDER BY source""".stripMargin,
 
     // exact per-day distinct; the envelope and the stream-vs-batch
     // register identity are asserted literally TRUE
