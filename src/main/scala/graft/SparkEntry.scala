@@ -2900,6 +2900,24 @@ object SparkEntry {
           inDims = 64, outDims = 16)
         .orderBy(col("id"))),
 
+    // Exact isotonic calibration of the quality model: PAV over 50
+    // score bins — the L2-optimal monotone score→rate mapping
+    // (Zadrozny–Elkan), where q174's reliability diagram only
+    // DESCRIBES the miscalibration. Data-sized work is one 50-key
+    // groupBy; PAV runs on the metadata-scale bin frame with exact
+    // BigInt merge decisions. Hash-gated in FULL via the
+    // max-min-window identity, no envelope
+    // (analytics/Isotonic.isotonicCalibration).
+    "q204_isotonic_calibration" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = graft.quality.ModelFilter.logitQuality(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("score_micro"), (col("lang") === "en").as("is_en"))
+      graft.analytics.Isotonic.isotonicCalibration(
+          scored, "score_micro", "is_en", binWidth = 20000L, maxBin = 49)
+        .orderBy(col("bin"))
+    }),
+
     // Dataset content fingerprint (ingest/Fingerprint): order- and
     // partitioning-invariant per-source digests that roll up additively
     // (Σ per-source fp == one global fp, gated as rollup_ok), plus a
@@ -5666,6 +5684,34 @@ object SparkEntry {
         |  (abs(agg.p_norm2 - 16 * x.x_norm2)::DOUBLE
         |     <= 5.0 * sqrt(2.0 / 16.0) * 16.0 * x.x_norm2::DOUBLE) AS distortion_ok
         |FROM x JOIN agg USING (vec_id) ORDER BY 1""".stripMargin,
+
+    // PAV replayed via the Robertson–Wright–Dykstra minimax identity:
+    // fit_i = max_{a≤i} min_{b≥i} mean(bins a..b) — every candidate
+    // mean is one integer/integer division, so the achieved optimum is
+    // the same double in both engines; full hash gate
+    "q204_isotonic_calibration" ->
+      (s"""WITH $logitScoreCtes,
+        |l AS (SELECT sc.score_micro AS p, (d.lang = 'en') AS y
+        |      FROM sc JOIN documents d USING (doc_id)),
+        |tb AS (SELECT least(p // 20000, 49) AS bin,
+        |         CASE WHEN y THEN 1 ELSE 0 END AS yy FROM l),
+        |bins AS (SELECT bin, count(*)::BIGINT AS n, sum(yy)::BIGINT AS pos
+        |         FROM tb GROUP BY 1),
+        |o AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS i FROM bins),
+        |c AS (SELECT i, bin, n, pos,
+        |        sum(n) OVER (ORDER BY i)::BIGINT AS cn,
+        |        sum(pos) OVER (ORDER BY i)::BIGINT AS cs FROM o),
+        |w AS (SELECT a.i AS ai, b.i AS bi,
+        |        (b.cs - COALESCE(pa.cs, 0))::DOUBLE
+        |          / (b.cn - COALESCE(pa.cn, 0)) AS m
+        |      FROM c a JOIN c b ON a.i <= b.i
+        |      LEFT JOIN c pa ON pa.i = a.i - 1),
+        |ms AS (SELECT w.ai, cc.i, min(w.m) AS lo
+        |       FROM w JOIN c cc ON w.ai <= cc.i AND w.bi >= cc.i
+        |       GROUP BY 1, 2),
+        |pav AS (SELECT i, max(lo) AS fitted FROM ms GROUP BY 1)
+        |SELECT c.bin, c.n, c.pos, round(pav.fitted * 1e6)::BIGINT AS fitted_micro
+        |FROM c JOIN pav USING (i) ORDER BY 1""").stripMargin,
 
     // same md5 slice, same U+0001 canonical encoding — every digest
     // hash-gated; rollup and drift booleans replay in SQL
