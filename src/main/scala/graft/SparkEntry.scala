@@ -2827,6 +2827,47 @@ object SparkEntry {
         .orderBy(col("window_day"))
     }),
 
+    // Streaming dataset fingerprints: q203's additive digest sum
+    // maintained per event-time day in watermarked window state. The
+    // gate is the ANTI-q198: a sum is NOT idempotent, so per-day
+    // stream-vs-batch fingerprint equality certifies the checkpointed
+    // exactly-once path (at-least-once delivery would move the digest
+    // where the HLL register max would absorb it)
+    // (streaming/StreamAgg.windowedFingerprint).
+    "q205_stream_fingerprint" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_streamfp").toString
+      val ev = Tables.events(s, dir)
+      val sentinel = ev.agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+          (unix_micros(col("mx")) + lit(30L * 86400L * 1000000L)).as("ts_us"),
+          lit(0.0).as("value"))
+      ev.select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .unionByName(sentinel)
+        .select(to_json(struct(col("user_id"), col("event_type"),
+          col("ts_us"), col("value"))).as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").text(s"$base/in")
+      val sink = StreamAgg.runFingerprintToCompletion(s, s"$base/in",
+        s"$base/sink", s"$base/ckpt",
+        windowLength = "1 day", watermarkDelay = "1 minute",
+        statePartitions = Some(8))
+      val batch = ev.groupBy(
+          date_format(col("ts"), "yyyy-MM-dd").as("window_day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(graft.ingest.Fingerprint.rowDigest(Seq(
+            col("user_id").cast("string"), col("event_type"),
+            unix_micros(col("ts")).cast("string")))).as("fp"))
+      sink.select(date_format(col("window_start"), "yyyy-MM-dd")
+            .as("window_day"),
+          col("fp").as("fp_stream"), col("n_rows").as("n_stream"))
+        .join(batch, Seq("window_day"))
+        .select(col("window_day"), col("n_rows"), col("fp"),
+          (col("fp_stream") === col("fp") && col("n_stream") === col("n_rows"))
+            .as("stream_matches_batch"))
+        .orderBy(col("window_day"))
+    }),
+
     // Join-size planning from key summaries: the CMS inner product
     // min_j Σ_w a[j][w]·b[j][w] estimates |A ⋈ B| from two stored
     // counter matrices WITHOUT running the join (Cormode &
@@ -5684,6 +5725,17 @@ object SparkEntry {
         |  (abs(agg.p_norm2 - 16 * x.x_norm2)::DOUBLE
         |     <= 5.0 * sqrt(2.0 / 16.0) * 16.0 * x.x_norm2::DOUBLE) AS distortion_ok
         |FROM x JOIN agg USING (vec_id) ORDER BY 1""".stripMargin,
+
+    // per-day digests replayed from the raw events; the exactly-once
+    // identity boolean is asserted literally TRUE
+    "q205_stream_fingerprint" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS window_day,
+        |    ('0x' || substr(md5(user_id::VARCHAR || chr(1) || event_type || chr(1)
+        |       || epoch_us(ts)::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM events)
+        |SELECT window_day, count(*)::BIGINT AS n_rows, sum(h)::BIGINT AS fp,
+        |  true AS stream_matches_batch
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // PAV replayed via the Robertson–Wright–Dykstra minimax identity:
     // fit_i = max_{a≤i} min_{b≥i} mean(bins a..b) — every candidate

@@ -455,6 +455,43 @@ object StreamAgg {
         count(col(keyCol)).as("n_rows"))
       .select(col("window.start").as("window_start"), col("sk"), col("n_rows"))
 
+  /** Per-window dataset content fingerprint in streaming state
+    * ([[graft.ingest.Fingerprint]]'s additive 32-bit digest sum over
+    * (user_id, event_type, event-time µs)). The deliberate CONTRAST to
+    * [[windowedDistinctSketch]]: a SUM is not idempotent — any replayed
+    * or dropped row moves the digest — so per-day equality between the
+    * stream-written fingerprints and a batch recompute certifies the
+    * checkpointed exactly-once sink path end to end, where the HLL
+    * gate (register max absorbs replays) could not distinguish
+    * at-least-once from exactly-once. State per window: two longs.
+    */
+  def windowedFingerprint(events: DataFrame, windowLength: String = "1 day",
+                          watermarkDelay: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(sum(graft.ingest.Fingerprint.rowDigest(Seq(
+          col("user_id").cast("string"), col("event_type"),
+          unix_micros(col("ts")).cast("string")))).as("fp"),
+        count(lit(1)).as("n_rows"))
+      .select(col("window.start").as("window_start"), col("fp"), col("n_rows"))
+
+  /** Bounded run of [[windowedFingerprint]] over staged JSON events →
+    * checkpointed parquet sink, read back. */
+  def runFingerprintToCompletion(spark: SparkSession, inPath: String,
+                                 outPath: String, checkpointPath: String,
+                                 windowLength: String = "1 day",
+                                 watermarkDelay: String = "1 minute",
+                                 statePartitions: Option[Int] = None): DataFrame = {
+    val src = jsonEventSource(spark, inPath,
+      "user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
+    runToParquet(spark,
+      windowedFingerprint(src, windowLength, watermarkDelay),
+      outPath, checkpointPath, statePartitions)
+    readSink(spark, outPath, org.apache.spark.sql.types.StructType.fromDDL(
+      "window_start TIMESTAMP, fp BIGINT, n_rows BIGINT"))
+  }
+
   /** Bounded run of [[windowedDistinctSketch]] over staged JSON events →
     * checkpointed parquet sink, read back. */
   def runDistinctSketchToCompletion(spark: SparkSession, inPath: String,
