@@ -2827,6 +2827,19 @@ object SparkEntry {
         .orderBy(col("window_day"))
     }),
 
+    // CUSUM change-point monitor over the daily value mean: catches the
+    // sustained small level shift that per-window drift scores
+    // (q114/q141/q149/q191) smear out. The sequential recursion is
+    // computed via its exact prefix-sum closed form
+    // S⁺ = P − min(0, runmin P), so engine and oracle both use two
+    // window functions in exact integer micro-units — full hash gate
+    // (analytics/ChangePoint.cusumDaily).
+    "q206_cusum_changepoint" -> ((s, dir) =>
+      graft.analytics.ChangePoint.cusumDaily(
+          Tables.events(s, dir), "ts", "value")
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))),
+
     // Streaming dataset fingerprints: q203's additive digest sum
     // maintained per event-time day in watermarked window state. The
     // gate is the ANTI-q198: a sum is NOT idempotent, so per-day
@@ -5725,6 +5738,31 @@ object SparkEntry {
         |  (abs(agg.p_norm2 - 16 * x.x_norm2)::DOUBLE
         |     <= 5.0 * sqrt(2.0 / 16.0) * 16.0 * x.x_norm2::DOUBLE) AS distortion_ok
         |FROM x JOIN agg USING (vec_id) ORDER BY 1""".stripMargin,
+
+    // the same closed-form CUSUM in SQL window functions — prefix sums,
+    // running min/max, integer micro-units throughout
+    "q206_cusum_changepoint" ->
+      """WITH daily AS (SELECT ts::DATE AS day,
+        |        sum(round(value * 1e6)::BIGINT)::BIGINT AS sm,
+        |        count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |x AS (SELECT day, sm // n AS x, row_number() OVER (ORDER BY day) AS i
+        |      FROM daily),
+        |prm AS (SELECT (sum(x) // count(*))::BIGINT AS mu0,
+        |          ((sum(x) // count(*)) * 5 // 100)::BIGINT AS delta,
+        |          ((sum(x) // count(*)) * 5 // 100 * 6)::BIGINT AS h
+        |        FROM x WHERE i <= 7),
+        |c AS (SELECT day, x,
+        |        sum(x - prm.mu0 - prm.delta) OVER (ORDER BY day)::BIGINT AS p,
+        |        sum(x - prm.mu0 + prm.delta) OVER (ORDER BY day)::BIGINT AS q
+        |      FROM x, prm),
+        |s AS (SELECT day, x, q,
+        |        (p - least(min(p) OVER (ORDER BY day), 0))::BIGINT AS s_pos,
+        |        (greatest(max(q) OVER (ORDER BY day), 0) - q)::BIGINT AS s_neg
+        |      FROM c)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day, s.x AS x_micro,
+        |  s.s_pos, s.s_neg,
+        |  (s.s_pos > prm.h) AS alarm_up, (s.s_neg > prm.h) AS alarm_down
+        |FROM s, prm ORDER BY 1""".stripMargin,
 
     // per-day digests replayed from the raw events; the exactly-once
     // identity boolean is asserted literally TRUE
