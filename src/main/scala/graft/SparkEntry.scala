@@ -2827,6 +2827,19 @@ object SparkEntry {
         .orderBy(col("window_day"))
     }),
 
+    // Sequence packing assignment (operators/Packing): shard-local
+    // next-fit into 512-token context windows — the sequential unit is
+    // a SHARD (64 parallel ordered passes via flatMapSortedGroups), not
+    // the corpus, so packing scales with shard count while the whole
+    // assignment stays a pure function of (shard, id order, lengths).
+    // The oracle replays it as a per-shard recursive CTE: full hash
+    // gate on every (doc → window) assignment.
+    "q207_sequence_packing" -> ((s, dir) =>
+      graft.operators.Packing.nextFitPack(
+          T(s, dir, "documents").withColumn("tok", expr("n_chars div 4")),
+          "doc_id", "tok", shards = 64, capacity = 512)
+        .orderBy(col("shard"), col("doc_id"))),
+
     // CUSUM change-point monitor over the daily value mean: catches the
     // sustained small level shift that per-window drift scores
     // (q114/q141/q149/q191) smear out. The sequential recursion is
@@ -5738,6 +5751,29 @@ object SparkEntry {
         |  (abs(agg.p_norm2 - 16 * x.x_norm2)::DOUBLE
         |     <= 5.0 * sqrt(2.0 / 16.0) * 16.0 * x.x_norm2::DOUBLE) AS distortion_ok
         |FROM x JOIN agg USING (vec_id) ORDER BY 1""".stripMargin,
+
+    // the shard-parallel next-fit recursion replayed as a recursive CTE
+    // advancing one doc per shard per step — every window assignment
+    // hash-gated
+    "q207_sequence_packing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id % 64 AS shard, doc_id, n_chars // 4 AS tok,
+        |    row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS i
+        |  FROM documents),
+        |nf AS (
+        |  SELECT shard, doc_id, tok, i, 1::BIGINT AS window_id, tok AS used
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.shard, x.doc_id, x.tok, x.i,
+        |    CASE WHEN nf.used + x.tok > 512 THEN nf.window_id + 1
+        |         ELSE nf.window_id END,
+        |    CASE WHEN nf.used + x.tok > 512 THEN x.tok
+        |         ELSE nf.used + x.tok END
+        |  FROM nf JOIN d x ON x.shard = nf.shard AND x.i = nf.i + 1)
+        |SELECT shard::BIGINT AS shard, doc_id, tok::BIGINT AS tok,
+        |  window_id::BIGINT AS window_id, used::BIGINT AS used_after,
+        |  (tok > 512) AS oversize
+        |FROM nf ORDER BY shard, doc_id""".stripMargin,
 
     // the same closed-form CUSUM in SQL window functions — prefix sums,
     // running min/max, integer micro-units throughout
