@@ -2827,6 +2827,29 @@ object SparkEntry {
         .orderBy(col("window_day"))
     }),
 
+    // The q201 payoff: per-language corpus totals estimated from the
+    // 100-row priority sample alone — Σ_{kept∩lang} max(w, τ) is
+    // unbiased for Σ_lang w by the DLT guarantee, so one tiny stored
+    // sample answers every per-subset budget question with no corpus
+    // rescan. Exact totals ride along for comparison; everything
+    // (sample, estimates, counts) replays in SQL — full hash gate.
+    "q208_sample_subset_sums" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val kept = graft.operators.Sampling.prioritySample(
+          docs, "doc_id", "n_chars", k = 100)
+        .select(col("id"), col("est_micro"))
+      val exact = docs.groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("exact_chars"))
+      val est = kept
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("est_micro")).as("est_micro_sum"),
+          count(lit(1)).as("n_sampled"))
+      exact.join(est, Seq("lang"), "left")
+        .na.fill(0L, Seq("est_micro_sum", "n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
     // Sequence packing assignment (operators/Packing): shard-local
     // next-fit into 512-token context windows — the sequential unit is
     // a SHARD (64 parallel ordered passes via flatMapSortedGroups), not
@@ -5751,6 +5774,28 @@ object SparkEntry {
         |  (abs(agg.p_norm2 - 16 * x.x_norm2)::DOUBLE
         |     <= 5.0 * sqrt(2.0 / 16.0) * 16.0 * x.x_norm2::DOUBLE) AS distortion_ok
         |FROM x JOIN agg USING (vec_id) ORDER BY 1""".stripMargin,
+
+    // q201's sample replayed, then grouped by language — estimates,
+    // counts and exact totals all hash-gated
+    "q208_sample_subset_sums" ->
+      """WITH r AS (SELECT doc_id AS id, n_chars::BIGINT AS w,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+        |      / 4294967296.0 AS u FROM documents),
+        |p AS (SELECT id, w, w::DOUBLE / u AS pri FROM r),
+        |o AS (SELECT id, w, pri,
+        |        row_number() OVER (ORDER BY pri DESC, id) AS rk FROM p),
+        |t AS (SELECT COALESCE(max(CASE WHEN rk = 101 THEN pri END), 0.0) AS tau FROM o),
+        |kept AS (SELECT id, round(greatest(w::DOUBLE, t.tau) * 1e6)::BIGINT AS est_micro
+        |         FROM o, t WHERE rk <= 100),
+        |e AS (SELECT lang, sum(n_chars)::BIGINT AS exact_chars
+        |      FROM documents GROUP BY 1),
+        |se AS (SELECT d.lang, sum(k.est_micro)::BIGINT AS est_micro_sum,
+        |         count(*)::BIGINT AS n_sampled
+        |       FROM kept k JOIN documents d ON d.doc_id = k.id GROUP BY 1)
+        |SELECT e.lang, e.exact_chars,
+        |  COALESCE(se.est_micro_sum, 0)::BIGINT AS est_micro_sum,
+        |  COALESCE(se.n_sampled, 0)::BIGINT AS n_sampled
+        |FROM e LEFT JOIN se USING (lang) ORDER BY 1""".stripMargin,
 
     // the shard-parallel next-fit recursion replayed as a recursive CTE
     // advancing one doc per shard per step — every window assignment
