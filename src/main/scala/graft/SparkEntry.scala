@@ -2827,6 +2827,18 @@ object SparkEntry {
         .orderBy(col("window_day"))
     }),
 
+    // Theil–Sen robust trend per event type: the median of all pairwise
+    // slopes of the daily value series — breakdown point 29%, so burst
+    // corruption can't drag the drift rate the way OLS would. CUSUM
+    // (q206) asks "did the level shift?"; this asks "what is the
+    // underlying rate?". Each slope is one integer/integer double
+    // division and the median is pure SELECTION (lower median), so the
+    // oracle replays every value — full hash gate
+    // (analytics/Robust.theilSenTrend).
+    "q209_theilsen_trend" -> ((s, dir) =>
+      graft.analytics.Robust.theilSenTrend(
+        Tables.events(s, dir), "event_type", "ts", "value")),
+
     // The q201 payoff: per-language corpus totals estimated from the
     // 100-row priority sample alone — Σ_{kept∩lang} max(w, τ) is
     // unbiased for Σ_lang w by the DLT guarantee, so one tiny stored
@@ -5774,6 +5786,26 @@ object SparkEntry {
         |  (abs(agg.p_norm2 - 16 * x.x_norm2)::DOUBLE
         |     <= 5.0 * sqrt(2.0 / 16.0) * 16.0 * x.x_norm2::DOUBLE) AS distortion_ok
         |FROM x JOIN agg USING (vec_id) ORDER BY 1""".stripMargin,
+
+    // all pairwise slopes replayed, lower median selected by rank —
+    // every value hash-gated
+    "q209_theilsen_trend" ->
+      """WITH daily AS (SELECT event_type AS g, ts::DATE AS day,
+        |        sum(round(value * 1e6)::BIGINT)::BIGINT AS sm,
+        |        count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+        |x AS (SELECT g, sm // cnt AS y,
+        |        row_number() OVER (PARTITION BY g ORDER BY day) AS i FROM daily),
+        |p AS (SELECT a.g, (b.y - a.y)::DOUBLE / (b.i - a.i)::DOUBLE AS slope
+        |      FROM x a JOIN x b ON a.g = b.g AND a.i < b.i),
+        |r AS (SELECT g, slope,
+        |        row_number() OVER (PARTITION BY g ORDER BY slope) AS rk,
+        |        count(*) OVER (PARTITION BY g) AS m FROM p),
+        |nd AS (SELECT g, max(i)::BIGINT AS n_days FROM x GROUP BY 1)
+        |SELECT r.g AS event_type, nd.n_days, r.m::BIGINT AS n_pairs,
+        |  round(r.slope)::BIGINT AS slope_micro_per_day,
+        |  (r.slope > 1000.0) AS rising, (r.slope < -1000.0) AS falling
+        |FROM r JOIN nd USING (g) WHERE r.rk = (r.m + 1) // 2
+        |ORDER BY 1""".stripMargin,
 
     // q201's sample replayed, then grouped by language — estimates,
     // counts and exact totals all hash-gated

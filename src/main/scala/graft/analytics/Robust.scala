@@ -53,4 +53,56 @@ object Robust {
         col("n_outliers"))
       .orderBy(col(groupCol))
   }
+
+  /** Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    * slopes of a (day-indexed, integer-micro) daily series — breakdown
+    * point 29%, so a burst of corrupt days cannot drag the trend the
+    * way an OLS slope (or an EWMA level) would. Complements q206's
+    * CUSUM: CUSUM answers "did the level shift?", Theil–Sen answers
+    * "what is the underlying drift rate?" robustly.
+    *
+    * Scale split: the data term is one groupBy(group, day) with
+    * map-side combine; the O(days²) pairwise-slope self-join and the
+    * median selection run on the day-level frame (~30 rows per group)
+    * — metadata scale, same licence as the PAV/CUSUM stages.
+    *
+    * Determinism (full hash gate): each slope is ONE double division of
+    * two integers (identical IEEE result in any engine), and the median
+    * is SELECTION — the lower median by slope order, never an average
+    * of two accumulated floats — so the q209 oracle replays every value
+    * exactly.
+    *
+    * Output per group: (group, n_days, n_pairs,
+    * slope_micro_per_day = round(lower-median slope), rising, falling)
+    * with rising/falling = slope beyond ±`flatBandMicro`.
+    */
+  def theilSenTrend(df: DataFrame, groupCol: String, tsCol: String,
+                    valCol: String, flatBandMicro: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).as("sm"),
+        count(lit(1)).as("cnt"))
+      .select(col("g"), col("day"), expr("sm div cnt").as("y"))
+    val idx = daily.withColumn("i",
+      row_number().over(Window.partitionBy(col("g")).orderBy(col("day"))))
+    val a = idx.select(col("g"), col("y").as("ya"), col("i").as("ia"))
+    val b = idx.select(col("g"), col("y").as("yb"), col("i").as("ib"))
+    val pairs = a.join(b, Seq("g")).filter(col("ia") < col("ib"))
+      .select(col("g"),
+        ((col("yb") - col("ya")).cast("double")
+          / (col("ib") - col("ia")).cast("double")).as("slope"))
+    val ranked = pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("slope"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("g"))))
+    val nDays = idx.groupBy(col("g"))
+      .agg(max(col("i")).cast("long").as("n_days"))
+    ranked.filter(col("rk") === expr("(m + 1) div 2"))
+      .join(nDays, Seq("g"))
+      .select(col("g").as(groupCol), col("n_days"), col("m").as("n_pairs"),
+        round(col("slope")).cast("long").as("slope_micro_per_day"),
+        (col("slope") > flatBandMicro.toDouble).as("rising"),
+        (col("slope") < -flatBandMicro.toDouble).as("falling"))
+      .orderBy(col(groupCol))
+  }
 }
