@@ -324,4 +324,43 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = executedPlanNodes(out).mkString("\n")
     assert(!plan.contains("Window") && !plan.contains("Join"))
   }
+
+  test("prioritySample's global structure is TakeOrdered heaps, never a full sort") {
+    val d = (1L to 500L).map(i => (i, i % 37 + 1)).toDF("doc_id", "wt")
+    val out = graft.operators.Sampling.prioritySample(d, "doc_id", "wt", k = 10)
+    val plan = executedPlanNodes(out).mkString("\n")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-(k+1) must run as bounded per-partition heaps")
+    // the data-sized term never crosses a SortExec: the only sorts allowed
+    // are inside the <=k+1-row TakeOrdered output — assert none standalone
+    import org.apache.spark.sql.execution.SortExec
+    assert(executedPlanNodes(out).collect { case s: SortExec => s }.isEmpty,
+      "no full sort of the corpus")
+  }
+
+  test("jlSketch is a pure projection: zero exchanges") {
+    val d = (1L to 20L).map(i => (i, Seq.fill(8)(0.1f))).toDF("vec_id", "embedding")
+    val out = graft.vector.Project.jlSketch(d, "vec_id", "embedding", 8, 4)
+    assert(shuffles(out).isEmpty && broadcasts(out).isEmpty,
+      "the projection must be map-only")
+  }
+
+  test("nextFitPack shuffles once (the shard partitioning)") {
+    val d = (1L to 100L).map(i => (i, i % 9 + 1)).toDF("doc_id", "tok")
+    val out = graft.operators.Packing.nextFitPack(d, "doc_id", "tok",
+      shards = 8, capacity = 16)
+    assert(shuffles(out).size == 1,
+      s"expected exactly the shard exchange, got ${shuffles(out).size}")
+  }
+
+  test("kmv set-op estimates read the stored sketch table, not the fact rows") {
+    // pairwise frame: both sides come from the tiny checkpointed sketch
+    // frame, so the pair join must not re-aggregate fact rows — the
+    // envelope's exact gate is the only fact-sized consumer
+    val ev = (1L to 200L).map(i => (s"t${i % 3}", i % 41)).toDF("seg", "uid")
+    val out = graft.operators.Sketches.kmvSetOpsEnvelope(ev, "seg", "uid", k = 32)
+    // crossJoin call sites carry 1-row frames only: no cartesian of data
+    assert(!executedPlanNodes(out).mkString("\n").contains("CartesianProduct")
+      || out.count() == 3, "pair frame stays segment-sized")
+  }
 }
