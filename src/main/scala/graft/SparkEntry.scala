@@ -2506,7 +2506,10 @@ object SparkEntry {
     "q180_negative_sampling" -> ((s, dir) => {
       val likes = Pipelines.likes(T(s, dir, "orders"), T(s, dir, "lineitem"))
       val nParts = T(s, dir, "part").count()
-      graft.recommend.NegativeSampling.sample(likes, nParts, k = 5, trials = 25)
+      // keyOffset = 1: part keys are 1-based (ADVICE r8 — a 0-based
+      // draw could emit nonexistent item 0 and never draw key nParts)
+      graft.recommend.NegativeSampling.sample(likes, nParts, k = 5, trials = 25,
+          keyOffset = 1L)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_neg"), sum(col("item_id")).as("neg_sum"),
           sum(col("trial")).as("trial_sum"))
@@ -5324,7 +5327,7 @@ object SparkEntry {
         |np AS (SELECT count(*)::BIGINT AS n FROM part),
         |u AS (SELECT DISTINCT user_id FROM pos),
         |c AS (SELECT u.user_id, t AS trial,
-        |    ('0x' || substr(md5(u.user_id::VARCHAR || '-' || t::VARCHAR), 1, 8))::BIGINT
+        |    1 + ('0x' || substr(md5(u.user_id::VARCHAR || '-' || t::VARCHAR), 1, 8))::BIGINT
         |      % np.n AS item_id
         |  FROM u CROSS JOIN np, LATERAL unnest(generate_series(0, 24)) AS g(t)),
         |nov AS (SELECT c.user_id, c.trial, c.item_id
@@ -5881,7 +5884,10 @@ object SparkEntry {
     // identity boolean is asserted literally TRUE
     "q205_stream_fingerprint" ->
       """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS window_day,
-        |    ('0x' || substr(md5(user_id::VARCHAR || chr(1) || event_type || chr(1)
+        |    ('0x' || substr(md5(
+        |       length(user_id::VARCHAR)::VARCHAR || ':' || user_id::VARCHAR
+        |       || chr(1) || length(event_type)::VARCHAR || ':' || event_type
+        |       || chr(1) || length(epoch_us(ts)::VARCHAR)::VARCHAR || ':'
         |       || epoch_us(ts)::VARCHAR), 1, 8))::BIGINT AS h
         |  FROM events)
         |SELECT window_day, count(*)::BIGINT AS n_rows, sum(h)::BIGINT AS fp,
@@ -5916,17 +5922,25 @@ object SparkEntry {
         |SELECT c.bin, c.n, c.pos, round(pav.fitted * 1e6)::BIGINT AS fitted_micro
         |FROM c JOIN pav USING (i) ORDER BY 1""").stripMargin,
 
-    // same md5 slice, same U+0001 canonical encoding — every digest
+    // same md5 slice, same injective length-prefixed U+0001 canonical
+    // encoding (`len:value` per field, ADVICE r8) — every digest
     // hash-gated; rollup and drift booleans replay in SQL
     "q203_dataset_fingerprint" ->
-      """WITH d AS (SELECT source,
-        |    ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || lang || chr(1)
-        |       || n_chars::VARCHAR || chr(1) || text), 1, 8))::BIGINT AS h,
-        |    ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || lang || chr(1)
-        |       || n_chars::VARCHAR || chr(1)
-        |       || CASE WHEN doc_id % 1000 = 7 THEN text || '!' ELSE text END),
-        |       1, 8))::BIGINT AS hm
+      """WITH enc AS (SELECT source, doc_id,
+        |    length(doc_id::VARCHAR)::VARCHAR || ':' || doc_id::VARCHAR AS e_id,
+        |    length(lang)::VARCHAR || ':' || lang AS e_lang,
+        |    length(n_chars::VARCHAR)::VARCHAR || ':' || n_chars::VARCHAR AS e_nc,
+        |    length(text)::VARCHAR || ':' || text AS e_text,
+        |    CASE WHEN doc_id % 1000 = 7
+        |      THEN length(text || '!')::VARCHAR || ':' || text || '!'
+        |      ELSE length(text)::VARCHAR || ':' || text END AS e_mut
         |  FROM documents),
+        |d AS (SELECT source,
+        |    ('0x' || substr(md5(e_id || chr(1) || e_lang || chr(1)
+        |       || e_nc || chr(1) || e_text), 1, 8))::BIGINT AS h,
+        |    ('0x' || substr(md5(e_id || chr(1) || e_lang || chr(1)
+        |       || e_nc || chr(1) || e_mut), 1, 8))::BIGINT AS hm
+        |  FROM enc),
         |s AS (SELECT source, count(*)::BIGINT AS n_rows,
         |        sum(h)::BIGINT AS fp, sum(hm)::BIGINT AS fp_mut
         |      FROM d GROUP BY 1),

@@ -40,12 +40,15 @@ object ChangePoint {
       .groupBy(to_date(col(tsCol)).as("day"))
       .agg(sum(round(col(valCol) * 1e6).cast("long")).as("sm"),
         count(lit(1)).as("n"))
-      .select(col("day"), expr("sm div n").as("x"))
+      // floor_div, not `div`: daily micro-sums may be negative and the
+      // oracle's `//` floors while `div` truncates (ADVICE r8)
+      .select(col("day"), graft.functions.floor_div(col("sm"), col("n")).as("x"))
     val byDay = Window.orderBy(col("day"))
     val indexed = daily.withColumn("i", row_number().over(byDay))
     val params = broadcast(indexed.filter(col("i") <= baselineDays)
-      .agg(expr("sum(x) div count(1)").as("mu0"))
-      .select(col("mu0"), expr(s"mu0 * $slackPct div 100").as("delta"))
+      .agg(graft.functions.floor_div(sum(col("x")), count(lit(1))).as("mu0"))
+      .select(col("mu0"),
+        graft.functions.floor_div(col("mu0") * slackPct, lit(100L)).as("delta"))
       .select(col("mu0"), col("delta"), (col("delta") * hMult).as("h")))
     val cum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

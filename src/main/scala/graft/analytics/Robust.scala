@@ -82,7 +82,10 @@ object Robust {
     val daily = df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
       .agg(sum(round(col(valCol) * 1e6).cast("long")).as("sm"),
         count(lit(1)).as("cnt"))
-      .select(col("g"), col("day"), expr("sm div cnt").as("y"))
+      // floor_div, not `div`: the oracle's `//` floors while `div`
+      // truncates — they diverge on negative micro-sums (ADVICE r8)
+      .select(col("g"), col("day"),
+        graft.functions.floor_div(col("sm"), col("cnt")).as("y"))
     val idx = daily.withColumn("i",
       row_number().over(Window.partitionBy(col("g")).orderBy(col("day"))))
     val a = idx.select(col("g"), col("y").as("ya"), col("i").as("ia"))

@@ -59,6 +59,12 @@ case class VectorMoments(
     if (v != null) {
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val d = arr.numElements()
+      // d = 0 would make s a zero-length array — the same shape the
+      // serialize round-trip uses as the "untouched buffer" sentinel, so
+      // a deserialized partial would carry n > 0 with s == null and
+      // merge() would silently drop its count (ADVICE r8). Moments of a
+      // zero-dimension vector are meaningless anyway: refuse loudly.
+      require(d > 0, "vector_moments: zero-dimension (empty) vector")
       if (buf.s == null) {
         buf.s = new Array[Double](d)
         buf.s2 = new Array[Double](d * (d + 1) / 2)

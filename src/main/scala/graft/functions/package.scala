@@ -133,4 +133,20 @@ package object functions {
   /** Direct |A∖B| estimate from two stored KMV blobs. */
   def kmv_difference(a: Column, b: Column): Column =
     ColumnShim.column(KmvDifference(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** FLOOR division of two integral columns. Spark's `div` truncates
+    * toward zero while standard SQL `//` (the oracle engine) floors —
+    * they diverge exactly when the operands' signs differ and the
+    * division is inexact (ADVICE r8: a negative daily micro-sum would
+    * silently break the q206/q209 hash gates). Branch-free exact form:
+    * `pmod(num, den)` is the floor-remainder (sign of `den`), so
+    * `num − pmod(num, den)` is an exact multiple of `den` and the
+    * truncating `div` of that multiple IS the floor quotient — no
+    * double arithmetic, exact over the full long range. */
+  def floor_div(num: Column, den: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.functions.pmod
+    ColumnShim.column(IntegralDivide(
+      ColumnShim.expression(num - pmod(num, den)), ColumnShim.expression(den)))
+  }
 }

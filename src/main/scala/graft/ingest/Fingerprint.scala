@@ -7,9 +7,15 @@ import org.apache.spark.sql.functions._
   * corpus needs before anything else: "is the table I trained on the
   * table you audited?" answered without shipping or re-sorting rows.
   *
-  * Per row: a canonical field encoding (columns cast to string, joined
-  * on U+0001 — a separator that cannot appear in the data fields) is
-  * md5'd and its first 32 bits become the row digest. Per slice: row
+  * Per row: a canonical field encoding — each column cast to string and
+  * LENGTH-PREFIXED (`<len>:<value>`, null → the single letter `N`),
+  * fields joined on U+0001 — is md5'd and its first 32 bits become the
+  * row digest. The length prefix makes the encoding injective even when
+  * U+0001 legitimately occurs inside free text, and the null sentinel
+  * distinguishes `(null, "x")` from `("x", null)` — a bare `concat_ws`
+  * SKIPS null fields, so those two rows would otherwise encode
+  * identically and the "any changed row moves the fingerprint" contract
+  * would silently fail on nullable columns (ADVICE r8). Per slice: row
   * digests are SUMMED — addition is commutative/associative, so the
   * fingerprint is invariant to row order, partitioning, shuffle plan
   * and file layout, and ADDITIVE across disjoint slices:
@@ -32,10 +38,19 @@ import org.apache.spark.sql.functions._
   */
 object Fingerprint {
 
-  /** 32-bit row digest of a canonical encoding of `cols`. */
-  def rowDigest(cols: Seq[Column]): Column =
-    conv(substring(md5(concat_ws("\u0001", cols: _*)), 1, 8), 16, 10)
+  /** 32-bit row digest of the injective canonical encoding of `cols`
+    * (length-prefixed fields, `N` for null — see object doc). The
+    * oracle replays it as `length(x)::VARCHAR || ':' || x` joined on
+    * `chr(1)`; both engines count string length in codepoints. */
+  def rowDigest(cols: Seq[Column]): Column = {
+    val enc = cols.map { c =>
+      val s = c.cast("string")
+      when(c.isNull, lit("N"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
+    conv(substring(md5(concat_ws("\u0001", enc: _*)), 1, 8), 16, 10)
       .cast("long")
+  }
 
   /** Per-slice (n_rows, fp) with the 2³¹-rows exactness guard. */
   def fingerprint(df: DataFrame, sliceCol: String, cols: Seq[Column]): DataFrame =

@@ -30,10 +30,15 @@ import org.apache.spark.sql.functions._
 object NegativeSampling {
 
   /** `positives(userCol, itemCol)` → (user_id, trial, item_id) negative
-    * draws, ≤ k per user, trial-ordered. `nItems`: catalog size (items
-    * assumed keyed 0..nItems−1, the part-key convention). */
+    * draws, ≤ k per user, trial-ordered. `nItems`: catalog size;
+    * `keyOffset`: the catalog's first item id — draws land on
+    * `[keyOffset, keyOffset + nItems)`. TPC-H part keys are 1-based, so
+    * a 0-based draw could emit a NONEXISTENT item 0 and could never
+    * draw key `nItems` (ADVICE r8); pass `keyOffset = 1` for 1-based
+    * catalogs. */
   def sample(positives: DataFrame, nItems: Long, k: Int, trials: Int,
-             userCol: String = "user_id", itemCol: String = "track_id"): DataFrame = {
+             userCol: String = "user_id", itemCol: String = "track_id",
+             keyOffset: Long = 0L): DataFrame = {
     require(nItems > 0, s"nItems must be positive, got $nItems")
     require(k >= 1 && trials >= k,
       s"need trials ($trials) >= k ($k) >= 1")
@@ -42,9 +47,10 @@ object NegativeSampling {
     val cands = pos.select(col("user_id")).distinct()
       .select(col("user_id"), explode(sequence(lit(0), lit(trials - 1))).as("trial"))
       .withColumn("item_id",
-        conv(substring(md5(concat(col("user_id").cast("string"), lit("-"),
-          col("trial").cast("string"))), 1, 8), 16, 10)
-          .cast("long") % nItems)
+        lit(keyOffset) +
+          conv(substring(md5(concat(col("user_id").cast("string"), lit("-"),
+            col("trial").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % nItems)
     val novel = cands.join(pos, Seq("user_id", "item_id"), "left_anti")
     val keepFirst = Window.partitionBy(col("user_id"), col("item_id"))
       .orderBy(col("trial"))

@@ -10,7 +10,12 @@ class FingerprintSpec extends SparkTestBase {
 
   private def digest(fields: Seq[String]): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
-    val hex = d.digest(fields.mkString("").getBytes("UTF-8"))
+    // the injective canonical encoding: `len:value` per field (codepoint
+    // length, like both engines' length()), null -> "N"
+    val enc = fields.map { f =>
+      if (f == null) "N" else s"${f.codePointCount(0, f.length)}:$f"
+    }
+    val hex = d.digest(enc.mkString("").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
     java.lang.Long.parseLong(hex, 16)
   }
@@ -60,5 +65,20 @@ class FingerprintSpec extends SparkTestBase {
     val fp2 = Fingerprint.fingerprint(swapped.toDF("id", "slice", "t"), "slice", cols)
       .head().getLong(2)
     assert(fp0 != fp2)
+  }
+
+  test("null fields and embedded separators stay unambiguous (ADVICE r8)") {
+    val cols = Seq(col("a"), col("b"))
+    def fp(rows: Seq[(String, String)]): Long =
+      Fingerprint.fingerprint(
+        rows.toDF("a", "b").withColumn("s", lit("x")), "s", cols)
+        .head().getLong(2)
+    // (null,"x") vs ("x",null): a bare concat_ws would encode both as "x"
+    assert(fp(Seq((null, "x"))) != fp(Seq(("x", null))))
+    // driver replay agrees on the null sentinel
+    assert(fp(Seq((null, "x"))) == digest(Seq(null, "x")))
+    // a field CONTAINING the U+0001 separator cannot masquerade as two
+    // fields: ("a\u0001b", "c") vs ("a", "b\u0001c") differ
+    assert(fp(Seq(("a\u0001b", "c"))) != fp(Seq(("a", "b\u0001c"))))
   }
 }

@@ -67,6 +67,21 @@ class NegativeSamplingSpec extends SparkTestBase {
     assert(got.size <= 1)
   }
 
+  test("keyOffset shifts draws onto a 1-based catalog (ADVICE r8)") {
+    val pos = (0L to 4L).map(u => (u, 1L + u))
+    val shifted = NegativeSampling.sample(
+      pos.toDF("user_id", "track_id"), nItems = 9L, k = 3, trials = 12,
+      keyOffset = 1L).as[(Long, Long, Long)].collect().toSeq
+    // every draw lands on the 1-based catalog [1, nItems]
+    assert(shifted.forall { case (_, _, it) => it >= 1L && it <= 9L })
+    // and is exactly the 0-based draw + 1 BEFORE rejection, i.e. the
+    // same md5 arithmetic with the documented offset: re-run the brute
+    // force in shifted space
+    val bruteShifted = brute(pos.map { case (u, i) => (u, i - 1) }, 9L, 3, 12)
+      .map { case (u, t, it) => (u, t, it + 1L) }
+    assert(shifted.sortBy(r => (r._1, r._2)) == bruteShifted.sortBy(r => (r._1, r._2)))
+  }
+
   test("parameter validation is loud") {
     val df = Seq((1L, 2L)).toDF("user_id", "track_id")
     intercept[IllegalArgumentException](NegativeSampling.sample(df, 0L, 1, 1))

@@ -9,7 +9,8 @@ class StreamFingerprintSpec extends SparkTestBase {
 
   private def digest(fields: Seq[String]): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
-    val hex = d.digest(fields.mkString("").getBytes("UTF-8"))
+    val enc = fields.map(f => s"${f.codePointCount(0, f.length)}:$f")
+    val hex = d.digest(enc.mkString("").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
     java.lang.Long.parseLong(hex, 16)
   }

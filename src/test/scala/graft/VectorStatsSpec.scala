@@ -50,6 +50,14 @@ class VectorStatsSpec extends SparkTestBase {
     assert(r.getSeq[Double](2) == Seq(4.0, 0.0, 0.0))
   }
 
+  test("zero-dimension vectors fail loudly (ADVICE r8)") {
+    val e = intercept[Exception] {
+      Seq(Seq.empty[Double]).toDF("v")
+        .agg(graft.functions.vector_moments(col("v"))).collect()
+    }
+    assert(e.getMessage.contains("zero-dimension"))
+  }
+
   test("ragged dimensions fail loudly") {
     val e = intercept[Exception] {
       Seq((1L, Seq(1.0)), (2L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
