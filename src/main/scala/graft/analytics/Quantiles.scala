@@ -40,8 +40,8 @@ object Quantiles {
     */
   def exactQuantiles(df: DataFrame, valCol: String, qBasisPoints: Seq[Int],
                      buckets: Int = 4096): DataFrame =
-    core(df.withColumn("__all", lit(0)), "__all", valCol, qBasisPoints, buckets)
-      .drop("__all")
+    exactQuantilesBy(df.withColumn("__all", lit(0)), "__all", valCol,
+      qBasisPoints, buckets).drop("__all")
 
   /** Per-group order statistics — same contract, one (q_bp, n, value)
     * row per (group, quantile). Histogram windows partition by group, so
@@ -49,20 +49,58 @@ object Quantiles {
     * through a single partition.
     */
   def exactQuantilesBy(df: DataFrame, groupCol: String, valCol: String,
-                       qBasisPoints: Seq[Int], buckets: Int = 4096): DataFrame =
-    core(df, groupCol, valCol, qBasisPoints, buckets)
-
-  private def core(df: DataFrame, grpCol: String, valCol: String,
-                   qBasisPoints: Seq[Int], buckets: Int): DataFrame = {
+                       qBasisPoints: Seq[Int], buckets: Int = 4096): DataFrame = {
     require(qBasisPoints.nonEmpty, "at least one quantile")
     require(qBasisPoints.forall(q => q >= 1 && q <= 10000),
       s"q_bp out of [1, 10000]: ${qBasisPoints.mkString(", ")}")
     require(qBasisPoints.distinct.size == qBasisPoints.size,
       s"duplicate q_bp: ${qBasisPoints.mkString(", ")}")
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val b = buckets
+    core(df, groupCol, valCol, buckets) { geoN =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      // integer ceil-division — `div`, never float `/`: q_bp·n reaches
+      // 10¹⁷ at trillion-row scale, past double's exact-integer range
+      geoN.crossJoin(broadcast(qBasisPoints.toDF("q_bp")))
+        .withColumn("k", expr("(q_bp * n + 9999) div 10000"))
+    }
+  }
+
+  /** Exact interpolating per-group MEDIAN through the same two-round
+    * machinery — `percentile(v, 0.5)` semantics (continuous rank
+    * q·(n−1): the lower and upper middle order statistics, interpolated
+    * as `lo + (hi − lo) · 0.5`, the identical IEEE op chain) WITHOUT
+    * per-group value buffering: Spark's exact `percentile` collects
+    * every distinct value of a group into one aggregation buffer, so a
+    * hot group at 100× pressures executor memory (VERDICT r8 #7); here
+    * no stage holds more than a B-bin histogram per group. Output:
+    * (groupCol, n, median). */
+  def interpolatedMedianBy(df: DataFrame, groupCol: String, valCol: String,
+                           buckets: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // rank labels ride the q_bp column: 1 = lower middle (n+1 div 2),
+    // 2 = upper middle (n div 2 + 1); for odd n they coincide and the
+    // interpolation collapses to the middle value exactly
+    val ranked = core(df, groupCol, valCol, buckets) { geoN =>
+      geoN.crossJoin(broadcast(Seq(1, 2).toDF("q_bp")))
+        .withColumn("k", when(col("q_bp") === 1, expr("(n + 1) div 2"))
+          .otherwise(expr("n div 2 + 1")))
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        min(when(col("q_bp") === 1, col("value"))).as("__lo"),
+        min(when(col("q_bp") === 2, col("value"))).as("__hi"))
+      .select(col(groupCol), col("n"),
+        (col("__lo") + (col("__hi") - col("__lo")) * 0.5).as("median"))
+  }
+
+  /** Shared two-round refinement body; `mkKs` turns the per-group
+    * (__g, n) frame into the target ranks (__g, q_bp, n, k) — q_bp is
+    * an opaque per-rank label, k the 1-based order statistic. */
+  private def core(df: DataFrame, grpCol: String, valCol: String,
+                   buckets: Int)(mkKs: DataFrame => DataFrame): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val b = buckets
 
     val v = df.select(col(grpCol).as("__g"), col(valCol).cast("double").as("v"))
       .where(col("v").isNotNull && !isnan(col("v")))
@@ -98,11 +136,7 @@ object Quantiles {
       .select(col("__g"), bin1.as("bin"))
       .groupBy(col("__g"), col("bin")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(binW))
-    // integer ceil-division — `div`, never float `/`: q_bp·n reaches
-    // 10¹⁷ at trillion-row scale, past double's exact-integer range
-    val ks = geo.select(col("__g"), col("n"))
-      .crossJoin(broadcast(qBasisPoints.toDF("q_bp")))
-      .withColumn("k", expr("(q_bp * n + 9999) div 10000"))
+    val ks = mkKs(geo.select(col("__g"), col("n")))
     // localCheckpoint: t1 (one row per group×quantile) feeds BOTH round
     // 2 and the final target chain — without it the round-1 histogram
     // subtree (and its full scan) executes twice
