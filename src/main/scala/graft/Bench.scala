@@ -36,8 +36,9 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(f => f.contains(n) || f.contains(n.takeWhile(_ != '_'))) }
-    val results = selected.map { case (name, fn) =>
-      val runs = (1 to repeats).map { _ =>
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  reps: Int): (Double, Option[String]) = {
+      val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable =>
@@ -45,8 +46,47 @@ object Bench {
         (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
       }
       val err = runs.flatMap(_._2).headOption
-      (name, if (err.isEmpty) runs.map(_._1).min else -1.0, err)
+      (if (err.isEmpty) runs.map(_._1).min else -1.0, err)
     }
+    val results = selected.map { case (name, fn) =>
+      val (t, err) = timeQuery(name, fn, repeats)
+      (name, t, err)
+    }
+
+    // ---- automatic mover adjudication (VERDICT r8 #3): every round a
+    // handful of queries measure 2-6x slower purely from ambient host
+    // load, and adjudicating them by hand burns a builder+judge cycle.
+    // Compare against the PREVIOUS BENCH_SELF.json (read before this
+    // run overwrites it), re-measure every >1.8x mover focused at
+    // min-of-4, and ship the verdicts inside the artifact itself.
+    val priorTimes: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("/root/repo/BENCH_SELF.json")
+      try {
+        if (java.nio.file.Files.exists(p)) {
+          val s = java.nio.file.Files.readString(p)
+          val start = s.indexOf("\"queries\":{")
+          if (start < 0) Map.empty
+          else {
+            val body = s.substring(start + 11, s.indexOf('}', start))
+            raw""""([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        } else Map.empty
+      } catch { case _: Exception => Map.empty }
+    }
+    val movers = results.collect {
+      case (name, t, None)
+          if priorTimes.get(name).exists(p =>
+            p > 0 && t > 1.8 * p && t - p > 0.3) =>
+        (name, priorTimes(name), t)
+    }
+    // re-measure focused (backing-off queries already JIT-warm); min of
+    // 4 is the same quiet-load protocol the r6-r8 hand adjudications used
+    val adjudicated = if (only.isEmpty) movers.map { case (name, prev, first) =>
+      val (m, _) = timeQuery(name, SparkEntry.queries(name), reps = 4)
+      val verdict = if (m >= 0 && m <= 1.8 * prev) "noise" else "slower"
+      (name, prev, first, m, verdict)
+    } else Nil
     // Locale.ROOT: the f-interpolator formats with the default locale,
     // which renders a comma decimal separator on e.g. de_DE JVMs —
     // malformed JSON, the exact parse failure the precision cap fixed
@@ -61,10 +101,29 @@ object Bench {
     // conditions alongside the numbers
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val adj = adjudicated.map { case (name, prev, first, m, verdict) =>
+      s""""$name":{"prev":${ms(prev)},"run":${ms(first)},"requiet_min4":${ms(m)},"verdict":"$verdict"}"""
+    }.mkString("{", ",", "}")
     // Line 1: the full-name record for complete logs / humans.
     val fullLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"load_avg":${ms(load)},"repeats":$repeats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"adjudicated":$adj,"load_avg":${ms(load)},"repeats":$repeats,"sf":"$sfDir"}"""
     println(fullLine)
+    // generated movers table (the PLAN_AUDIT adjudication evidence —
+    // produced by the run itself, never hand-run)
+    if (only.isEmpty) {
+      val hdr = "| query | prev BENCH_SELF s | this run s | re-quiet min-of-4 s | verdict |\n|---|---|---|---|---|\n"
+      val rows = adjudicated.map { case (n, p, f, m, v) =>
+        s"| $n | ${ms(p)} | ${ms(f)} | ${ms(m)} | $v |" }.mkString("\n")
+      val doc = s"# Bench mover auto-adjudication\n\n" +
+        s"Queries measuring >1.8x their previous BENCH_SELF time were\n" +
+        s"re-measured focused (min of 4) immediately after the full run.\n" +
+        s"load_avg at run end: ${ms(load)}; sf: $sfDir.\n\n" +
+        (if (adjudicated.isEmpty) "No movers exceeded the 1.8x threshold this run.\n"
+         else hdr + rows + "\n")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_MOVERS.md"), doc)
+      catch { case _: Exception => () }
+    }
     // Best-effort self-archive of the full-precision record: stdout
     // captures can truncate (see the compact line below); a run that can
     // write its working directory leaves the complete evidence on disk.

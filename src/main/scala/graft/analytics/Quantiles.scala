@@ -81,7 +81,13 @@ object Quantiles {
     // rank labels ride the q_bp column: 1 = lower middle (n+1 div 2),
     // 2 = upper middle (n div 2 + 1); for odd n they coincide and the
     // interpolation collapses to the middle value exactly
-    val ranked = core(df, groupCol, valCol, buckets) { geoN =>
+    // ONE refinement round, not two: the final ranking groups the
+    // target slice by VALUE before any window, so a 1/B slice already
+    // bounds the sort at ~n/B distinct values — and the second round
+    // costs a whole extra job (scan + histogram + checkpoint) per
+    // median, pure fixed overhead for this two-rank use (measured 10x
+    // on q144's bench entry before this was split)
+    val ranked = core(df, groupCol, valCol, buckets, twoRounds = false) { geoN =>
       geoN.crossJoin(broadcast(Seq(1, 2).toDF("q_bp")))
         .withColumn("k", when(col("q_bp") === 1, expr("(n + 1) div 2"))
           .otherwise(expr("n div 2 + 1")))
@@ -94,11 +100,15 @@ object Quantiles {
         (col("__lo") + (col("__hi") - col("__lo")) * 0.5).as("median"))
   }
 
-  /** Shared two-round refinement body; `mkKs` turns the per-group
-    * (__g, n) frame into the target ranks (__g, q_bp, n, k) — q_bp is
-    * an opaque per-rank label, k the 1-based order statistic. */
+  /** Shared refinement body; `mkKs` turns the per-group (__g, n) frame
+    * into the target ranks (__g, q_bp, n, k) — q_bp is an opaque
+    * per-rank label, k the 1-based order statistic. `twoRounds = false`
+    * stops after the first histogram (target slice 1/B of the group
+    * instead of 1/B², ranked by distinct value — still bounded, one
+    * whole job cheaper; the median path uses it). */
   private def core(df: DataFrame, grpCol: String, valCol: String,
-                   buckets: Int)(mkKs: DataFrame => DataFrame): DataFrame = {
+                   buckets: Int, twoRounds: Boolean = true)(
+                   mkKs: DataFrame => DataFrame): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val b = buckets
 
@@ -137,37 +147,46 @@ object Quantiles {
       .groupBy(col("__g"), col("bin")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(binW))
     val ks = mkKs(geo.select(col("__g"), col("n")))
-    // localCheckpoint: t1 (one row per group×quantile) feeds BOTH round
-    // 2 and the final target chain — without it the round-1 histogram
-    // subtree (and its full scan) executes twice
-    val t1 = ks.join(hist1, Seq("__g"))
+    // localCheckpoint (two-round only): t1 (one row per group×quantile)
+    // feeds BOTH round 2 and the final target chain — without it the
+    // round-1 histogram subtree (and its full scan) executes twice. In
+    // one-round mode t1 is consumed once, so the eager job would be
+    // pure overhead.
+    val t1raw = ks.join(hist1, Seq("__g"))
       .where(col("cum") - col("cnt") < col("k") && col("k") <= col("cum"))
       .select(col("__g"), col("q_bp"), col("n"), col("bin").as("b1"),
         (col("k") - (col("cum") - col("cnt"))).as("k1"))
-      .localCheckpoint()
+    val t1 = if (twoRounds) t1raw.localCheckpoint() else t1raw
 
-    // ---- round 2: sub-histogram of only the target bins
     val slice1 = v.join(geo.select(col("__g"), col("mn"), col("mx")), Seq("__g"))
       .withColumn("b1", bin1)
       .join(t1, Seq("__g", "b1"))
-      .withColumn("b2", bin2)
-    val hist2 = slice1.groupBy(col("__g"), col("q_bp"), col("b2").as("bin"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(qW))
-    val t2 = t1.join(hist2, Seq("__g", "q_bp"))
-      .where(col("cum") - col("cnt") < col("k1") && col("k1") <= col("cum"))
-      .select(col("__g"), col("q_bp"), col("n"), col("b1"),
-        col("bin").as("b2"), (col("k1") - (col("cum") - col("cnt"))).as("k2"))
 
-    // ---- final: rank DISTINCT values of each 1/B^2 slice
     val valW = Window.partitionBy(col("__g"), col("q_bp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    slice1.drop("n", "k1")
-      .join(t2, Seq("__g", "q_bp", "b1", "b2"))
-      .groupBy(col("__g"), col("q_bp"), col("n"), col("k2"), col("v"))
+
+    // the target slice to rank by DISTINCT value, and the rank into it
+    val (target, kk) =
+      if (!twoRounds) (slice1, "k1")
+      else {
+        // ---- round 2: sub-histogram of only the target bins
+        val sliced2 = slice1.withColumn("b2", bin2)
+        val hist2 = sliced2.groupBy(col("__g"), col("q_bp"), col("b2").as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(qW))
+        val t2 = t1.join(hist2, Seq("__g", "q_bp"))
+          .where(col("cum") - col("cnt") < col("k1") && col("k1") <= col("cum"))
+          .select(col("__g"), col("q_bp"), col("n"), col("b1"),
+            col("bin").as("b2"), (col("k1") - (col("cum") - col("cnt"))).as("k2"))
+        (sliced2.drop("n", "k1").join(t2, Seq("__g", "q_bp", "b1", "b2")), "k2")
+      }
+
+    // ---- final: rank DISTINCT values of the target slice
+    target
+      .groupBy(col("__g"), col("q_bp"), col("n"), col(kk), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(valW))
-      .where(col("cum") - col("cnt") < col("k2") && col("k2") <= col("cum"))
+      .where(col("cum") - col("cnt") < col(kk) && col(kk) <= col("cum"))
       .select(col("__g").as(grpCol), col("q_bp"), col("n"), col("v").as("value"))
   }
 

@@ -40,8 +40,13 @@ object Robust {
       .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
     val med = Quantiles.interpolatedMedianBy(e, "__g", "__v")
       .select(col("__g"), col("median").as("__med"))
+    // localCheckpoint: the deviation frame feeds the mad-median chain
+    // (which scans it twice) AND the final outlier count — materialize
+    // the narrow (group, value, med, |dev|) projection once instead of
+    // re-running scan+join per consumer
     val ad = e.join(broadcast(med), Seq("__g"))
       .withColumn("__ad", abs(col("__v") - col("__med")))
+      .localCheckpoint()
     val mad = Quantiles.interpolatedMedianBy(ad, "__g", "__ad")
       .select(col("__g"), col("n"), col("median").as("__mad"))
     ad.join(broadcast(mad), Seq("__g"))
