@@ -3182,6 +3182,83 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").text(s"$base/in")
       graft.ingest.Quarantine.auditJsonLines(s, s"$base/in",
         "event_id LONG, user_id LONG, value DOUBLE", "value")
+    }),
+
+    // Versioned table time travel (ingest/Versioned): overwrite v1,
+    // append v2, then replay EACH version with readAsOf and certify it
+    // against the fingerprint archived at commit time (the additive
+    // q203 digest rolled forward per commit — never a table rescan).
+    // The oracle recomputes both snapshots straight from orders, so the
+    // gate covers the whole write→log→replay path; matches_archived is
+    // computed (falsifiable), not asserted.
+    "q210_time_travel" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      val tbl = scratch("q210") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1), tbl)
+      import s.implicits._
+      val replayed = (1L to 2L).map { v =>
+        val r = Versioned.readAsOf(s, tbl, v)
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(Fingerprint.rowDigest(Seq(col("o_orderkey"),
+              col("o_custkey"), col("cents")))), lit(0L)).as("fp"),
+            coalesce(sum(col("cents")), lit(0L)).as("sc")).head()
+        (v, r.getLong(0), r.getLong(1), r.getLong(2))
+      }.toDF("version", "replay_rows", "replay_fp", "sum_cents")
+      Versioned.history(s, tbl)
+        .select(col("version"), col("snapshot_rows"), col("snapshot_fp"))
+        .join(replayed, Seq("version"))
+        .select(col("version"), col("snapshot_rows"), col("snapshot_fp"),
+          (col("snapshot_rows") === col("replay_rows") &&
+            col("snapshot_fp") === col("replay_fp")).as("matches_archived"),
+          col("sum_cents"))
+        .orderBy(col("version"))
+    }),
+
+    // Optimistic concurrent commits (ingest/Versioned): two writers
+    // append to one table AT THE SAME TIME from two threads; the atomic
+    // version-claim protocol serializes them — both batches survive,
+    // the log is gapless, and the head's archived snapshot fingerprint
+    // matches a full replay whatever order the claims landed in (the
+    // additive digest is commutative, so the output is deterministic
+    // while the version assignment is not — exactly what the gate can
+    // and should pin).
+    "q211_concurrent_commit" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      val tbl = scratch("q211") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def slice(m: Int, tag: String) =
+        orders.filter(col("o_orderkey") % 4 === m).withColumn("writer", lit(tag))
+      Versioned.overwrite(slice(0, "seed"), tbl)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futs = Seq((1, "w1"), (2, "w2")).map { case (m, tag) =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = Versioned.append(slice(m, tag), tbl).version
+          })
+        }
+        val versions = futs.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+        require(versions.toSet == Set(2L, 3L),
+          s"concurrent appends must win versions 2 and 3, got $versions")
+      } finally pool.shutdownNow()
+      import s.implicits._
+      val (headRows, headFp) = Versioned.archivedFingerprint(s, tbl, 3L)
+      val replay = Versioned.read(s, tbl)
+        .agg(count(lit(1)).as("n"), sum(Fingerprint.rowDigest(Seq(
+          col("o_orderkey"), col("o_custkey"), col("cents"), col("writer"))))
+          .as("fp")).head()
+      val invariants = broadcast(Seq((
+        Versioned.history(s, tbl).count(),
+        replay.getLong(0) == headRows && replay.getLong(1) == headFp))
+        .toDF("n_commits", "head_matches_archived"))
+      Versioned.read(s, tbl)
+        .groupBy(col("writer"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(invariants)
+        .orderBy(col("writer"))
     })
   )
 
@@ -6693,6 +6770,42 @@ object SparkEntry {
         |c AS (SELECT item::BIGINT AS item, count(*)::BIGINT AS true_count
         |      FROM it GROUP BY 1)
         |SELECT item, true_count, true AS in_sketch, true AS est_within_band
-        |FROM c, n WHERE true_count * 16 > n.n ORDER BY 1""".stripMargin
+        |FROM c, n WHERE true_count * 16 > n.n ORDER BY 1""".stripMargin,
+
+    // both version snapshots recomputed straight from orders (v1 = the
+    // overwrite slice, v2 = v1 + the appended slice) with the same
+    // injective length-prefixed digest; the certification boolean is
+    // asserted TRUE against Spark's computed comparison
+    "q210_time_travel" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |enc AS (SELECT k % 3 AS m, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM o WHERE k % 3 IN (0, 1)),
+        |v AS (SELECT 1 AS version UNION ALL SELECT 2)
+        |SELECT v.version::BIGINT AS version,
+        |  count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp,
+        |  true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents
+        |FROM v JOIN enc ON (v.version = 1 AND enc.m = 0) OR v.version = 2
+        |GROUP BY v.version ORDER BY version""".stripMargin,
+
+    // the union both concurrent writers must produce, per writer; the
+    // protocol invariants (3 gapless commits, head digest = replay) are
+    // Spark-computed booleans pinned TRUE
+    "q211_concurrent_commit" ->
+      """WITH o AS (SELECT round(o_totalprice * 100)::BIGINT AS cents,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN 'seed'
+        |         WHEN o_orderkey % 4 = 1 THEN 'w1' ELSE 'w2' END AS writer
+        |  FROM orders WHERE o_orderkey % 4 IN (0, 1, 2))
+        |SELECT writer, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS cents_sum,
+        |  3::BIGINT AS n_commits, true AS head_matches_archived
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

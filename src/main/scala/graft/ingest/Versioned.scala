@@ -1,0 +1,286 @@
+package graft.ingest
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Versioned table commits: an ordered metadata log over immutable
+  * parquet data files, giving READ-AS-OF time travel and an OPTIMISTIC
+  * multi-writer commit protocol — the two storage-layer capabilities
+  * the reference gets from its table format and that the bare-path
+  * ingest surface (ingest/Ingest.scala) lacks (VERDICT r8 #1/#2).
+  * Reference behavior being re-expressed: the serving layer replays a
+  * transaction log of add/remove file actions to materialize a chosen
+  * version (MinioService.cs:120–161 log replay, :185–209 add/remove
+  * accumulation), and concurrent DAG writers rely on the format's
+  * optimistic concurrency (spark_utils.py:51–66).
+  *
+  * Layout under the table root:
+  * {{{
+  *   _graft_log/v00000001.json      one record per commit, version-named
+  *   d-<uuid>/part-*.parquet        immutable data files, one dir/commit
+  * }}}
+  *
+  * Protocol (the standard log-structured design): data files are
+  * written FIRST under a fresh uuid directory — invisible to every
+  * reader until a log record references them — then the writer claims
+  * the next version number by ATOMICALLY creating
+  * `_graft_log/v<n+1>.json` with create-if-absent semantics
+  * (`O_EXCL`/`CREATE_NEW` locally, `FileSystem.create(overwrite=false)`
+  * on HDFS, where it is an atomic namenode op). Exactly one contender
+  * wins a version; losers re-read the log, re-validate against the new
+  * head (schema pin, snapshot totals) and retry with the next number.
+  * A crash between data write and log claim leaves an orphaned data dir
+  * that no reader ever sees ([[vacuum]] reclaims it).
+  *
+  * Each record carries the ADDED files plus the running snapshot totals
+  * (`snapshotRows`, `snapshotFp`): because the content fingerprint
+  * ([[Fingerprint]]) is ADDITIVE over disjoint row sets, an append's
+  * snapshot digest is `prev.snapshotFp + fp(added rows)` — O(added
+  * data), never a table rescan, the merkle-style rollup q203 proved.
+  * Any later `readAsOf(v)` can therefore be certified against the
+  * digest archived AT COMMIT TIME without trusting the replay logic.
+  *
+  * 100 TB posture: a commit costs one scan of the rows it adds (write +
+  * digest) plus one tiny log record; version discovery is a single
+  * directory listing of filenames (no record is read to find the head);
+  * `readAsOf` reads only the log records (KBs) and then scans exactly
+  * the active files. The log directory stays O(commits) — compaction of
+  * ancient log prefixes into checkpoints is the standard extension and
+  * orthogonal to the query surface.
+  */
+object Versioned {
+
+  final case class Commit(version: Long, action: String, add: Seq[String],
+                          schemaJson: String, nRows: Long, addFp: Long,
+                          snapshotRows: Long, snapshotFp: Long)
+
+  final val LogDir = "_graft_log"
+
+  private val mapper = new ObjectMapper()
+
+  // ---------- public write surface ----------
+
+  /** Append `df` as a new version; schema must match the current head
+    * exactly (the mergeSchema=false pin, enforced at COMMIT time
+    * against the head the claim actually serializes after — so two
+    * concurrent appends can both succeed but a drifting one fails even
+    * if it validated against an older head). Returns the commit. */
+  def append(df: DataFrame, path: String, maxRetries: Int = 20): Commit =
+    commit(df, path, "append", maxRetries)
+
+  /** Replace the table content as a new version (readers of older
+    * versions are unaffected — old files are never touched). */
+  def overwrite(df: DataFrame, path: String, maxRetries: Int = 20): Commit =
+    commit(df, path, "overwrite", maxRetries)
+
+  private def commit(df: DataFrame, path: String, action: String,
+                     maxRetries: Int): Commit = {
+    val spark = df.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // 1. data first: immutable, invisible until a log record points at it
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val dataDirName = s"d-$uuid"
+    val dataDir = new Path(root, dataDirName)
+    df.write.parquet(dataDir.toString)
+    val files = fs.listStatus(dataDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$dataDirName/${s.getPath.getName}").sorted
+    // one scan of the ADDED rows: exact count + additive content digest
+    // over every column in schema order
+    val staged = spark.read.schema(df.schema).parquet(dataDir.toString)
+    val row = staged.agg(count(lit(1)).as("n"),
+      coalesce(sum(Fingerprint.rowDigest(df.schema.fieldNames.toSeq.map(col))),
+        lit(0L)).as("fp")).head()
+    val (nRows, addFp) = (row.getLong(0), row.getLong(1))
+
+    // 2. claim loop: validate against the CURRENT head, try to create
+    // the next version's record exclusively, retry on loss
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestCommit(fs, root)
+      head.foreach { h =>
+        if (action == "append") {
+          val headSchema = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
+            .map(f => f.name -> f.dataType.simpleString).toMap
+          val incoming = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+          if (headSchema != incoming) {
+            fs.delete(dataDir, true)
+            throw new IllegalStateException(
+              s"versioned append schema mismatch at $path v${h.version} " +
+                s"(mergeSchema is pinned false):\n" +
+                s"  table:    ${headSchema.toSeq.sorted.mkString(", ")}\n" +
+                s"  incoming: ${incoming.toSeq.sorted.mkString(", ")}")
+          }
+        }
+      }
+      val version = head.map(_.version).getOrElse(0L) + 1L
+      val (snapRows, snapFp) = action match {
+        case "append" => (head.map(_.snapshotRows).getOrElse(0L) + nRows,
+          head.map(_.snapshotFp).getOrElse(0L) + addFp)
+        case _ => (nRows, addFp)
+      }
+      val c = Commit(version, action, files, df.schema.json, nRows, addFp,
+        snapRows, snapFp)
+      if (atomicCreate(fs, recordPath(root, version), render(c))) return c
+      attempt += 1 // lost the race: another writer claimed this version
+    }
+    fs.delete(dataDir, true)
+    throw new IllegalStateException(
+      s"versioned commit to $path lost the version race $maxRetries times")
+  }
+
+  // ---------- public read surface ----------
+
+  /** Current head version (0 = no commits yet) — one directory listing,
+    * no record reads. */
+  def latestVersion(spark: SparkSession, path: String): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listVersions(fs, root).lastOption.getOrElse(0L)
+  }
+
+  /** The table AS OF `version` — the log-replay read
+    * (MinioService.cs:120–161 re-expressed): accumulate add-actions,
+    * reset on overwrite, scan exactly the active files with the schema
+    * archived at that version. Old versions stay readable forever
+    * because data files are immutable. */
+  def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, root)
+    require(versions.contains(version),
+      s"version $version does not exist at $path (have: ${versions.mkString(", ")})")
+    val commits = versions.filter(_ <= version).map(v => readCommit(fs, root, v))
+    val active = commits.foldLeft(Seq.empty[String]) { (acc, c) =>
+      if (c.action == "overwrite") c.add else acc ++ c.add
+    }
+    val schema = DataType.fromJson(commits.last.schemaJson).asInstanceOf[StructType]
+    if (active.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(active.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** The table at its current head. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readAsOf(spark, path, latestVersion(spark, path))
+
+  /** One row per commit: (version, action, n_files, n_rows, add_fp,
+    * snapshot_rows, snapshot_fp) — the audit/history surface; metadata
+    * only, no data scan. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = listVersions(fs, root).map(v => readCommit(fs, root, v))
+      .map(c => (c.version, c.action, c.add.size.toLong, c.nRows, c.addFp,
+        c.snapshotRows, c.snapshotFp))
+    import spark.implicits._
+    rows.toDF("version", "action", "n_files", "n_rows", "add_fp",
+      "snapshot_rows", "snapshot_fp")
+  }
+
+  /** The content fingerprint archived when `version` was committed —
+    * what a replayed [[readAsOf]] must hash to (metadata read only). */
+  def archivedFingerprint(spark: SparkSession, path: String, version: Long): (Long, Long) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val c = readCommit(fs, root, version)
+    (c.snapshotRows, c.snapshotFp)
+  }
+
+  /** Delete data directories referenced by NO commit record — the
+    * leftovers of crashed writers (data written, claim never made).
+    * Caller contract: run only when no writer is mid-commit (a live
+    * writer's staged dir is unreferenced by design until its claim
+    * lands; production deployments add an age threshold). Returns the
+    * removed directory names. */
+  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val referenced = listVersions(fs, root)
+      .flatMap(v => readCommit(fs, root, v).add)
+      .map(_.split("/").head).toSet
+    val orphans = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-") &&
+        !referenced.contains(s.getPath.getName))
+      .map(_.getPath)
+    orphans.foreach(p => fs.delete(p, true))
+    orphans.map(_.getName)
+  }
+
+  // ---------- log internals ----------
+
+  private def recordPath(root: Path, version: Long): Path =
+    new Path(new Path(root, LogDir), f"v$version%08d.json")
+
+  private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = new Path(root, LogDir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong).sorted
+  }
+
+  private def latestCommit(fs: FileSystem, root: Path): Option[Commit] =
+    listVersions(fs, root).lastOption.map(v => readCommit(fs, root, v))
+
+  private def readCommit(fs: FileSystem, root: Path, version: Long): Commit = {
+    val in = fs.open(recordPath(root, version))
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+      new java.io.DataInputStream(in)) finally in.close()
+    val t = mapper.readTree(bytes)
+    Commit(
+      t.get("version").asLong(), t.get("action").asText(),
+      (0 until t.get("add").size()).map(i => t.get("add").get(i).asText()),
+      t.get("schema").asText(), t.get("nRows").asLong(),
+      t.get("addFp").asLong(), t.get("snapshotRows").asLong(),
+      t.get("snapshotFp").asLong())
+  }
+
+  private def render(c: Commit): Array[Byte] = {
+    val node = mapper.createObjectNode()
+    node.put("version", c.version)
+    node.put("action", c.action)
+    val arr = node.putArray("add")
+    c.add.foreach(arr.add)
+    node.put("schema", c.schemaJson)
+    node.put("nRows", c.nRows)
+    node.put("addFp", c.addFp)
+    node.put("snapshotRows", c.snapshotRows)
+    node.put("snapshotFp", c.snapshotFp)
+    mapper.writeValueAsBytes(node)
+  }
+
+  /** The atomic version claim. `file://`: NIO `CREATE_NEW` is an O_EXCL
+    * open — kernel-atomic, no check-then-create window (Hadoop's
+    * LocalFileSystem.create(overwrite=false) only CHECKS first, a race
+    * hole). Other schemes: `FileSystem.create(overwrite=false)`, which
+    * HDFS implements as one atomic namenode operation. Returns false
+    * when another writer holds the version. */
+  private def atomicCreate(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
+    fs.mkdirs(p.getParent)
+    if ("file" == fs.getScheme) {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        java.nio.file.Files.write(local, bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if fs.exists(p) => false
+      }
+    }
+  }
+
+}

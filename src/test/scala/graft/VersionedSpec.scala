@@ -1,0 +1,137 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{Fingerprint, Versioned}
+
+class VersionedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_versioned").toString + "/tbl"
+
+  private def df(rows: (Long, String)*) = rows.toDF("id", "t")
+
+  test("overwrite + appends replay to each version; head read sees all") {
+    val tbl = tmp()
+    val c1 = Versioned.overwrite(df(1L -> "a", 2L -> "b"), tbl)
+    val c2 = Versioned.append(df(3L -> "c"), tbl)
+    val c3 = Versioned.append(df(4L -> "d", 5L -> "e"), tbl)
+    assert((c1.version, c2.version, c3.version) == (1L, 2L, 3L))
+    assert(Versioned.latestVersion(spark, tbl) == 3L)
+    assert(rowSet(Versioned.readAsOf(spark, tbl, 1)) ==
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+    assert(rowSet(Versioned.readAsOf(spark, tbl, 2)) ==
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    assert(rowSet(Versioned.read(spark, tbl)).size == 5)
+    // an overwrite resets the active set but old versions stay readable
+    val c4 = Versioned.overwrite(df(9L -> "z"), tbl)
+    assert(c4.version == 4L)
+    assert(rowSet(Versioned.read(spark, tbl)) == Set(Seq(9L, "z")))
+    assert(rowSet(Versioned.readAsOf(spark, tbl, 2)).size == 3)
+  }
+
+  test("archived snapshot fingerprints certify every readAsOf replay") {
+    val tbl = tmp()
+    Versioned.overwrite(df(1L -> "a", 2L -> "b"), tbl)
+    Versioned.append(df(3L -> "c"), tbl)
+    Versioned.overwrite(df(7L -> "q", 8L -> "r"), tbl)
+    (1L to 3L).foreach { v =>
+      val (archRows, archFp) = Versioned.archivedFingerprint(spark, tbl, v)
+      val replay = Versioned.readAsOf(spark, tbl, v)
+        .agg(count(lit(1)), coalesce(sum(
+          Fingerprint.rowDigest(Seq(col("id"), col("t")))), lit(0L))).head()
+      assert((replay.getLong(0), replay.getLong(1)) == ((archRows, archFp)),
+        s"version $v replay does not hash to its archived fingerprint")
+    }
+    // history carries the additive rollup: v2 snapshot = v1 + v2 add
+    val h = Versioned.history(spark, tbl).orderBy("version")
+      .select("version", "n_rows", "add_fp", "snapshot_rows", "snapshot_fp")
+      .collect()
+    assert(h(1).getLong(3) == h(0).getLong(1) + h(1).getLong(1))
+    assert(h(1).getLong(4) == h(0).getLong(2) + h(1).getLong(2))
+  }
+
+  test("append schema drift is refused loudly") {
+    val tbl = tmp()
+    Versioned.overwrite(df(1L -> "a"), tbl)
+    val bad = Seq((1L, 2.5)).toDF("id", "t") // t: string -> double
+    val e = intercept[IllegalStateException](Versioned.append(bad, tbl))
+    assert(e.getMessage.contains("schema mismatch"))
+    assert(Versioned.latestVersion(spark, tbl) == 1L)
+  }
+
+  test("two concurrent appends both land; versions serialize") {
+    val tbl = tmp()
+    Versioned.overwrite(df(0L -> "seed"), tbl)
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    try {
+      val futs = Seq("A", "B").map { tag =>
+        pool.submit(new java.util.concurrent.Callable[Versioned.Commit] {
+          def call(): Versioned.Commit = {
+            val d = (1L to 5L).map(i => (i, tag)).toDF("id", "t")
+            gate.await(30, TimeUnit.SECONDS)
+            Versioned.append(d, tbl)
+          }
+        })
+      }
+      gate.countDown()
+      val commits = futs.map(_.get(120, TimeUnit.SECONDS))
+      // both writers won SOME version, and the two versions are distinct
+      assert(commits.map(_.version).toSet == Set(2L, 3L))
+      // every row from both batches survives
+      val got = Versioned.read(spark, tbl)
+      assert(got.count() == 11)
+      assert(rowSet(got.groupBy("t").count()
+        .filter(col("t") =!= "seed")) == Set(Seq("A", 5L), Seq("B", 5L)))
+      // the head snapshot totals reflect both, whatever the order
+      val (n, fp) = Versioned.archivedFingerprint(spark, tbl, 3L)
+      val replay = got.agg(count(lit(1)),
+        sum(Fingerprint.rowDigest(Seq(col("id"), col("t"))))).head()
+      assert((replay.getLong(0), replay.getLong(1)) == ((n, fp)))
+    } finally pool.shutdownNow()
+  }
+
+  test("a claimed version file can never be claimed again") {
+    // direct protocol check: 16 threads race 4 commits each — every
+    // version number is won exactly once and the log is gapless
+    val tbl = tmp()
+    Versioned.overwrite(df(0L -> "seed"), tbl)
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = Versioned.append(df(i.toLong -> s"w$i"), tbl).version
+        })
+      }
+      val versions = futs.map(_.get(180, TimeUnit.SECONDS))
+      assert(versions.sorted == (2L to 9L))
+      assert(Versioned.read(spark, tbl).count() == 9)
+    } finally pool.shutdownNow()
+  }
+
+  test("vacuum removes only unreferenced (crashed-writer) data dirs") {
+    val tbl = tmp()
+    Versioned.overwrite(df(1L -> "a"), tbl)
+    Versioned.append(df(2L -> "b"), tbl)
+    // simulate a crash: data staged, claim never made
+    df(99L -> "orphan").write.parquet(s"$tbl/d-deadbeef")
+    val removed = Versioned.vacuum(spark, tbl)
+    assert(removed == Seq("d-deadbeef"))
+    // table content untouched
+    assert(Versioned.read(spark, tbl).count() == 2)
+    assert(rowSet(Versioned.readAsOf(spark, tbl, 1)) == Set(Seq(1L, "a")))
+  }
+
+  test("empty-table edge: overwrite with zero rows is a real version") {
+    val tbl = tmp()
+    Versioned.overwrite(df(1L -> "a"), tbl)
+    Versioned.overwrite(df().filter(lit(false)), tbl)
+    assert(Versioned.read(spark, tbl).count() == 0)
+    assert(Versioned.archivedFingerprint(spark, tbl, 2L) == ((0L, 0L)))
+    assert(rowSet(Versioned.readAsOf(spark, tbl, 1)) == Set(Seq(1L, "a")))
+  }
+}
