@@ -366,8 +366,8 @@ object Similarity {
     * would evict the very entry a caller like [[ivfTopK]] still relies on
     * for its post-training stages — the caller owns the cache.
     */
-  private def trainCentroidsPrepped(data: DataFrame, nCentroids: Int,
-                                    iterations: Int): DataFrame = {
+  private[vector] def trainCentroidsPrepped(data: DataFrame, nCentroids: Int,
+                                            iterations: Int): DataFrame = {
     // the nCentroids SMALLEST ids (orderBy + limit), not `id < n`: the
     // latter silently seeds fewer — or zero — centroids on 1-based,
     // sparse, or hash-derived id spaces
@@ -659,59 +659,18 @@ object Similarity {
     require(dim > 0 && dim % m == 0, s"vector dim $dim must split into $m subspaces")
     val sd = dim / m
 
-    // (id, s, sv): one row per vector per subspace; posexplode's pos IS s
-    def subspaces(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol),
-        posexplode(expr(s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $sd + 1, $sd))"))
-          .as(Seq("s", "sv")))
-
-    val subsData = subspaces(data, "vec_id").cache()
+    val subsData = pqSubspaces(data, "vec_id", m, sd).cache()
     try {
-      // L2² against a codebook entry, rounded for cross-engine replay
-      def d2(a: String, b: String) =
-        round(dot(a, a) - lit(2) * dot(a, b) + dot(b, b), 6)
-
-      // per-(vector, subspace) nearest code — min_by's struct order is
-      // lexicographic ascending: smallest distance, then lowest code id
-      def assign(codebook: DataFrame): DataFrame =
-        subsData.join(broadcast(codebook), Seq("s"))
-          .withColumn("__d2", d2("sv", "cv"))
-          .groupBy(col("vec_id"), col("s"))
-          .agg(min_by(struct(col("code_id"), col("sv")),
-            struct(col("__d2"), col("code_id"))).as("a"))
-          .select(col("vec_id"), col("s"), col("a.code_id").as("code_id"),
-            col("a.sv").as("sv"))
-
-      // seed codebooks from the codesPerSub smallest ids (code_id = the
-      // seed's vec_id — same convention as ivfTopK's cent_id, no window)
-      val seeds = data.orderBy(col("vec_id")).limit(codesPerSub)
-        .select(col("vec_id"), col("v"))
-      var codes = subspaces(seeds, "vec_id")
-        .select(col("s"), col("vec_id").cast("long").as("code_id"), col("sv").as("cv"))
-        .localCheckpoint()
-      for (_ <- 1 to trainIterations) {
-        // fixed-point coordinate means (1e-6 grid) — order-independent,
-        // so the oracle's replay of the same grid agrees exactly; empty
-        // codes keep their previous centroid (coalesce)
-        val means = assign(codes)
-          .select(col("s"), col("code_id"), posexplode(col("sv")).as(Seq("j", "x")))
-          .groupBy(col("s"), col("code_id"), col("j"))
-          .agg(sum(round(col("x") * 1000000).cast("long")).as("sx"), count(lit(1)).as("n"))
-          .groupBy(col("s"), col("code_id"))
-          .agg(expr("transform(array_sort(collect_list(struct(j, sx, n))), " +
-            "e -> CAST(e.sx AS DOUBLE) / (1000000.0 * e.n))").as("cv"))
-        codes = codes.select(col("s"), col("code_id"), col("cv").as("cv0"))
-          .join(means, Seq("s", "code_id"), "left")
-          .select(col("s"), col("code_id"), coalesce(col("cv"), col("cv0")).as("cv"))
-          .localCheckpoint()
-      }
+      val codes = trainPqCodebooks(data, subsData, m, sd, codesPerSub,
+        trainIterations)
 
       // corpus → codes (this is the stored representation at scale)
-      val encoded = assign(codes).select(col("vec_id"), col("s"), col("code_id"))
+      val encoded = pqAssign(subsData, codes)
+        .select(col("vec_id"), col("s"), col("code_id"))
 
       // ADC: per-query distance table (|q|·m·codesPerSub rows, broadcast),
       // fixed-point partial inner products summed as longs
-      val qsubs = subspaces(prep(queries), "vec_id")
+      val qsubs = pqSubspaces(prep(queries), "vec_id", m, sd)
         .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
       val dtab = qsubs.join(codes, Seq("s"))
         .select(col("query_id"), col("s"), col("code_id"),
@@ -725,5 +684,60 @@ object Similarity {
         .as[Scored]
       rankTopK(scored, k).localCheckpoint()
     } finally subsData.unpersist()
+  }
+
+  // ---- PQ internals, shared with [[ServingIndex]] ----
+
+  /** (id, s, sv): one row per vector per subspace; posexplode's pos IS
+    * the subspace index s. */
+  private[vector] def pqSubspaces(df: DataFrame, idCol: String, m: Int,
+                                  sd: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(expr(s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $sd + 1, $sd))"))
+        .as(Seq("s", "sv")))
+
+  /** L2² against a codebook entry, rounded for cross-engine replay. */
+  private def pqD2(a: String, b: String) =
+    round(dot(a, a) - lit(2) * dot(a, b) + dot(b, b), 6)
+
+  /** Per-(vector, subspace) nearest code — min_by's struct order is
+    * lexicographic ascending: smallest distance, then lowest code id. */
+  private[vector] def pqAssign(subsData: DataFrame, codebook: DataFrame): DataFrame =
+    subsData.join(broadcast(codebook), Seq("s"))
+      .withColumn("__d2", pqD2("sv", "cv"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(struct(col("code_id"), col("sv")),
+        struct(col("__d2"), col("code_id"))).as("a"))
+      .select(col("vec_id"), col("s"), col("a.code_id").as("code_id"),
+        col("a.sv").as("sv"))
+
+  /** Deterministic per-subspace codebook training: seeds from the
+    * codesPerSub smallest ids (code_id = the seed's vec_id — same
+    * convention as ivfTopK's cent_id, no window), then fixed-point
+    * coordinate means (1e-6 grid) per Lloyd's round — order-independent
+    * integer sums, so the oracle's replay of the same grid agrees
+    * exactly; empty codes keep their previous centroid (coalesce). */
+  private[vector] def trainPqCodebooks(data: DataFrame, subsData: DataFrame,
+                                       m: Int, sd: Int, codesPerSub: Int,
+                                       iterations: Int): DataFrame = {
+    val seeds = data.orderBy(col("vec_id")).limit(codesPerSub)
+      .select(col("vec_id"), col("v"))
+    var codes = pqSubspaces(seeds, "vec_id", m, sd)
+      .select(col("s"), col("vec_id").cast("long").as("code_id"), col("sv").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val means = pqAssign(subsData, codes)
+        .select(col("s"), col("code_id"), posexplode(col("sv")).as(Seq("j", "x")))
+        .groupBy(col("s"), col("code_id"), col("j"))
+        .agg(sum(round(col("x") * 1000000).cast("long")).as("sx"), count(lit(1)).as("n"))
+        .groupBy(col("s"), col("code_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, sx, n))), " +
+          "e -> CAST(e.sx AS DOUBLE) / (1000000.0 * e.n))").as("cv"))
+      codes = codes.select(col("s"), col("code_id"), col("cv").as("cv0"))
+        .join(means, Seq("s", "code_id"), "left")
+        .select(col("s"), col("code_id"), coalesce(col("cv"), col("cv0")).as("cv"))
+        .localCheckpoint()
+    }
+    codes
   }
 }

@@ -363,4 +363,41 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!executedPlanNodes(out).mkString("\n").contains("CartesianProduct")
       || out.count() == 3, "pair frame stays segment-sized")
   }
+
+  test("ANN serving reads ONLY the stored index, with cell partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_serveidx").toString
+    val corpusPath = s"$dir/corpus"
+    val idx = s"$dir/idx"
+    val emb = (1L to 60L).map { i =>
+      (i, Seq.tabulate(8)(j => ((i * 31 + j * 7) % 23).toFloat / 23f))
+    }.toDF("vec_id", "embedding")
+    emb.write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    graft.vector.ServingIndex.build(spark, corpus, idx,
+      nCentroids = 4, m = 2, codesPerSub = 4, trainIterations = 1)
+    val queries = emb.limit(2) // external payload, not a corpus scan
+    val served = graft.vector.ServingIndex.serve(spark, idx, queries,
+      k = 5, nProbe = 2)
+    served.count()
+    val scans = executedPlanNodes(served)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected file scans of the stored index")
+    // every file the serving plan reads lives under the index path —
+    // the raw corpus is never rescanned
+    scans.foreach { f =>
+      val roots = f.relation.location.rootPaths.map(_.toString)
+      assert(roots.forall(_.contains("/idx")),
+        s"serving must not scan outside the index: $roots")
+      assert(roots.forall(!_.contains("corpus")),
+        s"serving rescanned the corpus: $roots")
+    }
+    // the codes scan is partition-pruned to the probed cells
+    val codesScan = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("codes")))
+    assert(codesScan.nonEmpty, "expected a scan of the codes table")
+    codesScan.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        "codes scan must carry cent_id partition filters")
+    }
+  }
 }
