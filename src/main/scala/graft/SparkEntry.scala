@@ -3282,7 +3282,16 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
         .toSeq.toDF("vec_id", "embedding")
       ServingIndex.serve(s, idx, probeRows, k = 10, nProbe = 4)
-    })
+    }),
+
+    // In-engine training of the quality classifier (quality/LogitTrain):
+    // 5 full-batch gradient steps over the q147 profile features on an
+    // exact integer micro grid (rational fast-sigmoid link, floor
+    // division throughout), label lang='en'. Each step is ONE map-side-
+    // combined aggregate; the oracle unrolls every iterate and the
+    // whole coefficient trajectory hash-matches.
+    "q213_logit_train" -> ((s, dir) =>
+      graft.quality.LogitTrain.train(Tables.documents(s, dir), steps = 5))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -3325,7 +3334,9 @@ object SparkEntry {
     * score chain (the q147/q160 CTE pipeline), ending in
     * `sc(doc_id, score_micro)` — reused by the q173/q174 eval oracles so
     * the scorer replay lives in one place. */
-  private val logitScoreCtes: String =
+  /** The q147 profile-feature derivation (t, b, f) — shared between the
+    * exp-scorer CTEs below and the q213 training replay. */
+  private val profileFeatureCtes: String =
     """t AS (SELECT doc_id, text,
       |    string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
       |b AS (SELECT doc_id,
@@ -3339,13 +3350,75 @@ object SparkEntry {
       |    round(punct_chars::DOUBLE / greatest(n_chars, 1), 4) AS punct_r,
       |    round(n_uniq::DOUBLE / greatest(n_tokens, 1), 4) AS uniq_r,
       |    least(n_chars, 2000)::DOUBLE / 2000.0 AS len_norm
-      |  FROM b),
-      |z AS (SELECT doc_id,
+      |  FROM b)""".stripMargin
+
+  private val logitScoreCtes: String = profileFeatureCtes + ",\n" +
+    """z AS (SELECT doc_id,
       |    -2.0 + 6.0 * stop_r + -8.0 * punct_r + 3.0 * uniq_r + 2.0 * len_norm AS z
       |  FROM f),
       |sc AS (SELECT doc_id,
       |    round(1.0 / (1.0 + exp(-z)) * 1000000.0)::BIGINT AS score_micro FROM z)"""
       .stripMargin
+
+  /** FLOOR division spelled for the oracle engine, whose integer `//`
+    * TRUNCATES toward zero (verified: `(-7) // 2 = -3`) while the
+    * engine's floor_div / Math.floorDiv floor: subtract the
+    * floor-remainder `((a % b + b) % b)` first, after which truncation
+    * IS floor. `b` must be positive (every divisor here is a literal
+    * scale or a row count). */
+  private def sqlFloorDiv(a: String, b: String): String =
+    s"(($a - ((($a) % ($b) + ($b)) % ($b))) // ($b))"
+
+  /** q213's replay: the same integer-micro feature grid, then `steps`
+    * UNROLLED full-batch iterations — margin floor-div, rational
+    * fast-sigmoid link, per-row floor-div gradient terms, and the
+    * mean-then-scale weight update, every quotient an explicit FLOOR
+    * ([[sqlFloorDiv]] — margins, gradients and weights go negative) to
+    * match the engine's floor_div / Math.floorDiv chain exactly. */
+  private def logitTrainOracle(steps: Int, lrMicro: Long): String = {
+    val xs = Seq("x0", "x1", "x2", "x3", "x4")
+    val iters = (1 to steps).map { s =>
+      val zSum = xs.zipWithIndex
+        .map { case (x, j) => s"fx.$x * w.w$j" }.mkString(" + ")
+      val gs = xs.zipWithIndex
+        .map { case (x, j) =>
+          s"sum(${sqlFloorDiv(s"(p - y) * $x", "1000000")})::BIGINT AS g$j" }
+        .mkString(", ")
+      val upd = (0 until 5)
+        .map { j =>
+          val meanG = sqlFloorDiv(s"g.g$j", "g.n")
+          s"w.w$j - ${sqlFloorDiv(s"$lrMicro * $meanG", "1000000")} AS w$j" }
+        .mkString(", ")
+      s"""it$s AS (SELECT fx.*, ${sqlFloorDiv(zSum, "1000000")} AS z FROM fx, w${s - 1} w),
+         |pp$s AS (SELECT y, x0, x1, x2, x3, x4,
+         |  500000 + ${sqlFloorDiv("z * 500000", "1000000 + abs(z)")} AS p FROM it$s),
+         |gg$s AS (SELECT count(*)::BIGINT AS n,
+         |  sum(CASE WHEN p >= 500000 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+         |  $gs FROM pp$s),
+         |w$s AS (SELECT $upd, g.n AS n, g.n_keep AS n_keep
+         |  FROM w${s - 1} w, gg$s g)""".stripMargin
+    }.mkString(",\n")
+    val readout = (1 to steps).map { s =>
+      s"""SELECT $s::BIGINT AS step, n, n_keep AS n_keep_pre,
+         |  w0::BIGINT AS w_bias_micro, w1::BIGINT AS w_stop_micro,
+         |  w2::BIGINT AS w_punct_micro, w3::BIGINT AS w_uniq_micro,
+         |  w4::BIGINT AS w_len_micro FROM w$s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $profileFeatureCtes,
+       |fx AS (SELECT f.doc_id,
+       |    CASE WHEN d.lang = 'en' THEN 1000000 ELSE 0 END::BIGINT AS y,
+       |    1000000::BIGINT AS x0,
+       |    round(stop_r * 1000000)::BIGINT AS x1,
+       |    round(punct_r * 1000000)::BIGINT AS x2,
+       |    round(uniq_r * 1000000)::BIGINT AS x3,
+       |    (least(b.n_chars, 2000) * 500)::BIGINT AS x4
+       |  FROM f JOIN b USING (doc_id) JOIN documents d USING (doc_id)),
+       |w0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2,
+       |       0::BIGINT AS w3, 0::BIGINT AS w4),
+       |$iters
+       |$readout
+       |ORDER BY step""".stripMargin
+  }
 
   /** Recursive-closure connected components over the q38 near-dup edge
     * set — ground truth for BOTH cc plans (q38 min-label propagation,
@@ -5893,10 +5966,10 @@ object SparkEntry {
     // all pairwise slopes replayed, lower median selected by rank —
     // every value hash-gated
     "q209_theilsen_trend" ->
-      """WITH daily AS (SELECT event_type AS g, ts::DATE AS day,
+      (s"""WITH daily AS (SELECT event_type AS g, ts::DATE AS day,
         |        sum(round(value * 1e6)::BIGINT)::BIGINT AS sm,
         |        count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
-        |x AS (SELECT g, sm // cnt AS y,
+        |x AS (SELECT g, ${sqlFloorDiv("sm", "cnt")} AS y,
         |        row_number() OVER (PARTITION BY g ORDER BY day) AS i FROM daily),
         |p AS (SELECT a.g, (b.y - a.y)::DOUBLE / (b.i - a.i)::DOUBLE AS slope
         |      FROM x a JOIN x b ON a.g = b.g AND a.i < b.i),
@@ -5908,7 +5981,7 @@ object SparkEntry {
         |  round(r.slope)::BIGINT AS slope_micro_per_day,
         |  (r.slope > 1000.0) AS rising, (r.slope < -1000.0) AS falling
         |FROM r JOIN nd USING (g) WHERE r.rk = (r.m + 1) // 2
-        |ORDER BY 1""".stripMargin,
+        |ORDER BY 1""").stripMargin,
 
     // q201's sample replayed, then grouped by language — estimates,
     // counts and exact totals all hash-gated
@@ -5958,15 +6031,18 @@ object SparkEntry {
     // the same closed-form CUSUM in SQL window functions — prefix sums,
     // running min/max, integer micro-units throughout
     "q206_cusum_changepoint" ->
-      """WITH daily AS (SELECT ts::DATE AS day,
+      (s"""WITH daily AS (SELECT ts::DATE AS day,
         |        sum(round(value * 1e6)::BIGINT)::BIGINT AS sm,
         |        count(*)::BIGINT AS n FROM events GROUP BY 1),
-        |x AS (SELECT day, sm // n AS x, row_number() OVER (ORDER BY day) AS i
+        |x AS (SELECT day, ${sqlFloorDiv("sm", "n")} AS x,
+        |        row_number() OVER (ORDER BY day) AS i
         |      FROM daily),
-        |prm AS (SELECT (sum(x) // count(*))::BIGINT AS mu0,
-        |          ((sum(x) // count(*)) * 5 // 100)::BIGINT AS delta,
-        |          ((sum(x) // count(*)) * 5 // 100 * 6)::BIGINT AS h
-        |        FROM x WHERE i <= 7),
+        |prm0 AS (SELECT sum(x)::BIGINT AS sx, count(*)::BIGINT AS c
+        |         FROM x WHERE i <= 7),
+        |prm1 AS (SELECT ${sqlFloorDiv("sx", "c")}::BIGINT AS mu0 FROM prm0),
+        |prm2 AS (SELECT mu0,
+        |           ${sqlFloorDiv("mu0 * 5", "100")}::BIGINT AS delta FROM prm1),
+        |prm AS (SELECT mu0, delta, (delta * 6)::BIGINT AS h FROM prm2),
         |c AS (SELECT day, x,
         |        sum(x - prm.mu0 - prm.delta) OVER (ORDER BY day)::BIGINT AS p,
         |        sum(x - prm.mu0 + prm.delta) OVER (ORDER BY day)::BIGINT AS q
@@ -5978,7 +6054,7 @@ object SparkEntry {
         |SELECT strftime(s.day, '%Y-%m-%d') AS day, s.x AS x_micro,
         |  s.s_pos, s.s_neg,
         |  (s.s_pos > prm.h) AS alarm_up, (s.s_neg > prm.h) AS alarm_down
-        |FROM s, prm ORDER BY 1""".stripMargin,
+        |FROM s, prm ORDER BY 1""").stripMargin,
 
     // per-day digests replayed from the raw events; the exactly-once
     // identity boolean is asserted literally TRUE
@@ -6932,6 +7008,10 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY query_id ORDER BY sp DESC, vec_id) AS rn
         |      FROM sc)
         |SELECT query_id, rn::BIGINT AS rank, vec_id, score
-        |FROM r WHERE rn <= 10 ORDER BY 1, 2""".stripMargin
+        |FROM r WHERE rn <= 10 ORDER BY 1, 2""".stripMargin,
+
+    // five unrolled integer-micro gradient iterations — see
+    // logitTrainOracle
+    "q213_logit_train" -> logitTrainOracle(steps = 5, lrMicro = 4000000L)
   )
 }

@@ -40,8 +40,10 @@ object ChangePoint {
       .groupBy(to_date(col(tsCol)).as("day"))
       .agg(sum(round(col(valCol) * 1e6).cast("long")).as("sm"),
         count(lit(1)).as("n"))
-      // floor_div, not `div`: daily micro-sums may be negative and the
-      // oracle's `//` floors while `div` truncates (ADVICE r8)
+      // floor_div, not `div`: the declared daily-mean semantics is the
+      // FLOOR quotient, stable under negative micro-sums (ADVICE r8);
+      // the oracle spells the same floor explicitly (sqlFloorDiv —
+      // integer `//` truncates there too)
       .select(col("day"), graft.functions.floor_div(col("sm"), col("n")).as("x"))
     val byDay = Window.orderBy(col("day"))
     val indexed = daily.withColumn("i", row_number().over(byDay))

@@ -90,8 +90,10 @@ object Robust {
     val daily = df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
       .agg(sum(round(col(valCol) * 1e6).cast("long")).as("sm"),
         count(lit(1)).as("cnt"))
-      // floor_div, not `div`: the oracle's `//` floors while `div`
-      // truncates — they diverge on negative micro-sums (ADVICE r8)
+      // floor_div, not `div`: the declared daily-mean semantics is the
+      // FLOOR quotient, stable under negative micro-sums (ADVICE r8);
+      // the oracle spells the same floor explicitly (sqlFloorDiv —
+      // integer `//` truncates there too)
       .select(col("g"), col("day"),
         graft.functions.floor_div(col("sm"), col("cnt")).as("y"))
     val idx = daily.withColumn("i",

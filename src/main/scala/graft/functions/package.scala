@@ -134,11 +134,14 @@ package object functions {
   def kmv_difference(a: Column, b: Column): Column =
     ColumnShim.column(KmvDifference(ColumnShim.expression(a), ColumnShim.expression(b)))
 
-  /** FLOOR division of two integral columns. Spark's `div` truncates
-    * toward zero while standard SQL `//` (the oracle engine) floors —
-    * they diverge exactly when the operands' signs differ and the
-    * division is inexact (ADVICE r8: a negative daily micro-sum would
-    * silently break the q206/q209 hash gates). Branch-free exact form:
+  /** FLOOR division of two integral columns — the engine-side half of
+    * the declared floor-quotient contract for signed integer math
+    * (ADVICE r8: a negative daily micro-sum must not silently change a
+    * mean's rounding direction). NOTE both Spark's `div` and the oracle
+    * engine's integer `//` TRUNCATE toward zero — so the oracle spells
+    * floor explicitly via the subtract-the-floor-remainder idiom
+    * (SparkEntry.sqlFloorDiv) wherever operands can go negative.
+    * Branch-free exact form:
     * `pmod(num, den)` is the floor-remainder (sign of `den`), so
     * `num − pmod(num, den)` is an exact multiple of `den` and the
     * truncating `div` of that multiple IS the floor quotient — no
