@@ -3291,7 +3291,19 @@ object SparkEntry {
     // combined aggregate; the oracle unrolls every iterate and the
     // whole coefficient trajectory hash-matches.
     "q213_logit_train" -> ((s, dir) =>
-      graft.quality.LogitTrain.train(Tables.documents(s, dir), steps = 5))
+      graft.quality.LogitTrain.train(Tables.documents(s, dir), steps = 5)),
+
+    // EXACT repeated-substring spans via distributed suffix-rank prefix
+    // doubling (text/SuffixDedup) — the exact form of q95's hash-window
+    // approximation: true token equality (no hash budget), and ALL
+    // occurrences reported (q95's keep-first cut never shows a repeat's
+    // first occurrence). O(log L) group-representative rounds, no
+    // global sort; the oracle recomputes coverage by literal window
+    // strings, so the gate proves the rank construction end to end.
+    "q214_exact_substring_dedup" -> ((s, dir) =>
+      graft.text.SuffixDedup.maximalRepeatSpans(T(s, dir, "documents"),
+          minLen = 10)
+        .orderBy(col("doc_id"), col("span_start")))
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -7012,6 +7024,30 @@ object SparkEntry {
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle
-    "q213_logit_train" -> logitTrainOracle(steps = 5, lrMicro = 4000000L)
+    "q213_logit_train" -> logitTrainOracle(steps = 5, lrMicro = 4000000L),
+
+    // exact coverage by LITERAL window strings (every length-10 window,
+    // count >= 2 anywhere, all occurrences kept), then the q95 island
+    // merge — no hashes on either side
+    "q214_exact_substring_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '[ \t\n\r\f]+') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS gpos
+        |  FROM tok WHERE len(toks) >= 10),
+        |wn AS (SELECT doc_id, (gpos - 1)::BIGINT AS pos,
+        |    array_to_string(toks[gpos : gpos + 9], chr(1)) AS w FROM g),
+        |dup AS (SELECT w FROM wn GROUP BY w HAVING count(*) >= 2),
+        |c AS (SELECT doc_id, pos AS s, pos + 10 AS e FROM wn
+        |      WHERE w IN (SELECT w FROM dup)),
+        |m AS (SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM c),
+        |i AS (SELECT doc_id, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY doc_id ORDER BY s
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m)
+        |SELECT doc_id, min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+        |  (max(e) - min(s))::BIGINT AS n_tokens
+        |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
   )
 }

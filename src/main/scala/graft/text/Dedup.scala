@@ -578,6 +578,15 @@ object Dedup {
       .withColumn("rn", row_number().over(byOccurrence))
       .filter(col("rn") > 1)
       .select(col("doc_id"), col("pos").as("s"), (col("pos") + n).as("e"))
+    mergeIslands(cuts)
+  }
+
+  /** Merge per-document `(doc_id, s, e)` intervals into maximal spans
+    * (running-max island merge; windows partition by document only) —
+    * shared by the hash-windowed span detector above and the exact
+    * suffix-rank detector ([[SuffixDedup]]). */
+  private[text] def mergeIslands(cuts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
     val prevMaxEnd = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     cuts
