@@ -3303,7 +3303,29 @@ object SparkEntry {
     "q214_exact_substring_dedup" -> ((s, dir) =>
       graft.text.SuffixDedup.maximalRepeatSpans(T(s, dir, "documents"),
           minLen = 10)
-        .orderBy(col("doc_id"), col("span_start")))
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // Incremental index growth (vector/ServingIndex.append): build the
+    // IVF+PQ index on HALF the corpus, append the other half ENCODED BY
+    // THE STORED TABLES (no retraining — the production steady-state),
+    // then serve. Because assignment/codes are pure functions of
+    // (vector, stored tables), the grown index serves identically to a
+    // full encode against the half-trained tables — which is exactly
+    // what the oracle replays.
+    "q215_ann_index_append" -> ((s, dir) => {
+      import graft.vector.ServingIndex
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratch("q215") + "/idx"
+      ServingIndex.build(s, emb.filter(col("vec_id") % 2 === 0), idx,
+        nCentroids = 16, m = 4, codesPerSub = 16, trainIterations = 2)
+      ServingIndex.append(s, idx, emb.filter(col("vec_id") % 2 === 1))
+      import s.implicits._
+      val probeRows = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .toSeq.toDF("vec_id", "embedding")
+      ServingIndex.serve(s, idx, probeRows, k = 10, nProbe = 4)
+    })
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -6922,105 +6944,14 @@ object SparkEntry {
     // the q35 centroid training + q135 codebook training replayed (same
     // fixed-point grids), then ADC restricted to each query's 4 probed
     // cells — exactly what serving from the stored index computes
-    "q212_ann_serving" ->
-      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d) WHERE nrm > 0),
-        |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
-        |a1 AS (
-        |  SELECT vec_id, cent_id, v FROM (
-        |    SELECT x.vec_id, c.cent_id, x.v,
-        |      row_number() OVER (PARTITION BY x.vec_id
-        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
-        |    FROM n x, c0 c) WHERE rn = 1),
-        |e1 AS (SELECT cent_id, unnest(range(len(v))) AS j, unnest(v) AS x FROM a1),
-        |g1 AS (SELECT cent_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
-        |       FROM e1 GROUP BY 1, 2),
-        |m1 AS (SELECT cent_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
-        |       FROM g1 GROUP BY 1),
-        |c1 AS (SELECT c0.cent_id, COALESCE(m1.cv, c0.cv) AS cv,
-        |         sqrt(list_inner_product(COALESCE(m1.cv, c0.cv), COALESCE(m1.cv, c0.cv))) AS cnrm
-        |       FROM c0 LEFT JOIN m1 USING (cent_id)),
-        |a2 AS (
-        |  SELECT vec_id, cent_id, v FROM (
-        |    SELECT x.vec_id, c.cent_id, x.v,
-        |      row_number() OVER (PARTITION BY x.vec_id
-        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
-        |    FROM n x, c1 c) WHERE rn = 1),
-        |e2 AS (SELECT cent_id, unnest(range(len(v))) AS j, unnest(v) AS x FROM a2),
-        |g2 AS (SELECT cent_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
-        |       FROM e2 GROUP BY 1, 2),
-        |m2 AS (SELECT cent_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
-        |       FROM g2 GROUP BY 1),
-        |c AS (SELECT c1.cent_id, COALESCE(m2.cv, c1.cv) AS cv,
-        |        sqrt(list_inner_product(COALESCE(m2.cv, c1.cv), COALESCE(m2.cv, c1.cv))) AS cnrm
-        |      FROM c1 LEFT JOIN m2 USING (cent_id)),
-        |asg AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT x.vec_id, c.cent_id,
-        |      row_number() OVER (PARTITION BY x.vec_id
-        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
-        |    FROM n x, c) WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
-        |probes AS (
-        |  SELECT query_id, cent_id FROM (
-        |    SELECT q.query_id, c.cent_id,
-        |      row_number() OVER (PARTITION BY q.query_id
-        |        ORDER BY round(list_inner_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 6) DESC, c.cent_id) AS rn
-        |    FROM q, c) WHERE rn <= 4),
-        |subs AS (SELECT vec_id, g.s, v[g.s*16+1:(g.s+1)*16] AS sv
-        |         FROM n, (SELECT unnest(range(4)) AS s) g),
-        |pseeds AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT 16),
-        |pc0 AS (SELECT s, vec_id AS code_id, sv AS cv FROM subs
-        |        WHERE vec_id IN (SELECT vec_id FROM pseeds)),
-        |pa1 AS (SELECT vec_id, s, code_id, sv FROM (
-        |    SELECT x.vec_id, x.s, c.code_id, x.sv,
-        |      row_number() OVER (PARTITION BY x.vec_id, x.s
-        |        ORDER BY round(list_inner_product(x.sv, x.sv) - 2*list_inner_product(x.sv, c.cv)
-        |          + list_inner_product(c.cv, c.cv), 6), c.code_id) AS rn
-        |    FROM subs x JOIN pc0 c ON c.s = x.s) WHERE rn = 1),
-        |pe1 AS (SELECT s, code_id, unnest(range(len(sv))) AS j, unnest(sv) AS x FROM pa1),
-        |pg1 AS (SELECT s, code_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
-        |        FROM pe1 GROUP BY 1, 2, 3),
-        |pm1 AS (SELECT s, code_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
-        |        FROM pg1 GROUP BY 1, 2),
-        |pc1 AS (SELECT pc0.s, pc0.code_id, COALESCE(pm1.cv, pc0.cv) AS cv
-        |        FROM pc0 LEFT JOIN pm1 USING (s, code_id)),
-        |pa2 AS (SELECT vec_id, s, code_id, sv FROM (
-        |    SELECT x.vec_id, x.s, c.code_id, x.sv,
-        |      row_number() OVER (PARTITION BY x.vec_id, x.s
-        |        ORDER BY round(list_inner_product(x.sv, x.sv) - 2*list_inner_product(x.sv, c.cv)
-        |          + list_inner_product(c.cv, c.cv), 6), c.code_id) AS rn
-        |    FROM subs x JOIN pc1 c ON c.s = x.s) WHERE rn = 1),
-        |pe2 AS (SELECT s, code_id, unnest(range(len(sv))) AS j, unnest(sv) AS x FROM pa2),
-        |pg2 AS (SELECT s, code_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
-        |        FROM pe2 GROUP BY 1, 2, 3),
-        |pm2 AS (SELECT s, code_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
-        |        FROM pg2 GROUP BY 1, 2),
-        |pc2 AS (SELECT pc1.s, pc1.code_id, COALESCE(pm2.cv, pc1.cv) AS cv
-        |        FROM pc1 LEFT JOIN pm2 USING (s, code_id)),
-        |enc AS (SELECT vec_id, s, code_id FROM (
-        |    SELECT x.vec_id, x.s, c.code_id,
-        |      row_number() OVER (PARTITION BY x.vec_id, x.s
-        |        ORDER BY round(list_inner_product(x.sv, x.sv) - 2*list_inner_product(x.sv, c.cv)
-        |          + list_inner_product(c.cv, c.cv), 6), c.code_id) AS rn
-        |    FROM subs x JOIN pc2 c ON c.s = x.s) WHERE rn = 1),
-        |qs AS (SELECT vec_id AS query_id, s, sv FROM subs WHERE vec_id < 5),
-        |dt AS (SELECT q.query_id, c.s, c.code_id,
-        |         round(list_inner_product(q.sv, c.cv) * 1000000)::BIGINT AS pd
-        |       FROM qs q JOIN pc2 c ON c.s = q.s),
-        |cand AS (SELECT p.query_id, a.vec_id
-        |         FROM asg a JOIN probes p USING (cent_id)
-        |         WHERE a.vec_id <> p.query_id),
-        |sc AS (SELECT cand.query_id, e.vec_id, sum(pd)::BIGINT AS sp
-        |       FROM cand JOIN enc e ON e.vec_id = cand.vec_id
-        |       JOIN dt ON dt.query_id = cand.query_id
-        |         AND dt.s = e.s AND dt.code_id = e.code_id
-        |       GROUP BY 1, 2),
-        |r AS (SELECT query_id, vec_id, sp::DOUBLE / 1000000.0 AS score,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY sp DESC, vec_id) AS rn
-        |      FROM sc)
-        |SELECT query_id, rn::BIGINT AS rank, vec_id, score
-        |FROM r WHERE rn <= 10 ORDER BY 1, 2""".stripMargin,
+    "q212_ann_serving" -> annServingOracle("TRUE"),
+
+    // identical replay except training/codebooks see only the BUILD
+    // half — appended vectors are encoded by the stored tables, which
+    // is exactly what the oracle's all-vector encode against
+    // half-trained codebooks computes
+    "q215_ann_index_append" -> annServingOracle("vec_id % 2 = 0"),
+
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle
@@ -7050,4 +6981,111 @@ object SparkEntry {
         |  (max(e) - min(s))::BIGINT AS n_tokens
         |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
   )
+
+  /** q212/q215's replay, parameterized by the TRAINING membership
+    * predicate (over `vec_id`): centroid seeds/iterations and PQ
+    * codebook seeds/iterations fold only training vectors, while cell
+    * assignment, encoding and ADC cover the whole corpus — the exact
+    * semantics of building on a subset and [[graft.vector.ServingIndex
+    * .append]]ing the rest with the stored tables. */
+  private def annServingOracle(trainPred: String): String =
+      s"""WITH d AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM d) WHERE nrm > 0),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+        |       WHERE $trainPred ORDER BY vec_id LIMIT 16),
+        |a1 AS (
+        |  SELECT vec_id, cent_id, v FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM (SELECT * FROM n WHERE $trainPred) x, c0 c) WHERE rn = 1),
+        |e1 AS (SELECT cent_id, unnest(range(len(v))) AS j, unnest(v) AS x FROM a1),
+        |g1 AS (SELECT cent_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
+        |       FROM e1 GROUP BY 1, 2),
+        |m1 AS (SELECT cent_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
+        |       FROM g1 GROUP BY 1),
+        |c1 AS (SELECT c0.cent_id, COALESCE(m1.cv, c0.cv) AS cv,
+        |         sqrt(list_inner_product(COALESCE(m1.cv, c0.cv), COALESCE(m1.cv, c0.cv))) AS cnrm
+        |       FROM c0 LEFT JOIN m1 USING (cent_id)),
+        |a2 AS (
+        |  SELECT vec_id, cent_id, v FROM (
+        |    SELECT x.vec_id, c.cent_id, x.v,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM (SELECT * FROM n WHERE $trainPred) x, c1 c) WHERE rn = 1),
+        |e2 AS (SELECT cent_id, unnest(range(len(v))) AS j, unnest(v) AS x FROM a2),
+        |g2 AS (SELECT cent_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
+        |       FROM e2 GROUP BY 1, 2),
+        |m2 AS (SELECT cent_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
+        |       FROM g2 GROUP BY 1),
+        |c AS (SELECT c1.cent_id, COALESCE(m2.cv, c1.cv) AS cv,
+        |        sqrt(list_inner_product(COALESCE(m2.cv, c1.cv), COALESCE(m2.cv, c1.cv))) AS cnrm
+        |      FROM c1 LEFT JOIN m2 USING (cent_id)),
+        |asg AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT x.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY round(list_inner_product(x.v, c.cv) / (x.nrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM n x, c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT query_id, cent_id FROM (
+        |    SELECT q.query_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_inner_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 6) DESC, c.cent_id) AS rn
+        |    FROM q, c) WHERE rn <= 4),
+        |subs AS (SELECT vec_id, g.s, v[g.s*16+1:(g.s+1)*16] AS sv
+        |         FROM n, (SELECT unnest(range(4)) AS s) g),
+        |pseeds AS (SELECT vec_id FROM n WHERE $trainPred ORDER BY vec_id LIMIT 16),
+        |pc0 AS (SELECT s, vec_id AS code_id, sv AS cv FROM subs
+        |        WHERE vec_id IN (SELECT vec_id FROM pseeds)),
+        |pa1 AS (SELECT vec_id, s, code_id, sv FROM (
+        |    SELECT x.vec_id, x.s, c.code_id, x.sv,
+        |      row_number() OVER (PARTITION BY x.vec_id, x.s
+        |        ORDER BY round(list_inner_product(x.sv, x.sv) - 2*list_inner_product(x.sv, c.cv)
+        |          + list_inner_product(c.cv, c.cv), 6), c.code_id) AS rn
+        |    FROM (SELECT * FROM subs s0 WHERE $trainPred) x JOIN pc0 c ON c.s = x.s) WHERE rn = 1),
+        |pe1 AS (SELECT s, code_id, unnest(range(len(sv))) AS j, unnest(sv) AS x FROM pa1),
+        |pg1 AS (SELECT s, code_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
+        |        FROM pe1 GROUP BY 1, 2, 3),
+        |pm1 AS (SELECT s, code_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
+        |        FROM pg1 GROUP BY 1, 2),
+        |pc1 AS (SELECT pc0.s, pc0.code_id, COALESCE(pm1.cv, pc0.cv) AS cv
+        |        FROM pc0 LEFT JOIN pm1 USING (s, code_id)),
+        |pa2 AS (SELECT vec_id, s, code_id, sv FROM (
+        |    SELECT x.vec_id, x.s, c.code_id, x.sv,
+        |      row_number() OVER (PARTITION BY x.vec_id, x.s
+        |        ORDER BY round(list_inner_product(x.sv, x.sv) - 2*list_inner_product(x.sv, c.cv)
+        |          + list_inner_product(c.cv, c.cv), 6), c.code_id) AS rn
+        |    FROM (SELECT * FROM subs s0 WHERE $trainPred) x JOIN pc1 c ON c.s = x.s) WHERE rn = 1),
+        |pe2 AS (SELECT s, code_id, unnest(range(len(sv))) AS j, unnest(sv) AS x FROM pa2),
+        |pg2 AS (SELECT s, code_id, j, sum(round(x * 1000000)::BIGINT) AS sx, count(*) AS cnt
+        |        FROM pe2 GROUP BY 1, 2, 3),
+        |pm2 AS (SELECT s, code_id, list(sx::DOUBLE / (1000000.0 * cnt) ORDER BY j) AS cv
+        |        FROM pg2 GROUP BY 1, 2),
+        |pc2 AS (SELECT pc1.s, pc1.code_id, COALESCE(pm2.cv, pc1.cv) AS cv
+        |        FROM pc1 LEFT JOIN pm2 USING (s, code_id)),
+        |enc AS (SELECT vec_id, s, code_id FROM (
+        |    SELECT x.vec_id, x.s, c.code_id,
+        |      row_number() OVER (PARTITION BY x.vec_id, x.s
+        |        ORDER BY round(list_inner_product(x.sv, x.sv) - 2*list_inner_product(x.sv, c.cv)
+        |          + list_inner_product(c.cv, c.cv), 6), c.code_id) AS rn
+        |    FROM subs x JOIN pc2 c ON c.s = x.s) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, s, sv FROM subs WHERE vec_id < 5),
+        |dt AS (SELECT q.query_id, c.s, c.code_id,
+        |         round(list_inner_product(q.sv, c.cv) * 1000000)::BIGINT AS pd
+        |       FROM qs q JOIN pc2 c ON c.s = q.s),
+        |cand AS (SELECT p.query_id, a.vec_id
+        |         FROM asg a JOIN probes p USING (cent_id)
+        |         WHERE a.vec_id <> p.query_id),
+        |sc AS (SELECT cand.query_id, e.vec_id, sum(pd)::BIGINT AS sp
+        |       FROM cand JOIN enc e ON e.vec_id = cand.vec_id
+        |       JOIN dt ON dt.query_id = cand.query_id
+        |         AND dt.s = e.s AND dt.code_id = e.code_id
+        |       GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, sp::DOUBLE / 1000000.0 AS score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sp DESC, vec_id) AS rn
+        |      FROM sc)
+        |SELECT query_id, rn::BIGINT AS rank, vec_id, score
+        |FROM r WHERE rn <= 10 ORDER BY 1, 2""".stripMargin
 }

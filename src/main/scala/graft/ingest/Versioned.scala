@@ -155,11 +155,21 @@ object Versioned {
     val versions = listVersions(fs, root)
     require(versions.contains(version),
       s"version $version does not exist at $path (have: ${versions.mkString(", ")})")
-    val commits = versions.filter(_ <= version).map(v => readCommit(fs, root, v))
-    val active = commits.foldLeft(Seq.empty[String]) { (acc, c) =>
+    // replay from the newest checkpoint at or before `version` (if
+    // any), then fold only the tail records after it
+    val ckpt = listCheckpoints(fs, root).filter(_ <= version).lastOption
+      .map(v => readCheckpoint(fs, root, v))
+    val base = ckpt.map(_._2).getOrElse(Seq.empty[String])
+    val fromV = ckpt.map(_._1).getOrElse(0L)
+    val commits = versions.filter(v => v > fromV && v <= version)
+      .map(v => readCommit(fs, root, v))
+    val active = commits.foldLeft(base) { (acc, c) =>
       if (c.action == "overwrite") c.add else acc ++ c.add
     }
-    val schema = DataType.fromJson(commits.last.schemaJson).asInstanceOf[StructType]
+    val schemaJson = commits.lastOption.map(_.schemaJson)
+      .orElse(ckpt.map(_._3))
+      .getOrElse(throw new IllegalStateException(s"no schema at $path v$version"))
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     if (active.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema)
@@ -193,6 +203,42 @@ object Versioned {
     (c.snapshotRows, c.snapshotFp)
   }
 
+  /** Write a log CHECKPOINT at the current head: one file carrying the
+    * fully-replayed active file list and snapshot totals, so a later
+    * [[readAsOf]] replays only the records AFTER it instead of the
+    * whole log — the standard log-compaction move that keeps version
+    * discovery O(1)-ish as commits accumulate at 100 TB (a daily
+    * appender writes ~365 records/year; readers should not re-fold
+    * years of history per query). Checkpoints are DERIVED data: they
+    * claim no version, change no semantics, and a torn/absent
+    * checkpoint only costs a longer replay. Returns the checkpointed
+    * version (0 if the table has no commits). */
+  def checkpoint(spark: SparkSession, path: String): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, root)
+    if (versions.isEmpty) return 0L
+    val v = versions.last
+    val commits = versions.map(readCommit(fs, root, _))
+    val active = commits.foldLeft(Seq.empty[String]) { (acc, c) =>
+      if (c.action == "overwrite") c.add else acc ++ c.add
+    }
+    val last = commits.last
+    val node = mapper.createObjectNode()
+    node.put("version", v)
+    val arr = node.putArray("active")
+    active.foreach(arr.add)
+    node.put("schema", last.schemaJson)
+    node.put("snapshotRows", last.snapshotRows)
+    node.put("snapshotFp", last.snapshotFp)
+    val p = ckptPath(root, v)
+    // overwrite-create: two racing checkpointers at the same version
+    // write identical content, so last-writer-wins is safe
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    v
+  }
+
   /** Delete data directories referenced by NO commit record — the
     * leftovers of crashed writers (data written, claim never made).
     * Caller contract: run only when no writer is mid-commit (a live
@@ -217,6 +263,29 @@ object Versioned {
 
   private def recordPath(root: Path, version: Long): Path =
     new Path(new Path(root, LogDir), f"v$version%08d.json")
+
+  private def ckptPath(root: Path, version: Long): Path =
+    new Path(new Path(root, LogDir), f"ckpt-$version%08d.json")
+
+  private def listCheckpoints(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = new Path(root, LogDir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("ckpt-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("ckpt-").stripSuffix(".json").toLong).sorted
+  }
+
+  /** (version, active files, schema json) of a stored checkpoint. */
+  private def readCheckpoint(fs: FileSystem, root: Path,
+                             version: Long): (Long, Seq[String], String) = {
+    val in = fs.open(ckptPath(root, version))
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+      new java.io.DataInputStream(in)) finally in.close()
+    val t = mapper.readTree(bytes)
+    (t.get("version").asLong(),
+      (0 until t.get("active").size()).map(i => t.get("active").get(i).asText()),
+      t.get("schema").asText())
+  }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
     val dir = new Path(root, LogDir)

@@ -82,6 +82,38 @@ object ServingIndex {
     } finally data.unpersist()
   }
 
+  /** Incrementally add vectors to an existing index WITHOUT retraining:
+    * encode the new batch with the STORED centroids and codebooks and
+    * append its codes into the cell partitions — the production
+    * steady-state (a daily embedding delta lands in one encode pass;
+    * retraining stays a scheduled [[build]] rebuild). Because cell
+    * assignment and PQ codes are pure functions of (vector, stored
+    * tables), an index grown by appends is IDENTICAL to one whose
+    * build encoded all the vectors against the same trained tables —
+    * the spec asserts this bit-for-bit. Recall drifts only as the new
+    * data drifts from the training distribution: the standard IVF
+    * operational trade, solved by scheduled rebuilds. */
+  def append(spark: SparkSession, indexPath: String,
+             embeddings: DataFrame): Unit = {
+    val cents = broadcast(spark.read.parquet(s"$indexPath/centroids"))
+    val codebooks = spark.read.parquet(s"$indexPath/codebooks")
+    val meta = codebooks.agg(max(col("s")), max(size(col("cv")))).head()
+    val (m, sd) = (meta.getInt(0) + 1, meta.getInt(1))
+    val data = prep(embeddings)
+    val cells = data.crossJoin(cents)
+      .withColumn("__cs",
+        round(dot("v", "cv") / (col("norm") * col("cnorm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("__cs"), (-col("cent_id")).cast("long"))).as("cent_id"))
+    Similarity.pqAssign(Similarity.pqSubspaces(data, "vec_id", m, sd), codebooks)
+      .select(col("vec_id"), col("s"), col("code_id"))
+      .join(cells, Seq("vec_id"))
+      .repartition(col("cent_id"))
+      .write.mode(SaveMode.Append).partitionBy("cent_id")
+      .parquet(s"$indexPath/codes")
+  }
+
   /** Top-k from the STORED index only: probe the nProbe max-cosine
     * cells per query against the broadcast centroid table, statically
     * prune the codes scan to the probed cells (the probe list is

@@ -399,5 +399,22 @@ class PlanShapeSpec extends SparkTestBase {
       assert(f.partitionFilters.nonEmpty,
         "codes scan must carry cent_id partition filters")
     }
+    // incremental growth is deterministic and complete: two
+    // independently grown (build-half + append-half) indexes serve
+    // identically, and the grown index covers vectors from BOTH halves
+    // (assignment/codes are pure functions of vector + stored tables)
+    def grow(at: String): DataFrame = {
+      graft.vector.ServingIndex.build(spark,
+        corpus.filter(col("vec_id") % 2 === 0), at,
+        nCentroids = 4, m = 2, codesPerSub = 4, trainIterations = 1)
+      graft.vector.ServingIndex.append(spark, at,
+        corpus.filter(col("vec_id") % 2 === 1))
+      graft.vector.ServingIndex.serve(spark, at, queries, k = 5, nProbe = 2)
+    }
+    val grown = grow(s"$dir/idx2")
+    assert(rowSet(grown) == rowSet(grow(s"$dir/idx3")),
+      "grown indexes with identical stored tables must serve identically")
+    val servedIds = grown.select(col("vec_id")).as[Long].collect().toSet
+    assert(servedIds.exists(_ % 2 == 1), "appended (odd) vectors must be servable")
   }
 }

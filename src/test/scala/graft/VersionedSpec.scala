@@ -126,6 +126,28 @@ class VersionedSpec extends SparkTestBase {
     assert(rowSet(Versioned.readAsOf(spark, tbl, 1)) == Set(Seq(1L, "a")))
   }
 
+  test("log checkpoints compact replay without changing any read") {
+    val tbl = tmp()
+    Versioned.overwrite(df(1L -> "a", 2L -> "b"), tbl)
+    Versioned.append(df(3L -> "c"), tbl)
+    val before = (1L to 2L).map(v => rowSet(Versioned.readAsOf(spark, tbl, v)))
+    assert(Versioned.checkpoint(spark, tbl) == 2L)
+    // reads at and before the checkpoint are unchanged
+    (1L to 2L).foreach(v =>
+      assert(rowSet(Versioned.readAsOf(spark, tbl, v)) == before((v - 1).toInt)))
+    // commits after the checkpoint fold on top of it
+    Versioned.append(df(4L -> "d"), tbl)
+    assert(rowSet(Versioned.read(spark, tbl)).size == 4)
+    Versioned.overwrite(df(9L -> "z"), tbl)
+    assert(rowSet(Versioned.read(spark, tbl)) == Set(Seq(9L, "z")))
+    // a later checkpoint at the overwrite head also replays clean
+    assert(Versioned.checkpoint(spark, tbl) == 4L)
+    assert(rowSet(Versioned.read(spark, tbl)) == Set(Seq(9L, "z")))
+    assert(rowSet(Versioned.readAsOf(spark, tbl, 3)).size == 4)
+    // checkpointing an empty table is a no-op
+    assert(Versioned.checkpoint(spark, tmp()) == 0L)
+  }
+
   test("empty-table edge: overwrite with zero rows is a real version") {
     val tbl = tmp()
     Versioned.overwrite(df(1L -> "a"), tbl)
