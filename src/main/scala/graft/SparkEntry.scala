@@ -3198,23 +3198,7 @@ object SparkEntry {
         col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
       Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0), tbl)
       Versioned.append(orders.filter(col("o_orderkey") % 3 === 1), tbl)
-      import s.implicits._
-      val replayed = (1L to 2L).map { v =>
-        val r = Versioned.readAsOf(s, tbl, v)
-          .agg(count(lit(1)).as("n"),
-            coalesce(sum(Fingerprint.rowDigest(Seq(col("o_orderkey"),
-              col("o_custkey"), col("cents")))), lit(0L)).as("fp"),
-            coalesce(sum(col("cents")), lit(0L)).as("sc")).head()
-        (v, r.getLong(0), r.getLong(1), r.getLong(2))
-      }.toDF("version", "replay_rows", "replay_fp", "sum_cents")
-      Versioned.history(s, tbl)
-        .select(col("version"), col("snapshot_rows"), col("snapshot_fp"))
-        .join(replayed, Seq("version"))
-        .select(col("version"), col("snapshot_rows"), col("snapshot_fp"),
-          (col("snapshot_rows") === col("replay_rows") &&
-            col("snapshot_fp") === col("replay_fp")).as("matches_archived"),
-          col("sum_cents"))
-        .orderBy(col("version"))
+      versionedReport(s, tbl)
     }),
 
     // Optimistic concurrent commits (ingest/Versioned): two writers
@@ -3312,6 +3296,42 @@ object SparkEntry {
     // (vector, stored tables), the grown index serves identically to a
     // full encode against the half-trained tables — which is exactly
     // what the oracle replays.
+    // Copy-on-write UPSERT on a versioned table (ingest/Versioned
+    // .upsert): matched keys replaced, new keys inserted, only the
+    // files holding a matched key rewritten (their survivors become
+    // new files; untouched files stay shared with older versions);
+    // snapshot totals roll forward by subtracting the removed files'
+    // digests — every version stays certified against its archived
+    // fingerprint.
+    "q216_cow_upsert" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q216") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0), tbl)
+      val updates = orders.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("cents", col("cents") + 100L)
+        .unionByName(orders.filter(col("o_orderkey") % 3 === 1 &&
+          col("o_orderkey") % 5 === 0))
+      Versioned.upsert(s, tbl, updates, Seq("o_orderkey"))
+      versionedReport(s, tbl)
+    }),
+
+    // Copy-on-write DELETE (ingest/Versioned.deleteWhere): matching
+    // rows vanish from the new version, non-matching rows of affected
+    // files are rewritten, older versions still read the full data —
+    // the GDPR-delete shape at file-pruned cost.
+    "q217_cow_delete" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q217") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1), tbl)
+      Versioned.deleteWhere(s, tbl, col("cents") % 10 < 2)
+      versionedReport(s, tbl)
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -3393,6 +3413,33 @@ object SparkEntry {
       |sc AS (SELECT doc_id,
       |    round(1.0 / (1.0 + exp(-z)) * 1000000.0)::BIGINT AS score_micro FROM z)"""
       .stripMargin
+
+  /** Certified per-version report shared by the versioned-table gates
+    * (q210/q216/q217): every version's readAsOf replay digested over
+    * ALL schema columns and compared against the totals ARCHIVED at
+    * commit time — `matches_archived` is computed, never asserted.
+    * Bounded driver loop: one aggregate per version. */
+  private def versionedReport(s: SparkSession, tbl: String): DataFrame = {
+    import graft.ingest.{Fingerprint, Versioned}
+    import s.implicits._
+    val vmax = Versioned.latestVersion(s, tbl)
+    val replayed = (1L to vmax).map { v =>
+      val asOf = Versioned.readAsOf(s, tbl, v)
+      val r = asOf.agg(count(lit(1)).as("n"),
+        coalesce(sum(Fingerprint.rowDigest(
+          asOf.schema.fieldNames.toSeq.map(col))), lit(0L)).as("fp"),
+        coalesce(sum(col("cents")), lit(0L)).as("sc")).head()
+      (v, r.getLong(0), r.getLong(1), r.getLong(2))
+    }.toDF("version", "replay_rows", "replay_fp", "sum_cents")
+    Versioned.history(s, tbl)
+      .select(col("version"), col("snapshot_rows"), col("snapshot_fp"))
+      .join(replayed, Seq("version"))
+      .select(col("version"), col("snapshot_rows"), col("snapshot_fp"),
+        (col("snapshot_rows") === col("replay_rows") &&
+          col("snapshot_fp") === col("replay_fp")).as("matches_archived"),
+        col("sum_cents"))
+      .orderBy(col("version"))
+  }
 
   /** FLOOR division spelled for the oracle engine, whose integer `//`
     * TRUNCATES toward zero (verified: `(-7) // 2 = -3`) while the
@@ -6951,6 +6998,51 @@ object SparkEntry {
     // is exactly what the oracle's all-vector encode against
     // half-trained codebooks computes
     "q215_ann_index_append" -> annServingOracle("vec_id % 2 = 0"),
+
+    // v1 = the overwrite slice; v2 = v1 with matched keys replaced
+    // (+100 cents) plus the inserted slice — recomputed straight from
+    // orders with the injective digest; certification asserted TRUE
+    "q216_cow_upsert" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |v1 AS (SELECT 1 AS version, k, c, cents FROM o WHERE k % 3 = 0),
+        |v2 AS (SELECT 2 AS version, k, c, cents FROM o WHERE k % 3 = 0 AND k % 9 <> 0
+        |  UNION ALL SELECT 2, k, c, cents + 100 FROM o WHERE k % 9 = 0
+        |  UNION ALL SELECT 2, k, c, cents FROM o WHERE k % 3 = 1 AND k % 5 = 0),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+        |enc AS (SELECT version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM u)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // v1/v2 as q210's slices; v3 = v2 minus the deleted predicate —
+    // older versions keep the full content
+    "q217_cow_delete" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |v1 AS (SELECT 1 AS version, k, c, cents FROM o WHERE k % 3 = 0),
+        |v2 AS (SELECT 2 AS version, k, c, cents FROM o WHERE k % 3 IN (0, 1)),
+        |v3 AS (SELECT 3 AS version, k, c, cents FROM o
+        |       WHERE k % 3 IN (0, 1) AND NOT (cents % 10 < 2)),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3),
+        |enc AS (SELECT version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM u)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
 
 
     // five unrolled integer-micro gradient iterations — see

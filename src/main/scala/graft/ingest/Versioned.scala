@@ -55,7 +55,8 @@ object Versioned {
 
   final case class Commit(version: Long, action: String, add: Seq[String],
                           schemaJson: String, nRows: Long, addFp: Long,
-                          snapshotRows: Long, snapshotFp: Long)
+                          snapshotRows: Long, snapshotFp: Long,
+                          remove: Seq[String] = Nil)
 
   final val LogDir = "_graft_log"
 
@@ -75,6 +76,113 @@ object Versioned {
     * versions are unaffected — old files are never touched). */
   def overwrite(df: DataFrame, path: String, maxRetries: Int = 20): Commit =
     commit(df, path, "overwrite", maxRetries)
+
+  /** Row-level DELETE as a COPY-ON-WRITE commit: only the files that
+    * actually hold matching rows are rewritten (their survivors become
+    * new files; the affected files land in the record's `remove` list),
+    * untouched files stay shared with every older version — at 100 TB
+    * a delete of one user's rows costs O(files containing that user),
+    * not a table rewrite. Snapshot totals stay exactly certified: the
+    * commit subtracts the removed files' digests and adds the
+    * survivors' (both O(affected) scans). Returns None when nothing
+    * matches (no empty commit). Concurrency: a rewrite validates
+    * against the head it planned from and FAILS on a concurrent commit
+    * (ConcurrentModificationException) instead of retrying — its file
+    * plan may be stale, the standard row-level-conflict semantics;
+    * appends keep their retry loop. */
+  def deleteWhere(spark: SparkSession, path: String,
+                  pred: org.apache.spark.sql.Column): Option[Commit] = {
+    val (head, cur, root, fs) = currentWithFiles(spark, path)
+    val affected = cur.filter(pred).select(col("__file")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (affected.isEmpty) return None
+    val survivors = cur
+      .filter(col("__file").isin(affected: _*)).filter(!pred).drop("__file")
+    Some(rewriteCommit(spark, root, fs, head, survivors, affected))
+  }
+
+  /** Row-level UPSERT (merge) as a copy-on-write commit: rows of
+    * `updates` REPLACE current rows sharing their `keyCols` and the
+    * rest INSERT. Only files holding a matched key are rewritten (their
+    * unmatched rows survive into new files); `updates` must match the
+    * table schema (the append pin). Same conflict semantics as
+    * [[deleteWhere]]. */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+             keyCols: Seq[String]): Commit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val (head, cur, root, fs) = currentWithFiles(spark, path)
+    val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    val incoming = updates.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    require(headSchema == incoming,
+      s"upsert schema mismatch at $path v${head.version}:\n" +
+        s"  table:    ${headSchema.toSeq.sorted.mkString(", ")}\n" +
+        s"  incoming: ${incoming.toSeq.sorted.mkString(", ")}")
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    val affected = cur.join(broadcast(keys), keyCols, "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val survivors =
+      if (affected.isEmpty) updates // pure insert; nothing rewritten
+      else cur.filter(col("__file").isin(affected: _*))
+        .join(broadcast(keys), keyCols, "left_anti").drop("__file")
+        .unionByName(updates)
+    rewriteCommit(spark, root, fs, head, survivors, affected)
+  }
+
+  /** Head commit + the current table frame tagged with each row's
+    * RELATIVE file path (the copy-on-write planning scan). */
+  private def currentWithFiles(spark: SparkSession, path: String)
+      : (Commit, DataFrame, Path, FileSystem) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = latestCommit(fs, root).getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val rootQ = fs.makeQualified(root).toString
+    val cur = readAsOf(spark, path, head.version)
+      .withColumn("__file",
+        expr(s"substring(_metadata.file_path, ${rootQ.length + 2})"))
+    (head, cur, root, fs)
+  }
+
+  /** Shared copy-on-write commit bookkeeping: write the rebuilt rows,
+    * digest both sides, and claim head+1 — failing loudly if another
+    * writer got there first (the planned file set would be stale). */
+  private def rewriteCommit(spark: SparkSession, root: Path, fs: FileSystem,
+                            head: Commit, rebuilt: DataFrame,
+                            removed: Seq[String]): Commit = {
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val dataDirName = s"d-$uuid"
+    val dataDir = new Path(root, dataDirName)
+    rebuilt.write.parquet(dataDir.toString)
+    val files = fs.listStatus(dataDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$dataDirName/${s.getPath.getName}").sorted
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    def digest(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(Fingerprint.rowDigest(schema.fieldNames.toSeq.map(col))),
+          lit(0L)).as("fp")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (addRows, addFp) = digest(
+      spark.read.schema(rebuilt.schema).parquet(dataDir.toString))
+    val (remRows, remFp) =
+      if (removed.isEmpty) (0L, 0L)
+      else digest(spark.read.schema(schema)
+        .parquet(removed.map(f => new Path(root, f).toString): _*))
+    val c = Commit(head.version + 1L, "rewrite", files, head.schemaJson,
+      addRows, addFp,
+      head.snapshotRows - remRows + addRows,
+      head.snapshotFp - remFp + addFp, removed)
+    if (!atomicCreate(fs, recordPath(root, c.version), render(c))) {
+      fs.delete(dataDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"rewrite of $root planned against v${head.version} lost the claim " +
+          s"for v${c.version} — re-plan against the new head")
+    }
+    c
+  }
 
   private def commit(df: DataFrame, path: String, action: String,
                      maxRetries: Int): Commit = {
@@ -164,7 +272,8 @@ object Versioned {
     val commits = versions.filter(v => v > fromV && v <= version)
       .map(v => readCommit(fs, root, v))
     val active = commits.foldLeft(base) { (acc, c) =>
-      if (c.action == "overwrite") c.add else acc ++ c.add
+      if (c.action == "overwrite") c.add
+      else acc.filterNot(c.remove.toSet) ++ c.add
     }
     val schemaJson = commits.lastOption.map(_.schemaJson)
       .orElse(ckpt.map(_._3))
@@ -221,7 +330,8 @@ object Versioned {
     val v = versions.last
     val commits = versions.map(readCommit(fs, root, _))
     val active = commits.foldLeft(Seq.empty[String]) { (acc, c) =>
-      if (c.action == "overwrite") c.add else acc ++ c.add
+      if (c.action == "overwrite") c.add
+      else acc.filterNot(c.remove.toSet) ++ c.add
     }
     val last = commits.last
     val node = mapper.createObjectNode()
@@ -303,12 +413,15 @@ object Versioned {
     val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
       new java.io.DataInputStream(in)) finally in.close()
     val t = mapper.readTree(bytes)
+    val rem = Option(t.get("remove"))
+      .map(r => (0 until r.size()).map(i => r.get(i).asText()))
+      .getOrElse(Seq.empty)
     Commit(
       t.get("version").asLong(), t.get("action").asText(),
       (0 until t.get("add").size()).map(i => t.get("add").get(i).asText()),
       t.get("schema").asText(), t.get("nRows").asLong(),
       t.get("addFp").asLong(), t.get("snapshotRows").asLong(),
-      t.get("snapshotFp").asLong())
+      t.get("snapshotFp").asLong(), rem)
   }
 
   private def render(c: Commit): Array[Byte] = {
@@ -322,6 +435,8 @@ object Versioned {
     node.put("addFp", c.addFp)
     node.put("snapshotRows", c.snapshotRows)
     node.put("snapshotFp", c.snapshotFp)
+    val rem = node.putArray("remove")
+    c.remove.foreach(rem.add)
     mapper.writeValueAsBytes(node)
   }
 

@@ -148,6 +148,84 @@ class VersionedSpec extends SparkTestBase {
     assert(Versioned.checkpoint(spark, tmp()) == 0L)
   }
 
+  test("copy-on-write delete rewrites ONLY the affected files") {
+    val tbl = tmp()
+    val c1 = Versioned.overwrite(df(1L -> "a", 2L -> "b"), tbl) // dir A
+    val c2 = Versioned.append(df(7L -> "x", 8L -> "y"), tbl)    // dir B
+    val c3 = Versioned.deleteWhere(spark, tbl, col("id") === 7L).get
+    assert(c3.action == "rewrite" && c3.version == 3L)
+    // only the commit-2 file(s) actually HOLDING id 7 were rewritten —
+    // file-granular pruning: commit 1's files (and commit 2's file
+    // holding only id 8, when the two rows split files) stay shared
+    assert(c3.remove.nonEmpty && c3.remove.toSet.subsetOf(c2.add.toSet))
+    assert(c3.remove.toSet.intersect(c1.add.toSet).isEmpty)
+    assert(rowSet(Versioned.read(spark, tbl)) ==
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(8L, "y")))
+    // older versions still see the deleted row; head stays certified
+    assert(rowSet(Versioned.readAsOf(spark, tbl, 2)).size == 4)
+    val (n, fp) = Versioned.archivedFingerprint(spark, tbl, 3L)
+    val r = Versioned.read(spark, tbl).agg(count(lit(1)),
+      sum(Fingerprint.rowDigest(Seq(col("id"), col("t"))))).head()
+    assert((r.getLong(0), r.getLong(1)) == ((n, fp)))
+    // no match -> no commit
+    assert(Versioned.deleteWhere(spark, tbl, col("id") === 999L).isEmpty)
+    assert(Versioned.latestVersion(spark, tbl) == 3L)
+  }
+
+  test("upsert replaces matched keys, inserts the rest, prunes untouched files") {
+    val tbl = tmp()
+    val c1 = Versioned.overwrite(df(1L -> "a", 2L -> "b"), tbl)
+    val c2 = Versioned.append(df(3L -> "c"), tbl)
+    val up = df(3L -> "C2", 9L -> "new")
+    val c3 = Versioned.upsert(spark, tbl, up, Seq("id"))
+    assert(c3.remove.toSet == c2.add.toSet, "only the file holding id 3 rewrites")
+    assert(rowSet(Versioned.read(spark, tbl)) ==
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "C2"), Seq(9L, "new")))
+    assert(rowSet(Versioned.readAsOf(spark, tbl, 2)) ==
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // pure insert (no key matches): nothing removed
+    val c4 = Versioned.upsert(spark, tbl, df(50L -> "ins"), Seq("id"))
+    assert(c4.remove.isEmpty && Versioned.read(spark, tbl).count() == 5)
+    // schema drift refused
+    val bad = Seq((1L, 1.5)).toDF("id", "t")
+    intercept[IllegalArgumentException](Versioned.upsert(spark, tbl, bad, Seq("id")))
+    // certification still holds through the whole rewrite history
+    (1L to 4L).foreach { v =>
+      val (n, fp) = Versioned.archivedFingerprint(spark, tbl, v)
+      val r = Versioned.readAsOf(spark, tbl, v).agg(count(lit(1)),
+        coalesce(sum(Fingerprint.rowDigest(Seq(col("id"), col("t")))), lit(0L))).head()
+      assert((r.getLong(0), r.getLong(1)) == ((n, fp)), s"v$v drifted")
+    }
+  }
+
+  test("rewrites racing other commits never corrupt the table") {
+    val tbl = tmp()
+    Versioned.overwrite(df((1L to 8L).map(i => (i, s"v$i")): _*), tbl)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val del = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean =
+          try { Versioned.deleteWhere(spark, tbl, col("id") === 2L); true }
+          catch { case _: java.util.ConcurrentModificationException => false }
+      })
+      val app = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = { Versioned.append(df(100L -> "app"), tbl); true }
+      })
+      val (delOk, appOk) = (del.get(120, TimeUnit.SECONDS), app.get(120, TimeUnit.SECONDS))
+      assert(appOk, "appends retry and always land")
+      // whatever interleaving happened, the head is exactly certified
+      val head = Versioned.latestVersion(spark, tbl)
+      val (n, fp) = Versioned.archivedFingerprint(spark, tbl, head)
+      val r = Versioned.read(spark, tbl).agg(count(lit(1)),
+        sum(Fingerprint.rowDigest(Seq(col("id"), col("t"))))).head()
+      assert((r.getLong(0), r.getLong(1)) == ((n, fp)))
+      // and content is one of the two legal serializations
+      val ids = Versioned.read(spark, tbl).select("id").as[Long].collect().toSet
+      if (delOk) assert(ids == (1L to 8L).toSet - 2L + 100L)
+      else assert(ids == (1L to 8L).toSet + 100L)
+    } finally pool.shutdownNow()
+  }
+
   test("empty-table edge: overwrite with zero rows is a real version") {
     val tbl = tmp()
     Versioned.overwrite(df(1L -> "a"), tbl)
