@@ -3332,6 +3332,33 @@ object SparkEntry {
       versionedReport(s, tbl)
     }),
 
+    // Row-level change feed (ingest/Versioned.changesBetween): the CDC
+    // read over a version range — appends emit their rows, rewrites
+    // diff ONLY the rewritten files against their replacements
+    // (multiset exceptAll: carried-over rows cancel, updates surface
+    // as delete+insert pairs), overwrites diff full content. Grouped
+    // per (version, change_type) with digested row sums, so the oracle
+    // pins every change row.
+    "q218_change_feed" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      val tbl = scratch("q218") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1 &&
+        col("o_orderkey") % 7 === 0), tbl)
+      Versioned.upsert(s, tbl, orders.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("cents", col("cents") + 100L), Seq("o_orderkey"))
+      Versioned.deleteWhere(s, tbl, col("cents") % 10 < 2)
+      Versioned.changesBetween(s, tbl, 0L, 4L)
+        .groupBy(col("_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
+          sum(Fingerprint.rowDigest(Seq(col("o_orderkey"), col("o_custkey"),
+            col("cents")))).as("fp"))
+        .orderBy(col("version"), col("change_type"))
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -7021,6 +7048,38 @@ object SparkEntry {
         |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
         |  sum(cents)::BIGINT AS sum_cents
         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every change row replayed literally: overwrite-from-empty and
+    // append emit inserts, the upsert its delete+insert pair per
+    // matched key, the delete its victims ((cents+100) % 10 = cents %
+    // 10, so the v4 membership is written on the original cents)
+    "q218_change_feed" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |ch AS (
+        |  SELECT 1 AS version, 'insert' AS change_type, k, c, cents
+        |    FROM o WHERE k % 3 = 0
+        |  UNION ALL SELECT 2, 'insert', k, c, cents
+        |    FROM o WHERE k % 3 = 1 AND k % 7 = 0
+        |  UNION ALL SELECT 3, 'delete', k, c, cents FROM o WHERE k % 9 = 0
+        |  UNION ALL SELECT 3, 'insert', k, c, cents + 100 FROM o WHERE k % 9 = 0
+        |  UNION ALL SELECT 4, 'delete', k, c, cents
+        |    FROM o WHERE k % 3 = 0 AND k % 9 <> 0 AND cents % 10 < 2
+        |  UNION ALL SELECT 4, 'delete', k, c, cents + 100
+        |    FROM o WHERE k % 9 = 0 AND cents % 10 < 2
+        |  UNION ALL SELECT 4, 'delete', k, c, cents
+        |    FROM o WHERE k % 3 = 1 AND k % 7 = 0 AND cents % 10 < 2),
+        |enc AS (SELECT version, change_type, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM ch)
+        |SELECT version::BIGINT AS version, change_type,
+        |  count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents_sum,
+        |  sum(h)::BIGINT AS fp
+        |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // v1/v2 as q210's slices; v3 = v2 minus the deleted predicate —
     // older versions keep the full content

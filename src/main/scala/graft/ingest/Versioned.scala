@@ -260,11 +260,20 @@ object Versioned {
   def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (active, schema) = activeAt(fs, root, path, version)
+    if (active.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(active.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** Replayed (active files, schema) at `version` — from the newest
+    * checkpoint at or before it plus the tail records after. */
+  private def activeAt(fs: FileSystem, root: Path, path: String,
+                       version: Long): (Seq[String], StructType) = {
     val versions = listVersions(fs, root)
     require(versions.contains(version),
       s"version $version does not exist at $path (have: ${versions.mkString(", ")})")
-    // replay from the newest checkpoint at or before `version` (if
-    // any), then fold only the tail records after it
     val ckpt = listCheckpoints(fs, root).filter(_ <= version).lastOption
       .map(v => readCheckpoint(fs, root, v))
     val base = ckpt.map(_._2).getOrElse(Seq.empty[String])
@@ -278,11 +287,60 @@ object Versioned {
     val schemaJson = commits.lastOption.map(_.schemaJson)
       .orElse(ckpt.map(_._3))
       .getOrElse(throw new IllegalStateException(s"no schema at $path v$version"))
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    if (active.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .parquet(active.map(f => new Path(root, f).toString): _*)
+    (active, DataType.fromJson(schemaJson).asInstanceOf[StructType])
+  }
+
+  /** Row-level CHANGE FEED over `(fromVersion, toVersion]` — the
+    * change-data-capture read that lets a downstream pipeline process
+    * ONLY what a version range changed instead of diffing snapshots:
+    * one row per inserted/deleted row, tagged (version, change_type).
+    * An update surfaces as its delete+insert pair. Cost is
+    * O(files touched by the range's commits), never a snapshot diff:
+    * appends emit their added rows directly; rewrites diff ONLY the
+    * rewritten files' rows against their replacements (`exceptAll`
+    * multiset semantics — rows the rewrite carried over unchanged
+    * cancel, so only true changes surface); an overwrite diffs the
+    * full before/after content (it touched everything — the honest
+    * cost), again with unchanged rows cancelling. */
+  def changesBetween(spark: SparkSession, path: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, root)
+    require(versions.contains(toVersion) &&
+      (fromVersion == 0L || versions.contains(fromVersion)),
+      s"version range ($fromVersion, $toVersion] not in log at $path")
+    def readFiles(files: Seq[String], schema: StructType): DataFrame =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(files.map(f => new Path(root, f).toString): _*)
+    val parts = versions.filter(v => v > fromVersion && v <= toVersion).map { v =>
+      val c = readCommit(fs, root, v)
+      val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+      val added = readFiles(c.add, schema)
+      val (ins, del) = c.action match {
+        case "append" =>
+          (added, readFiles(Nil, schema))
+        case "rewrite" =>
+          val removed = readFiles(c.remove, schema)
+          (added.exceptAll(removed), removed.exceptAll(added))
+        case _ => // overwrite: diff full before/after content
+          val before =
+            if (v == 1L) readFiles(Nil, schema)
+            else {
+              val (prevActive, prevSchema) = activeAt(fs, root, path, v - 1)
+              readFiles(prevActive, prevSchema)
+            }
+          (added.exceptAll(before), before.exceptAll(added))
+      }
+      ins.withColumn("_change_type", lit("insert"))
+        .unionByName(del.withColumn("_change_type", lit("delete")))
+        .withColumn("_version", lit(v))
+    }
+    parts.reduce(_ unionByName _)
   }
 
   /** The table at its current head. */

@@ -226,6 +226,30 @@ class VersionedSpec extends SparkTestBase {
     } finally pool.shutdownNow()
   }
 
+  test("change feed: appends insert, updates pair up, carried-over rows cancel") {
+    val tbl = tmp()
+    Versioned.overwrite(df(1L -> "a", 2L -> "b"), tbl)          // v1
+    Versioned.append(df(3L -> "c"), tbl)                        // v2
+    Versioned.upsert(spark, tbl, df(2L -> "B2"), Seq("id"))     // v3
+    Versioned.deleteWhere(spark, tbl, col("id") === 1L)         // v4
+    def feed(a: Long, b: Long): Set[(Long, String, Long, String)] =
+      Versioned.changesBetween(spark, tbl, a, b)
+        .select(col("_version"), col("_change_type"), col("id"), col("t"))
+        .as[(Long, String, Long, String)].collect().toSet
+    assert(feed(0L, 4L) == Set(
+      (1L, "insert", 1L, "a"), (1L, "insert", 2L, "b"),
+      (2L, "insert", 3L, "c"),
+      (3L, "delete", 2L, "b"), (3L, "insert", 2L, "B2"),
+      (4L, "delete", 1L, "a")))
+    // a sub-range sees only its own commits
+    assert(feed(2L, 3L) == Set((3L, "delete", 2L, "b"), (3L, "insert", 2L, "B2")))
+    // overwrite mid-history: unchanged rows cancel in the diff
+    Versioned.overwrite(df(3L -> "c", 9L -> "z"), tbl)          // v5
+    assert(feed(4L, 5L) == Set(
+      (5L, "delete", 2L, "B2"), (5L, "insert", 9L, "z")))
+    intercept[IllegalArgumentException](Versioned.changesBetween(spark, tbl, 3L, 3L))
+  }
+
   test("empty-table edge: overwrite with zero rows is a real version") {
     val tbl = tmp()
     Versioned.overwrite(df(1L -> "a"), tbl)
