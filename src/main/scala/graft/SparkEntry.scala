@@ -3359,6 +3359,42 @@ object SparkEntry {
         .orderBy(col("version"), col("change_type"))
     }),
 
+    // Exactly-once streaming sink into a VERSIONED table
+    // (ingest/Versioned.runStreamAppend): every micro-batch lands as
+    // one txn-tagged idempotent append. The gate then re-runs the
+    // WHOLE stream with a fresh checkpoint (total re-delivery, the
+    // worst-case recovery) — every batch is absorbed as already
+    // committed, so the table holds each event exactly once and the
+    // log still shows exactly one commit per original batch.
+    "q219_stream_versioned" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      val base = scratch("q219")
+      val tbl = s"$base/tbl"
+      val ev = Tables.events(s, dir)
+      ev.select(to_json(struct(col("event_id"), col("user_id"),
+          col("value"))).as("value"))
+        .repartition(3)
+        .write.mode("overwrite").text(s"$base/in")
+      def src = s.readStream
+        .schema("event_id LONG, user_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(s"$base/in")
+      Versioned.runStreamAppend(s, src, tbl, s"$base/ckpt1", appId = "q219")
+      // full re-delivery from a fresh checkpoint: must all be absorbed
+      Versioned.runStreamAppend(s, src, tbl, s"$base/ckpt2", appId = "q219")
+      val head = Versioned.latestVersion(s, tbl)
+      val (archRows, archFp) = Versioned.archivedFingerprint(s, tbl, head)
+      import s.implicits._
+      val r = Versioned.read(s, tbl)
+        .agg(count(lit(1)).as("n"),
+          sum(Fingerprint.rowDigest(Seq(col("event_id"), col("user_id"),
+            col("value").cast("string")))).as("fp"),
+          sum(round(col("value") * 1e6).cast("long")).as("vs")).head()
+      Seq((Versioned.history(s, tbl).count(), r.getLong(0),
+          r.getLong(0) == archRows && r.getLong(1) == archFp, r.getLong(2)))
+        .toDF("n_commits", "n_rows", "matches_archived", "value_micro_sum")
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -7080,6 +7116,15 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents_sum,
         |  sum(h)::BIGINT AS fp
         |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exactly-once across total re-delivery: 3 staged files = 3
+    // batches = 3 commits, every event exactly once; the certification
+    // boolean is Spark-computed against the archived head totals
+    "q219_stream_versioned" ->
+      """SELECT 3::BIGINT AS n_commits, count(*)::BIGINT AS n_rows,
+        |  true AS matches_archived,
+        |  sum(round(value * 1e6)::BIGINT)::BIGINT AS value_micro_sum
+        |FROM events""".stripMargin,
 
     // v1/v2 as q210's slices; v3 = v2 minus the deleted predicate —
     // older versions keep the full content

@@ -56,7 +56,8 @@ object Versioned {
   final case class Commit(version: Long, action: String, add: Seq[String],
                           schemaJson: String, nRows: Long, addFp: Long,
                           snapshotRows: Long, snapshotFp: Long,
-                          remove: Seq[String] = Nil)
+                          remove: Seq[String] = Nil,
+                          txn: Option[(String, Long)] = None)
 
   final val LogDir = "_graft_log"
 
@@ -184,8 +185,48 @@ object Versioned {
     c
   }
 
+  /** Transactionally-tagged append for exactly-once streaming sinks:
+    * if a commit tagged (txnApp, txnBatch) already exists in the log
+    * the call is a NO-OP (returns None) — so a foreachBatch writer
+    * re-delivering a batch after a crash/restart cannot double-commit.
+    * Contract: one live writer per txnApp (foreachBatch's model — a
+    * batch is retried only after failure, never concurrently). */
+  def idempotentAppend(df: DataFrame, path: String, txnApp: String,
+                       txnBatch: Long, maxRetries: Int = 20): Option[Commit] = {
+    val spark = df.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen = listVersions(fs, root).view
+      .map(v => readCommit(fs, root, v))
+      .exists(_.txn.contains((txnApp, txnBatch)))
+    if (seen) None
+    else Some(commit(df, path, "append", maxRetries, Some((txnApp, txnBatch))))
+  }
+
+  /** Exactly-once STREAMING SINK into a versioned table: every
+    * micro-batch lands as one idempotent tagged append, so the commit
+    * log carries the stream's exact history and a checkpoint-recovery
+    * replay of a batch is a no-op instead of a duplicate — the
+    * table-format streaming-sink semantics (the reference's Delta
+    * streaming writes, spark_utils.py:51–66) on this log. Bounded run
+    * (Trigger.AvailableNow); returns the sink's commit count. */
+  def runStreamAppend(spark: SparkSession, source: DataFrame, path: String,
+                      checkpointPath: String, appId: String): Long = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = source.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        idempotentAppend(batch, path, appId, batchId); ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    history(spark, path).count()
+  }
+
   private def commit(df: DataFrame, path: String, action: String,
-                     maxRetries: Int): Commit = {
+                     maxRetries: Int, txn: Option[(String, Long)] = None): Commit = {
     val spark = df.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -233,7 +274,7 @@ object Versioned {
         case _ => (nRows, addFp)
       }
       val c = Commit(version, action, files, df.schema.json, nRows, addFp,
-        snapRows, snapFp)
+        snapRows, snapFp, Nil, txn)
       if (atomicCreate(fs, recordPath(root, version), render(c))) return c
       attempt += 1 // lost the race: another writer claimed this version
     }
@@ -474,12 +515,14 @@ object Versioned {
     val rem = Option(t.get("remove"))
       .map(r => (0 until r.size()).map(i => r.get(i).asText()))
       .getOrElse(Seq.empty)
+    val txn = Option(t.get("txnApp"))
+      .map(a => (a.asText(), t.get("txnBatch").asLong()))
     Commit(
       t.get("version").asLong(), t.get("action").asText(),
       (0 until t.get("add").size()).map(i => t.get("add").get(i).asText()),
       t.get("schema").asText(), t.get("nRows").asLong(),
       t.get("addFp").asLong(), t.get("snapshotRows").asLong(),
-      t.get("snapshotFp").asLong(), rem)
+      t.get("snapshotFp").asLong(), rem, txn)
   }
 
   private def render(c: Commit): Array[Byte] = {
@@ -495,6 +538,8 @@ object Versioned {
     node.put("snapshotFp", c.snapshotFp)
     val rem = node.putArray("remove")
     c.remove.foreach(rem.add)
+    c.txn.foreach { case (app, batch) =>
+      node.put("txnApp", app); node.put("txnBatch", batch) }
     mapper.writeValueAsBytes(node)
   }
 

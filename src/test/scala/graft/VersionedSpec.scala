@@ -250,6 +250,36 @@ class VersionedSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Versioned.changesBetween(spark, tbl, 3L, 3L))
   }
 
+  test("idempotent txn appends: a re-delivered batch is absorbed") {
+    val tbl = tmp()
+    assert(Versioned.idempotentAppend(df(1L -> "a"), tbl, "app", 0L).isDefined)
+    assert(Versioned.idempotentAppend(df(1L -> "a"), tbl, "app", 0L).isEmpty)
+    // a different batch id, and a different app with the same id, land
+    assert(Versioned.idempotentAppend(df(2L -> "b"), tbl, "app", 1L).isDefined)
+    assert(Versioned.idempotentAppend(df(3L -> "c"), tbl, "other", 0L).isDefined)
+    assert(Versioned.read(spark, tbl).count() == 3)
+    assert(Versioned.latestVersion(spark, tbl) == 3L)
+  }
+
+  test("streaming sink survives a full re-delivery exactly once") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vstream").toString
+    val tbl = s"$base/tbl"
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$base/in$i.json"),
+        s"""{"id": $i, "t": "v$i"}\n""")
+    }
+    def src = spark.readStream.schema("id LONG, t STRING")
+      .option("maxFilesPerTrigger", 1).json(s"$base/in*.json")
+    val n1 = Versioned.runStreamAppend(spark, src, tbl, s"$base/c1", "app")
+    assert(n1 == 3L && Versioned.read(spark, tbl).count() == 3)
+    // fresh checkpoint = the whole stream re-delivered; all absorbed
+    val n2 = Versioned.runStreamAppend(spark, src, tbl, s"$base/c2", "app")
+    assert(n2 == 3L && Versioned.read(spark, tbl).count() == 3)
+    assert(rowSet(Versioned.read(spark, tbl)) ==
+      Set(Seq(1L, "v1"), Seq(2L, "v2"), Seq(3L, "v3")))
+  }
+
   test("empty-table edge: overwrite with zero rows is a real version") {
     val tbl = tmp()
     Versioned.overwrite(df(1L -> "a"), tbl)
