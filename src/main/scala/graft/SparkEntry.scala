@@ -3395,6 +3395,39 @@ object SparkEntry {
         .toDF("n_commits", "n_rows", "matches_archived", "value_micro_sum")
     }),
 
+    // Zone-map file skipping from LOG METADATA (ingest/Versioned
+    // .readAsOfPruned): every commit archives per-file min/max of the
+    // integral columns (free — the digest scan already runs), and a
+    // range read drops files whose archived stats exclude the range
+    // BEFORE any storage I/O. Four band-partitioned commits; the
+    // [1.5M, 2.5M] cents probe provably needs only the two middle
+    // files, and the pruned result is compared against the full scan.
+    "q220_stats_skipping" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q220") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val bands = Seq(
+        col("cents") < 1000000L,
+        col("cents") >= 1000000L && col("cents") < 2000000L,
+        col("cents") >= 2000000L && col("cents") < 3000000L,
+        col("cents") >= 3000000L)
+      Versioned.overwrite(orders.filter(bands.head).coalesce(1), tbl)
+      bands.tail.foreach(b => Versioned.append(orders.filter(b).coalesce(1), tbl))
+      val (pruned, scanned, total) = Versioned.readAsOfPruned(s, tbl,
+        Versioned.latestVersion(s, tbl), "cents", 1500000L, 2500000L)
+      val sel = pruned.filter(col("cents").between(1500000L, 2500000L))
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("sc")).head()
+      val full = Versioned.read(s, tbl)
+        .filter(col("cents").between(1500000L, 2500000L))
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("sc")).head()
+      import s.implicits._
+      Seq((total.toLong, scanned.toLong, sel.getLong(0), sel.getLong(1),
+          sel.getLong(0) == full.getLong(0) && sel.getLong(1) == full.getLong(1)))
+        .toDF("n_files_total", "n_files_scanned", "n_rows", "cents_sum",
+          "matches_full_scan")
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -7116,6 +7149,17 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents_sum,
         |  sum(h)::BIGINT AS fp
         |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 4 band files, the [1.5M, 2.5M] probe overlaps exactly the two
+    // middle bands (band populations verified nonempty at every SF);
+    // the pruned-vs-full equality is Spark-computed, pinned TRUE
+    "q220_stats_skipping" ->
+      """SELECT 4::BIGINT AS n_files_total, 2::BIGINT AS n_files_scanned,
+        |  count(*)::BIGINT AS n_rows,
+        |  coalesce(sum(cents), 0)::BIGINT AS cents_sum,
+        |  true AS matches_full_scan
+        |FROM (SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |WHERE cents BETWEEN 1500000 AND 2500000""".stripMargin,
 
     // exactly-once across total re-delivery: 3 staged files = 3
     // batches = 3 commits, every event exactly once; the certification

@@ -57,7 +57,8 @@ object Versioned {
                           schemaJson: String, nRows: Long, addFp: Long,
                           snapshotRows: Long, snapshotFp: Long,
                           remove: Seq[String] = Nil,
-                          txn: Option[(String, Long)] = None)
+                          txn: Option[(String, Long)] = None,
+                          stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   final val LogDir = "_graft_log"
 
@@ -160,22 +161,21 @@ object Versioned {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$dataDirName/${s.getPath.getName}").sorted
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    def digest(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)).as("n"),
-        coalesce(sum(Fingerprint.rowDigest(schema.fieldNames.toSeq.map(col))),
-          lit(0L)).as("fp")).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    val (addRows, addFp) = digest(
-      spark.read.schema(rebuilt.schema).parquet(dataDir.toString))
+    val (addRows, addFp, stats) = digestDir(spark, dataDir, dataDirName, schema)
     val (remRows, remFp) =
       if (removed.isEmpty) (0L, 0L)
-      else digest(spark.read.schema(schema)
-        .parquet(removed.map(f => new Path(root, f).toString): _*))
+      else {
+        val r = spark.read.schema(schema)
+          .parquet(removed.map(f => new Path(root, f).toString): _*)
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(Fingerprint.rowDigest(
+              schema.fieldNames.toSeq.map(col))), lit(0L)).as("fp")).head()
+        (r.getLong(0), r.getLong(1))
+      }
     val c = Commit(head.version + 1L, "rewrite", files, head.schemaJson,
       addRows, addFp,
       head.snapshotRows - remRows + addRows,
-      head.snapshotFp - remFp + addFp, removed)
+      head.snapshotFp - remFp + addFp, removed, None, stats)
     if (!atomicCreate(fs, recordPath(root, c.version), render(c))) {
       fs.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
@@ -240,12 +240,8 @@ object Versioned {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$dataDirName/${s.getPath.getName}").sorted
     // one scan of the ADDED rows: exact count + additive content digest
-    // over every column in schema order
-    val staged = spark.read.schema(df.schema).parquet(dataDir.toString)
-    val row = staged.agg(count(lit(1)).as("n"),
-      coalesce(sum(Fingerprint.rowDigest(df.schema.fieldNames.toSeq.map(col))),
-        lit(0L)).as("fp")).head()
-    val (nRows, addFp) = (row.getLong(0), row.getLong(1))
+    // + per-file zone-map stats (see digestDir)
+    val (nRows, addFp, stats) = digestDir(spark, dataDir, dataDirName, df.schema)
 
     // 2. claim loop: validate against the CURRENT head, try to create
     // the next version's record exclusively, retry on loss
@@ -274,7 +270,7 @@ object Versioned {
         case _ => (nRows, addFp)
       }
       val c = Commit(version, action, files, df.schema.json, nRows, addFp,
-        snapRows, snapFp, Nil, txn)
+        snapRows, snapFp, Nil, txn, stats)
       if (atomicCreate(fs, recordPath(root, version), render(c))) return c
       attempt += 1 // lost the race: another writer claimed this version
     }
@@ -329,6 +325,76 @@ object Versioned {
       .orElse(ckpt.map(_._3))
       .getOrElse(throw new IllegalStateException(s"no schema at $path v$version"))
     (active, DataType.fromJson(schemaJson).asInstanceOf[StructType])
+  }
+
+  /** One scan of a freshly staged data directory: exact row count,
+    * additive content digest, and PER-FILE ZONE-MAP STATS — min/max of
+    * every integral column per file, grouped by `_metadata.file_path`
+    * (the scan already runs for the digest, so the stats are free).
+    * The per-file partials fold to the totals on the driver — bounded
+    * by the commit's file count. */
+  private def digestDir(spark: SparkSession, dataDir: Path, dataDirName: String,
+                        schema: StructType)
+      : (Long, Long, Map[String, Map[String, (Long, Long)]]) = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val statCols = schema.fields
+      .filter(f => f.dataType == LongType || f.dataType == IntegerType)
+      .map(_.name).toSeq
+    val aggs = Seq(count(lit(1)).as("__n"),
+      coalesce(sum(Fingerprint.rowDigest(schema.fieldNames.toSeq.map(col))),
+        lit(0L)).as("__fp")) ++
+      statCols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val rows = spark.read.schema(schema).parquet(dataDir.toString)
+      .groupBy(expr("_metadata.file_path").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val nRows = rows.map(_.getLong(1)).sum
+    val fp = rows.map(_.getLong(2)).sum
+    val stats = rows.map { r =>
+      val rel = s"$dataDirName/${r.getString(0).split('/').last}"
+      val colStats = statCols.zipWithIndex.flatMap { case (c, i) =>
+        val (mnI, mxI) = (3 + 2 * i, 4 + 2 * i)
+        if (r.isNullAt(mnI)) None
+        else Some(c -> (r.getAs[Number](mnI).longValue(),
+          r.getAs[Number](mxI).longValue()))
+      }.toMap
+      rel -> colStats
+    }.toMap
+    (nRows, fp, stats)
+  }
+
+  /** [[readAsOf]] with ZONE-MAP FILE SKIPPING: the active files whose
+    * archived `[min, max]` stats for `colName` provably exclude
+    * `[lo, hi]` are never opened — data skipping decided entirely from
+    * LOG METADATA, before any storage I/O (the Delta data-skipping
+    * shape; composes with parquet row-group stats once a file IS
+    * scanned). Files without archived stats for the column scan
+    * conservatively. Returns (frame over the surviving files,
+    * files scanned, files total); the frame still contains every
+    * surviving file's rows — apply the actual predicate on top. */
+  def readAsOfPruned(spark: SparkSession, path: String, version: Long,
+                     colName: String, lo: Long, hi: Long)
+      : (DataFrame, Int, Int) = {
+    require(lo <= hi, s"need lo <= hi, got $lo > $hi")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (active, schema) = activeAt(fs, root, path, version)
+    // stats lookup across every record <= version (records are always
+    // retained; checkpoints only short-circuit the ACTIVE-SET replay)
+    val stats = listVersions(fs, root).filter(_ <= version)
+      .flatMap(v => readCommit(fs, root, v).stats).toMap
+    val kept = active.filter { f =>
+      stats.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // unknown stats -> conservative scan
+      }
+    }
+    val df =
+      if (kept.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(kept.map(f => new Path(root, f).toString): _*)
+    (df, kept.size, active.size)
   }
 
   /** Row-level CHANGE FEED over `(fromVersion, toVersion]` — the
@@ -517,12 +583,21 @@ object Versioned {
       .getOrElse(Seq.empty)
     val txn = Option(t.get("txnApp"))
       .map(a => (a.asText(), t.get("txnBatch").asLong()))
+    val stats = Option(t.get("stats")).map { st =>
+      import scala.jdk.CollectionConverters._
+      st.properties().asScala.map { e =>
+        val cols = e.getValue.properties().asScala.map { ce =>
+          ce.getKey -> (ce.getValue.get(0).asLong(), ce.getValue.get(1).asLong())
+        }.toMap
+        e.getKey -> cols
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, (Long, Long)]])
     Commit(
       t.get("version").asLong(), t.get("action").asText(),
       (0 until t.get("add").size()).map(i => t.get("add").get(i).asText()),
       t.get("schema").asText(), t.get("nRows").asLong(),
       t.get("addFp").asLong(), t.get("snapshotRows").asLong(),
-      t.get("snapshotFp").asLong(), rem, txn)
+      t.get("snapshotFp").asLong(), rem, txn, stats)
   }
 
   private def render(c: Commit): Array[Byte] = {
@@ -540,6 +615,14 @@ object Versioned {
     c.remove.foreach(rem.add)
     c.txn.foreach { case (app, batch) =>
       node.put("txnApp", app); node.put("txnBatch", batch) }
+    if (c.stats.nonEmpty) {
+      val st = node.putObject("stats")
+      c.stats.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+        val fo = st.putObject(f)
+        cols.toSeq.sortBy(_._1).foreach { case (cn, (mn, mx)) =>
+          val arr = fo.putArray(cn); arr.add(mn); arr.add(mx) }
+      }
+    }
     mapper.writeValueAsBytes(node)
   }
 

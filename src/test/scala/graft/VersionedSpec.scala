@@ -280,6 +280,29 @@ class VersionedSpec extends SparkTestBase {
       Set(Seq(1L, "v1"), Seq(2L, "v2"), Seq(3L, "v3")))
   }
 
+  test("zone-map skipping: excluded files never open; results match the full scan") {
+    val tbl = tmp()
+    def band(rows: (Long, String)*) = rows.toDF("id", "t").coalesce(1)
+    Versioned.overwrite(band(1L -> "a", 5L -> "b"), tbl)      // ids [1, 5]
+    Versioned.append(band(10L -> "c", 19L -> "d"), tbl)       // ids [10, 19]
+    Versioned.append(band(100L -> "e"), tbl)                  // ids [100, 100]
+    val (df, scanned, total) = Versioned.readAsOfPruned(spark, tbl, 3L, "id", 8L, 50L)
+    assert((scanned, total) == ((1, 3)), "only the [10, 19] file overlaps")
+    assert(rowSet(df.filter(col("id").between(8L, 50L))) ==
+      Set(Seq(10L, "c"), Seq(19L, "d")))
+    // a probe outside every band scans nothing
+    val (_, s2, _) = Versioned.readAsOfPruned(spark, tbl, 3L, "id", 40L, 60L)
+    assert(s2 == 0)
+    // stats survive a COW rewrite: delete id 19 -> rewritten file's
+    // archived range tightens to [10, 10]
+    Versioned.deleteWhere(spark, tbl, col("id") === 19L)
+    val (_, s3, t3) = Versioned.readAsOfPruned(spark, tbl, 4L, "id", 15L, 50L)
+    assert((s3, t3) == ((0, 3)), "the tightened file prunes where [10, 19] could not")
+    // a column with no archived stats scans conservatively
+    val (_, s4, t4) = Versioned.readAsOfPruned(spark, tbl, 4L, "nope", 0L, 1L)
+    assert(s4 == t4)
+  }
+
   test("empty-table edge: overwrite with zero rows is a real version") {
     val tbl = tmp()
     Versioned.overwrite(df(1L -> "a"), tbl)
