@@ -3428,6 +3428,43 @@ object SparkEntry {
           "matches_full_scan")
     }),
 
+    // Schema-evolving append (ingest/Versioned.appendEvolve — the
+    // mergeSchema=true counterpart of the pinned append): v1 has two
+    // columns, v2 appends a frame carrying a NEW cents column; later
+    // reads fill old rows' cents with null (digested as the injective
+    // 'N' sentinel), the evolving commit recomputes snapshot totals
+    // under the new schema, and both versions replay certified.
+    "q221_schema_evolution" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      val tbl = scratch("q221") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey")), tbl)
+      Versioned.appendEvolve(orders.filter(col("o_orderkey") % 3 === 1), tbl)
+      import s.implicits._
+      val replayed = (1L to 2L).map { v =>
+        val asOf = Versioned.readAsOf(s, tbl, v)
+        val centsSum =
+          if (asOf.columns.contains("cents"))
+            coalesce(sum(col("cents")), lit(0L))
+          else lit(0L)
+        val r = asOf.agg(count(lit(1)).as("n"),
+          coalesce(sum(Fingerprint.rowDigest(
+            asOf.schema.fieldNames.toSeq.map(col))), lit(0L)).as("fp"),
+          centsSum.as("sc")).head()
+        (v, r.getLong(0), r.getLong(1), r.getLong(2))
+      }.toDF("version", "replay_rows", "replay_fp", "sum_cents")
+      Versioned.history(s, tbl)
+        .select(col("version"), col("snapshot_rows"), col("snapshot_fp"))
+        .join(replayed, Seq("version"))
+        .select(col("version"), col("snapshot_rows"), col("snapshot_fp"),
+          (col("snapshot_rows") === col("replay_rows") &&
+            col("snapshot_fp") === col("replay_fp")).as("matches_archived"),
+          col("sum_cents"))
+        .orderBy(col("version"))
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -7149,6 +7186,33 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents_sum,
         |  sum(h)::BIGINT AS fp
         |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // v1 digested under the 2-column schema; v2 under the evolved
+    // 3-column schema, where v1's rows carry the 'N' null sentinel in
+    // the cents field — the epoch recompute replayed literally
+    "q221_schema_evolution" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |e2 AS (SELECT length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR
+        |    || chr(1) || length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR AS enc,
+        |    k, c, cents FROM o),
+        |v1 AS (SELECT 1 AS version, 0::BIGINT AS cents_part,
+        |    ('0x' || substr(md5(enc), 1, 8))::BIGINT AS h
+        |  FROM e2 WHERE k % 3 = 0),
+        |v2 AS (SELECT 2 AS version, 0::BIGINT AS cents_part,
+        |    ('0x' || substr(md5(enc || chr(1) || 'N'), 1, 8))::BIGINT AS h
+        |  FROM e2 WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, cents,
+        |    ('0x' || substr(md5(enc || chr(1)
+        |       || length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |       1, 8))::BIGINT
+        |  FROM e2 WHERE k % 3 = 1),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents_part)::BIGINT AS sum_cents
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // 4 band files, the [1.5M, 2.5M] probe overlaps exactly the two
     // middle bands (band populations verified nonempty at every SF);

@@ -79,6 +79,76 @@ object Versioned {
   def overwrite(df: DataFrame, path: String, maxRetries: Int = 20): Commit =
     commit(df, path, "overwrite", maxRetries)
 
+  /** SCHEMA-EVOLVING append (the `mergeSchema=true` counterpart of the
+    * pinned [[append]]): existing columns must keep their exact types,
+    * NEW columns are allowed and appended after them — the evolved
+    * schema becomes the commit's schema, and every later read fills
+    * the old files' missing columns with null (declared-schema parquet
+    * reads do this natively, and the fingerprint's injective null
+    * sentinel keeps the digest well-defined). Because old rows' digests
+    * change under the evolved field list, the additive snapshot rollup
+    * cannot extend across the epoch boundary: an evolving commit
+    * RECOMPUTES the snapshot totals with one full scan under the new
+    * schema — the documented price of a schema change (rare by
+    * construction), after which appends are additive again. With no
+    * new columns this is exactly [[append]]. */
+  def appendEvolve(df: DataFrame, path: String, maxRetries: Int = 20): Commit = {
+    val spark = df.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val headOpt = latestCommit(fs, root)
+    if (headOpt.isEmpty) return commit(df, path, "overwrite", maxRetries)
+    val head = headOpt.get
+    val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val incomingTypes = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    headSchema.foreach { f =>
+      val in = incomingTypes.getOrElse(f.name, throw new IllegalStateException(
+        s"appendEvolve at $path: evolution may only ADD columns — " +
+          s"existing column `${f.name}` is missing from the incoming frame"))
+      require(in == f.dataType.simpleString,
+        s"appendEvolve at $path: existing column `${f.name}` changed type " +
+          s"(${f.dataType.simpleString} -> $in) — widening is not supported")
+    }
+    val newCols = df.schema.filterNot(f => headSchema.fieldNames.contains(f.name))
+    if (newCols.isEmpty) return commit(df, path, "append", maxRetries)
+    val evolved = StructType(headSchema.fields ++ newCols)
+    val ordered = df.select(evolved.fieldNames.toSeq.map(col): _*)
+
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val dataDirName = s"d-$uuid"
+    val dataDir = new Path(root, dataDirName)
+    ordered.write.parquet(dataDir.toString)
+    val files = fs.listStatus(dataDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$dataDirName/${s.getPath.getName}").sorted
+    val (nRows, addFp, stats) = digestDir(spark, dataDir, dataDirName, evolved)
+
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val h = latestCommit(fs, root).get
+      // the epoch recompute: prior content digested under the EVOLVED
+      // schema (missing columns read as null -> the 'N' sentinel)
+      val (prevActive, _) = activeAt(fs, root, path, h.version)
+      val pr =
+        if (prevActive.isEmpty) (0L, 0L)
+        else {
+          val r = spark.read.schema(evolved)
+            .parquet(prevActive.map(f => new Path(root, f).toString): _*)
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum(Fingerprint.rowDigest(
+                evolved.fieldNames.toSeq.map(col))), lit(0L)).as("fp")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+      val c = Commit(h.version + 1L, "append", files, evolved.json, nRows,
+        addFp, pr._1 + nRows, pr._2 + addFp, Nil, None, stats)
+      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      attempt += 1
+    }
+    fs.delete(dataDir, true)
+    throw new IllegalStateException(
+      s"appendEvolve to $path lost the version race $maxRetries times")
+  }
+
   /** Row-level DELETE as a COPY-ON-WRITE commit: only the files that
     * actually hold matching rows are rewritten (their survivors become
     * new files; the affected files land in the record's `remove` list),

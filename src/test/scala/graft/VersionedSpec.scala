@@ -303,6 +303,37 @@ class VersionedSpec extends SparkTestBase {
     assert(s4 == t4)
   }
 
+  test("schema evolution: new columns land, old rows read null, certification holds") {
+    val tbl = tmp()
+    Versioned.overwrite(df(1L -> "a", 2L -> "b"), tbl)
+    val wide = Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "t", "extra")
+    val c2 = Versioned.appendEvolve(wide, tbl)
+    assert(c2.version == 2L)
+    val head = Versioned.read(spark, tbl)
+    assert(head.columns.toSeq == Seq("id", "t", "extra"))
+    assert(rowSet(head) == Set(Seq(1L, "a", null), Seq(2L, "b", null),
+      Seq(3L, "c", 30L), Seq(4L, "d", 40L)))
+    // v1 still reads under its own 2-column schema
+    assert(Versioned.readAsOf(spark, tbl, 1L).columns.toSeq == Seq("id", "t"))
+    // the epoch recompute keeps certification exact at the evolved head
+    val (n, fp) = Versioned.archivedFingerprint(spark, tbl, 2L)
+    val r = head.agg(count(lit(1)), sum(Fingerprint.rowDigest(
+      Seq(col("id"), col("t"), col("extra"))))).head()
+    assert((r.getLong(0), r.getLong(1)) == ((n, fp)))
+    // post-evolution pinned appends are additive again
+    val c3 = Versioned.append(Seq((5L, "e", 50L)).toDF("id", "t", "extra"), tbl)
+    assert(c3.snapshotRows == 5L)
+    // dropping an existing column, or changing its type, is refused
+    intercept[IllegalStateException](
+      Versioned.appendEvolve(Seq(9L -> "x").toDF("id", "extra2"), tbl))
+    intercept[IllegalArgumentException](
+      Versioned.appendEvolve(
+        Seq((9L, 1.5, 9L)).toDF("id", "t", "extra"), tbl))
+    // with no new columns appendEvolve IS the pinned append
+    val c4 = Versioned.appendEvolve(Seq((6L, "f", 60L)).toDF("id", "t", "extra"), tbl)
+    assert(c4.action == "append" && c4.snapshotRows == 6L)
+  }
+
   test("empty-table edge: overwrite with zero rows is a real version") {
     val tbl = tmp()
     Versioned.overwrite(df(1L -> "a"), tbl)
