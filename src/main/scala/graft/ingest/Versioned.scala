@@ -126,6 +126,15 @@ object Versioned {
     var attempt = 0
     while (attempt < maxRetries) {
       val h = latestCommit(fs, root).get
+      // a CONCURRENT evolution would make this commit's precomputed
+      // schema stale (it was derived from the head at planning time) —
+      // fail loudly like the COW rewrites do
+      if (h.schemaJson != head.schemaJson) {
+        fs.delete(dataDir, true)
+        throw new java.util.ConcurrentModificationException(
+          s"appendEvolve at $path: the table schema changed concurrently " +
+            s"(planned against v${head.version}, head is v${h.version}) — re-plan")
+      }
       // the epoch recompute: prior content digested under the EVOLVED
       // schema (missing columns read as null -> the 'N' sentinel)
       val (prevActive, _) = activeAt(fs, root, path, h.version)
@@ -517,7 +526,10 @@ object Versioned {
         .unionByName(del.withColumn("_change_type", lit("delete")))
         .withColumn("_version", lit(v))
     }
-    parts.reduce(_ unionByName _)
+    // allowMissingColumns: a feed spanning a schema-evolution epoch
+    // (appendEvolve) mixes commits with different widths — rows from
+    // the narrow epoch carry null in the evolved columns
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The table at its current head. */
