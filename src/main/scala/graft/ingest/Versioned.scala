@@ -58,7 +58,8 @@ object Versioned {
                           snapshotRows: Long, snapshotFp: Long,
                           remove: Seq[String] = Nil,
                           txn: Option[(String, Long)] = None,
-                          stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+                          stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                          partitionCols: Seq[String] = Nil)
 
   final val LogDir = "_graft_log"
 
@@ -70,14 +71,56 @@ object Versioned {
     * exactly (the mergeSchema=false pin, enforced at COMMIT time
     * against the head the claim actually serializes after — so two
     * concurrent appends can both succeed but a drifting one fails even
-    * if it validated against an older head). Returns the commit. */
-  def append(df: DataFrame, path: String, maxRetries: Int = 20): Commit =
-    commit(df, path, "append", maxRetries)
+    * if it validated against an older head). A column-permuted frame
+    * is accepted and REORDERED to the head's field order before
+    * writing/digesting, so the archived schema and the additive
+    * snapshot digest stay stable. On a PARTITIONED table the append
+    * inherits the table's partition layout automatically. Returns the
+    * commit. */
+  def append(df: DataFrame, path: String, maxRetries: Int = 20): Commit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val pcols = latestCommit(fs, root).map(_.partitionCols).getOrElse(Nil)
+    commit(df, path, "append", maxRetries, None, pcols)
+  }
 
   /** Replace the table content as a new version (readers of older
-    * versions are unaffected — old files are never touched). */
-  def overwrite(df: DataFrame, path: String, maxRetries: Int = 20): Commit =
-    commit(df, path, "overwrite", maxRetries)
+    * versions are unaffected — old files are never touched).
+    * `partitionBy` gives the table a HIVE-STYLE PARTITION LAYOUT from
+    * this version on: data files land under `d-<uuid>/col=value/...`
+    * directories, the partition column values are archived in the
+    * commit record (recoverable from each add-path), every later
+    * [[append]] inherits the layout, and [[readAsOfPartitions]] prunes
+    * non-matching partitions from LOG METADATA without listing or
+    * opening any excluded file — the reference's year/month
+    * partitioning (process_historical_data.py:75–78) composed with
+    * time travel. Partition columns must be integral, date or string
+    * typed; values needing hive %-escaping are rejected at read time
+    * (restrict values to `[A-Za-z0-9._ :-]`). */
+  def overwrite(df: DataFrame, path: String, maxRetries: Int = 20,
+                partitionBy: Seq[String] = Nil): Commit = {
+    validatePartitionCols(df.schema, partitionBy)
+    commit(df, path, "overwrite", maxRetries, None, partitionBy)
+  }
+
+  /** Partition columns must exist, have path-representable types, and
+    * word-character names (they become directory names and regex
+    * fragments). */
+  private def validatePartitionCols(schema: StructType, pcols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
+      ShortType, ByteType, StringType}
+    pcols.foreach { c =>
+      val f = schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"partition column `$c` is not in the frame's schema"))
+      require(c.matches("[A-Za-z0-9_]+"),
+        s"partition column name `$c` must match [A-Za-z0-9_]+")
+      require(Set[DataType](IntegerType, LongType, ShortType, ByteType,
+        StringType, DateType).contains(f.dataType),
+        s"partition column `$c` has unsupported type ${f.dataType.simpleString} " +
+          "(integral, string or date only)")
+    }
+    require(pcols.distinct == pcols, s"duplicate partition columns: $pcols")
+  }
 
   /** SCHEMA-EVOLVING append (the `mergeSchema=true` counterpart of the
     * pinned [[append]]): existing columns must keep their exact types,
@@ -110,18 +153,18 @@ object Versioned {
           s"(${f.dataType.simpleString} -> $in) — widening is not supported")
     }
     val newCols = df.schema.filterNot(f => headSchema.fieldNames.contains(f.name))
-    if (newCols.isEmpty) return commit(df, path, "append", maxRetries)
+    if (newCols.isEmpty) return append(df, path, maxRetries)
     val evolved = StructType(headSchema.fields ++ newCols)
     val ordered = df.select(evolved.fieldNames.toSeq.map(col): _*)
+    val pcols = head.partitionCols
 
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
-    ordered.write.parquet(dataDir.toString)
-    val files = fs.listStatus(dataDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$dataDirName/${s.getPath.getName}").sorted
-    val (nRows, addFp, stats) = digestDir(spark, dataDir, dataDirName, evolved)
+    writeData(ordered, dataDir, pcols)
+    val files = listDataFiles(fs, dataDir, dataDirName)
+    val (nRows, addFp, stats) =
+      digestDir(spark, dataDir, dataDirName, evolved, pcols)
 
     var attempt = 0
     while (attempt < maxRetries) {
@@ -137,19 +180,10 @@ object Versioned {
       }
       // the epoch recompute: prior content digested under the EVOLVED
       // schema (missing columns read as null -> the 'N' sentinel)
-      val (prevActive, _) = activeAt(fs, root, path, h.version)
-      val pr =
-        if (prevActive.isEmpty) (0L, 0L)
-        else {
-          val r = spark.read.schema(evolved)
-            .parquet(prevActive.map(f => new Path(root, f).toString): _*)
-            .agg(count(lit(1)).as("n"),
-              coalesce(sum(Fingerprint.rowDigest(
-                evolved.fieldNames.toSeq.map(col))), lit(0L)).as("fp")).head()
-          (r.getLong(0), r.getLong(1))
-        }
+      val (prevActive, _, _) = activeAt(fs, root, path, h.version)
+      val pr = digestFiles(spark, root, prevActive, evolved, pcols)
       val c = Commit(h.version + 1L, "append", files, evolved.json, nRows,
-        addFp, pr._1 + nRows, pr._2 + addFp, Nil, None, stats)
+        addFp, pr._1 + nRows, pr._2 + addFp, Nil, None, stats, pcols)
       if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
       attempt += 1
     }
@@ -166,11 +200,11 @@ object Versioned {
     * not a table rewrite. Snapshot totals stay exactly certified: the
     * commit subtracts the removed files' digests and adds the
     * survivors' (both O(affected) scans). Returns None when nothing
-    * matches (no empty commit). Concurrency: a rewrite validates
-    * against the head it planned from and FAILS on a concurrent commit
-    * (ConcurrentModificationException) instead of retrying — its file
-    * plan may be stale, the standard row-level-conflict semantics;
-    * appends keep their retry loop. */
+    * matches (no empty commit). Concurrency: WRITE-SERIALIZABLE with
+    * the disjoint-file retry (see [[rewriteCommit]]) — a concurrent
+    * append or a rewrite of OTHER files is absorbed by retrying the
+    * claim; a commit touching this delete's files, an overwrite, or a
+    * schema/layout change aborts (ConcurrentModificationException). */
   def deleteWhere(spark: SparkSession, path: String,
                   pred: org.apache.spark.sql.Column): Option[Commit] = {
     val (head, cur, root, fs) = currentWithFiles(spark, path)
@@ -193,21 +227,24 @@ object Versioned {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val (head, cur, root, fs) = currentWithFiles(spark, path)
     val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-      .map(f => f.name -> f.dataType.simpleString).toMap
-    val incoming = updates.schema.map(f => f.name -> f.dataType.simpleString).toMap
-    require(headSchema == incoming,
+    val headMap = orderedFields(headSchema).toMap
+    val incoming = orderedFields(updates.schema).toMap
+    require(headMap == incoming,
       s"upsert schema mismatch at $path v${head.version}:\n" +
-        s"  table:    ${headSchema.toSeq.sorted.mkString(", ")}\n" +
+        s"  table:    ${headMap.toSeq.sorted.mkString(", ")}\n" +
         s"  incoming: ${incoming.toSeq.sorted.mkString(", ")}")
-    val keys = updates.select(keyCols.map(col): _*).distinct()
+    // align a column-permuted updates frame to the head's field order
+    // (the same pin the append path applies)
+    val upd = updates.select(headSchema.fieldNames.toSeq.map(col): _*)
+    val keys = upd.select(keyCols.map(col): _*).distinct()
     val affected = cur.join(broadcast(keys), keyCols, "left_semi")
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     val survivors =
-      if (affected.isEmpty) updates // pure insert; nothing rewritten
+      if (affected.isEmpty) upd // pure insert; nothing rewritten
       else cur.filter(col("__file").isin(affected: _*))
         .join(broadcast(keys), keyCols, "left_anti").drop("__file")
-        .unionByName(updates)
+        .unionByName(upd)
     rewriteCommit(spark, root, fs, head, survivors, affected)
   }
 
@@ -219,49 +256,96 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = latestCommit(fs, root).getOrElse(
       throw new IllegalStateException(s"no commits at $path"))
-    val rootQ = fs.makeQualified(root).toString
-    val cur = readAsOf(spark, path, head.version)
-      .withColumn("__file",
-        expr(s"substring(_metadata.file_path, ${rootQ.length + 2})"))
+    val (active, schema, pcols) = activeAt(fs, root, path, head.version)
+    val cur = readFilesDF(spark, root, active, schema, pcols,
+        withRelCol = true)
+      .withColumnRenamed("__rel", "__file")
     (head, cur, root, fs)
   }
 
-  /** Shared copy-on-write commit bookkeeping: write the rebuilt rows,
-    * digest both sides, and claim head+1 — failing loudly if another
-    * writer got there first (the planned file set would be stale). */
+  /** (row count, additive digest) of a root-relative file set under
+    * `schema` — one scan. */
+  private def digestFiles(spark: SparkSession, root: Path, files: Seq[String],
+                          schema: StructType,
+                          partitionCols: Seq[String]): (Long, Long) =
+    if (files.isEmpty) (0L, 0L)
+    else {
+      val r = readFilesDF(spark, root, files, schema, partitionCols)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(Fingerprint.rowDigest(
+            schema.fieldNames.toSeq.map(col))), lit(0L)).as("fp")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+  /** Shared copy-on-write commit bookkeeping: write the rebuilt rows
+    * (preserving the table's partition layout), digest both sides, and
+    * claim the next version. Conflict semantics are WRITE-SERIALIZABLE
+    * with the DISJOINT-FILE rule the reference format implements: on a
+    * lost claim the intervening commits are re-read, and the rewrite
+    * RETRIES against the new head iff none of them overwrote the
+    * table, changed the schema or layout, or touched any file in this
+    * rewrite's remove set — a concurrent append (or a rewrite of other
+    * files) cannot invalidate the planned file rewrite, only shift the
+    * snapshot totals it folds into. Anything that could make the plan
+    * stale aborts with ConcurrentModificationException. (Rows added by
+    * a concurrent append are NOT re-examined against the upsert keys /
+    * delete predicate — the documented WriteSerializable trade, not
+    * full Serializable.) */
   private def rewriteCommit(spark: SparkSession, root: Path, fs: FileSystem,
                             head: Commit, rebuilt: DataFrame,
-                            removed: Seq[String]): Commit = {
+                            removed: Seq[String], action: String = "rewrite",
+                            maxRetries: Int = 20,
+                            requireContentPreserved: Boolean = false): Commit = {
+    val pcols = head.partitionCols
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
-    rebuilt.write.parquet(dataDir.toString)
-    val files = fs.listStatus(dataDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$dataDirName/${s.getPath.getName}").sorted
+    writeData(rebuilt, dataDir, pcols)
+    val files = listDataFiles(fs, dataDir, dataDirName)
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    val (addRows, addFp, stats) = digestDir(spark, dataDir, dataDirName, schema)
-    val (remRows, remFp) =
-      if (removed.isEmpty) (0L, 0L)
-      else {
-        val r = spark.read.schema(schema)
-          .parquet(removed.map(f => new Path(root, f).toString): _*)
-          .agg(count(lit(1)).as("n"),
-            coalesce(sum(Fingerprint.rowDigest(
-              schema.fieldNames.toSeq.map(col))), lit(0L)).as("fp")).head()
-        (r.getLong(0), r.getLong(1))
-      }
-    val c = Commit(head.version + 1L, "rewrite", files, head.schemaJson,
-      addRows, addFp,
-      head.snapshotRows - remRows + addRows,
-      head.snapshotFp - remFp + addFp, removed, None, stats)
-    if (!atomicCreate(fs, recordPath(root, c.version), render(c))) {
+    val (addRows, addFp, stats) =
+      digestDir(spark, dataDir, dataDirName, schema, pcols)
+    val (remRows, remFp) = digestFiles(spark, root, removed, schema, pcols)
+    if (requireContentPreserved &&
+        (addRows != remRows || addFp != remFp)) {
       fs.delete(dataDir, true)
-      throw new java.util.ConcurrentModificationException(
-        s"rewrite of $root planned against v${head.version} lost the claim " +
-          s"for v${c.version} — re-plan against the new head")
+      throw new IllegalStateException(
+        s"content-preserving rewrite of $root is NOT content-identical: " +
+          s"staged ($addRows rows, fp $addFp) vs removed ($remRows rows, " +
+          s"fp $remFp) — the additive fingerprint certifies layout " +
+          "maintenance must never change table content; staging deleted")
     }
-    c
+    val removedSet = removed.toSet
+    var base = head
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val c = Commit(base.version + 1L, action, files, head.schemaJson,
+        addRows, addFp,
+        base.snapshotRows - remRows + addRows,
+        base.snapshotFp - remFp + addFp, removed, None, stats, pcols)
+      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      // lost the claim: the disjoint-file recheck
+      val newHead = latestCommit(fs, root).get
+      val intervening = (base.version + 1L to newHead.version)
+        .map(v => readCommit(fs, root, v))
+      val conflict = intervening.find { ic =>
+        ic.action == "overwrite" || ic.schemaJson != head.schemaJson ||
+          ic.partitionCols != pcols ||
+          ic.remove.exists(removedSet.contains)
+      }
+      conflict.foreach { ic =>
+        fs.delete(dataDir, true)
+        throw new java.util.ConcurrentModificationException(
+          s"rewrite of $root planned against v${head.version} conflicts " +
+            s"with concurrent v${ic.version} (${ic.action}) — re-plan " +
+            "against the new head")
+      }
+      base = newHead
+      attempt += 1
+    }
+    fs.delete(dataDir, true)
+    throw new IllegalStateException(
+      s"rewrite of $root lost the version race $maxRetries times")
   }
 
   /** Transactionally-tagged append for exactly-once streaming sinks:
@@ -279,7 +363,10 @@ object Versioned {
       .map(v => readCommit(fs, root, v))
       .exists(_.txn.contains((txnApp, txnBatch)))
     if (seen) None
-    else Some(commit(df, path, "append", maxRetries, Some((txnApp, txnBatch))))
+    else {
+      val pcols = latestCommit(fs, root).map(_.partitionCols).getOrElse(Nil)
+      Some(commit(df, path, "append", maxRetries, Some((txnApp, txnBatch)), pcols))
+    }
   }
 
   /** Exactly-once STREAMING SINK into a versioned table: every
@@ -304,23 +391,52 @@ object Versioned {
     history(spark, path).count()
   }
 
-  private def commit(df: DataFrame, path: String, action: String,
-                     maxRetries: Int, txn: Option[(String, Long)] = None): Commit = {
-    val spark = df.sparkSession
+  /** The order-sensitive (name, type) field list a schema pin compares
+    * — nullability excluded (parquet round-trips relax it). The ORDER
+    * matters because the commit archives the frame's schema.json and
+    * digests fields in that order: accepting a column-reordered append
+    * would silently break the additive snapshotFp rollup for every
+    * later version. */
+  private def orderedFields(s: StructType): Seq[(String, String)] =
+    s.map(f => f.name -> f.dataType.simpleString)
+
+  private def commit(df0: DataFrame, path: String, action: String,
+                     maxRetries: Int, txn: Option[(String, Long)] = None,
+                     partitionCols: Seq[String] = Nil): Commit = {
+    val spark = df0.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // an append must match the head's column SET (the mergeSchema=false
+    // pin, name->type) and is then REORDERED to the head's field order
+    // before writing/digesting — a column-permuted frame carries the
+    // same content, and aligning it here keeps the archived schema and
+    // the additive snapshot digest stable across the table's life
+    val df = latestCommit(fs, root) match {
+      case Some(h) if action == "append" =>
+        val headSchema = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
+        val headMap = orderedFields(headSchema).toMap
+        val incoming = orderedFields(df0.schema).toMap
+        if (headMap != incoming)
+          throw new IllegalStateException(
+            s"versioned append schema mismatch at $path v${h.version} " +
+              s"(mergeSchema is pinned false):\n" +
+              s"  table:    ${headMap.toSeq.sorted.mkString(", ")}\n" +
+              s"  incoming: ${incoming.toSeq.sorted.mkString(", ")}")
+        df0.select(headSchema.fieldNames.toSeq.map(col): _*)
+      case _ => df0
+    }
 
     // 1. data first: immutable, invisible until a log record points at it
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
-    df.write.parquet(dataDir.toString)
-    val files = fs.listStatus(dataDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$dataDirName/${s.getPath.getName}").sorted
+    writeData(df, dataDir, partitionCols)
+    val files = listDataFiles(fs, dataDir, dataDirName)
     // one scan of the ADDED rows: exact count + additive content digest
     // + per-file zone-map stats (see digestDir)
-    val (nRows, addFp, stats) = digestDir(spark, dataDir, dataDirName, df.schema)
+    val (nRows, addFp, stats) =
+      digestDir(spark, dataDir, dataDirName, df.schema, partitionCols)
 
     // 2. claim loop: validate against the CURRENT head, try to create
     // the next version's record exclusively, retry on loss
@@ -329,16 +445,26 @@ object Versioned {
       val head = latestCommit(fs, root)
       head.foreach { h =>
         if (action == "append") {
-          val headSchema = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
-            .map(f => f.name -> f.dataType.simpleString).toMap
-          val incoming = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
-          if (headSchema != incoming) {
+          // ORDER-SENSITIVE re-check against the head the claim actually
+          // serializes after: a concurrent overwrite/evolution may have
+          // changed the field order the staged data was digested under
+          val headFields = orderedFields(
+            DataType.fromJson(h.schemaJson).asInstanceOf[StructType])
+          if (headFields != orderedFields(df.schema)) {
             fs.delete(dataDir, true)
             throw new IllegalStateException(
               s"versioned append schema mismatch at $path v${h.version} " +
                 s"(mergeSchema is pinned false):\n" +
-                s"  table:    ${headSchema.toSeq.sorted.mkString(", ")}\n" +
-                s"  incoming: ${incoming.toSeq.sorted.mkString(", ")}")
+                s"  table:    ${headFields.mkString(", ")}\n" +
+                s"  incoming: ${orderedFields(df.schema).mkString(", ")}")
+          }
+          if (h.partitionCols != partitionCols) {
+            fs.delete(dataDir, true)
+            throw new IllegalStateException(
+              s"versioned append partition-layout mismatch at $path " +
+                s"v${h.version}: table is partitioned by " +
+                s"[${h.partitionCols.mkString(", ")}], append staged " +
+                s"[${partitionCols.mkString(", ")}]")
           }
         }
       }
@@ -349,7 +475,7 @@ object Versioned {
         case _ => (nRows, addFp)
       }
       val c = Commit(version, action, files, df.schema.json, nRows, addFp,
-        snapRows, snapFp, Nil, txn, stats)
+        snapRows, snapFp, Nil, txn, stats, partitionCols)
       if (atomicCreate(fs, recordPath(root, version), render(c))) return c
       attempt += 1 // lost the race: another writer claimed this version
     }
@@ -376,17 +502,15 @@ object Versioned {
   def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (active, schema) = activeAt(fs, root, path, version)
-    if (active.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .parquet(active.map(f => new Path(root, f).toString): _*)
+    val (active, schema, pcols) = activeAt(fs, root, path, version)
+    readFilesDF(spark, root, active, schema, pcols)
   }
 
-  /** Replayed (active files, schema) at `version` — from the newest
-    * checkpoint at or before it plus the tail records after. */
+  /** Replayed (active files, schema, partition columns) at `version` —
+    * from the newest checkpoint at or before it plus the tail records
+    * after. */
   private def activeAt(fs: FileSystem, root: Path, path: String,
-                       version: Long): (Seq[String], StructType) = {
+                       version: Long): (Seq[String], StructType, Seq[String]) = {
     val versions = listVersions(fs, root)
     require(versions.contains(version),
       s"version $version does not exist at $path (have: ${versions.mkString(", ")})")
@@ -403,17 +527,108 @@ object Versioned {
     val schemaJson = commits.lastOption.map(_.schemaJson)
       .orElse(ckpt.map(_._3))
       .getOrElse(throw new IllegalStateException(s"no schema at $path v$version"))
-    (active, DataType.fromJson(schemaJson).asInstanceOf[StructType])
+    val pcols = commits.lastOption.map(_.partitionCols)
+      .orElse(ckpt.map(_._4)).getOrElse(Nil)
+    (active, DataType.fromJson(schemaJson).asInstanceOf[StructType], pcols)
+  }
+
+  /** Stage `df` under `dataDir` — hive partition layout when
+    * `partitionCols` is non-empty (Spark's writer drops the partition
+    * columns from the files; readers reconstruct them from the path,
+    * exactly the table-format model where partition values live in
+    * metadata, not data). */
+  private def writeData(df: DataFrame, dataDir: Path,
+                        partitionCols: Seq[String]): Unit =
+    if (partitionCols.isEmpty) df.write.parquet(dataDir.toString)
+    else df.write.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+
+  /** Root-relative paths of every parquet file under a staged data dir
+    * (recursive — partition layouts nest `col=value` directories). */
+  private def listDataFiles(fs: FileSystem, dataDir: Path,
+                            dataDirName: String): Seq[String] = {
+    val prefix = fs.makeQualified(dataDir).toString
+    val it = fs.listFiles(dataDir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+        buf += s"$dataDirName${s.getPath.toString.stripPrefix(prefix)}"
+    }
+    buf.sorted.toSeq
+  }
+
+  /** Partition values of one root-relative file path, parsed from its
+    * hive `col=value` segments. Fails loudly on %-escaped values (the
+    * documented restriction) and maps the hive default-partition
+    * sentinel back to null (None). */
+  def partitionValuesOf(relPath: String, partitionCols: Seq[String])
+      : Map[String, Option[String]] = {
+    val segs = relPath.split('/').toSeq
+      .filter(_.contains('=')).map { s =>
+        val i = s.indexOf('=')
+        s.take(i) -> s.drop(i + 1)
+      }.toMap
+    partitionCols.map { c =>
+      val raw = segs.getOrElse(c, throw new IllegalStateException(
+        s"file `$relPath` has no `$c=` partition segment"))
+      require(!raw.contains('%'),
+        s"partition value `$raw` in `$relPath` is hive-escaped — " +
+          "escaped partition values are unsupported (restrict values " +
+          "to [A-Za-z0-9._ :-])")
+      c -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+    }.toMap
+  }
+
+  /** THE central file-set read: scan `files` (root-relative) with the
+    * archived table schema. On a partitioned layout the data files do
+    * not contain the partition columns — they are RECONSTRUCTED inside
+    * the same scan from `_metadata.file_path`'s `col=value` segment
+    * (cast to the archived type, hive null sentinel -> null) and the
+    * result is reordered to the archived field order, so every
+    * downstream consumer (digests, change feeds, COW planning) sees
+    * one uniform frame. */
+  private def readFilesDF(spark: SparkSession, root: Path, files: Seq[String],
+                          schema: StructType, partitionCols: Seq[String],
+                          withRelCol: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val outSchema =
+      if (withRelCol) StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("__rel", StringType))
+      else schema
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val paths = files.map(f => new Path(root, f).toString)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootQ = fs.makeQualified(root).toString
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => partitionCols.contains(f.name)))
+    var df = spark.read.schema(dataSchema).parquet(paths: _*)
+      .withColumn("__rel",
+        expr(s"substring(_metadata.file_path, ${rootQ.length + 2})"))
+    partitionCols.foreach { c =>
+      val f = schema.find(_.name == c).get
+      val raw = regexp_extract(col("__rel"), s"(?:^|/)$c=([^/]+)/", 1)
+      df = df.withColumn(c,
+        when(raw === lit("__HIVE_DEFAULT_PARTITION__"), lit(null))
+          .when(raw.contains("%"), raise_error(concat(
+            lit("hive-escaped partition value in "), col("__rel"),
+            lit(" — unsupported (restrict values to [A-Za-z0-9._ :-])"))))
+          .otherwise(raw).cast(f.dataType))
+    }
+    df.select(outSchema.fieldNames.toSeq.map(col): _*)
   }
 
   /** One scan of a freshly staged data directory: exact row count,
     * additive content digest, and PER-FILE ZONE-MAP STATS — min/max of
     * every integral column per file, grouped by `_metadata.file_path`
     * (the scan already runs for the digest, so the stats are free).
-    * The per-file partials fold to the totals on the driver — bounded
-    * by the commit's file count. */
+    * Partition columns (reconstructed from the path) digest like any
+    * other column, so a partitioned table's fingerprints are
+    * layout-independent. The per-file partials fold to the totals on
+    * the driver — bounded by the commit's file count. */
   private def digestDir(spark: SparkSession, dataDir: Path, dataDirName: String,
-                        schema: StructType)
+                        schema: StructType, partitionCols: Seq[String] = Nil)
       : (Long, Long, Map[String, Map[String, (Long, Long)]]) = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val statCols = schema.fields
@@ -423,14 +638,18 @@ object Versioned {
       coalesce(sum(Fingerprint.rowDigest(schema.fieldNames.toSeq.map(col))),
         lit(0L)).as("__fp")) ++
       statCols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
-    val rows = spark.read.schema(schema).parquet(dataDir.toString)
-      .groupBy(expr("_metadata.file_path").as("__f"))
+    val root = dataDir.getParent
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listDataFiles(fs, dataDir, dataDirName)
+    val rows = readFilesDF(spark, root, files, schema, partitionCols,
+        withRelCol = true)
+      .groupBy(col("__rel").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val nRows = rows.map(_.getLong(1)).sum
     val fp = rows.map(_.getLong(2)).sum
     val stats = rows.map { r =>
-      val rel = s"$dataDirName/${r.getString(0).split('/').last}"
+      val rel = r.getString(0)
       val colStats = statCols.zipWithIndex.flatMap { case (c, i) =>
         val (mnI, mxI) = (3 + 2 * i, 4 + 2 * i)
         if (r.isNullAt(mnI)) None
@@ -457,7 +676,7 @@ object Versioned {
     require(lo <= hi, s"need lo <= hi, got $lo > $hi")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (active, schema) = activeAt(fs, root, path, version)
+    val (active, schema, pcols) = activeAt(fs, root, path, version)
     // stats lookup across every record <= version (records are always
     // retained; checkpoints only short-circuit the ACTIVE-SET replay)
     val stats = listVersions(fs, root).filter(_ <= version)
@@ -468,12 +687,27 @@ object Versioned {
         case None => true // unknown stats -> conservative scan
       }
     }
-    val df =
-      if (kept.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(kept.map(f => new Path(root, f).toString): _*)
-    (df, kept.size, active.size)
+    (readFilesDF(spark, root, kept, schema, pcols), kept.size, active.size)
+  }
+
+  /** [[readAsOf]] with PARTITION PRUNING decided entirely from LOG
+    * METADATA: each active file's partition values are recovered from
+    * its archived add-path (the hive `col=value` segments the commit
+    * recorded), files whose values fail `keep` are never listed or
+    * opened, and the surviving files scan as one frame. The pruning is
+    * EXACT (a partition value is constant per file by construction),
+    * unlike the conservative zone-map ranges of [[readAsOfPruned]].
+    * Returns (frame, files kept, files total). */
+  def readAsOfPartitions(spark: SparkSession, path: String, version: Long)
+                        (keep: Map[String, Option[String]] => Boolean)
+      : (DataFrame, Int, Int) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (active, schema, pcols) = activeAt(fs, root, path, version)
+    require(pcols.nonEmpty,
+      s"table at $path is not partitioned as of v$version")
+    val kept = active.filter(f => keep(partitionValuesOf(f, pcols)))
+    (readFilesDF(spark, root, kept, schema, pcols), kept.size, active.size)
   }
 
   /** Row-level CHANGE FEED over `(fromVersion, toVersion]` — the
@@ -498,29 +732,51 @@ object Versioned {
     require(versions.contains(toVersion) &&
       (fromVersion == 0L || versions.contains(fromVersion)),
       s"version range ($fromVersion, $toVersion] not in log at $path")
-    def readFiles(files: Seq[String], schema: StructType): DataFrame =
-      if (files.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(files.map(f => new Path(root, f).toString): _*)
     val parts = versions.filter(v => v > fromVersion && v <= toVersion).map { v =>
       val c = readCommit(fs, root, v)
       val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
-      val added = readFiles(c.add, schema)
+      def readFiles(files: Seq[String], s: StructType,
+                    pcols: Seq[String]): DataFrame =
+        readFilesDF(spark, root, files, s, pcols)
+      val added = readFiles(c.add, schema, c.partitionCols)
       val (ins, del) = c.action match {
         case "append" =>
-          (added, readFiles(Nil, schema))
+          (added, readFiles(Nil, schema, c.partitionCols))
         case "rewrite" =>
-          val removed = readFiles(c.remove, schema)
+          val removed = readFiles(c.remove, schema, c.partitionCols)
           (added.exceptAll(removed), removed.exceptAll(added))
         case _ => // overwrite: diff full before/after content
-          val before =
-            if (v == 1L) readFiles(Nil, schema)
+          val (before, after) =
+            if (v == 1L) (readFiles(Nil, schema, c.partitionCols), added)
             else {
-              val (prevActive, prevSchema) = activeAt(fs, root, path, v - 1)
-              readFiles(prevActive, prevSchema)
+              val (prevActive, prevSchema, prevPcols) =
+                activeAt(fs, root, path, v - 1)
+              val b = readFiles(prevActive, prevSchema, prevPcols)
+              // ALIGN BY NAME across a schema epoch: exceptAll resolves
+              // positionally, so an overwrite that changed arity would
+              // throw and one that reordered columns would diff wrongly.
+              // Same-name retypes cannot be aligned — fail explicitly.
+              prevSchema.foreach { pf =>
+                schema.find(_.name == pf.name).foreach { af =>
+                  if (af.dataType != pf.dataType) throw new IllegalStateException(
+                    s"change feed cannot span v$v: column `${pf.name}` " +
+                      s"changed type (${pf.dataType.simpleString} -> " +
+                      s"${af.dataType.simpleString})")
+                }
+              }
+              // common column space: the after-schema order, then any
+              // columns the overwrite dropped; missing sides fill null
+              val beforeOnly =
+                prevSchema.fields.filterNot(f => schema.fieldNames.contains(f.name))
+              val commonCols = schema.fields ++ beforeOnly
+              def aligned(df: DataFrame, have: StructType): DataFrame =
+                df.select(commonCols.toSeq.map { f =>
+                  if (have.fieldNames.contains(f.name)) col(f.name)
+                  else lit(null).cast(f.dataType).as(f.name)
+                }: _*)
+              (aligned(b, prevSchema), aligned(added, schema))
             }
-          (added.exceptAll(before), before.exceptAll(added))
+          (after.exceptAll(before), before.exceptAll(after))
       }
       ins.withColumn("_change_type", lit("insert"))
         .unionByName(del.withColumn("_change_type", lit("delete")))
@@ -588,6 +844,8 @@ object Versioned {
     node.put("schema", last.schemaJson)
     node.put("snapshotRows", last.snapshotRows)
     node.put("snapshotFp", last.snapshotFp)
+    val pc = node.putArray("partitionCols")
+    last.partitionCols.foreach(pc.add)
     val p = ckptPath(root, v)
     // overwrite-create: two racing checkpointers at the same version
     // write identical content, so last-writer-wins is safe
@@ -616,6 +874,70 @@ object Versioned {
     orphans.map(_.getName)
   }
 
+  /** OPTIMIZE as a versioned commit: rewrite the CURRENT active file
+    * set into `numFiles` compacted — and, with `zorderBy`, Z-ORDERED —
+    * files, committed as an ordinary `rewrite` record (add = the new
+    * files, remove = every previously-active file). Layout maintenance
+    * therefore composes with every other capability instead of
+    * breaking them: older versions still read their original files
+    * (time travel preserved), the change feed sees ZERO rows (the
+    * rewrite diff cancels — OPTIMIZE changes no content), conflicts
+    * follow the disjoint-file rule, and the new files' zone maps are
+    * archived by the same digest scan — tightened, because each output
+    * file now covers one contiguous sort/z range instead of arrival
+    * order. Content identity is CERTIFIED AT COMMIT TIME with the
+    * additive fingerprint: the staged files must digest to exactly the
+    * removed files' (rows, fp) or the optimize aborts and deletes its
+    * staging — a maintenance job can never silently corrupt the table.
+    *
+    * `zorderBy` sorts by the fused Morton code of two non-negative
+    * integral dimensions (see [[graft.functions.ZValue]] and
+    * [[Ingest.writeZOrdered]] for the skipping math); `sortBy` gives a
+    * 1-d linear layout; neither = pure compaction (bin-packing small
+    * files, no shuffle). At 100 TB the rewrite cost is O(active data)
+    * once — amortized against every later pruned read — and on a
+    * partitioned table the hive layout is preserved per partition.
+    * Returns None on an empty table. */
+  def optimize(spark: SparkSession, path: String, numFiles: Int,
+               sortBy: Seq[String] = Nil,
+               zorderBy: Option[(String, String)] = None,
+               zBits: Int = 16): Option[Commit] = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "give sortBy OR zorderBy, not both")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = latestCommit(fs, root).getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val (active, schema, pcols) = activeAt(fs, root, path, head.version)
+    if (active.isEmpty) return None
+    val cur = readFilesDF(spark, root, active, schema, pcols)
+    val laid = zorderBy match {
+      case Some((x, y)) =>
+        // domain-checked like Ingest.checkedZ: an out-of-range value
+        // would silently collapse onto an unrelated z-code and quietly
+        // void the skipping contract (the r5 lesson)
+        val lim = 1L << zBits
+        def checked(c: String): org.apache.spark.sql.Column = {
+          val v = col(c).cast("long")
+          when(v < 0 || v >= lim, raise_error(concat(
+            lit(s"optimize zorderBy: `$c` value "), v.cast("string"),
+            lit(s" outside [0, 2^$zBits) — scale the dimension into " +
+              "range or raise zBits")))).otherwise(v)
+        }
+        cur.withColumn("__z", graft.functions.z_value(checked(x), checked(y), zBits))
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      case None if sortBy.nonEmpty =>
+        cur.repartitionByRange(numFiles, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      case None => cur.coalesce(numFiles)
+    }
+    Some(rewriteCommit(spark, root, fs, head, laid, active,
+      requireContentPreserved = true))
+  }
+
   // ---------- log internals ----------
 
   private def recordPath(root: Path, version: Long): Path =
@@ -632,16 +954,20 @@ object Versioned {
       .map(n => n.stripPrefix("ckpt-").stripSuffix(".json").toLong).sorted
   }
 
-  /** (version, active files, schema json) of a stored checkpoint. */
-  private def readCheckpoint(fs: FileSystem, root: Path,
-                             version: Long): (Long, Seq[String], String) = {
+  /** (version, active files, schema json, partition cols) of a stored
+    * checkpoint. */
+  private def readCheckpoint(fs: FileSystem, root: Path, version: Long)
+      : (Long, Seq[String], String, Seq[String]) = {
     val in = fs.open(ckptPath(root, version))
     val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
       new java.io.DataInputStream(in)) finally in.close()
     val t = mapper.readTree(bytes)
+    val pcols = Option(t.get("partitionCols"))
+      .map(p => (0 until p.size()).map(i => p.get(i).asText()).toSeq)
+      .getOrElse(Nil)
     (t.get("version").asLong(),
       (0 until t.get("active").size()).map(i => t.get("active").get(i).asText()),
-      t.get("schema").asText())
+      t.get("schema").asText(), pcols)
   }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
@@ -674,12 +1000,15 @@ object Versioned {
         e.getKey -> cols
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, (Long, Long)]])
+    val pcols = Option(t.get("partitionCols"))
+      .map(p => (0 until p.size()).map(i => p.get(i).asText()).toSeq)
+      .getOrElse(Nil)
     Commit(
       t.get("version").asLong(), t.get("action").asText(),
       (0 until t.get("add").size()).map(i => t.get("add").get(i).asText()),
       t.get("schema").asText(), t.get("nRows").asLong(),
       t.get("addFp").asLong(), t.get("snapshotRows").asLong(),
-      t.get("snapshotFp").asLong(), rem, txn, stats)
+      t.get("snapshotFp").asLong(), rem, txn, stats, pcols)
   }
 
   private def render(c: Commit): Array[Byte] = {
@@ -705,15 +1034,25 @@ object Versioned {
           val arr = fo.putArray(cn); arr.add(mn); arr.add(mx) }
       }
     }
+    if (c.partitionCols.nonEmpty) {
+      val pc = node.putArray("partitionCols")
+      c.partitionCols.foreach(pc.add)
+    }
     mapper.writeValueAsBytes(node)
   }
 
   /** The atomic version claim. `file://`: NIO `CREATE_NEW` is an O_EXCL
     * open — kernel-atomic, no check-then-create window (Hadoop's
     * LocalFileSystem.create(overwrite=false) only CHECKS first, a race
-    * hole). Other schemes: `FileSystem.create(overwrite=false)`, which
-    * HDFS implements as one atomic namenode operation. Returns false
-    * when another writer holds the version. */
+    * hole). Other schemes: the LogStore TEMP-THEN-RENAME pattern — the
+    * record is fully written to a dot-prefixed temp name (invisible to
+    * [[listVersions]]) and atomically renamed into place, so a reader
+    * can never observe a torn or zero-length record, and a failure
+    * while WRITING throws (my write failed) instead of being
+    * misreported as a lost race that would leave a poisoned record
+    * occupying the claimed version. `rename` refusing an existing
+    * destination (HDFS semantics) is the claim arbiter. Returns false
+    * only when another writer holds the version. */
   private def atomicCreate(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
     fs.mkdirs(p.getParent)
     if ("file" == fs.getScheme) {
@@ -724,14 +1063,18 @@ object Versioned {
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else {
-      try {
-        val out = fs.create(p, false)
-        try out.write(bytes) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException if fs.exists(p) => false
-      }
+      if (fs.exists(p)) return false // cheap fast-path; rename still arbitrates
+      val tmp = new Path(p.getParent,
+        s".tmp-${p.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+      // a failure HERE propagates: the version is not claimed and the
+      // caller must not treat it as a lost race
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val won =
+        try fs.rename(tmp, p)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      if (!won) fs.delete(tmp, false)
+      won
     }
   }
 
