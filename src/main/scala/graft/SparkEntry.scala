@@ -3465,6 +3465,226 @@ object SparkEntry {
         .orderBy(col("version"))
     }),
 
+    // HIVE-PARTITIONED versioned table (ingest/Versioned partitionBy):
+    // the reference's year/month fact-table layout
+    // (process_historical_data.py:75–78) COMPOSED with time travel —
+    // the combination VERDICT r9 flagged as the most likely first
+    // real-user gap. Data lands under d-<uuid>/yr=Y/mo=M/ dirs, the
+    // partition values are archived in the commit record (each
+    // add-path carries them), appends inherit the layout, and
+    // readAsOfPartitions prunes non-matching partitions from LOG
+    // METADATA — pruned files are never listed, opened, or scanned
+    // (exact pruning: a partition value is constant per file by
+    // construction). File counts are deterministic (coalesce(1) per
+    // commit = one file per partition value), so the oracle pins the
+    // prune arithmetic, and both versions replay fingerprint-certified.
+    "q222_partitioned_versioned" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q222") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0).coalesce(1),
+        tbl, partitionBy = Seq("yr", "mo"))
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1).coalesce(1), tbl)
+      val (pruned, kept, total) = Versioned.readAsOfPartitions(s, tbl, 2L) {
+        vals => vals("yr").contains("1997")
+      }
+      val sel = pruned.filter(col("yr") === 1997L) // no-op: pruning is exact
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("sc"))
+        .head()
+      import s.implicits._
+      val inv = broadcast(Seq((total.toLong, kept.toLong,
+          sel.getLong(0), sel.getLong(1)))
+        .toDF("n_files_total", "n_files_kept", "pruned_rows", "pruned_cents"))
+      versionedReport(s, tbl).crossJoin(inv)
+    }),
+
+    // OPTIMIZE / Z-ORDER as a VERSIONED COMMIT (ingest/Versioned
+    // .optimize): layout maintenance lands as an ordinary rewrite
+    // record (add = compacted z-ordered files, remove = all previous
+    // active files) whose content identity is CERTIFIED AT COMMIT TIME
+    // by the additive fingerprint (staged digest must equal the
+    // removed digest or the optimize aborts). The gate pins: totals
+    // unchanged across the optimize, pre-optimize versions still
+    // readable, ZERO change-feed rows from the rewrite (carried-over
+    // rows cancel), and zone maps tightened (the z-probe scans fewer
+    // files than the table holds — Spark-verified boolean, since range
+    // boundaries come from a sampling partitioner).
+    "q223_optimize_zorder" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q223") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("kmod", pmod(col("o_custkey"), lit(64L)))
+        .withColumn("cmod", pmod(col("cents"), lit(64L)))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 4 === 0).coalesce(1), tbl)
+      (1 to 3).foreach(m => Versioned.append(
+        orders.filter(col("o_orderkey") % 4 === m).coalesce(1), tbl))
+      val preHead = Versioned.latestVersion(s, tbl)
+      val (preRows, preFp) = Versioned.archivedFingerprint(s, tbl, preHead)
+      val c = Versioned.optimize(s, tbl, numFiles = 4,
+        zorderBy = Some(("kmod", "cmod")), zBits = 6).get
+      val (_, scanned, totalFiles) =
+        Versioned.readAsOfPruned(s, tbl, c.version, "kmod", 0L, 15L)
+      val band = Versioned.read(s, tbl).filter(col("kmod") <= 15L)
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("sc"))
+        .head()
+      import s.implicits._
+      Seq((4L, // files before the optimize: one per commit
+          (c.snapshotRows, c.snapshotFp) == ((preRows, preFp)),
+          Versioned.readAsOf(s, tbl, 1L).count(),
+          Versioned.changesBetween(s, tbl, preHead, c.version).count(),
+          scanned < totalFiles,
+          band.getLong(0), band.getLong(1)))
+        .toDF("n_files_before", "content_identical", "v1_rows",
+          "optimize_cdf_rows", "zmaps_tightened", "band_rows", "band_cents")
+    }),
+
+    // STREAMING change-feed consumption (ingest/ChangeFeed): the
+    // read-side twin of q219's exactly-once sink. A consumer tails
+    // changesBetween in one-version triggers with the last-consumed
+    // version checkpointed (temp-then-rename), mirroring each window
+    // into a DOWNSTREAM versioned table as a txn-tagged idempotent
+    // append keyed by the window's upper version. The gate then
+    // re-runs the whole mirror from a FRESH checkpoint — total
+    // re-delivery — and every window is absorbed at the downstream
+    // commit log: same rows, same commit count. Output: the q218
+    // change multiset read back FROM THE MIRROR, plus the absorption
+    // invariants.
+    "q224_change_feed_stream" -> ((s, dir) => {
+      import graft.ingest.{ChangeFeed, Fingerprint, Versioned}
+      val base = scratch("q224")
+      val tbl = s"$base/tbl"
+      val down = s"$base/down"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1 &&
+        col("o_orderkey") % 7 === 0), tbl)
+      Versioned.upsert(s, tbl, orders.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("cents", col("cents") + 100L), Seq("o_orderkey"))
+      Versioned.deleteWhere(s, tbl, col("cents") % 10 < 2)
+      val commits1 = ChangeFeed.mirrorTo(s, tbl, down, s"$base/ckpt1", "q224",
+        maxVersionsPerTrigger = 1)
+      // total re-delivery from a fresh checkpoint: absorbed, no growth
+      val commits2 = ChangeFeed.mirrorTo(s, tbl, down, s"$base/ckpt2", "q224",
+        maxVersionsPerTrigger = 1)
+      import s.implicits._
+      val inv = broadcast(Seq((commits1, commits2 == commits1))
+        .toDF("n_down_commits", "redelivery_absorbed"))
+      Versioned.read(s, down)
+        .groupBy(col("_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
+          sum(Fingerprint.rowDigest(Seq(col("o_orderkey"), col("o_custkey"),
+            col("cents")))).as("fp"))
+        .crossJoin(inv)
+        .orderBy(col("version"), col("change_type"))
+    }),
+
+    // The checkpoint × schema-epoch × zone-map-pruning TRIPLE
+    // (VERDICT r9 "what's wrong" #1): evolve the schema (appendEvolve
+    // adds cents), CHECKPOINT at the epoch boundary, append two
+    // cents-banded commits through the checkpoint, then prune-read a
+    // cents range at the head. Pre-epoch files have NO cents stats and
+    // must scan conservatively; the out-of-band post-epoch file is
+    // skipped from log metadata — 3 of 4 files scanned, exact oracle
+    // arithmetic. Every version (pre-epoch, epoch, post-checkpoint)
+    // replays fingerprint-certified THROUGH the checkpointed log.
+    "q225_ckpt_evolve_prune" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      val tbl = scratch("q225") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey")).coalesce(1), tbl)
+      Versioned.appendEvolve(orders.filter(col("o_orderkey") % 3 === 1)
+        .coalesce(1), tbl)
+      require(Versioned.checkpoint(s, tbl) == 2L, "checkpoint must land at v2")
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 2 &&
+        col("cents") < 1000000L).coalesce(1), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 2 &&
+        col("cents") >= 1000000L).coalesce(1), tbl)
+      val (pruned, scanned, total) =
+        Versioned.readAsOfPruned(s, tbl, 4L, "cents", 1500000L, 2500000L)
+      val sel = pruned.filter(col("cents").between(1500000L, 2500000L))
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("sc"))
+        .head()
+      import s.implicits._
+      val replayed = (1L to 4L).map { v =>
+        val asOf = Versioned.readAsOf(s, tbl, v)
+        val centsSum =
+          if (asOf.columns.contains("cents")) coalesce(sum(col("cents")), lit(0L))
+          else lit(0L)
+        val r = asOf.agg(count(lit(1)).as("n"),
+          coalesce(sum(Fingerprint.rowDigest(
+            asOf.schema.fieldNames.toSeq.map(col))), lit(0L)).as("fp"),
+          centsSum.as("sc")).head()
+        (v, r.getLong(0), r.getLong(1), r.getLong(2))
+      }.toDF("version", "replay_rows", "replay_fp", "sum_cents")
+      val inv = broadcast(Seq((total.toLong, scanned.toLong,
+          sel.getLong(0), sel.getLong(1)))
+        .toDF("n_files_total", "n_files_scanned", "probe_rows", "probe_cents"))
+      Versioned.history(s, tbl)
+        .select(col("version"), col("snapshot_rows"), col("snapshot_fp"))
+        .join(replayed, Seq("version"))
+        .select(col("version"), col("snapshot_rows"), col("snapshot_fp"),
+          (col("snapshot_rows") === col("replay_rows") &&
+            col("snapshot_fp") === col("replay_fp")).as("matches_archived"),
+          col("sum_cents"))
+        .crossJoin(inv)
+        .orderBy(col("version"))
+    }),
+
+    // SQL TIME TRAVEL (ingest/Versioned.registerViewAsOf): the q20
+    // SQL-over-path surface extended to versioned tables — the
+    // reference's dashboards speak ONLY SQL through a Thrift endpoint
+    // (music_analytics.json:47), so historical versions must be
+    // reachable as plain views. Registers views at an absolute version
+    // (v1) and a head-relative one (-1 = the version before the
+    // upsert), then answers one pure-SQL query comparing the two
+    // snapshots per customer band.
+    "q226_sql_time_travel" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q226") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1), tbl)
+      Versioned.upsert(s, tbl, orders.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("cents", col("cents") + 100L), Seq("o_orderkey"))
+      require(Versioned.registerViewAsOf(s, tbl, 1L, "graft_q226_v1") == 1L)
+      require(Versioned.registerViewAsOf(s, tbl, -1L, "graft_q226_prev") == 2L)
+      s.sql("""
+        SELECT snap, cust_band, count(*) AS n_orders, sum(cents) AS cents_sum
+        FROM (
+          SELECT 'v1' AS snap, pmod(o_custkey, 10) AS cust_band, cents
+          FROM graft_q226_v1
+          UNION ALL
+          SELECT 'prev' AS snap, pmod(o_custkey, 10) AS cust_band, cents
+          FROM graft_q226_prev)
+        GROUP BY snap, cust_band
+        ORDER BY snap, cust_band""")
+    }),
+
+    // SEQUENCE-AWARE next-item recommendation (recommend/NextItem):
+    // the reference roadmap's "predict the next song from the
+    // listening sequence" (ROADMAP.md:90, Phase 4), as the exact
+    // count-based order-2 Markov model with Laplace smoothing and
+    // order-1 backoff — common-denominator INTEGER numerators rank the
+    // candidates, so the whole ranked output (and the single-division
+    // blend score) hash-matches the oracle's literal replay. Items are
+    // the event props' track key; top-3 per user.
+    "q227_next_track" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+      graft.recommend.NextItem
+        .nextItems(ev, "user_id", "item", "ts", "event_id", k = 3)
+        .orderBy(col("user_id"), col("rank"))
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -7256,6 +7476,200 @@ object SparkEntry {
         |  sum(cents)::BIGINT AS sum_cents
         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
 
+
+    // hive-partitioned versioned table: both versions digested under
+    // the 5-field schema (partition values digest like data columns —
+    // layout-independent fingerprints); file counts = one file per
+    // distinct (yr, mo) per commit (coalesce(1) writers); the prune
+    // arithmetic replayed on the partition predicate yr=1997
+    "q222_partitioned_versioned" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents,
+        |    year(o_orderdate)::BIGINT AS yr, month(o_orderdate)::BIGINT AS mo
+        |  FROM orders),
+        |u AS (SELECT 1 AS version, k, c, cents, yr, mo FROM o WHERE k % 3 = 0
+        |  UNION ALL SELECT 2, k, c, cents, yr, mo FROM o WHERE k % 3 IN (0, 1)),
+        |enc AS (SELECT version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR || chr(1) ||
+        |      length(yr::VARCHAR)::VARCHAR || ':' || yr::VARCHAR || chr(1) ||
+        |      length(mo::VARCHAR)::VARCHAR || ':' || mo::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM u),
+        |inv AS (SELECT
+        |  ((SELECT count(DISTINCT yr * 100 + mo) FROM o WHERE k % 3 = 0)
+        |   + (SELECT count(DISTINCT yr * 100 + mo) FROM o WHERE k % 3 = 1))::BIGINT
+        |    AS n_files_total,
+        |  ((SELECT count(DISTINCT mo) FROM o WHERE k % 3 = 0 AND yr = 1997)
+        |   + (SELECT count(DISTINCT mo) FROM o WHERE k % 3 = 1 AND yr = 1997))::BIGINT
+        |    AS n_files_kept,
+        |  (SELECT count(*) FROM o WHERE k % 3 IN (0, 1) AND yr = 1997)::BIGINT
+        |    AS pruned_rows,
+        |  (SELECT coalesce(sum(cents), 0) FROM o
+        |   WHERE k % 3 IN (0, 1) AND yr = 1997)::BIGINT AS pruned_cents)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents,
+        |  n_files_total, n_files_kept, pruned_rows, pruned_cents
+        |FROM enc, inv GROUP BY 1, 6, 7, 8, 9 ORDER BY 1""".stripMargin,
+
+    // content identity, time travel, empty CDF and tightened zone maps
+    // are Spark-verified booleans (range boundaries come from a
+    // sampling partitioner); the band aggregates replay literally
+    "q223_optimize_zorder" ->
+      """SELECT 4::BIGINT AS n_files_before, true AS content_identical,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 0)::BIGINT AS v1_rows,
+        |  0::BIGINT AS optimize_cdf_rows, true AS zmaps_tightened,
+        |  count(*)::BIGINT AS band_rows,
+        |  coalesce(sum(cents), 0)::BIGINT AS band_cents
+        |FROM (SELECT round(o_totalprice * 100)::BIGINT AS cents,
+        |        o_custkey % 64 AS kmod FROM orders)
+        |WHERE kmod <= 15""".stripMargin,
+
+    // the q218 change multiset read back FROM THE MIRROR: v1/v2 insert
+    // their slices, the upsert pairs delete+insert per matched key, the
+    // delete's victims enumerate per population ((cents+100) % 10 =
+    // cents % 10); 4 non-empty windows = 4 downstream commits, and the
+    // fresh-checkpoint re-delivery is absorbed (Spark-verified)
+    "q224_change_feed_stream" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |ch AS (
+        |  SELECT 1 AS version, 'insert' AS change_type, k, c, cents
+        |    FROM o WHERE k % 3 = 0
+        |  UNION ALL SELECT 2, 'insert', k, c, cents
+        |    FROM o WHERE k % 3 = 1 AND k % 7 = 0
+        |  UNION ALL SELECT 3, 'delete', k, c, cents FROM o WHERE k % 9 = 0
+        |  UNION ALL SELECT 3, 'insert', k, c, cents + 100 FROM o WHERE k % 9 = 0
+        |  UNION ALL SELECT 4, 'delete', k, c, cents
+        |    FROM o WHERE k % 3 = 0 AND k % 9 <> 0 AND cents % 10 < 2
+        |  UNION ALL SELECT 4, 'delete', k, c, cents + 100
+        |    FROM o WHERE k % 9 = 0 AND cents % 10 < 2
+        |  UNION ALL SELECT 4, 'delete', k, c, cents
+        |    FROM o WHERE k % 3 = 1 AND k % 7 = 0 AND cents % 10 < 2),
+        |enc AS (SELECT version, change_type, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM ch)
+        |SELECT version::BIGINT AS version, change_type,
+        |  count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents_sum,
+        |  sum(h)::BIGINT AS fp, 4::BIGINT AS n_down_commits,
+        |  true AS redelivery_absorbed
+        |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the triple: v1 digested 2-field; v1's rows carry the 'N'
+    // sentinel from v2 on (the epoch recompute); the banded appends
+    // extend the additive rollup through the checkpoint; the probe
+    // scans 3 of 4 files (pre-epoch file has no cents stats ->
+    // conservative; the low-band file is excluded by its zone map)
+    "q225_ckpt_evolve_prune" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |e2 AS (SELECT length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR
+        |    || chr(1) || length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR AS enc,
+        |    k, c, cents FROM o),
+        |vs AS (SELECT unnest([2, 3, 4]) AS v),
+        |vs34 AS (SELECT unnest([3, 4]) AS v),
+        |mem AS (
+        |  SELECT 1 AS version, 0::BIGINT AS cents_part,
+        |      ('0x' || substr(md5(enc), 1, 8))::BIGINT AS h
+        |    FROM e2 WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT v, 0::BIGINT,
+        |      ('0x' || substr(md5(enc || chr(1) || 'N'), 1, 8))::BIGINT
+        |    FROM e2, vs WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT v, cents,
+        |      ('0x' || substr(md5(enc || chr(1)
+        |        || length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |        1, 8))::BIGINT
+        |    FROM e2, vs WHERE k % 3 = 1
+        |  UNION ALL
+        |  SELECT v, cents,
+        |      ('0x' || substr(md5(enc || chr(1)
+        |        || length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |        1, 8))::BIGINT
+        |    FROM e2, vs34 WHERE k % 3 = 2 AND cents < 1000000
+        |  UNION ALL
+        |  SELECT 4, cents,
+        |      ('0x' || substr(md5(enc || chr(1)
+        |        || length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |        1, 8))::BIGINT
+        |    FROM e2 WHERE k % 3 = 2 AND cents >= 1000000),
+        |inv AS (SELECT 4::BIGINT AS n_files_total, 3::BIGINT AS n_files_scanned,
+        |  (SELECT count(*) FROM o WHERE k % 3 IN (1, 2)
+        |   AND cents BETWEEN 1500000 AND 2500000)::BIGINT AS probe_rows,
+        |  (SELECT coalesce(sum(cents), 0) FROM o WHERE k % 3 IN (1, 2)
+        |   AND cents BETWEEN 1500000 AND 2500000)::BIGINT AS probe_cents)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents_part)::BIGINT AS sum_cents,
+        |  n_files_total, n_files_scanned, probe_rows, probe_cents
+        |FROM mem, inv GROUP BY 1, 6, 7, 8, 9 ORDER BY 1""".stripMargin,
+
+    // v1 = the first slice; prev (head-relative -1) = v2, before the
+    // upsert touched cents — pure-SQL time travel over the views
+    "q226_sql_time_travel" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |u AS (SELECT 'v1' AS snap, c % 10 AS cust_band, cents FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT 'prev', c % 10, cents FROM o WHERE k % 3 IN (0, 1))
+        |SELECT snap, cust_band::BIGINT AS cust_band,
+        |  count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS cents_sum
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the order-2 + backoff next-item model replayed literally: the
+    // same count tables, the same common-denominator integer numerator
+    // N = (c3+1)(c1pre+V) + (c2+1)(c2pre+V), rank by (N desc, item),
+    // score = one division of the same two integers
+    "q227_next_track" ->
+      """WITH e AS (SELECT user_id AS u,
+        |    json_extract_string(props, '$.k')::BIGINT AS i0, ts, event_id
+        |  FROM events),
+        |s AS (SELECT u, i0,
+        |    lead(i0, 1) OVER (PARTITION BY u ORDER BY ts, event_id) AS i1,
+        |    lead(i0, 2) OVER (PARTITION BY u ORDER BY ts, event_id) AS i2,
+        |    row_number() OVER (PARTITION BY u ORDER BY ts DESC, event_id DESC)
+        |      AS rnd
+        |  FROM e),
+        |tri AS (SELECT i0 AS a, i1 AS b, i2 AS x, count(*)::BIGINT AS c3
+        |  FROM s WHERE i2 IS NOT NULL GROUP BY 1, 2, 3),
+        |trip AS (SELECT i0 AS a, i1 AS b, count(*)::BIGINT AS c2pre
+        |  FROM s WHERE i2 IS NOT NULL GROUP BY 1, 2),
+        |bi AS (SELECT i0 AS b, i1 AS x, count(*)::BIGINT AS c2
+        |  FROM s WHERE i1 IS NOT NULL GROUP BY 1, 2),
+        |bip AS (SELECT i0 AS b, count(*)::BIGINT AS c1pre
+        |  FROM s WHERE i1 IS NOT NULL GROUP BY 1),
+        |voc AS (SELECT DISTINCT i0 AS x FROM e WHERE i0 IS NOT NULL),
+        |vc AS (SELECT count(*)::BIGINT AS v FROM voc),
+        |ctx AS (SELECT l.u, p.i0 AS prev2, l.i0 AS prev1
+        |  FROM (SELECT u, i0 FROM s WHERE rnd = 1) l
+        |  JOIN (SELECT u, i0 FROM s WHERE rnd = 2) p USING (u)),
+        |cand AS (SELECT ctx.u, ctx.prev2, ctx.prev1, voc.x, vc.v
+        |  FROM ctx CROSS JOIN voc CROSS JOIN vc),
+        |sc AS (SELECT cand.u, cand.prev2, cand.prev1, cand.x,
+        |    ((coalesce(tri.c3, 0) + 1) * (coalesce(bip.c1pre, 0) + cand.v)
+        |     + (coalesce(bi.c2, 0) + 1) * (coalesce(trip.c2pre, 0) + cand.v)
+        |    )::BIGINT AS score_num,
+        |    ((coalesce(trip.c2pre, 0) + cand.v)
+        |     * (coalesce(bip.c1pre, 0) + cand.v))::BIGINT AS den
+        |  FROM cand
+        |  LEFT JOIN tri ON tri.a = cand.prev2 AND tri.b = cand.prev1
+        |    AND tri.x = cand.x
+        |  LEFT JOIN trip ON trip.a = cand.prev2 AND trip.b = cand.prev1
+        |  LEFT JOIN bi ON bi.b = cand.prev1 AND bi.x = cand.x
+        |  LEFT JOIN bip ON bip.b = cand.prev1),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY u ORDER BY score_num DESC, x) AS rk FROM sc)
+        |SELECT u AS user_id, prev2, prev1, rk::BIGINT AS rank, x AS next_item,
+        |  score_num, score_num::DOUBLE / den AS score
+        |FROM r WHERE rk <= 3 ORDER BY 1, 4""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

@@ -1,0 +1,127 @@
+package graft.ingest
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** STREAMING CONSUMPTION of a versioned table's change feed — the
+  * read-side twin of [[Versioned.runStreamAppend]]'s exactly-once sink,
+  * and the incremental form of [[Versioned.changesBetween]]: a consumer
+  * tails the commit log in version-window micro-batches, with the
+  * last-consumed version CHECKPOINTED (temp-then-rename, torn-write
+  * safe) after every processed window. The reference consumes its
+  * table format's change data feed the same way — `readChangeFeed`
+  * from a starting version with streaming offsets tracked per consumer
+  * (spark_utils.py:51–66 ships the writes whose CDF downstream DAGs
+  * tail).
+  *
+  * Delivery contract: AT-LEAST-ONCE at this layer (a crash between
+  * `process` and the offset write re-delivers that window), upgraded
+  * to EXACTLY-ONCE end-to-end by [[mirrorTo]], which lands every
+  * window as a transactionally-tagged idempotent append keyed by the
+  * window's upper version — re-delivery of a processed window is a
+  * no-op at the downstream commit log, the same absorption q219 gates
+  * for the sink side.
+  *
+  * 100 TB posture: a trigger costs one log listing plus
+  * `changesBetween` over ONLY the window's commits (appends scan their
+  * added files; rewrites diff only the rewritten files) — never a
+  * snapshot diff; the offset file is O(1).
+  */
+object ChangeFeed {
+
+  private val mapper = new ObjectMapper()
+
+  /** Last version this checkpoint has fully consumed (0 = nothing). */
+  def lastConsumed(spark: SparkSession, checkpointDir: String): Long = {
+    val p = offsetPath(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+        new java.io.DataInputStream(in)) finally in.close()
+      mapper.readTree(bytes).get("lastVersion").asLong()
+    }
+  }
+
+  /** Tail every change committed after this checkpoint's last-consumed
+    * version, in micro-batches of at most `maxVersionsPerTrigger` log
+    * versions: per trigger, `process(window, fromExclusive, to)` runs
+    * on the window's change rows (the [[Versioned.changesBetween]]
+    * frame: data columns + `_change_type` + `_version`), then the
+    * offset advances ATOMICALLY to `to`. Runs until the head observed
+    * at start is consumed (the bounded AvailableNow shape — callers
+    * loop for continuous tailing). Returns the number of triggers that
+    * fired. */
+  def run(spark: SparkSession, tablePath: String, checkpointDir: String,
+          maxVersionsPerTrigger: Int = Int.MaxValue)
+         (process: (DataFrame, Long, Long) => Unit): Long = {
+    require(maxVersionsPerTrigger >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
+    val head = Versioned.latestVersion(spark, tablePath)
+    var from = lastConsumed(spark, checkpointDir)
+    require(from <= head,
+      s"checkpoint at $checkpointDir is ahead of the table " +
+        s"($from > head $head) — wrong table or truncated log")
+    var triggers = 0L
+    while (from < head) {
+      val to = math.min(from + maxVersionsPerTrigger, head)
+      val window = Versioned.changesBetween(spark, tablePath, from, to)
+      process(window, from, to)
+      writeOffset(spark, checkpointDir, to)
+      from = to
+      triggers += 1
+    }
+    triggers
+  }
+
+  /** Exactly-once MIRROR of the change feed into a downstream
+    * versioned table: each trigger's window lands as ONE
+    * transactionally-tagged append (`txnApp = appId`, `txnBatch` = the
+    * window's upper version), so total re-delivery — a fresh
+    * checkpoint replaying the whole feed — is absorbed window by
+    * window at the downstream commit log instead of duplicating rows.
+    * Empty windows (e.g. an OPTIMIZE rewrite, whose diff cancels) are
+    * skipped: no empty commits. Returns the downstream head version
+    * after the run. */
+  def mirrorTo(spark: SparkSession, tablePath: String, downstreamPath: String,
+               checkpointDir: String, appId: String,
+               maxVersionsPerTrigger: Int = Int.MaxValue): Long = {
+    run(spark, tablePath, checkpointDir, maxVersionsPerTrigger) {
+      (window, _, to) =>
+        // localCheckpoint would be overkill: the window is re-derivable;
+        // idempotentAppend's read is the only materialization
+        if (!window.isEmpty)
+          Versioned.idempotentAppend(window, downstreamPath, appId, to)
+    }
+    Versioned.latestVersion(spark, downstreamPath)
+  }
+
+  private def offsetPath(checkpointDir: String): Path =
+    new Path(checkpointDir, "offset.json")
+
+  /** Atomic offset advance: full write to a temp name, then rename
+    * over the old offset — a reader (or a crashed consumer's restart)
+    * sees either the previous offset or the new one, never a torn
+    * record. */
+  private def writeOffset(spark: SparkSession, checkpointDir: String,
+                          version: Long): Unit = {
+    val p = offsetPath(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val node = mapper.createObjectNode()
+    node.put("lastVersion", version)
+    val tmp = new Path(p.getParent,
+      s".tmp-offset-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    // rename-over-existing: delete the old offset first on filesystems
+    // that refuse an existing destination; the temp file is complete
+    // either way, so the worst crash outcome is the PREVIOUS offset
+    // surviving -> re-delivery, which the idempotent sink absorbs
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not advance offset at $p")
+  }
+}

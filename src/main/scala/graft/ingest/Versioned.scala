@@ -792,6 +792,22 @@ object Versioned {
   def read(spark: SparkSession, path: String): DataFrame =
     readAsOf(spark, path, latestVersion(spark, path))
 
+  /** SQL TIME-TRAVEL surface: register a temp view over the table AS
+    * OF `version` (negative = relative to head: -1 is the previous
+    * version), so the SQL-only persona — the reference's dashboards
+    * speak SQL through a Thrift endpoint (music_analytics.json) — can
+    * query historical versions with plain `SELECT ... FROM <view>`,
+    * no Scala API. The view captures the version's file set at
+    * registration time (a later commit does not move it); re-register
+    * to follow the head. Returns the resolved version. */
+  def registerViewAsOf(spark: SparkSession, path: String, version: Long,
+                       viewName: String): Long = {
+    val head = latestVersion(spark, path)
+    val v = if (version < 0) head + version else version
+    readAsOf(spark, path, v).createOrReplaceTempView(viewName)
+    v
+  }
+
   /** One row per commit: (version, action, n_files, n_rows, add_fp,
     * snapshot_rows, snapshot_fp) — the audit/history surface; metadata
     * only, no data scan. */

@@ -1,0 +1,113 @@
+package graft.recommend
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SEQUENCE-AWARE next-item recommendation — the reference roadmap's
+  * "treat a user's listening history as a sequence ... predict the next
+  * song" (ROADMAP.md:90, Phase 4 "Sequence-Aware Recommendations"),
+  * re-expressed as the exact count-based form that underlies the neural
+  * version: an ORDER-2 MARKOV transition model with additive (Laplace)
+  * smoothing and order-1 backoff, scored in exact integers so ranking
+  * is engine-independent and oracle-replayable.
+  *
+  * Model. Over every user's event sequence (ordered by `ts`, tie-broken
+  * by `eventId` — a total order), count
+  *   c3(a,b,x) = trigrams, c2pre(a,b) = trigram prefixes,
+  *   c2(b,x)   = bigrams,  c1pre(b)  = bigram prefixes,
+  * and with vocabulary size V score each candidate next item x for a
+  * user whose last two items are (a, b):
+  *
+  *   P2(x|a,b) = (c3(a,b,x)+1) / (c2pre(a,b)+V)     smoothed order-2
+  *   P1(x|b)   = (c2(b,x)+1)   / (c1pre(b)+V)       smoothed backoff
+  *   score     = P2 + P1
+  *
+  * Ranking needs only the common-denominator NUMERATOR
+  *   N(x) = (c3+1)·(c1pre+V) + (c2+1)·(c2pre+V)
+  * — an exact BIGINT per (context, candidate) (both factors are bounded
+  * by the transition count; at trillion-event scale swap the products
+  * to DECIMAL(38,0), a type change, not a plan change). Ties break on
+  * item id ascending, the repo-wide T4 convention.
+  *
+  * Plan shape at 100 TB: the sequence windows partition by user (no
+  * global sort); the count tables are map-side-combined aggregates; the
+  * per-user context is one row; candidates come from a CROSS JOIN with
+  * the broadcast item vocabulary (catalog-sized, not corpus-sized) and
+  * the count lookups are broadcast-able dimension joins keyed on the
+  * context — no corpus rescan per user, no driver loop.
+  */
+object NextItem {
+
+  /** Ranked next-item candidates per user: (user, prev2, prev1, rank,
+    * item, score_num, score) — `score_num` the exact integer rank key,
+    * `score` the single-division readable blend. */
+  def nextItems(events: DataFrame, userCol: String, itemCol: String,
+                tsCol: String, tieCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col("u")).orderBy(col("__ts"), col("__tie"))
+    val seq = events.select(col(userCol).as("u"), col(itemCol).as("i0"),
+        col(tsCol).as("__ts"), col(tieCol).as("__tie"))
+      .withColumn("i1", lead(col("i0"), 1).over(w))
+      .withColumn("i2", lead(col("i0"), 2).over(w))
+      .withColumn("__rn_desc",
+        row_number().over(Window.partitionBy(col("u"))
+          .orderBy(col("__ts").desc, col("__tie").desc)))
+
+    // count tables (exact integers, map-side combined)
+    val tri = seq.filter(col("i2").isNotNull)
+      .groupBy(col("i0").as("a"), col("i1").as("b"), col("i2").as("x"))
+      .agg(count(lit(1)).as("c3"))
+    val triPre = seq.filter(col("i2").isNotNull)
+      .groupBy(col("i0").as("a"), col("i1").as("b"))
+      .agg(count(lit(1)).as("c2pre"))
+    val bi = seq.filter(col("i1").isNotNull)
+      .groupBy(col("i0").as("b"), col("i1").as("x"))
+      .agg(count(lit(1)).as("c2"))
+    val biPre = seq.filter(col("i1").isNotNull)
+      .groupBy(col("i0").as("b"))
+      .agg(count(lit(1)).as("c1pre"))
+    val vocab = events.select(col(itemCol).as("x")).filter(col("x").isNotNull)
+      .distinct()
+    val vCount = vocab.count()
+
+    // one context row per user with >= 2 events: (prev2, prev1)
+    val last = seq.filter(col("__rn_desc") === 1)
+      .select(col("u"), col("i0").as("prev1"))
+    val second = seq.filter(col("__rn_desc") === 2)
+      .select(col("u"), col("i0").as("prev2"))
+    val ctx = second.join(last, "u")
+
+    // candidate scoring: broadcast vocabulary + broadcast-able count
+    // lookups keyed on the (small) context set
+    val scored = ctx
+      .crossJoin(broadcast(vocab))
+      .join(tri.withColumnRenamed("a", "prev2").withColumnRenamed("b", "prev1"),
+        Seq("prev2", "prev1", "x"), "left")
+      .join(broadcast(triPre.withColumnRenamed("a", "prev2")
+        .withColumnRenamed("b", "prev1")), Seq("prev2", "prev1"), "left")
+      .join(bi.withColumnRenamed("b", "prev1"), Seq("prev1", "x"), "left")
+      .join(broadcast(biPre.withColumnRenamed("b", "prev1")),
+        Seq("prev1"), "left")
+      .withColumn("score_num",
+        (coalesce(col("c3"), lit(0L)) + 1L) *
+          (coalesce(col("c1pre"), lit(0L)) + vCount) +
+        (coalesce(col("c2"), lit(0L)) + 1L) *
+          (coalesce(col("c2pre"), lit(0L)) + vCount))
+      .withColumn("score_den",
+        (coalesce(col("c2pre"), lit(0L)) + vCount) *
+          (coalesce(col("c1pre"), lit(0L)) + vCount))
+
+    val rank = Window.partitionBy(col("u"))
+      .orderBy(col("score_num").desc, col("x"))
+    scored
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      // one division of the same two exact integers: bit-identical
+      // across engines (selection, not accumulation)
+      .select(col("u").as(userCol), col("prev2"), col("prev1"),
+        col("rank").cast("long").as("rank"), col("x").as("next_item"),
+        col("score_num"),
+        (col("score_num").cast("double") / col("score_den")).as("score"))
+  }
+}

@@ -27,7 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Coreset {
 
-  /** @return (round, vec_id, dist_sq): dist_sq = squared distance to the
+  /** Driver-loop bound: greedy k-center (Gonzalez) is k sequential
+    * farthest-point picks BY CONSTRUCTION — each pick needs the
+    * distance field updated by the previous one — so this runs k
+    * driver round-trips, each fetching ONE max_by row, with lineage
+    * cut by localCheckpoint. k is the CORESET size (hundreds to low
+    * thousands — a sketch of the corpus, chosen for what downstream
+    * training can afford), never corpus-proportional; for
+    * corpus-scale reduction compose with pre-clustering (q186) or
+    * sampling (q136) first.
+    *
+    * @return (round, vec_id, dist_sq): dist_sq = squared distance to the
     *         previously-selected set at pick time (0 for the seed),
     *         rounded to 6 decimals for presentation. Fewer than k rows
     *         when the corpus runs out of distinct candidates.

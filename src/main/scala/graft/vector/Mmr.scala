@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Mmr {
 
-  /** @param lambdaMicro λ in integer micro-units (500000 = 0.5) — the
+  /** Driver-loop bound: greedy MMR is k sequential argmax picks BY
+    * CONSTRUCTION (each pick re-scores against the newly selected
+    * item), so this runs k driver round-trips, each a single max_by
+    * row, with lineage cut by localCheckpoint. k here is a SERVING
+    * parameter — the size of one result page (tens) — not a corpus
+    * knob; re-ranking a million-candidate pool is fine, asking for a
+    * million picks is the wrong operator (use [[Coreset]] sampling or
+    * a plain top-k instead).
+    *
+    * @param lambdaMicro λ in integer micro-units (500000 = 0.5) — the
     *                    relevance/diversity trade-off, kept integral so
     *                    the oracle replays the exact same literal.
     * @return (round, vec_id, mmr_score) for k greedy picks, mmr rounded
