@@ -111,6 +111,12 @@ object SparkEntry {
     p.toString
   }
 
+  /** Exception-chain messages — fail-loud gates assert on the message
+    * of whatever layer Spark wrapped the refusal in. */
+  private def errorChain(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(e =>
+      Option(e.getMessage).toSeq ++ errorChain(e.getCause))
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -3683,6 +3689,136 @@ object SparkEntry {
       graft.recommend.NextItem
         .nextItems(ev, "user_id", "item", "ts", "event_id", k = 3)
         .orderBy(col("user_id"), col("rank"))
+    }),
+
+    // RESTORE as a metadata-only rollback commit (ingest/Versioned
+    // .restore): the restore record is an overwrite whose add-list is
+    // the target version's active file set — zero bytes written, old
+    // files re-referenced, the bad version still readable, the change
+    // feed across the restore = exactly the inverse of what the bad
+    // commit did, and every version (including the restored head)
+    // replays fingerprint-certified.
+    "q228_restore" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q228") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1), tbl)
+      // the "bad deploy": a corrupting upsert
+      Versioned.upsert(s, tbl, orders.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("cents", col("cents") + 100L), Seq("o_orderkey"))
+      Versioned.restore(s, tbl, 2L)
+      versionedReport(s, tbl)
+    }),
+
+    // CHECK constraints as table metadata (ingest/Versioned
+    // .addConstraint): the quality gate the reference expresses in
+    // Great Expectations suites, enforced by the storage layer — a
+    // violating append/upsert is refused INSIDE the commit's digest
+    // scan (zero extra passes) before its data becomes visible;
+    // current content is validated when the constraint lands; NULL
+    // passes (SQL-standard). The gate appends a conforming slice,
+    // proves the violating slice was refused (head unchanged, content
+    // certified), and reports per-action tallies.
+    "q229_check_constraint" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q229") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0), tbl)
+      Versioned.addConstraint(s, tbl, "cents_pos", "cents >= 0")
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1), tbl)
+      val refused =
+        try { Versioned.append(orders.filter(col("o_orderkey") % 3 === 2)
+          .withColumn("cents", col("cents") - 100000000L), tbl); false }
+        catch { case e: Throwable =>
+          errorChain(e).exists(_.contains("cents_pos")) }
+      val head = Versioned.latestVersion(s, tbl)
+      import s.implicits._
+      val inv = broadcast(Seq((refused, head,
+          Versioned.constraints(s, tbl).map(_._1).mkString(",")))
+        .toDF("violation_refused", "head_version", "active_constraints"))
+      Versioned.read(s, tbl)
+        .groupBy(pmod(col("o_orderkey"), lit(3L)).as("slice"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+        .orderBy(col("slice"))
+    }),
+
+    // RETENTION VACUUM with a persisted time-travel horizon
+    // (ingest/Versioned.vacuumVersions): files needed only by versions
+    // older than the retained window are physically deleted, reads
+    // below the horizon refuse LOUDLY instead of crashing on missing
+    // files, history metadata survives, and the retained versions
+    // still replay certified. Deterministic file accounting via
+    // coalesce(1) per commit.
+    "q230_retention_vacuum" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      val tbl = scratch("q230") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 4 === 0).coalesce(1), tbl)
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 4 === 1).coalesce(1), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") % 4 === 2).coalesce(1), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") % 4 === 3).coalesce(1), tbl)
+      val (deleted, horizon) = Versioned.vacuumVersions(s, tbl, retainLast = 3)
+      val belowRefused =
+        try { Versioned.readAsOf(s, tbl, 1L); false }
+        catch { case e: Throwable =>
+          errorChain(e).exists(_.contains("retention-vacuumed")) }
+      import s.implicits._
+      val certifiedAll = (horizon to 4L).forall { v =>
+        val (n, fp) = Versioned.archivedFingerprint(s, tbl, v)
+        val asOf = Versioned.readAsOf(s, tbl, v)
+        val r = asOf.agg(count(lit(1)),
+          coalesce(sum(Fingerprint.rowDigest(
+            asOf.schema.fieldNames.toSeq.map(col))), lit(0L))).head()
+        r.getLong(0) == n && r.getLong(1) == fp
+      }
+      val inv = broadcast(Seq((deleted, horizon, belowRefused, certifiedAll,
+          Versioned.history(s, tbl).count()))
+        .toDF("n_files_deleted", "horizon", "below_horizon_refused",
+          "retained_certified", "n_history_rows"))
+      Versioned.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+    }),
+
+    // SHALLOW CLONE (ingest/Versioned.cloneShallow): a zero-copy table
+    // whose v1 references the source head's files in place (absolute
+    // add-paths, zone maps carried re-keyed, totals inherited —
+    // certified from birth). The clone then DIVERGES: an upsert on the
+    // clone rewrites only the clone's reference, the source keeps its
+    // original rows, and a source-side append never leaks into the
+    // clone. The experiment-branch move at O(1 log record) cost.
+    "q231_shallow_clone" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      val base = scratch("q231")
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0), src)
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1), src)
+      Versioned.cloneShallow(s, src, dst)
+      // divergence on both sides
+      Versioned.upsert(s, dst, orders.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("cents", col("cents") + 100L), Seq("o_orderkey"))
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 2), src)
+      import s.implicits._
+      def tally(path: String, tag: String) = {
+        val head = Versioned.latestVersion(s, path)
+        val (n, fp) = Versioned.archivedFingerprint(s, path, head)
+        val df = Versioned.read(s, path)
+        val r = df.agg(count(lit(1)).as("n"),
+          sum(Fingerprint.rowDigest(Seq(col("o_orderkey"), col("o_custkey"),
+            col("cents")))).as("fp"), sum(col("cents")).as("sc")).head()
+        (tag, r.getLong(0), r.getLong(2), r.getLong(0) == n && r.getLong(1) == fp)
+      }
+      Seq(tally(dst, "clone"), tally(src, "source"))
+        .toDF("side", "n_rows", "cents_sum", "matches_archived")
+        .orderBy(col("side"))
     }),
 
     "q215_ann_index_append" -> ((s, dir) => {
@@ -7670,6 +7806,66 @@ object SparkEntry {
         |SELECT u AS user_id, prev2, prev1, rk::BIGINT AS rank, x AS next_item,
         |  score_num, score_num::DOUBLE / den AS score
         |FROM r WHERE rk <= 3 ORDER BY 1, 4""".stripMargin,
+
+    // v1/v2 the slices, v3 the corrupting upsert, v4 the restore — v4's
+    // content is literally v2's, digested under the same 3-field schema
+    "q228_restore" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |u AS (
+        |  SELECT 1 AS version, k, c, cents FROM o WHERE k % 3 = 0
+        |  UNION ALL SELECT 2, k, c, cents FROM o WHERE k % 3 IN (0, 1)
+        |  UNION ALL SELECT 3, k, c,
+        |      CASE WHEN k % 9 = 0 THEN cents + 100 ELSE cents END
+        |    FROM o WHERE k % 3 IN (0, 1)
+        |  UNION ALL SELECT 4, k, c, cents FROM o WHERE k % 3 IN (0, 1)),
+        |enc AS (SELECT version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM u)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // slice 2's violating append was refused (boolean Spark-verified,
+    // head stays at v3 = overwrite + alter + conforming append); the
+    // surviving content tallies per slice
+    "q229_check_constraint" ->
+      """SELECT (o_orderkey % 3)::BIGINT AS slice, count(*)::BIGINT AS n_rows,
+        |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents_sum,
+        |  true AS violation_refused, 3::BIGINT AS head_version,
+        |  'cents_pos' AS active_constraints
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // horizon = head - retainLast + 1 = 2; only v1's file is dead (v2's
+    // overwrite file stays active through v4); below-horizon refusal,
+    // retained certification and history survival Spark-verified
+    "q230_retention_vacuum" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents_sum,
+        |  1::BIGINT AS n_files_deleted, 2::BIGINT AS horizon,
+        |  true AS below_horizon_refused, true AS retained_certified,
+        |  4::BIGINT AS n_history_rows
+        |FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)""".stripMargin,
+
+    // clone head carries the clone-side upsert; source head carries its
+    // own later append and NOT the clone's change — full divergence
+    "q231_shallow_clone" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT 'clone' AS side, count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN k % 9 = 0 THEN cents + 100 ELSE cents END)::BIGINT
+        |    AS cents_sum,
+        |  true AS matches_archived
+        |FROM o WHERE k % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 'source', count(*)::BIGINT, sum(cents)::BIGINT, true FROM o
+        |ORDER BY side""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

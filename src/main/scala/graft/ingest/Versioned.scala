@@ -59,7 +59,9 @@ object Versioned {
                           remove: Seq[String] = Nil,
                           txn: Option[(String, Long)] = None,
                           stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-                          partitionCols: Seq[String] = Nil)
+                          partitionCols: Seq[String] = Nil,
+                          constraintAdd: Option[(String, String)] = None,
+                          constraintDrop: Option[String] = None)
 
   final val LogDir = "_graft_log"
 
@@ -158,20 +160,27 @@ object Versioned {
     val ordered = df.select(evolved.fieldNames.toSeq.map(col): _*)
     val pcols = head.partitionCols
 
+    val cons = constraintsOf(fs, root, head.version)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
     writeData(ordered, dataDir, pcols)
     val files = listDataFiles(fs, dataDir, dataDirName)
     val (nRows, addFp, stats) =
-      digestDir(spark, dataDir, dataDirName, evolved, pcols)
+      try digestDir(spark, dataDir, dataDirName, evolved, pcols, cons)
+      catch { case e: Throwable => fs.delete(dataDir, true); throw e }
 
     var attempt = 0
     while (attempt < maxRetries) {
       val h = latestCommit(fs, root).get
-      // a CONCURRENT evolution would make this commit's precomputed
-      // schema stale (it was derived from the head at planning time) —
-      // fail loudly like the COW rewrites do
+      // a CONCURRENT evolution (or constraint change) would make this
+      // commit's precomputed schema / validation stale — fail loudly
+      // like the COW rewrites do
+      if (constraintsOf(fs, root, h.version) != cons) {
+        fs.delete(dataDir, true)
+        throw new java.util.ConcurrentModificationException(
+          s"appendEvolve at $path: constraints changed concurrently — restage")
+      }
       if (h.schemaJson != head.schemaJson) {
         fs.delete(dataDir, true)
         throw new java.util.ConcurrentModificationException(
@@ -297,6 +306,7 @@ object Versioned {
                             maxRetries: Int = 20,
                             requireContentPreserved: Boolean = false): Commit = {
     val pcols = head.partitionCols
+    val cons = constraintsOf(fs, root, head.version)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
@@ -304,7 +314,8 @@ object Versioned {
     val files = listDataFiles(fs, dataDir, dataDirName)
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     val (addRows, addFp, stats) =
-      digestDir(spark, dataDir, dataDirName, schema, pcols)
+      try digestDir(spark, dataDir, dataDirName, schema, pcols, cons)
+      catch { case e: Throwable => fs.delete(dataDir, true); throw e }
     val (remRows, remFp) = digestFiles(spark, root, removed, schema, pcols)
     if (requireContentPreserved &&
         (addRows != remRows || addFp != remFp)) {
@@ -331,6 +342,7 @@ object Versioned {
       val conflict = intervening.find { ic =>
         ic.action == "overwrite" || ic.schemaJson != head.schemaJson ||
           ic.partitionCols != pcols ||
+          ic.constraintAdd.nonEmpty || ic.constraintDrop.nonEmpty ||
           ic.remove.exists(removedSet.contains)
       }
       conflict.foreach { ic =>
@@ -427,6 +439,11 @@ object Versioned {
       case _ => df0
     }
 
+    // active CHECK constraints at stage time — enforced inside the
+    // digest scan; the claim loop re-verifies the set did not change
+    val cons = latestCommit(fs, root)
+      .map(h => constraintsOf(fs, root, h.version)).getOrElse(Nil)
+
     // 1. data first: immutable, invisible until a log record points at it
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
@@ -434,9 +451,11 @@ object Versioned {
     writeData(df, dataDir, partitionCols)
     val files = listDataFiles(fs, dataDir, dataDirName)
     // one scan of the ADDED rows: exact count + additive content digest
-    // + per-file zone-map stats (see digestDir)
+    // + per-file zone-map stats + CHECK constraint enforcement (see
+    // digestDir); a failed check deletes the staging before rethrowing
     val (nRows, addFp, stats) =
-      digestDir(spark, dataDir, dataDirName, df.schema, partitionCols)
+      try digestDir(spark, dataDir, dataDirName, df.schema, partitionCols, cons)
+      catch { case e: Throwable => fs.delete(dataDir, true); throw e }
 
     // 2. claim loop: validate against the CURRENT head, try to create
     // the next version's record exclusively, retry on loss
@@ -466,6 +485,18 @@ object Versioned {
                 s"[${h.partitionCols.mkString(", ")}], append staged " +
                 s"[${partitionCols.mkString(", ")}]")
           }
+        }
+        // the staged data was validated against the constraint set read
+        // at stage time — a concurrently added/dropped constraint makes
+        // that validation stale (checkpointing the constraint set would
+        // make this O(tail); O(commits) record reads is fine here)
+        val cur = constraintsOf(fs, root, h.version)
+        if (cur != cons) {
+          fs.delete(dataDir, true)
+          throw new java.util.ConcurrentModificationException(
+            s"constraints at $path changed concurrently " +
+              s"(staged against ${cons.map(_._1)}, head has " +
+              s"${cur.map(_._1)}) — restage")
         }
       }
       val version = head.map(_.version).getOrElse(0L) + 1L
@@ -514,6 +545,10 @@ object Versioned {
     val versions = listVersions(fs, root)
     require(versions.contains(version),
       s"version $version does not exist at $path (have: ${versions.mkString(", ")})")
+    val hz = readHorizon(fs, root)
+    require(version >= hz,
+      s"version $version at $path was retention-vacuumed " +
+        s"(time-travel horizon is $hz) — its data files are gone")
     val ckpt = listCheckpoints(fs, root).filter(_ <= version).lastOption
       .map(v => readCheckpoint(fs, root, v))
     val base = ckpt.map(_._2).getOrElse(Seq.empty[String])
@@ -603,9 +638,17 @@ object Versioned {
     val rootQ = fs.makeQualified(root).toString
     val dataSchema = StructType(
       schema.fields.filterNot(f => partitionCols.contains(f.name)))
+    // __rel must reproduce the commit record's add-entry for every row's
+    // file: root-relative for the table's own d-* dirs, SCHEME-LESS
+    // ABSOLUTE for foreign files (shallow-clone references) — string
+    // equality against add/remove entries is what COW planning and the
+    // active-set fold rely on
+    val fpCol = expr("_metadata.file_path")
     var df = spark.read.schema(dataSchema).parquet(paths: _*)
       .withColumn("__rel",
-        expr(s"substring(_metadata.file_path, ${rootQ.length + 2})"))
+        when(fpCol.startsWith(rootQ + "/"),
+          fpCol.substr(lit(rootQ.length + 2), lit(Int.MaxValue)))
+          .otherwise(regexp_replace(fpCol, "^[a-z][a-zA-Z0-9+.-]*:", "")))
     partitionCols.foreach { c =>
       val f = schema.find(_.name == c).get
       val raw = regexp_extract(col("__rel"), s"(?:^|/)$c=([^/]+)/", 1)
@@ -628,16 +671,27 @@ object Versioned {
     * layout-independent. The per-file partials fold to the totals on
     * the driver — bounded by the commit's file count. */
   private def digestDir(spark: SparkSession, dataDir: Path, dataDirName: String,
-                        schema: StructType, partitionCols: Seq[String] = Nil)
+                        schema: StructType, partitionCols: Seq[String] = Nil,
+                        constraints: Seq[(String, String)] = Nil)
       : (Long, Long, Map[String, Map[String, (Long, Long)]]) = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val statCols = schema.fields
       .filter(f => f.dataType == LongType || f.dataType == IntegerType)
       .map(_.name).toSeq
+    // CHECK constraints ride the digest scan — zero extra passes: a row
+    // whose predicate is FALSE (SQL-standard semantics: NULL passes)
+    // fails the staging task loudly BEFORE the data can become visible
+    val checkAggs = constraints.zipWithIndex.map { case ((n, p), i) =>
+      sum(when(coalesce(expr(p), lit(true)) === false,
+        raise_error(lit(s"CHECK constraint `$n` violated: ($p) is false " +
+          "for a staged row — commit refused"))).otherwise(lit(0L)))
+        .as(s"__ck$i")
+    }
     val aggs = Seq(count(lit(1)).as("__n"),
       coalesce(sum(Fingerprint.rowDigest(schema.fieldNames.toSeq.map(col))),
         lit(0L)).as("__fp")) ++
-      statCols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+      statCols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) ++
+      checkAggs
     val root = dataDir.getParent
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = listDataFiles(fs, dataDir, dataDirName)
@@ -732,6 +786,10 @@ object Versioned {
     require(versions.contains(toVersion) &&
       (fromVersion == 0L || versions.contains(fromVersion)),
       s"version range ($fromVersion, $toVersion] not in log at $path")
+    val hz = readHorizon(fs, root)
+    require(fromVersion >= hz || (fromVersion == 0L && hz == 0L),
+      s"change feed from v$fromVersion at $path crosses the retention " +
+        s"horizon ($hz) — those versions' files are gone")
     val parts = versions.filter(v => v > fromVersion && v <= toVersion).map { v =>
       val c = readCommit(fs, root, v)
       val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
@@ -740,7 +798,7 @@ object Versioned {
         readFilesDF(spark, root, files, s, pcols)
       val added = readFiles(c.add, schema, c.partitionCols)
       val (ins, del) = c.action match {
-        case "append" =>
+        case "append" | "alter" => // alter: metadata only, no content change
           (added, readFiles(Nil, schema, c.partitionCols))
         case "rewrite" =>
           val removed = readFiles(c.remove, schema, c.partitionCols)
@@ -868,6 +926,234 @@ object Versioned {
     val out = fs.create(p, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
     v
+  }
+
+  // ---------- constraints / restore / clone / retention ----------
+
+  /** Active CHECK constraints as of `version`, insertion-ordered:
+    * (name, SQL predicate). Folded from the records — constraints
+    * survive overwrites (table property, not content). */
+  def constraints(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listVersions(fs, root).lastOption
+      .map(v => constraintsOf(fs, root, v)).getOrElse(Nil)
+  }
+
+  private def constraintsOf(fs: FileSystem, root: Path,
+                            version: Long): Seq[(String, String)] =
+    listVersions(fs, root).filter(_ <= version)
+      .map(v => readCommit(fs, root, v))
+      .foldLeft(Vector.empty[(String, String)]) { (acc, c) =>
+        val a = c.constraintAdd.map(acc :+ _).getOrElse(acc)
+        c.constraintDrop.map(d => a.filterNot(_._1 == d)).getOrElse(a)
+      }
+
+  /** ADD a CHECK constraint as a metadata commit (action="alter", no
+    * data): from this version on, every append/upsert/overwrite must
+    * satisfy `predicateSql` on every staged row (SQL-standard
+    * semantics: FALSE violates, NULL passes) — enforcement rides the
+    * commit's digest scan, zero extra passes, and a violating commit
+    * is refused BEFORE its data becomes visible (staging deleted).
+    * The CURRENT table content must already satisfy the constraint
+    * (one validation scan here, re-run on every claim retry — the
+    * content may have moved). The quality-gate-at-the-table-boundary
+    * the reference's Great Expectations suites express
+    * (great_expectations/ in the reference repo), enforced by the
+    * storage layer itself. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    predicateSql: String, maxRetries: Int = 20): Commit = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name `$name` must match [A-Za-z0-9_]+")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestCommit(fs, root).getOrElse(
+        throw new IllegalStateException(s"no commits at $path"))
+      val existing = constraintsOf(fs, root, head.version)
+      require(!existing.exists(_._1 == name),
+        s"constraint `$name` already exists at $path")
+      // current content must conform — otherwise the table could never
+      // be rewritten under its own rules
+      val bad = readAsOf(spark, path, head.version)
+        .filter(coalesce(expr(predicateSql), lit(true)) === false)
+        .limit(1).count()
+      require(bad == 0L,
+        s"cannot add CHECK constraint `$name` at $path: existing rows " +
+          s"violate ($predicateSql)")
+      val c = Commit(head.version + 1L, "alter", Nil, head.schemaJson,
+        0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
+        head.partitionCols, Some((name, predicateSql)), None)
+      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      attempt += 1 // lost the race: revalidate against the new head
+    }
+    throw new IllegalStateException(
+      s"addConstraint at $path lost the version race $maxRetries times")
+  }
+
+  /** DROP a CHECK constraint (metadata commit). */
+  def dropConstraint(spark: SparkSession, path: String, name: String,
+                     maxRetries: Int = 20): Commit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestCommit(fs, root).getOrElse(
+        throw new IllegalStateException(s"no commits at $path"))
+      require(constraintsOf(fs, root, head.version).exists(_._1 == name),
+        s"constraint `$name` does not exist at $path")
+      val c = Commit(head.version + 1L, "alter", Nil, head.schemaJson,
+        0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
+        head.partitionCols, None, Some(name))
+      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"dropConstraint at $path lost the version race $maxRetries times")
+  }
+
+  /** RESTORE the table to the content of `toVersion` as a NEW commit —
+    * a metadata-only rollback: the restore record is an overwrite
+    * whose add-list is `toVersion`'s active file set, so NO data is
+    * written or copied, old files are simply re-referenced (their
+    * archived zone-map stats keep working — the stats lookup spans all
+    * records), the bad versions stay readable for forensics, and the
+    * change feed across the restore shows exactly the rows that came
+    * back / vanished (the overwrite diff). The roll-back-a-bad-deploy
+    * move at O(1 log record) cost, whatever the table size. */
+  def restore(spark: SparkSession, path: String, toVersion: Long,
+              maxRetries: Int = 20): Commit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (active, _, _) = activeAt(fs, root, path, toVersion)
+    val tc = readCommit(fs, root, toVersion)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestCommit(fs, root).get
+      // the restored content must satisfy constraints added AFTER
+      // toVersion — a rollback is not a constraint bypass
+      val cons = constraintsOf(fs, root, head.version)
+      if (cons.nonEmpty) {
+        val old = readAsOf(spark, path, toVersion)
+        cons.foreach { case (n, p) =>
+          require(old.filter(coalesce(expr(p), lit(true)) === false)
+              .limit(1).count() == 0L,
+            s"restore of $path to v$toVersion violates CHECK " +
+              s"constraint `$n` ($p) added since")
+        }
+      }
+      val c = Commit(head.version + 1L, "overwrite", active, tc.schemaJson,
+        tc.snapshotRows, tc.snapshotFp, tc.snapshotRows, tc.snapshotFp,
+        Nil, None, Map.empty, tc.partitionCols)
+      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"restore of $path lost the version race $maxRetries times")
+  }
+
+  /** SHALLOW CLONE: a new table at `dstPath` whose v1 references the
+    * source head's data files IN PLACE (scheme-less absolute add-paths
+    * — zero bytes copied, zone-map stats carried over re-keyed, totals
+    * inherited so the clone is certified from birth). The clone then
+    * evolves independently: its appends/rewrites write under its own
+    * root and never touch source files (COW removes only drop the
+    * reference). Caveats, same as the reference format's shallow
+    * clones: retention-vacuuming the SOURCE can delete files a clone
+    * still references (track clones operationally), and constraints
+    * are NOT copied (re-add on the clone if wanted). The
+    * zero-copy dev-snapshot / experiment-branch move. */
+  def cloneShallow(spark: SparkSession, srcPath: String,
+                   dstPath: String): Commit = {
+    val src = new Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = latestCommit(fs, src).getOrElse(
+      throw new IllegalStateException(s"no commits at $srcPath"))
+    val (active, _, _) = activeAt(fs, src, srcPath, head.version)
+    val srcQ = fs.makeQualified(src)
+    def absolute(f: String): String = new Path(srcQ, f).toUri.getPath
+    val abs = active.map(absolute)
+    // carry the active files' archived zone maps, re-keyed to the
+    // absolute paths the clone's records use
+    val activeSet = active.toSet
+    val stats = listVersions(fs, src).filter(_ <= head.version)
+      .flatMap(v => readCommit(fs, src, v).stats)
+      .filter { case (f, _) => activeSet.contains(f) }
+      .map { case (f, s) => absolute(f) -> s }.toMap
+    val dst = new Path(dstPath)
+    val dstFs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(listVersions(dstFs, dst).isEmpty,
+      s"cloneShallow destination $dstPath already has commits")
+    val c = Commit(1L, "overwrite", abs, head.schemaJson,
+      head.snapshotRows, head.snapshotFp, head.snapshotRows, head.snapshotFp,
+      Nil, None, stats, head.partitionCols)
+    if (!atomicCreate(dstFs, recordPath(dst, 1L), render(c)))
+      throw new java.util.ConcurrentModificationException(
+        s"cloneShallow lost the v1 claim at $dstPath")
+    c
+  }
+
+  /** RETENTION VACUUM: physically delete data files needed ONLY by
+    * versions older than the last `retainLast` — the storage-reclaim
+    * counterpart of [[vacuum]]'s orphan sweep. Sets the table's
+    * TIME-TRAVEL HORIZON (persisted in the log dir, temp-then-rename):
+    * reads, restores and change feeds below it fail loudly instead of
+    * hitting missing files; records are never deleted, so history/
+    * audit metadata survives. Foreign (absolute, shallow-clone) file
+    * references are never deleted — only files under this table's own
+    * root. Returns (files deleted, new horizon). Caller contract, as
+    * with [[vacuum]]: no writer mid-commit. */
+  def vacuumVersions(spark: SparkSession, path: String,
+                     retainLast: Int): (Long, Long) = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, root)
+    if (versions.isEmpty) return (0L, 0L)
+    val head = versions.last
+    val horizon = math.max(readHorizon(fs, root),
+      math.max(1L, head - retainLast + 1L))
+    val retained = versions.filter(_ >= horizon)
+    val needed = retained.flatMap(v => activeAt(fs, root, path, v)._1).toSet
+    val candidates = versions.map(v => readCommit(fs, root, v))
+      .flatMap(_.add)
+      .filter(f => !f.startsWith("/")) // never delete foreign clone refs
+      .filterNot(needed.contains).distinct
+    var deleted = 0L
+    candidates.foreach { f =>
+      val p = new Path(root, f)
+      if (fs.exists(p) && fs.delete(p, false)) deleted += 1
+    }
+    writeHorizon(fs, root, horizon)
+    (deleted, horizon)
+  }
+
+  private def horizonPath(root: Path): Path =
+    new Path(new Path(root, LogDir), "horizon")
+
+  private def readHorizon(fs: FileSystem, root: Path): Long = {
+    val p = horizonPath(root)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+        new java.io.DataInputStream(in)) finally in.close()
+      mapper.readTree(bytes).get("horizon").asLong()
+    }
+  }
+
+  private def writeHorizon(fs: FileSystem, root: Path, h: Long): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("horizon", h)
+    val p = horizonPath(root)
+    val tmp = new Path(p.getParent,
+      s".tmp-horizon-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not persist vacuum horizon at $p")
   }
 
   /** Delete data directories referenced by NO commit record — the
@@ -1019,12 +1305,15 @@ object Versioned {
     val pcols = Option(t.get("partitionCols"))
       .map(p => (0 until p.size()).map(i => p.get(i).asText()).toSeq)
       .getOrElse(Nil)
+    val cAdd = Option(t.get("constraintAddName"))
+      .map(n => (n.asText(), t.get("constraintAddExpr").asText()))
+    val cDrop = Option(t.get("constraintDrop")).map(_.asText())
     Commit(
       t.get("version").asLong(), t.get("action").asText(),
       (0 until t.get("add").size()).map(i => t.get("add").get(i).asText()),
       t.get("schema").asText(), t.get("nRows").asLong(),
       t.get("addFp").asLong(), t.get("snapshotRows").asLong(),
-      t.get("snapshotFp").asLong(), rem, txn, stats, pcols)
+      t.get("snapshotFp").asLong(), rem, txn, stats, pcols, cAdd, cDrop)
   }
 
   private def render(c: Commit): Array[Byte] = {
@@ -1054,6 +1343,9 @@ object Versioned {
       val pc = node.putArray("partitionCols")
       c.partitionCols.foreach(pc.add)
     }
+    c.constraintAdd.foreach { case (n, e) =>
+      node.put("constraintAddName", n); node.put("constraintAddExpr", e) }
+    c.constraintDrop.foreach(node.put("constraintDrop", _))
     mapper.writeValueAsBytes(node)
   }
 
