@@ -3821,6 +3821,112 @@ object SparkEntry {
         .orderBy(col("side"))
     }),
 
+    // REAL Structured Streaming SOURCE over a versioned table
+    // (sources/VersionedSource): `spark.readStream.format(...)` with
+    // COMMIT VERSIONS as offsets — getBatch returns ordinary parquet
+    // scans over exactly the window's files (vectorized reader +
+    // codegen stay in the hot path; the deliberate V1-Source design),
+    // and because the log is immutable a checkpointed window always
+    // re-materializes identically, giving the file sink exactly-once.
+    // The gate streams three append commits, appends a fourth, resumes
+    // from the SAME checkpoint (only the new commit flows), and pins
+    // the sink content + the exactly-once invariant.
+    "q232_versioned_stream_source" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      import org.apache.spark.sql.streaming.Trigger
+      val base = scratch("q232")
+      val tbl = s"$base/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      (0 to 2).foreach(m => Versioned.append(
+        orders.filter(col("o_orderkey") % 4 === m), tbl))
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft.sources.VersionedSource").load(tbl)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      Versioned.append(orders.filter(col("o_orderkey") % 4 === 3), tbl)
+      runOnce() // resume: ONLY the new commit streams
+      val sink = s.read.parquet(s"$base/out")
+      import s.implicits._
+      val inv = broadcast(Seq((sink.count() == Versioned.read(s, tbl).count()))
+        .toDF("exactly_once"))
+      sink.groupBy(pmod(col("o_orderkey"), lit(4L)).as("slice"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+        .orderBy(col("slice"))
+    }),
+
+    // CDF MODE of the streaming source (readChangeFeed=true): exact
+    // row-level delete+insert pairs stream through; each version
+    // window is materialized once under the stream's metadata dir (the
+    // lazily-computed equivalent of the reference format's CDC files)
+    // so recovery re-delivers byte-identical rows and the streaming
+    // plan stays a plain scan. A second run from the same checkpoint
+    // emits nothing (pinned by the exactly-once boolean).
+    "q233_cdf_stream_source" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      import org.apache.spark.sql.streaming.Trigger
+      val base = scratch("q233")
+      val tbl = s"$base/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 0), tbl)
+      Versioned.upsert(s, tbl, orders.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("cents", col("cents") + 100L), Seq("o_orderkey"))
+      Versioned.deleteWhere(s, tbl, col("cents") % 10 < 2)
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft.sources.VersionedSource")
+          .option("readChangeFeed", "true").load(tbl)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      val n1 = s.read.parquet(s"$base/out").count()
+      runOnce() // caught up: nothing new may land
+      val sink = s.read.parquet(s"$base/out")
+      import s.implicits._
+      val inv = broadcast(Seq((sink.count() == n1)).toDF("exactly_once"))
+      sink.groupBy(col("_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
+          sum(Fingerprint.rowDigest(Seq(col("o_orderkey"), col("o_custkey"),
+            col("cents")))).as("fp"))
+        .crossJoin(inv)
+        .orderBy(col("version"), col("change_type"))
+    }),
+
+    // Partition-scoped OPTIMIZE (ingest/Versioned.optimize where=...):
+    // compact ONE partition of a hive-partitioned versioned table —
+    // only yr=1997's files are rewritten (2 in, from the two commits;
+    // 1 out), every other file stays shared with every version, and
+    // the content certification + time travel hold as in q223.
+    "q234_optimize_where" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q234") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0).coalesce(1),
+        tbl, partitionBy = Seq("yr"))
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1).coalesce(1), tbl)
+      val c = Versioned.optimize(s, tbl, numFiles = 1, sortBy = Seq("cents"),
+        where = Some(v => v("yr").contains("1997"))).get
+      import s.implicits._
+      val inv = broadcast(Seq((c.remove.size.toLong, c.add.size.toLong,
+          c.remove.forall(_.contains("yr=1997")) &&
+            c.add.forall(_.contains("yr=1997"))))
+        .toDF("n_files_removed", "n_files_added", "scoped_to_partition"))
+      versionedReport(s, tbl).crossJoin(inv)
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -7866,6 +7972,66 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'source', count(*)::BIGINT, sum(cents)::BIGINT, true FROM o
         |ORDER BY side""".stripMargin,
+
+    // every slice streamed exactly once across the two checkpointed
+    // runs (the resume boolean is Spark-verified)
+    "q232_versioned_stream_source" ->
+      """SELECT (o_orderkey % 4)::BIGINT AS slice, count(*)::BIGINT AS n_rows,
+        |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents_sum,
+        |  true AS exactly_once
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the CDF multiset read back from the STREAM's sink: v1 inserts the
+    // slice, v2 pairs the upsert, v3 deletes the victims ((cents+100) %
+    // 10 = cents % 10); second run from the same checkpoint adds nothing
+    "q233_cdf_stream_source" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |ch AS (
+        |  SELECT 1 AS version, 'insert' AS change_type, k, c, cents
+        |    FROM o WHERE k % 3 = 0
+        |  UNION ALL SELECT 2, 'delete', k, c, cents FROM o WHERE k % 9 = 0
+        |  UNION ALL SELECT 2, 'insert', k, c, cents + 100 FROM o WHERE k % 9 = 0
+        |  UNION ALL SELECT 3, 'delete', k, c, cents
+        |    FROM o WHERE k % 3 = 0 AND k % 9 <> 0 AND cents % 10 < 2
+        |  UNION ALL SELECT 3, 'delete', k, c, cents + 100
+        |    FROM o WHERE k % 9 = 0 AND cents % 10 < 2),
+        |enc AS (SELECT version, change_type, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM ch)
+        |SELECT version::BIGINT AS version, change_type,
+        |  count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents_sum,
+        |  sum(h)::BIGINT AS fp, true AS exactly_once
+        |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // v3 (the scoped optimize) is content-identical to v2; the file
+    // accounting is deterministic (coalesce(1) per commit = one file
+    // per year per commit -> 2 removed, 1 added for yr=1997)
+    "q234_optimize_where" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents,
+        |    year(o_orderdate)::BIGINT AS yr FROM orders),
+        |u AS (
+        |  SELECT 1 AS version, k, c, cents, yr FROM o WHERE k % 3 = 0
+        |  UNION ALL SELECT 2, k, c, cents, yr FROM o WHERE k % 3 IN (0, 1)
+        |  UNION ALL SELECT 3, k, c, cents, yr FROM o WHERE k % 3 IN (0, 1)),
+        |enc AS (SELECT version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR || chr(1) ||
+        |      length(yr::VARCHAR)::VARCHAR || ':' || yr::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM u)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents, 2::BIGINT AS n_files_removed,
+        |  1::BIGINT AS n_files_added, true AS scoped_to_partition
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

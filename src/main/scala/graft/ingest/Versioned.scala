@@ -850,6 +850,28 @@ object Versioned {
   def read(spark: SparkSession, path: String): DataFrame =
     readAsOf(spark, path, latestVersion(spark, path))
 
+  /** The commit records in `(fromVersion, toVersion]` — metadata only,
+    * horizon-checked (the streaming source's window planner). */
+  def commitsBetween(spark: SparkSession, path: String,
+                     fromVersion: Long, toVersion: Long): Seq[Commit] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hz = readHorizon(fs, root)
+    require(fromVersion >= hz || (fromVersion == 0L && hz == 0L),
+      s"commit window from v$fromVersion at $path crosses the retention " +
+        s"horizon ($hz)")
+    listVersions(fs, root).filter(v => v > fromVersion && v <= toVersion)
+      .map(v => readCommit(fs, root, v))
+  }
+
+  /** One commit's ADDED rows as a frame — the files the record added,
+    * under the record's archived schema and layout. */
+  def readCommitAdds(spark: SparkSession, path: String, c: Commit): DataFrame = {
+    val root = new Path(path)
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    readFilesDF(spark, root, c.add, schema, c.partitionCols)
+  }
+
   /** SQL TIME-TRAVEL surface: register a temp view over the table AS
     * OF `version` (negative = relative to head: -1 is the previous
     * version), so the SQL-only persona — the reference's dashboards
@@ -1199,11 +1221,17 @@ object Versioned {
     * files, no shuffle). At 100 TB the rewrite cost is O(active data)
     * once — amortized against every later pruned read — and on a
     * partitioned table the hive layout is preserved per partition.
-    * Returns None on an empty table. */
+    * `where` scopes the rewrite to the files whose PARTITION VALUES
+    * match (the OPTIMIZE-WHERE move: compact yesterday's partition
+    * while the rest of a 100 TB table is untouched — the rewrite cost
+    * is O(matching partitions), and non-matching files stay shared
+    * with every version). Returns None on an empty selection. */
   def optimize(spark: SparkSession, path: String, numFiles: Int,
                sortBy: Seq[String] = Nil,
                zorderBy: Option[(String, String)] = None,
-               zBits: Int = 16): Option[Commit] = {
+               zBits: Int = 16,
+               where: Option[Map[String, Option[String]] => Boolean] = None)
+      : Option[Commit] = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "give sortBy OR zorderBy, not both")
@@ -1211,7 +1239,14 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = latestCommit(fs, root).getOrElse(
       throw new IllegalStateException(s"no commits at $path"))
-    val (active, schema, pcols) = activeAt(fs, root, path, head.version)
+    val (allActive, schema, pcols) = activeAt(fs, root, path, head.version)
+    val active = where match {
+      case None => allActive
+      case Some(keep) =>
+        require(pcols.nonEmpty,
+          s"optimize(where=...) needs a partitioned table; $path is not")
+        allActive.filter(f => keep(partitionValuesOf(f, pcols)))
+    }
     if (active.isEmpty) return None
     val cur = readFilesDF(spark, root, active, schema, pcols)
     val laid = zorderBy match {
