@@ -3927,6 +3927,31 @@ object SparkEntry {
       versionedReport(s, tbl).crossJoin(inv)
     }),
 
+    // MERGE-ON-READ deletes via position deletion vectors
+    // (ingest/Versioned.deleteWhereMoR): the write-cheap delete — the
+    // matching rows' (file, position) pairs land in a dv file and
+    // every reader anti-joins them in-scan; NO data file is rewritten
+    // (pinned: both delete commits add zero files). Two deletes
+    // accumulate, snapshot totals subtract the deleted digests (every
+    // version replays certified THROUGH the vectors), and a final
+    // OPTIMIZE purges the vectors into clean files with content
+    // identity certified at commit time.
+    "q235_mor_delete" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q235") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders, tbl)
+      val c2 = Versioned.deleteWhereMoR(s, tbl, col("cents") % 10 < 2).get
+      val c3 = Versioned.deleteWhereMoR(s, tbl, col("o_orderkey") % 7 === 0).get
+      Versioned.optimize(s, tbl, numFiles = 4)
+      import s.implicits._
+      val inv = broadcast(Seq((c2.add.isEmpty && c3.add.isEmpty &&
+          c2.dv.nonEmpty && c3.dv.nonEmpty))
+        .toDF("mor_rewrote_nothing"))
+      versionedReport(s, tbl).crossJoin(inv)
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -8031,6 +8056,30 @@ object SparkEntry {
         |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
         |  sum(cents)::BIGINT AS sum_cents, 2::BIGINT AS n_files_removed,
         |  1::BIGINT AS n_files_added, true AS scoped_to_partition
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // v1 everything; v2 minus cents%10<2; v3 additionally minus k%7=0;
+    // v4 (the optimize purge) identical to v3 — digested literally
+    "q235_mor_delete" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |u AS (
+        |  SELECT 1 AS version, k, c, cents FROM o
+        |  UNION ALL SELECT 2, k, c, cents FROM o WHERE NOT (cents % 10 < 2)
+        |  UNION ALL SELECT 3, k, c, cents FROM o
+        |    WHERE NOT (cents % 10 < 2) AND k % 7 <> 0
+        |  UNION ALL SELECT 4, k, c, cents FROM o
+        |    WHERE NOT (cents % 10 < 2) AND k % 7 <> 0),
+        |enc AS (SELECT version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM u)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents, true AS mor_rewrote_nothing
         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see

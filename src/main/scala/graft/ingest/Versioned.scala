@@ -61,7 +61,8 @@ object Versioned {
                           stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                           partitionCols: Seq[String] = Nil,
                           constraintAdd: Option[(String, String)] = None,
-                          constraintDrop: Option[String] = None)
+                          constraintDrop: Option[String] = None,
+                          dv: Seq[String] = Nil)
 
   final val LogDir = "_graft_log"
 
@@ -189,8 +190,8 @@ object Versioned {
       }
       // the epoch recompute: prior content digested under the EVOLVED
       // schema (missing columns read as null -> the 'N' sentinel)
-      val (prevActive, _, _) = activeAt(fs, root, path, h.version)
-      val pr = digestFiles(spark, root, prevActive, evolved, pcols)
+      val (prevActive, _, _, prevDvs) = activeAt(fs, root, path, h.version)
+      val pr = digestFiles(spark, root, prevActive, evolved, pcols, prevDvs)
       val c = Commit(h.version + 1L, "append", files, evolved.json, nRows,
         addFp, pr._1 + nRows, pr._2 + addFp, Nil, None, stats, pcols)
       if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
@@ -223,6 +224,79 @@ object Versioned {
     val survivors = cur
       .filter(col("__file").isin(affected: _*)).filter(!pred).drop("__file")
     Some(rewriteCommit(spark, root, fs, head, survivors, affected))
+  }
+
+  /** Row-level DELETE as a MERGE-ON-READ commit — the write-cheap
+    * twin of the copy-on-write [[deleteWhere]]: instead of rewriting
+    * every affected file, the matching rows' POSITIONS land in a
+    * position-delete file (`dv-<uuid>/`, rows of (file_rel, pos) —
+    * the deletion-vector design the reference's table format and
+    * Iceberg v2 use) and every reader anti-joins them inside the same
+    * scan. At 100 TB this turns "delete one user from 10k hot files"
+    * from a 10k-file rewrite into an O(matched rows) write — the read
+    * side pays one (usually broadcast) anti-join until a later
+    * OPTIMIZE/compaction rewrites the files clean. Snapshot totals
+    * stay exactly certified: the commit subtracts the deleted rows'
+    * digests (computed on the same planning scan). Returns None when
+    * nothing matches. Concurrency: conflicts with any intervening
+    * overwrite/schema/layout/constraint change, rewrite touching a
+    * covered file, or ANY other MoR delete (two DVs could cover the
+    * same position and double-subtract — disjointness is not worth
+    * proving); disjoint appends and rewrites retry through. */
+  def deleteWhereMoR(spark: SparkSession, path: String,
+                     pred: org.apache.spark.sql.Column): Option[Commit] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = latestCommit(fs, root).getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val (active, schema, pcols, dvs) = activeAt(fs, root, path, head.version)
+    // the LIVE view (existing DVs already applied), keyed by (file, pos)
+    val matched = readFilesDF(spark, root, active, schema, pcols,
+      withRelCol = true, dvFiles = dvs, withPosCol = true).filter(pred)
+    matched.cache()
+    try {
+      val r = matched.agg(count(lit(1)).as("n"),
+        coalesce(sum(Fingerprint.rowDigest(
+          schema.fieldNames.toSeq.map(col))), lit(0L)).as("fp")).head()
+      val (delRows, delFp) = (r.getLong(0), r.getLong(1))
+      if (delRows == 0L) return None
+      val covered = matched.select(col("__rel")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val dvDirName = s"dv-$uuid"
+      val dvDir = new Path(root, dvDirName)
+      matched.select(col("__rel").as("file_rel"), col("__pos").as("pos"))
+        .write.parquet(dvDir.toString)
+      val dvFiles = listDataFiles(fs, dvDir, dvDirName)
+      var base = head
+      var attempt = 0
+      while (attempt < 20) {
+        val c = Commit(base.version + 1L, "delete_mor", Nil, head.schemaJson,
+          0L, 0L, base.snapshotRows - delRows, base.snapshotFp - delFp,
+          Nil, None, Map.empty, pcols, None, None, dvFiles)
+        if (atomicCreate(fs, recordPath(root, c.version), render(c))) return Some(c)
+        val newHead = latestCommit(fs, root).get
+        val intervening = (base.version + 1L to newHead.version)
+          .map(v => readCommit(fs, root, v))
+        val conflict = intervening.find { ic =>
+          ic.action == "overwrite" || ic.action == "delete_mor" ||
+            ic.schemaJson != head.schemaJson || ic.partitionCols != pcols ||
+            ic.constraintAdd.nonEmpty || ic.constraintDrop.nonEmpty ||
+            ic.remove.exists(covered.contains)
+        }
+        conflict.foreach { ic =>
+          fs.delete(dvDir, true)
+          throw new java.util.ConcurrentModificationException(
+            s"MoR delete at $path planned against v${head.version} conflicts " +
+              s"with concurrent v${ic.version} (${ic.action}) — re-plan")
+        }
+        base = newHead
+        attempt += 1
+      }
+      fs.delete(dvDir, true)
+      throw new IllegalStateException(
+        s"MoR delete at $path lost the version race 20 times")
+    } finally matched.unpersist()
   }
 
   /** Row-level UPSERT (merge) as a copy-on-write commit: rows of
@@ -265,9 +339,9 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = latestCommit(fs, root).getOrElse(
       throw new IllegalStateException(s"no commits at $path"))
-    val (active, schema, pcols) = activeAt(fs, root, path, head.version)
+    val (active, schema, pcols, dvs) = activeAt(fs, root, path, head.version)
     val cur = readFilesDF(spark, root, active, schema, pcols,
-        withRelCol = true)
+        withRelCol = true, dvFiles = dvs)
       .withColumnRenamed("__rel", "__file")
     (head, cur, root, fs)
   }
@@ -275,11 +349,14 @@ object Versioned {
   /** (row count, additive digest) of a root-relative file set under
     * `schema` — one scan. */
   private def digestFiles(spark: SparkSession, root: Path, files: Seq[String],
-                          schema: StructType,
-                          partitionCols: Seq[String]): (Long, Long) =
+                          schema: StructType, partitionCols: Seq[String],
+                          dvFiles: Seq[String] = Nil): (Long, Long) =
     if (files.isEmpty) (0L, 0L)
     else {
-      val r = readFilesDF(spark, root, files, schema, partitionCols)
+      // dvFiles: the files' LIVE contribution (raw minus position
+      // deletes) — what the snapshot totals actually carry for them
+      val r = readFilesDF(spark, root, files, schema, partitionCols,
+          dvFiles = dvFiles)
         .agg(count(lit(1)).as("n"),
           coalesce(sum(Fingerprint.rowDigest(
             schema.fieldNames.toSeq.map(col))), lit(0L)).as("fp")).head()
@@ -316,7 +393,9 @@ object Versioned {
     val (addRows, addFp, stats) =
       try digestDir(spark, dataDir, dataDirName, schema, pcols, cons)
       catch { case e: Throwable => fs.delete(dataDir, true); throw e }
-    val (remRows, remFp) = digestFiles(spark, root, removed, schema, pcols)
+    val (_, _, _, headDvs) = activeAt(fs, root, root.toString, head.version)
+    val (remRows, remFp) =
+      digestFiles(spark, root, removed, schema, pcols, headDvs)
     if (requireContentPreserved &&
         (addRows != remRows || addFp != remFp)) {
       fs.delete(dataDir, true)
@@ -340,7 +419,11 @@ object Versioned {
       val intervening = (base.version + 1L to newHead.version)
         .map(v => readCommit(fs, root, v))
       val conflict = intervening.find { ic =>
-        ic.action == "overwrite" || ic.schemaJson != head.schemaJson ||
+        // delete_mor: its positions may cover this rewrite's planned
+        // files — the survivors were computed before the delete and
+        // would resurrect the deleted rows; always conservative-abort
+        ic.action == "overwrite" || ic.action == "delete_mor" ||
+          ic.schemaJson != head.schemaJson ||
           ic.partitionCols != pcols ||
           ic.constraintAdd.nonEmpty || ic.constraintDrop.nonEmpty ||
           ic.remove.exists(removedSet.contains)
@@ -533,15 +616,15 @@ object Versioned {
   def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (active, schema, pcols) = activeAt(fs, root, path, version)
-    readFilesDF(spark, root, active, schema, pcols)
+    val (active, schema, pcols, dvs) = activeAt(fs, root, path, version)
+    readFilesDF(spark, root, active, schema, pcols, dvFiles = dvs)
   }
 
-  /** Replayed (active files, schema, partition columns) at `version` —
-    * from the newest checkpoint at or before it plus the tail records
-    * after. */
-  private def activeAt(fs: FileSystem, root: Path, path: String,
-                       version: Long): (Seq[String], StructType, Seq[String]) = {
+  /** Replayed (active files, schema, partition columns, accumulated
+    * deletion-vector files) at `version` — from the newest checkpoint
+    * at or before it plus the tail records after. */
+  private def activeAt(fs: FileSystem, root: Path, path: String, version: Long)
+      : (Seq[String], StructType, Seq[String], Seq[String]) = {
     val versions = listVersions(fs, root)
     require(versions.contains(version),
       s"version $version does not exist at $path (have: ${versions.mkString(", ")})")
@@ -559,12 +642,20 @@ object Versioned {
       if (c.action == "overwrite") c.add
       else acc.filterNot(c.remove.toSet) ++ c.add
     }
+    // deletion vectors accumulate; an overwrite RESETS the set to its
+    // own record's list (empty for a plain overwrite — a restore
+    // carries the target version's accumulated list, so rolled-back
+    // MoR deletes stay applied)
+    val dvBase = ckpt.map(_._5).getOrElse(Seq.empty[String])
+    val dvs = commits.foldLeft(dvBase) { (acc, c) =>
+      if (c.action == "overwrite") c.dv else acc ++ c.dv
+    }
     val schemaJson = commits.lastOption.map(_.schemaJson)
       .orElse(ckpt.map(_._3))
       .getOrElse(throw new IllegalStateException(s"no schema at $path v$version"))
     val pcols = commits.lastOption.map(_.partitionCols)
       .orElse(ckpt.map(_._4)).getOrElse(Nil)
-    (active, DataType.fromJson(schemaJson).asInstanceOf[StructType], pcols)
+    (active, DataType.fromJson(schemaJson).asInstanceOf[StructType], pcols, dvs)
   }
 
   /** Stage `df` under `dataDir` — hive partition layout when
@@ -624,12 +715,16 @@ object Versioned {
     * one uniform frame. */
   private def readFilesDF(spark: SparkSession, root: Path, files: Seq[String],
                           schema: StructType, partitionCols: Seq[String],
-                          withRelCol: Boolean = false): DataFrame = {
+                          withRelCol: Boolean = false,
+                          dvFiles: Seq[String] = Nil,
+                          withPosCol: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.StringType
-    val outSchema =
-      if (withRelCol) StructType(schema.fields :+
-        org.apache.spark.sql.types.StructField("__rel", StringType))
-      else schema
+    val extra =
+      (if (withRelCol) Seq(org.apache.spark.sql.types.StructField("__rel", StringType))
+       else Nil) ++
+      (if (withPosCol) Seq(org.apache.spark.sql.types.StructField("__pos",
+        org.apache.spark.sql.types.LongType)) else Nil)
+    val outSchema = StructType(schema.fields ++ extra)
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
@@ -641,14 +736,18 @@ object Versioned {
     // __rel must reproduce the commit record's add-entry for every row's
     // file: root-relative for the table's own d-* dirs, SCHEME-LESS
     // ABSOLUTE for foreign files (shallow-clone references) — string
-    // equality against add/remove entries is what COW planning and the
-    // active-set fold rely on
+    // equality against add/remove entries is what COW planning, the
+    // active-set fold and DELETION-VECTOR keys rely on. __pos is the
+    // row's ordinal within its file (parquet `_metadata.row_index`, the
+    // position-delete key — stable because parquet scans preserve
+    // in-file row order per row group and the index offsets globally).
     val fpCol = expr("_metadata.file_path")
     var df = spark.read.schema(dataSchema).parquet(paths: _*)
       .withColumn("__rel",
         when(fpCol.startsWith(rootQ + "/"),
           fpCol.substr(lit(rootQ.length + 2), lit(Int.MaxValue)))
           .otherwise(regexp_replace(fpCol, "^[a-z][a-zA-Z0-9+.-]*:", "")))
+      .withColumn("__pos", expr("_metadata.row_index"))
     partitionCols.foreach { c =>
       val f = schema.find(_.name == c).get
       val raw = regexp_extract(col("__rel"), s"(?:^|/)$c=([^/]+)/", 1)
@@ -658,6 +757,17 @@ object Versioned {
             lit("hive-escaped partition value in "), col("__rel"),
             lit(" — unsupported (restrict values to [A-Za-z0-9._ :-])"))))
           .otherwise(raw).cast(f.dataType))
+    }
+    // MERGE-ON-READ: anti-join the accumulated position deletes. The
+    // DV frame is (file_rel, pos) — usually tiny next to the data, so
+    // AQE broadcasts it; stale entries (files no longer active) match
+    // nothing and are harmless by construction.
+    if (dvFiles.nonEmpty) {
+      val dv = spark.read.schema("file_rel STRING, pos LONG")
+        .parquet(dvFiles.map(f => new Path(root, f).toString): _*)
+      df = df.join(dv,
+        df("__rel") === dv("file_rel") && df("__pos") === dv("pos"),
+        "left_anti")
     }
     df.select(outSchema.fieldNames.toSeq.map(col): _*)
   }
@@ -730,7 +840,7 @@ object Versioned {
     require(lo <= hi, s"need lo <= hi, got $lo > $hi")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (active, schema, pcols) = activeAt(fs, root, path, version)
+    val (active, schema, pcols, dvs) = activeAt(fs, root, path, version)
     // stats lookup across every record <= version (records are always
     // retained; checkpoints only short-circuit the ACTIVE-SET replay)
     val stats = listVersions(fs, root).filter(_ <= version)
@@ -741,7 +851,8 @@ object Versioned {
         case None => true // unknown stats -> conservative scan
       }
     }
-    (readFilesDF(spark, root, kept, schema, pcols), kept.size, active.size)
+    (readFilesDF(spark, root, kept, schema, pcols, dvFiles = dvs),
+      kept.size, active.size)
   }
 
   /** [[readAsOf]] with PARTITION PRUNING decided entirely from LOG
@@ -757,11 +868,12 @@ object Versioned {
       : (DataFrame, Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (active, schema, pcols) = activeAt(fs, root, path, version)
+    val (active, schema, pcols, dvs) = activeAt(fs, root, path, version)
     require(pcols.nonEmpty,
       s"table at $path is not partitioned as of v$version")
     val kept = active.filter(f => keep(partitionValuesOf(f, pcols)))
-    (readFilesDF(spark, root, kept, schema, pcols), kept.size, active.size)
+    (readFilesDF(spark, root, kept, schema, pcols, dvFiles = dvs),
+      kept.size, active.size)
   }
 
   /** Row-level CHANGE FEED over `(fromVersion, toVersion]` — the
@@ -796,20 +908,43 @@ object Versioned {
       def readFiles(files: Seq[String], s: StructType,
                     pcols: Seq[String]): DataFrame =
         readFilesDF(spark, root, files, s, pcols)
-      val added = readFiles(c.add, schema, c.partitionCols)
+      // a restore record carries the target version's deletion vectors:
+      // its content is the files MINUS those positions
+      val added = readFilesDF(spark, root, c.add, schema, c.partitionCols,
+        dvFiles = c.dv)
       val (ins, del) = c.action match {
         case "append" | "alter" => // alter: metadata only, no content change
           (added, readFiles(Nil, schema, c.partitionCols))
+        case "delete_mor" =>
+          // deleted rows = THIS commit's position-delete entries joined
+          // back to their files (the covered file list is O(files))
+          val dvDf = spark.read.schema("file_rel STRING, pos LONG")
+            .parquet(c.dv.map(f => new Path(root, f).toString): _*)
+          val covered = dvDf.select("file_rel").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          val raw = readFilesDF(spark, root, covered, schema,
+            c.partitionCols, withRelCol = true, withPosCol = true)
+          val deleted = raw.join(dvDf,
+              raw("__rel") === dvDf("file_rel") && raw("__pos") === dvDf("pos"),
+              "left_semi")
+            .drop("__rel", "__pos")
+          (readFiles(Nil, schema, c.partitionCols), deleted)
         case "rewrite" =>
-          val removed = readFiles(c.remove, schema, c.partitionCols)
+          // the removed side's LIVE rows: raw content minus the
+          // deletion vectors in force at v-1 (rows a MoR delete already
+          // removed must not resurface as rewrite-deletes)
+          val (_, _, _, prevDvs) = activeAt(fs, root, path, v - 1)
+          val removed = readFilesDF(spark, root, c.remove, schema,
+            c.partitionCols, dvFiles = prevDvs)
           (added.exceptAll(removed), removed.exceptAll(added))
         case _ => // overwrite: diff full before/after content
           val (before, after) =
             if (v == 1L) (readFiles(Nil, schema, c.partitionCols), added)
             else {
-              val (prevActive, prevSchema, prevPcols) =
+              val (prevActive, prevSchema, prevPcols, prevDvs) =
                 activeAt(fs, root, path, v - 1)
-              val b = readFiles(prevActive, prevSchema, prevPcols)
+              val b = readFilesDF(spark, root, prevActive, prevSchema,
+                prevPcols, dvFiles = prevDvs)
               // ALIGN BY NAME across a schema epoch: exceptAll resolves
               // positionally, so an overwrite that changed arity would
               // throw and one that reordered columns would diff wrongly.
@@ -932,6 +1067,9 @@ object Versioned {
       if (c.action == "overwrite") c.add
       else acc.filterNot(c.remove.toSet) ++ c.add
     }
+    val dvs = commits.foldLeft(Seq.empty[String]) { (acc, c) =>
+      if (c.action == "overwrite") c.dv else acc ++ c.dv
+    }
     val last = commits.last
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -942,6 +1080,8 @@ object Versioned {
     node.put("snapshotFp", last.snapshotFp)
     val pc = node.putArray("partitionCols")
     last.partitionCols.foreach(pc.add)
+    val dvArr = node.putArray("dv")
+    dvs.foreach(dvArr.add)
     val p = ckptPath(root, v)
     // overwrite-create: two racing checkpointers at the same version
     // write identical content, so last-writer-wins is safe
@@ -1048,7 +1188,7 @@ object Versioned {
               maxRetries: Int = 20): Commit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (active, _, _) = activeAt(fs, root, path, toVersion)
+    val (active, _, _, dvs) = activeAt(fs, root, path, toVersion)
     val tc = readCommit(fs, root, toVersion)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1067,7 +1207,7 @@ object Versioned {
       }
       val c = Commit(head.version + 1L, "overwrite", active, tc.schemaJson,
         tc.snapshotRows, tc.snapshotFp, tc.snapshotRows, tc.snapshotFp,
-        Nil, None, Map.empty, tc.partitionCols)
+        Nil, None, Map.empty, tc.partitionCols, None, None, dvs)
       if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
       attempt += 1
     }
@@ -1092,7 +1232,7 @@ object Versioned {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = latestCommit(fs, src).getOrElse(
       throw new IllegalStateException(s"no commits at $srcPath"))
-    val (active, _, _) = activeAt(fs, src, srcPath, head.version)
+    val (active, _, _, srcDvs) = activeAt(fs, src, srcPath, head.version)
     val srcQ = fs.makeQualified(src)
     def absolute(f: String): String = new Path(srcQ, f).toUri.getPath
     val abs = active.map(absolute)
@@ -1109,7 +1249,7 @@ object Versioned {
       s"cloneShallow destination $dstPath already has commits")
     val c = Commit(1L, "overwrite", abs, head.schemaJson,
       head.snapshotRows, head.snapshotFp, head.snapshotRows, head.snapshotFp,
-      Nil, None, stats, head.partitionCols)
+      Nil, None, stats, head.partitionCols, None, None, srcDvs.map(absolute))
     if (!atomicCreate(dstFs, recordPath(dst, 1L), render(c)))
       throw new java.util.ConcurrentModificationException(
         s"cloneShallow lost the v1 claim at $dstPath")
@@ -1137,9 +1277,12 @@ object Versioned {
     val horizon = math.max(readHorizon(fs, root),
       math.max(1L, head - retainLast + 1L))
     val retained = versions.filter(_ >= horizon)
-    val needed = retained.flatMap(v => activeAt(fs, root, path, v)._1).toSet
+    val needed = retained.flatMap { v =>
+      val a = activeAt(fs, root, path, v)
+      a._1 ++ a._4 // data files AND deletion vectors still in force
+    }.toSet
     val candidates = versions.map(v => readCommit(fs, root, v))
-      .flatMap(_.add)
+      .flatMap(c => c.add ++ c.dv)
       .filter(f => !f.startsWith("/")) // never delete foreign clone refs
       .filterNot(needed.contains).distinct
     var deleted = 0L
@@ -1188,10 +1331,12 @@ object Versioned {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val referenced = listVersions(fs, root)
-      .flatMap(v => readCommit(fs, root, v).add)
+      .flatMap { v => val c = readCommit(fs, root, v); c.add ++ c.dv }
       .map(_.split("/").head).toSet
     val orphans = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-") &&
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("d-") ||
+          s.getPath.getName.startsWith("dv-")) &&
         !referenced.contains(s.getPath.getName))
       .map(_.getPath)
     orphans.foreach(p => fs.delete(p, true))
@@ -1239,7 +1384,7 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = latestCommit(fs, root).getOrElse(
       throw new IllegalStateException(s"no commits at $path"))
-    val (allActive, schema, pcols) = activeAt(fs, root, path, head.version)
+    val (allActive, schema, pcols, dvs) = activeAt(fs, root, path, head.version)
     val active = where match {
       case None => allActive
       case Some(keep) =>
@@ -1248,7 +1393,7 @@ object Versioned {
         allActive.filter(f => keep(partitionValuesOf(f, pcols)))
     }
     if (active.isEmpty) return None
-    val cur = readFilesDF(spark, root, active, schema, pcols)
+    val cur = readFilesDF(spark, root, active, schema, pcols, dvFiles = dvs)
     val laid = zorderBy match {
       case Some((x, y)) =>
         // domain-checked like Ingest.checkedZ: an out-of-range value
@@ -1291,10 +1436,10 @@ object Versioned {
       .map(n => n.stripPrefix("ckpt-").stripSuffix(".json").toLong).sorted
   }
 
-  /** (version, active files, schema json, partition cols) of a stored
-    * checkpoint. */
+  /** (version, active files, schema json, partition cols, accumulated
+    * deletion vectors) of a stored checkpoint. */
   private def readCheckpoint(fs: FileSystem, root: Path, version: Long)
-      : (Long, Seq[String], String, Seq[String]) = {
+      : (Long, Seq[String], String, Seq[String], Seq[String]) = {
     val in = fs.open(ckptPath(root, version))
     val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
       new java.io.DataInputStream(in)) finally in.close()
@@ -1302,9 +1447,12 @@ object Versioned {
     val pcols = Option(t.get("partitionCols"))
       .map(p => (0 until p.size()).map(i => p.get(i).asText()).toSeq)
       .getOrElse(Nil)
+    val dvs = Option(t.get("dv"))
+      .map(d => (0 until d.size()).map(i => d.get(i).asText()).toSeq)
+      .getOrElse(Nil)
     (t.get("version").asLong(),
       (0 until t.get("active").size()).map(i => t.get("active").get(i).asText()),
-      t.get("schema").asText(), pcols)
+      t.get("schema").asText(), pcols, dvs)
   }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
@@ -1343,12 +1491,15 @@ object Versioned {
     val cAdd = Option(t.get("constraintAddName"))
       .map(n => (n.asText(), t.get("constraintAddExpr").asText()))
     val cDrop = Option(t.get("constraintDrop")).map(_.asText())
+    val dv = Option(t.get("dv"))
+      .map(d => (0 until d.size()).map(i => d.get(i).asText()).toSeq)
+      .getOrElse(Nil)
     Commit(
       t.get("version").asLong(), t.get("action").asText(),
       (0 until t.get("add").size()).map(i => t.get("add").get(i).asText()),
       t.get("schema").asText(), t.get("nRows").asLong(),
       t.get("addFp").asLong(), t.get("snapshotRows").asLong(),
-      t.get("snapshotFp").asLong(), rem, txn, stats, pcols, cAdd, cDrop)
+      t.get("snapshotFp").asLong(), rem, txn, stats, pcols, cAdd, cDrop, dv)
   }
 
   private def render(c: Commit): Array[Byte] = {
@@ -1381,6 +1532,10 @@ object Versioned {
     c.constraintAdd.foreach { case (n, e) =>
       node.put("constraintAddName", n); node.put("constraintAddExpr", e) }
     c.constraintDrop.foreach(node.put("constraintDrop", _))
+    if (c.dv.nonEmpty) {
+      val d = node.putArray("dv")
+      c.dv.foreach(d.add)
+    }
     mapper.writeValueAsBytes(node)
   }
 
