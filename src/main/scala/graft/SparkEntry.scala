@@ -3952,6 +3952,46 @@ object SparkEntry {
       versionedReport(s, tbl).crossJoin(inv)
     }),
 
+    // MERGE-ON-READ upsert (ingest/Versioned.upsertMoR) — the
+    // steady-state CDC-apply path: matched keys are tombstoned by a
+    // position-delete vector and every update row lands as appended
+    // files, in ONE commit — O(updates + matched rows) whatever the
+    // number of files the keys touch (a COW merge would rewrite every
+    // hot file per batch). The gate pins the change multiset (matched
+    // old rows out, all updates in), the no-rewrite invariant, and the
+    // certification of both versions through the vectors.
+    "q236_mor_upsert" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      val tbl = scratch("q236") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 <= 1), tbl)
+      val updates = orders.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("cents", col("cents") + 100L)
+        .unionByName(orders.filter(col("o_orderkey") % 3 === 2 &&
+          col("o_orderkey") % 5 === 0))
+      val c = Versioned.upsertMoR(s, tbl, updates, Seq("o_orderkey"))
+      import s.implicits._
+      def cert(v: Long): Boolean = {
+        val (n, fp) = Versioned.archivedFingerprint(s, tbl, v)
+        val r = Versioned.readAsOf(s, tbl, v).agg(count(lit(1)),
+          sum(Fingerprint.rowDigest(Seq(col("o_orderkey"), col("o_custkey"),
+            col("cents"))))).head()
+        r.getLong(0) == n && r.getLong(1) == fp
+      }
+      val inv = broadcast(Seq((c.add.nonEmpty && c.dv.nonEmpty &&
+          c.remove.isEmpty, cert(1L) && cert(2L)))
+        .toDF("rewrote_nothing", "certified"))
+      Versioned.changesBetween(s, tbl, 0L, 2L)
+        .groupBy(col("_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
+          sum(Fingerprint.rowDigest(Seq(col("o_orderkey"), col("o_custkey"),
+            col("cents")))).as("fp"))
+        .crossJoin(inv)
+        .orderBy(col("version"), col("change_type"))
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -8081,6 +8121,31 @@ object SparkEntry {
         |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
         |  sum(cents)::BIGINT AS sum_cents, true AS mor_rewrote_nothing
         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // v1 inserts its slices; the MoR upsert deletes the matched keys'
+    // old rows (k%9=0, all inside v1) and inserts EVERY update row
+    // (bumped matches + the new k%3=2∧k%5=0 keys)
+    "q236_mor_upsert" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |ch AS (
+        |  SELECT 1 AS version, 'insert' AS change_type, k, c, cents
+        |    FROM o WHERE k % 3 <= 1
+        |  UNION ALL SELECT 2, 'delete', k, c, cents FROM o WHERE k % 9 = 0
+        |  UNION ALL SELECT 2, 'insert', k, c, cents + 100 FROM o WHERE k % 9 = 0
+        |  UNION ALL SELECT 2, 'insert', k, c, cents
+        |    FROM o WHERE k % 3 = 2 AND k % 5 = 0),
+        |enc AS (SELECT version, change_type, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM ch)
+        |SELECT version::BIGINT AS version, change_type,
+        |  count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents_sum,
+        |  sum(h)::BIGINT AS fp, true AS rewrote_nothing, true AS certified
+        |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

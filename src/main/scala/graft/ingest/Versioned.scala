@@ -280,6 +280,7 @@ object Versioned {
           .map(v => readCommit(fs, root, v))
         val conflict = intervening.find { ic =>
           ic.action == "overwrite" || ic.action == "delete_mor" ||
+            ic.action == "upsert_mor" ||
             ic.schemaJson != head.schemaJson || ic.partitionCols != pcols ||
             ic.constraintAdd.nonEmpty || ic.constraintDrop.nonEmpty ||
             ic.remove.exists(covered.contains)
@@ -296,6 +297,94 @@ object Versioned {
       fs.delete(dvDir, true)
       throw new IllegalStateException(
         s"MoR delete at $path lost the version race 20 times")
+    } finally matched.unpersist()
+  }
+
+  /** Row-level UPSERT as a MERGE-ON-READ commit — [[deleteWhereMoR]]'s
+    * twin for [[upsert]]: matched current rows are tombstoned by a
+    * position-delete vector and ALL of `updates` lands as ordinary
+    * appended files, in ONE commit (action `upsert_mor`, carrying both
+    * `add` and `dv`). Cost is O(updates + matched rows) regardless of
+    * how many files the matched keys touch — the steady-state CDC-apply
+    * path at 100 TB, where a COW merge would rewrite every hot file on
+    * every batch; readers pay the same in-scan anti-join until OPTIMIZE
+    * purges. Totals stay digest-certified (subtract matched, add
+    * staged). Same conflict rules as [[deleteWhereMoR]]. */
+  def upsertMoR(spark: SparkSession, path: String, updates: DataFrame,
+                keyCols: Seq[String]): Commit = {
+    require(keyCols.nonEmpty, "upsertMoR needs at least one key column")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = latestCommit(fs, root).getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    require(orderedFields(headSchema).toMap == orderedFields(updates.schema).toMap,
+      s"upsertMoR schema mismatch at $path v${head.version}")
+    val upd = updates.select(headSchema.fieldNames.toSeq.map(col): _*)
+    val (active, schema, pcols, dvs) = activeAt(fs, root, path, head.version)
+    val cons = constraintsOf(fs, root, head.version)
+    val keys = upd.select(keyCols.map(col): _*).distinct()
+    val matched = readFilesDF(spark, root, active, schema, pcols,
+        withRelCol = true, dvFiles = dvs, withPosCol = true)
+      .join(broadcast(keys), keyCols, "left_semi")
+    matched.cache()
+    try {
+      val r = matched.agg(count(lit(1)).as("n"),
+        coalesce(sum(Fingerprint.rowDigest(
+          schema.fieldNames.toSeq.map(col))), lit(0L)).as("fp")).head()
+      val (delRows, delFp) = (r.getLong(0), r.getLong(1))
+      val covered = matched.select(col("__rel")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      // stage the tombstones and the new rows
+      val dvDirName = s"dv-$uuid"
+      val dvDir = new Path(root, dvDirName)
+      val dvFiles =
+        if (delRows == 0L) Nil
+        else {
+          matched.select(col("__rel").as("file_rel"), col("__pos").as("pos"))
+            .write.parquet(dvDir.toString)
+          listDataFiles(fs, dvDir, dvDirName)
+        }
+      val dataDirName = s"d-$uuid"
+      val dataDir = new Path(root, dataDirName)
+      writeData(upd, dataDir, pcols)
+      val files = listDataFiles(fs, dataDir, dataDirName)
+      val (addRows, addFp, stats) =
+        try digestDir(spark, dataDir, dataDirName, schema, pcols, cons)
+        catch { case e: Throwable =>
+          fs.delete(dataDir, true); fs.delete(dvDir, true); throw e }
+      var base = head
+      var attempt = 0
+      while (attempt < 20) {
+        val c = Commit(base.version + 1L, "upsert_mor", files, head.schemaJson,
+          addRows, addFp,
+          base.snapshotRows - delRows + addRows,
+          base.snapshotFp - delFp + addFp,
+          Nil, None, stats, pcols, None, None, dvFiles)
+        if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+        val newHead = latestCommit(fs, root).get
+        val intervening = (base.version + 1L to newHead.version)
+          .map(v => readCommit(fs, root, v))
+        val conflict = intervening.find { ic =>
+          ic.action == "overwrite" || ic.action == "delete_mor" ||
+            ic.action == "upsert_mor" ||
+            ic.schemaJson != head.schemaJson || ic.partitionCols != pcols ||
+            ic.constraintAdd.nonEmpty || ic.constraintDrop.nonEmpty ||
+            ic.remove.exists(covered.contains)
+        }
+        conflict.foreach { ic =>
+          fs.delete(dataDir, true); fs.delete(dvDir, true)
+          throw new java.util.ConcurrentModificationException(
+            s"MoR upsert at $path planned against v${head.version} conflicts " +
+              s"with concurrent v${ic.version} (${ic.action}) — re-plan")
+        }
+        base = newHead
+        attempt += 1
+      }
+      fs.delete(dataDir, true); fs.delete(dvDir, true)
+      throw new IllegalStateException(
+        s"MoR upsert at $path lost the version race 20 times")
     } finally matched.unpersist()
   }
 
@@ -423,6 +512,7 @@ object Versioned {
         // files — the survivors were computed before the delete and
         // would resurrect the deleted rows; always conservative-abort
         ic.action == "overwrite" || ic.action == "delete_mor" ||
+          ic.action == "upsert_mor" ||
           ic.schemaJson != head.schemaJson ||
           ic.partitionCols != pcols ||
           ic.constraintAdd.nonEmpty || ic.constraintDrop.nonEmpty ||
@@ -915,20 +1005,28 @@ object Versioned {
       val (ins, del) = c.action match {
         case "append" | "alter" => // alter: metadata only, no content change
           (added, readFiles(Nil, schema, c.partitionCols))
-        case "delete_mor" =>
+        case "delete_mor" | "upsert_mor" =>
           // deleted rows = THIS commit's position-delete entries joined
-          // back to their files (the covered file list is O(files))
-          val dvDf = spark.read.schema("file_rel STRING, pos LONG")
-            .parquet(c.dv.map(f => new Path(root, f).toString): _*)
-          val covered = dvDf.select("file_rel").distinct()
-            .collect().map(_.getString(0)).toSeq.sorted
-          val raw = readFilesDF(spark, root, covered, schema,
-            c.partitionCols, withRelCol = true, withPosCol = true)
-          val deleted = raw.join(dvDf,
-              raw("__rel") === dvDf("file_rel") && raw("__pos") === dvDf("pos"),
-              "left_semi")
-            .drop("__rel", "__pos")
-          (readFiles(Nil, schema, c.partitionCols), deleted)
+          // back to their files (the covered file list is O(files));
+          // an upsert_mor additionally inserts its added files' rows
+          val deleted =
+            if (c.dv.isEmpty) readFiles(Nil, schema, c.partitionCols)
+            else {
+              val dvDf = spark.read.schema("file_rel STRING, pos LONG")
+                .parquet(c.dv.map(f => new Path(root, f).toString): _*)
+              val covered = dvDf.select("file_rel").distinct()
+                .collect().map(_.getString(0)).toSeq.sorted
+              val raw = readFilesDF(spark, root, covered, schema,
+                c.partitionCols, withRelCol = true, withPosCol = true)
+              raw.join(dvDf,
+                  raw("__rel") === dvDf("file_rel") && raw("__pos") === dvDf("pos"),
+                  "left_semi")
+                .drop("__rel", "__pos")
+            }
+          val inserted =
+            if (c.action == "upsert_mor") readFiles(c.add, schema, c.partitionCols)
+            else readFiles(Nil, schema, c.partitionCols)
+          (inserted, deleted)
         case "rewrite" =>
           // the removed side's LIVE rows: raw content minus the
           // deletion vectors in force at v-1 (rows a MoR delete already

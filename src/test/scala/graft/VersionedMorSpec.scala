@@ -143,6 +143,35 @@ class VersionedMorSpec extends SparkTestBase {
       Seq(1L, "a", "delete", 2L)))
   }
 
+  test("MoR upsert tombstones matched rows and appends updates in one commit") {
+    val tbl = tmp("ups")
+    Versioned.overwrite(df((1L to 6L).map(i => (i, s"v$i")): _*).coalesce(2), tbl)
+    val dirsBefore = dataDirs(tbl)
+    val c = Versioned.upsertMoR(spark, tbl,
+      df(2L -> "UP", 9L -> "NEW"), Seq("id"))
+    assert(c.action == "upsert_mor" && c.add.nonEmpty && c.dv.nonEmpty)
+    // exactly one NEW data dir (the updates), no existing dir rewritten
+    assert(dataDirs(tbl).intersect(dirsBefore) == dirsBefore)
+    assert((dataDirs(tbl) -- dirsBefore).size == 1)
+    val got = rowSet(Versioned.read(spark, tbl))
+    assert(got.contains(Seq(2L, "UP")) && got.contains(Seq(9L, "NEW")) &&
+      !got.contains(Seq(2L, "v2")) && got.size == 7)
+    (1L to 2L).foreach(v => assert(certified(tbl, v), s"v$v"))
+    // CDF window: the matched old row out, both update rows in
+    val ch = Versioned.changesBetween(spark, tbl, 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ch == Set((2L, "v2", "delete"), (2L, "UP", "insert"),
+      (9L, "NEW", "insert")), ch.toString)
+    // pure insert: no tombstones, still one commit
+    val c2 = Versioned.upsertMoR(spark, tbl, df(10L -> "X"), Seq("id"))
+    assert(c2.dv.isEmpty && c2.add.nonEmpty)
+    assert(certified(tbl, c2.version))
+    // a later MoR DELETE of an upserted-then-matched key composes
+    Versioned.deleteWhereMoR(spark, tbl, col("id") === 2L)
+    assert(!rowSet(Versioned.read(spark, tbl)).exists(_.head == 2L))
+    assert(certified(tbl, 4L))
+  }
+
   test("vacuum reclaims orphan dv dirs; retention keeps in-force dvs") {
     val tbl = tmp("vac")
     Versioned.overwrite(df(1L -> "a", 2L -> "b"), tbl)
