@@ -831,13 +831,19 @@ object Versioned {
     // row's ordinal within its file (parquet `_metadata.row_index`, the
     // position-delete key — stable because parquet scans preserve
     // in-file row order per row group and the index offsets globally).
+    // referencing `_metadata` keeps the WHOLE metadata struct (and the
+    // per-row row_index generation) alive in the scan even when later
+    // projected away — so __rel/__pos are computed ONLY when some
+    // consumer needs them (PlanShapeSpec pins the pruning)
+    val needRel = withRelCol || partitionCols.nonEmpty || dvFiles.nonEmpty
+    val needPos = withPosCol || dvFiles.nonEmpty
     val fpCol = expr("_metadata.file_path")
     var df = spark.read.schema(dataSchema).parquet(paths: _*)
-      .withColumn("__rel",
-        when(fpCol.startsWith(rootQ + "/"),
-          fpCol.substr(lit(rootQ.length + 2), lit(Int.MaxValue)))
-          .otherwise(regexp_replace(fpCol, "^[a-z][a-zA-Z0-9+.-]*:", "")))
-      .withColumn("__pos", expr("_metadata.row_index"))
+    if (needRel) df = df.withColumn("__rel",
+      when(fpCol.startsWith(rootQ + "/"),
+        fpCol.substr(lit(rootQ.length + 2), lit(Int.MaxValue)))
+        .otherwise(regexp_replace(fpCol, "^[a-z][a-zA-Z0-9+.-]*:", "")))
+    if (needPos) df = df.withColumn("__pos", expr("_metadata.row_index"))
     partitionCols.foreach { c =>
       val f = schema.find(_.name == c).get
       val raw = regexp_extract(col("__rel"), s"(?:^|/)$c=([^/]+)/", 1)

@@ -417,4 +417,40 @@ class PlanShapeSpec extends SparkTestBase {
     val servedIds = grown.select(col("vec_id")).as[Long].collect().toSet
     assert(servedIds.exists(_ % 2 == 1), "appended (odd) vectors must be servable")
   }
+  test("versioned readAsOf prunes the metadata columns it did not ask for") {
+    import graft.ingest.Versioned
+    val tbl = java.nio.file.Files.createTempDirectory("graft_plan_vread")
+      .toString + "/tbl"
+    Versioned.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "t"), tbl)
+    // a plain read computes __rel/__pos internally and drops them — the
+    // FINAL scan must not materialize row_index or file_path per row
+    val df = Versioned.read(spark, tbl).select(col("id"))
+    val scans = executedPlanNodes(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { sc =>
+      val out = sc.output.map(_.name)
+      assert(!out.exists(n => n.contains("row_index") || n.contains("_metadata")),
+        s"unpruned metadata columns in scan output: $out")
+    }
+  }
+
+  test("merge-on-read scan anti-joins the deletion vector as the BROADCAST side") {
+    import graft.ingest.Versioned
+    val tbl = java.nio.file.Files.createTempDirectory("graft_plan_mor")
+      .toString + "/tbl"
+    Versioned.overwrite((1L to 64L).map(i => (i, s"v$i")).toDF("id", "t"), tbl)
+    Versioned.deleteWhereMoR(spark, tbl, col("id") % 7 === 0L)
+    val df = Versioned.read(spark, tbl)
+    assert(df.count() == 55L)
+    val joins = executedPlanNodes(df).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.exists(_.joinType.toString == "LeftAnti"),
+      "the DV anti-join must be a broadcast hash join (AQE broadcasts " +
+        "the small vector side), not a shuffled join: " +
+        executedPlanNodes(df).map(_.nodeName).distinct.mkString(", "))
+  }
+
 }
