@@ -3491,9 +3491,15 @@ object SparkEntry {
         col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"),
         year(col("o_orderdate")).cast("long").as("yr"),
         month(col("o_orderdate")).cast("long").as("mo"))
-      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0).coalesce(1),
+      // repartition BY the partition columns: each (yr, mo) lands in
+      // exactly one task -> exactly one file per partition value (the
+      // deterministic count the oracle pins), but the write runs
+      // PARALLEL across partitions instead of through one coalesced task
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0)
+          .repartition(col("yr"), col("mo")),
         tbl, partitionBy = Seq("yr", "mo"))
-      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1).coalesce(1), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1)
+        .repartition(col("yr"), col("mo")), tbl)
       val (pruned, kept, total) = Versioned.readAsOfPartitions(s, tbl, 2L) {
         vals => vals("yr").contains("1997")
       }
@@ -3914,9 +3920,11 @@ object SparkEntry {
       val orders = T(s, dir, "orders").select(col("o_orderkey"),
         col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"),
         year(col("o_orderdate")).cast("long").as("yr"))
-      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0).coalesce(1),
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0)
+          .repartition(col("yr")),
         tbl, partitionBy = Seq("yr"))
-      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1).coalesce(1), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1)
+        .repartition(col("yr")), tbl)
       val c = Versioned.optimize(s, tbl, numFiles = 1, sortBy = Seq("cents"),
         where = Some(v => v("yr").contains("1997"))).get
       import s.implicits._
