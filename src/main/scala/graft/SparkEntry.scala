@@ -4000,6 +4000,38 @@ object SparkEntry {
         .orderBy(col("version"), col("change_type"))
     }),
 
+    // GENERATED COLUMNS (ingest/Versioned.addGeneratedColumn): declare
+    // `band` = cents div 1000000; an append OMITTING the column gets it
+    // computed on the write path, an append PROVIDING a wrong value is
+    // refused inside the digest scan (like a CHECK constraint) before
+    // its data is visible — the Delta generated-column contract, the
+    // clean driver for derived partition keys. All versions (including
+    // the alter) replay certified; the auto-computed epoch digests
+    // identically to the oracle's literal computation.
+    "q237_generated_column" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q237") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("band", expr("cents div 1000000")), tbl)
+      Versioned.addGeneratedColumn(s, tbl, "band", "cents div 1000000")
+      // the write-path convenience: no band column provided
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1), tbl)
+      val headBefore = Versioned.latestVersion(s, tbl)
+      val refused =
+        try { Versioned.append(orders.filter(col("o_orderkey") % 3 === 2)
+          .withColumn("band", lit(999L)), tbl); false }
+        catch { case e: Throwable =>
+          errorChain(e).exists(_.contains("generated_band")) }
+      import s.implicits._
+      val inv = broadcast(Seq((refused,
+          Versioned.latestVersion(s, tbl) == headBefore,
+          Versioned.generatedColumns(s, tbl).size.toLong))
+        .toDF("violation_refused", "head_unchanged", "n_generated_defs"))
+      versionedReport(s, tbl).crossJoin(inv)
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -8154,6 +8186,33 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents_sum,
         |  sum(h)::BIGINT AS fp, true AS rewrote_nothing, true AS certified
         |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // v1 the banded slice; v2 the alter (content unchanged); v3 adds the
+    // second slice with band computed by the engine — digested literally
+    // with DuckDB's // (both operands non-negative, so truncation =
+    // floor = Spark div)
+    "q237_generated_column" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents,
+        |    (round(o_totalprice * 100)::BIGINT // 1000000)::BIGINT AS band
+        |  FROM orders),
+        |u AS (
+        |  SELECT 1 AS version, k, c, cents, band FROM o WHERE k % 3 = 0
+        |  UNION ALL SELECT 2, k, c, cents, band FROM o WHERE k % 3 = 0
+        |  UNION ALL SELECT 3, k, c, cents, band FROM o WHERE k % 3 <= 1),
+        |enc AS (SELECT version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR || chr(1) ||
+        |      length(band::VARCHAR)::VARCHAR || ':' || band::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM u)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents, true AS violation_refused,
+        |  true AS head_unchanged, 1::BIGINT AS n_generated_defs
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

@@ -62,7 +62,9 @@ object Versioned {
                           partitionCols: Seq[String] = Nil,
                           constraintAdd: Option[(String, String)] = None,
                           constraintDrop: Option[String] = None,
-                          dv: Seq[String] = Nil)
+                          dv: Seq[String] = Nil,
+                          generatedAdd: Option[(String, String)] = None,
+                          generatedDrop: Option[String] = None)
 
   final val LogDir = "_graft_log"
 
@@ -161,7 +163,7 @@ object Versioned {
     val ordered = df.select(evolved.fieldNames.toSeq.map(col): _*)
     val pcols = head.partitionCols
 
-    val cons = constraintsOf(fs, root, head.version)
+    val cons = checksOf(fs, root, head.version)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
@@ -177,7 +179,7 @@ object Versioned {
       // a CONCURRENT evolution (or constraint change) would make this
       // commit's precomputed schema / validation stale — fail loudly
       // like the COW rewrites do
-      if (constraintsOf(fs, root, h.version) != cons) {
+      if (checksOf(fs, root, h.version) != cons) {
         fs.delete(dataDir, true)
         throw new java.util.ConcurrentModificationException(
           s"appendEvolve at $path: constraints changed concurrently — restage")
@@ -322,7 +324,7 @@ object Versioned {
       s"upsertMoR schema mismatch at $path v${head.version}")
     val upd = updates.select(headSchema.fieldNames.toSeq.map(col): _*)
     val (active, schema, pcols, dvs) = activeAt(fs, root, path, head.version)
-    val cons = constraintsOf(fs, root, head.version)
+    val cons = checksOf(fs, root, head.version)
     val keys = upd.select(keyCols.map(col): _*).distinct()
     val matched = readFilesDF(spark, root, active, schema, pcols,
         withRelCol = true, dvFiles = dvs, withPosCol = true)
@@ -472,7 +474,7 @@ object Versioned {
                             maxRetries: Int = 20,
                             requireContentPreserved: Boolean = false): Commit = {
     val pcols = head.partitionCols
-    val cons = constraintsOf(fs, root, head.version)
+    val cons = checksOf(fs, root, head.version)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
@@ -585,12 +587,21 @@ object Versioned {
   private def orderedFields(s: StructType): Seq[(String, String)] =
     s.map(f => f.name -> f.dataType.simpleString)
 
-  private def commit(df0: DataFrame, path: String, action: String,
+  private def commit(df1: DataFrame, path: String, action: String,
                      maxRetries: Int, txn: Option[(String, Long)] = None,
                      partitionCols: Seq[String] = Nil): Commit = {
-    val spark = df0.sparkSession
+    val spark = df1.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // GENERATED COLUMNS: a frame that omits a generated column gets it
+    // computed here (the write-path convenience the definitions buy);
+    // a frame that PROVIDES one is validated in the digest scan below
+    val gens = latestCommit(fs, root)
+      .map(h => generatedOf(fs, root, h.version)).getOrElse(Nil)
+    val df0 = gens.foldLeft(df1) { case (d, (n, e)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, expr(e))
+    }
 
     // an append must match the head's column SET (the mergeSchema=false
     // pin, name->type) and is then REORDERED to the head's field order
@@ -612,10 +623,11 @@ object Versioned {
       case _ => df0
     }
 
-    // active CHECK constraints at stage time — enforced inside the
-    // digest scan; the claim loop re-verifies the set did not change
+    // active CHECK constraints + generated-column equalities at stage
+    // time — enforced inside the digest scan; the claim loop
+    // re-verifies the rule set did not change
     val cons = latestCommit(fs, root)
-      .map(h => constraintsOf(fs, root, h.version)).getOrElse(Nil)
+      .map(h => checksOf(fs, root, h.version)).getOrElse(Nil)
 
     // 1. data first: immutable, invisible until a log record points at it
     val uuid = java.util.UUID.randomUUID().toString.take(8)
@@ -659,11 +671,12 @@ object Versioned {
                 s"[${partitionCols.mkString(", ")}]")
           }
         }
-        // the staged data was validated against the constraint set read
-        // at stage time — a concurrently added/dropped constraint makes
-        // that validation stale (checkpointing the constraint set would
-        // make this O(tail); O(commits) record reads is fine here)
-        val cur = constraintsOf(fs, root, h.version)
+        // the staged data was validated against the rule set read at
+        // stage time — a concurrently added/dropped constraint or
+        // generated column makes that validation stale (checkpointing
+        // the rule set would make this O(tail); O(commits) record
+        // reads is fine here)
+        val cur = checksOf(fs, root, h.version)
         if (cur != cons) {
           fs.delete(dataDir, true)
           throw new java.util.ConcurrentModificationException(
@@ -1215,6 +1228,34 @@ object Versioned {
         c.constraintDrop.map(d => a.filterNot(_._1 == d)).getOrElse(a)
       }
 
+  /** Active GENERATED-COLUMN definitions as of `version` (name ->
+    * generation expression), folded like constraints. */
+  def generatedColumns(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listVersions(fs, root).lastOption
+      .map(v => generatedOf(fs, root, v)).getOrElse(Nil)
+  }
+
+  private def generatedOf(fs: FileSystem, root: Path,
+                          version: Long): Seq[(String, String)] =
+    listVersions(fs, root).filter(_ <= version)
+      .map(v => readCommit(fs, root, v))
+      .foldLeft(Vector.empty[(String, String)]) { (acc, c) =>
+        val a = c.generatedAdd.map(acc :+ _).getOrElse(acc)
+        c.generatedDrop.map(d => a.filterNot(_._1 == d)).getOrElse(a)
+      }
+
+  /** Everything a staged commit's digest scan must enforce: CHECK
+    * constraints plus the generated columns' null-safe equality (a
+    * PROVIDED generated value must equal its expression — the Delta
+    * generated-column contract). */
+  private def checksOf(fs: FileSystem, root: Path,
+                       version: Long): Seq[(String, String)] =
+    constraintsOf(fs, root, version) ++
+      generatedOf(fs, root, version).map { case (n, e) =>
+        (s"generated_$n", s"`$n` <=> ($e)") }
+
   /** ADD a CHECK constraint as a metadata commit (action="alter", no
     * data): from this version on, every append/upsert/overwrite must
     * satisfy `predicateSql` on every staged row (SQL-standard
@@ -1258,6 +1299,69 @@ object Versioned {
       s"addConstraint at $path lost the version race $maxRetries times")
   }
 
+  /** Declare an existing column GENERATED (metadata commit): from this
+    * version on, a write that OMITS the column gets it computed as
+    * `exprSql` (over the same row's other columns), and a write that
+    * PROVIDES it is validated — the value must null-safe-equal the
+    * expression, enforced inside the commit's digest scan like a CHECK
+    * constraint. The Delta generated-column contract, and the clean way
+    * to drive derived partition columns (declare `yr` generated from
+    * the event date, partition by `yr`, and writers never compute it by
+    * hand again). The column must already exist in the schema and the
+    * CURRENT content must satisfy the equality (validated here). */
+  def addGeneratedColumn(spark: SparkSession, path: String, name: String,
+                         exprSql: String, maxRetries: Int = 20): Commit = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"generated column name `$name` must match [A-Za-z0-9_]+")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestCommit(fs, root).getOrElse(
+        throw new IllegalStateException(s"no commits at $path"))
+      val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      require(headSchema.fieldNames.contains(name),
+        s"generated column `$name` must already exist in the schema at $path " +
+          s"(have: ${headSchema.fieldNames.mkString(", ")})")
+      require(!generatedOf(fs, root, head.version).exists(_._1 == name),
+        s"column `$name` is already generated at $path")
+      val bad = readAsOf(spark, path, head.version)
+        .filter(!(col(name) <=> expr(exprSql))).limit(1).count()
+      require(bad == 0L,
+        s"cannot declare `$name` generated at $path: existing rows do not " +
+          s"equal ($exprSql)")
+      val c = Commit(head.version + 1L, "alter", Nil, head.schemaJson,
+        0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
+        head.partitionCols, None, None, Nil, Some((name, exprSql)), None)
+      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"addGeneratedColumn at $path lost the version race $maxRetries times")
+  }
+
+  /** Remove a generated-column definition (metadata commit) — the
+    * column stays, writers must provide it again. */
+  def dropGeneratedColumn(spark: SparkSession, path: String, name: String,
+                          maxRetries: Int = 20): Commit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestCommit(fs, root).getOrElse(
+        throw new IllegalStateException(s"no commits at $path"))
+      require(generatedOf(fs, root, head.version).exists(_._1 == name),
+        s"column `$name` is not generated at $path")
+      val c = Commit(head.version + 1L, "alter", Nil, head.schemaJson,
+        0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
+        head.partitionCols, None, None, Nil, None, Some(name))
+      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"dropGeneratedColumn at $path lost the version race $maxRetries times")
+  }
+
   /** DROP a CHECK constraint (metadata commit). */
   def dropConstraint(spark: SparkSession, path: String, name: String,
                      maxRetries: Int = 20): Commit = {
@@ -1297,9 +1401,9 @@ object Versioned {
     var attempt = 0
     while (attempt < maxRetries) {
       val head = latestCommit(fs, root).get
-      // the restored content must satisfy constraints added AFTER
-      // toVersion — a rollback is not a constraint bypass
-      val cons = constraintsOf(fs, root, head.version)
+      // the restored content must satisfy constraints and generated
+      // definitions added AFTER toVersion — a rollback is not a bypass
+      val cons = checksOf(fs, root, head.version)
       if (cons.nonEmpty) {
         val old = readAsOf(spark, path, toVersion)
         cons.foreach { case (n, p) =>
@@ -1598,12 +1702,16 @@ object Versioned {
     val dv = Option(t.get("dv"))
       .map(d => (0 until d.size()).map(i => d.get(i).asText()).toSeq)
       .getOrElse(Nil)
+    val gAdd = Option(t.get("generatedAddName"))
+      .map(n => (n.asText(), t.get("generatedAddExpr").asText()))
+    val gDrop = Option(t.get("generatedDrop")).map(_.asText())
     Commit(
       t.get("version").asLong(), t.get("action").asText(),
       (0 until t.get("add").size()).map(i => t.get("add").get(i).asText()),
       t.get("schema").asText(), t.get("nRows").asLong(),
       t.get("addFp").asLong(), t.get("snapshotRows").asLong(),
-      t.get("snapshotFp").asLong(), rem, txn, stats, pcols, cAdd, cDrop, dv)
+      t.get("snapshotFp").asLong(), rem, txn, stats, pcols, cAdd, cDrop, dv,
+      gAdd, gDrop)
   }
 
   private def render(c: Commit): Array[Byte] = {
@@ -1640,6 +1748,9 @@ object Versioned {
       val d = node.putArray("dv")
       c.dv.foreach(d.add)
     }
+    c.generatedAdd.foreach { case (n, e) =>
+      node.put("generatedAddName", n); node.put("generatedAddExpr", e) }
+    c.generatedDrop.foreach(node.put("generatedDrop", _))
     mapper.writeValueAsBytes(node)
   }
 

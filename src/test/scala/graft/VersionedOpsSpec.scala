@@ -91,6 +91,50 @@ class VersionedOpsSpec extends SparkTestBase {
     assert(messages(e4).exists(_.contains("pos_id2")))
   }
 
+  test("generated columns: omitted values computed, provided values validated") {
+    val tbl = tmp("gen") + "/tbl"
+    Versioned.overwrite(
+      Seq((10L, 1L, "a"), (25L, 2L, "b")).toDF("cents", "band", "t"), tbl)
+    // declare band generated; existing content must satisfy it
+    val bad = intercept[Exception] {
+      Versioned.addGeneratedColumn(spark, tbl, "band", "cents div 100")
+    }
+    assert(messages(bad).exists(_.contains("do not equal")))
+    Versioned.addGeneratedColumn(spark, tbl, "band", "cents div 10")
+    assert(Versioned.generatedColumns(spark, tbl) ==
+      Seq("band" -> "cents div 10"))
+    // append OMITTING band: computed automatically (and reordered)
+    Versioned.append(Seq((37L, "c")).toDF("cents", "t"), tbl)
+    assert(rowSet(Versioned.read(spark, tbl)).contains(Seq(37L, 3L, "c")))
+    // append PROVIDING a correct value: fine
+    Versioned.append(Seq((41L, 4L, "d")).toDF("cents", "band", "t"), tbl)
+    // providing a WRONG value: refused before visibility, staging cleaned
+    val head = Versioned.latestVersion(spark, tbl)
+    val e = intercept[Exception] {
+      Versioned.append(Seq((55L, 9L, "x")).toDF("cents", "band", "t"), tbl)
+    }
+    assert(messages(e).exists(_.contains("generated_band")))
+    assert(Versioned.latestVersion(spark, tbl) == head)
+    assert(Versioned.vacuum(spark, tbl).isEmpty)
+    // an upsert with a wrong generated value is refused too
+    val e2 = intercept[Exception] {
+      Versioned.upsert(spark, tbl,
+        Seq((10L, 7L, "A")).toDF("cents", "band", "t"), Seq("cents"))
+    }
+    assert(messages(e2).exists(_.contains("generated_band")))
+    // drop: the definition goes away, writers provide the column again
+    Versioned.dropGeneratedColumn(spark, tbl, "band")
+    Versioned.append(Seq((55L, 9L, "x")).toDF("cents", "band", "t"), tbl)
+    // every version stays certified
+    (1L to Versioned.latestVersion(spark, tbl)).foreach { v =>
+      val (n, fp) = Versioned.archivedFingerprint(spark, tbl, v)
+      val asOf = Versioned.readAsOf(spark, tbl, v)
+      val r = asOf.agg(count(lit(1)), coalesce(sum(Fingerprint.rowDigest(
+        asOf.schema.fieldNames.toSeq.map(col))), lit(0L))).head()
+      assert((r.getLong(0), r.getLong(1)) == ((n, fp)), s"v$v")
+    }
+  }
+
   test("retention vacuum reclaims old files and sets a loud horizon") {
     val tbl = tmp("vac") + "/tbl"
     Versioned.overwrite(df(1L -> "a"), tbl)                      // v1
