@@ -77,23 +77,32 @@ object ChangeFeed {
   }
 
   /** Exactly-once MIRROR of the change feed into a downstream
-    * versioned table: each trigger's window lands as ONE
+    * versioned table: each SOURCE VERSION's changes land as one
     * transactionally-tagged append (`txnApp = appId`, `txnBatch` = the
-    * window's upper version), so total re-delivery — a fresh
-    * checkpoint replaying the whole feed — is absorbed window by
-    * window at the downstream commit log instead of duplicating rows.
-    * Empty windows (e.g. an OPTIMIZE rewrite, whose diff cancels) are
-    * skipped: no empty commits. Returns the downstream head version
-    * after the run. */
+    * source version), so ANY re-delivery is absorbed at the downstream
+    * commit log — including a fresh checkpoint replaying the feed with
+    * a DIFFERENT `maxVersionsPerTrigger`: window boundaries then shift,
+    * but the per-version row sets are identical by construction, which
+    * window-keyed idempotence could not absorb (a width-2 first run
+    * commits batches keyed 2,4; a width-1 rerun would produce
+    * never-seen keys 1,3 and duplicate every row — ADVICE r10). The
+    * trigger width now only batches OFFSET advances, not idempotence
+    * granularity. Versions whose diff is empty (e.g. an OPTIMIZE
+    * rewrite, which cancels) are skipped: no empty commits. Returns
+    * the downstream head version after the run. */
   def mirrorTo(spark: SparkSession, tablePath: String, downstreamPath: String,
                checkpointDir: String, appId: String,
                maxVersionsPerTrigger: Int = Int.MaxValue): Long = {
     run(spark, tablePath, checkpointDir, maxVersionsPerTrigger) {
-      (window, _, to) =>
-        // localCheckpoint would be overkill: the window is re-derivable;
-        // idempotentAppend's read is the only materialization
-        if (!window.isEmpty)
-          Versioned.idempotentAppend(window, downstreamPath, appId, to)
+      (_, from, to) =>
+        // per-version frames, not the window frame: changesBetween
+        // computes per-commit parts anyway, so this re-derives the same
+        // scans the window union would have run
+        (from + 1L to to).foreach { v =>
+          val changes = Versioned.changesBetween(spark, tablePath, v - 1L, v)
+          if (!changes.isEmpty)
+            Versioned.idempotentAppend(changes, downstreamPath, appId, v)
+        }
     }
     Versioned.latestVersion(spark, downstreamPath)
   }

@@ -64,9 +64,48 @@ object Versioned {
                           constraintDrop: Option[String] = None,
                           dv: Seq[String] = Nil,
                           generatedAdd: Option[(String, String)] = None,
-                          generatedDrop: Option[String] = None)
+                          generatedDrop: Option[String] = None,
+                          // dvCovered: the DATA files this commit's `dv`
+                          // entries tombstone positions in — archived so
+                          // concurrency (disjoint-coverage retry) and DV
+                          // purging are decided from LOG METADATA alone,
+                          // never by opening the dv parquet
+                          dvCovered: Seq[String] = Nil,
+                          // dvRemove: deletion-vector files a rewrite
+                          // PURGED from the in-force fold (every covered
+                          // file was rewritten clean), so readers stop
+                          // paying the anti-join and retention can
+                          // reclaim the vectors
+                          dvRemove: Seq[String] = Nil,
+                          // colMap: logical -> physical column names for
+                          // every column whose on-disk (parquet) name
+                          // differs from its logical name — the column-
+                          // mapping epoch state after RENAME/DROP commits
+                          colMap: Seq[(String, String)] = Nil,
+                          // droppedPhys: every physical column name ever
+                          // retired by a DROP (accumulated) — a later
+                          // re-add of the same logical name must pick a
+                          // fresh physical name or old files' stale
+                          // values would resurrect
+                          droppedPhys: Seq[String] = Nil)
 
   final val LogDir = "_graft_log"
+
+  /** Replayed table state at one version: active data files, logical
+    * schema, partition layout, in-force deletion-vector files, and the
+    * logical->physical COLUMN MAPPING of that epoch (empty until a
+    * RENAME/DROP commit introduces one — physical names never change
+    * after a file is written, so old files stay readable across
+    * renames, the Delta column-mapping design). */
+  private[ingest] final case class TableState(active: Seq[String],
+                                              schema: StructType,
+                                              partitionCols: Seq[String],
+                                              dvs: Seq[String],
+                                              colMap: Seq[(String, String)]) {
+    /** Physical (on-disk parquet) name of a logical column. */
+    def physOf(logical: String): String =
+      colMap.find(_._1 == logical).map(_._2).getOrElse(logical)
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -163,14 +202,26 @@ object Versioned {
     val ordered = df.select(evolved.fieldNames.toSeq.map(col): _*)
     val pcols = head.partitionCols
 
+    // physical names for the NEW columns: the logical name, unless a
+    // DROPPED column once used it (old files still carry values under
+    // it — re-reading them would resurrect stale data) or another
+    // column's physical name claims it; then a fresh epoch-suffixed one
+    val takenPhys = head.droppedPhys.toSet ++
+      headSchema.fieldNames.map(n => head.colMap.toMap.getOrElse(n, n))
+    val evolvedMap = head.colMap ++ newCols.flatMap { f =>
+      if (takenPhys.contains(f.name))
+        Some(f.name -> s"${f.name}__p${head.version + 1L}")
+      else None
+    }
+
     val cons = checksOf(fs, root, head.version)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
-    writeData(ordered, dataDir, pcols)
+    writeData(ordered, dataDir, pcols, evolvedMap)
     val files = listDataFiles(fs, dataDir, dataDirName)
     val (nRows, addFp, stats) =
-      try digestDir(spark, dataDir, dataDirName, evolved, pcols, cons)
+      try digestDir(spark, dataDir, dataDirName, evolved, pcols, cons, evolvedMap)
       catch { case e: Throwable => fs.delete(dataDir, true); throw e }
 
     var attempt = 0
@@ -184,7 +235,7 @@ object Versioned {
         throw new java.util.ConcurrentModificationException(
           s"appendEvolve at $path: constraints changed concurrently — restage")
       }
-      if (h.schemaJson != head.schemaJson) {
+      if (h.schemaJson != head.schemaJson || h.colMap != head.colMap) {
         fs.delete(dataDir, true)
         throw new java.util.ConcurrentModificationException(
           s"appendEvolve at $path: the table schema changed concurrently " +
@@ -192,10 +243,12 @@ object Versioned {
       }
       // the epoch recompute: prior content digested under the EVOLVED
       // schema (missing columns read as null -> the 'N' sentinel)
-      val (prevActive, _, _, prevDvs) = activeAt(fs, root, path, h.version)
-      val pr = digestFiles(spark, root, prevActive, evolved, pcols, prevDvs)
+      val prev = activeAt(fs, root, path, h.version)
+      val pr = digestFiles(spark, root, prev.active, evolved, pcols,
+        prev.dvs, evolvedMap)
       val c = Commit(h.version + 1L, "append", files, evolved.json, nRows,
-        addFp, pr._1 + nRows, pr._2 + addFp, Nil, None, stats, pcols)
+        addFp, pr._1 + nRows, pr._2 + addFp, Nil, None, stats, pcols,
+        colMap = evolvedMap, droppedPhys = head.droppedPhys)
       if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
       attempt += 1
     }
@@ -223,10 +276,32 @@ object Versioned {
     val affected = cur.filter(pred).select(col("__file")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     if (affected.isEmpty) return None
-    val survivors = cur
-      .filter(col("__file").isin(affected: _*)).filter(!pred).drop("__file")
+    val survivors =
+      restrictToFiles(cur, affected).filter(!pred).drop("__file")
     Some(rewriteCommit(spark, root, fs, head, survivors, affected))
   }
+
+  /** COW planning threshold: up to this many affected files the
+    * survivor scan filters with an In-literal (cheap, codegen-friendly);
+    * above it, a broad-predicate rewrite touching tens of thousands of
+    * files would bloat the plan's analysis/codegen with an O(files)
+    * literal list, so the restriction becomes a BROADCAST SEMI-JOIN
+    * against the affected-file list instead (VERDICT r10). Var, not
+    * val, so the plan-shape spec can exercise the join path without
+    * staging thousands of files. */
+  private[graft] var isinFileThreshold: Int = 1000
+
+  /** `cur` restricted to rows whose `__file` is in `affected` —
+    * In-literal below [[isinFileThreshold]], broadcast semi-join above. */
+  private def restrictToFiles(cur: DataFrame, affected: Seq[String]): DataFrame =
+    if (affected.size <= isinFileThreshold)
+      cur.filter(col("__file").isin(affected: _*))
+    else {
+      val spark = cur.sparkSession
+      import spark.implicits._
+      cur.join(broadcast(affected.toDF("__affected_file")),
+        col("__file") === col("__affected_file"), "left_semi")
+    }
 
   /** Row-level DELETE as a MERGE-ON-READ commit — the write-cheap
     * twin of the copy-on-write [[deleteWhere]]: instead of rewriting
@@ -245,16 +320,43 @@ object Versioned {
     * covered file, or ANY other MoR delete (two DVs could cover the
     * same position and double-subtract — disjointness is not worth
     * proving); disjoint appends and rewrites retry through. */
+  /** Does an intervening commit invalidate a staged commit planned
+    * against `headSchemaJson`/`headColMap`/`pcols` that tombstones or
+    * removes rows in `touched` files? Shared by the MoR claim loops and
+    * [[rewriteCommit]] — WRITE-SERIALIZABLE with the DISJOINT-FILE rule
+    * extended to MoR commits: an intervening MoR delete/upsert
+    * conflicts only when its archived `dvCovered` set intersects this
+    * commit's touched files (two MoR deletes on disjoint files both
+    * land; unknown coverage — a record without the field — aborts
+    * conservatively). Schema, layout, column-mapping and rule-set
+    * changes always abort: the staged data was validated/written under
+    * the old ones. */
+  private def commitConflicts(ic: Commit, touched: Set[String],
+                              headSchemaJson: String,
+                              headColMap: Seq[(String, String)],
+                              pcols: Seq[String]): Boolean =
+    ic.action == "overwrite" ||
+      ic.schemaJson != headSchemaJson || ic.colMap != headColMap ||
+      ic.partitionCols != pcols ||
+      ic.constraintAdd.nonEmpty || ic.constraintDrop.nonEmpty ||
+      ic.generatedAdd.nonEmpty || ic.generatedDrop.nonEmpty ||
+      (ic.dv.nonEmpty &&
+        (ic.dvCovered.isEmpty || ic.dvCovered.exists(touched.contains))) ||
+      ic.remove.exists(touched.contains)
+
   def deleteWhereMoR(spark: SparkSession, path: String,
                      pred: org.apache.spark.sql.Column): Option[Commit] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = latestCommit(fs, root).getOrElse(
       throw new IllegalStateException(s"no commits at $path"))
-    val (active, schema, pcols, dvs) = activeAt(fs, root, path, head.version)
+    val st = activeAt(fs, root, path, head.version)
+    val schema = st.schema
+    val pcols = st.partitionCols
     // the LIVE view (existing DVs already applied), keyed by (file, pos)
-    val matched = readFilesDF(spark, root, active, schema, pcols,
-      withRelCol = true, dvFiles = dvs, withPosCol = true).filter(pred)
+    val matched = readFilesDF(spark, root, st.active, schema, pcols,
+      withRelCol = true, dvFiles = st.dvs, withPosCol = true,
+      colMap = st.colMap).filter(pred)
     matched.cache()
     try {
       val r = matched.agg(count(lit(1)).as("n"),
@@ -275,18 +377,15 @@ object Versioned {
       while (attempt < 20) {
         val c = Commit(base.version + 1L, "delete_mor", Nil, head.schemaJson,
           0L, 0L, base.snapshotRows - delRows, base.snapshotFp - delFp,
-          Nil, None, Map.empty, pcols, None, None, dvFiles)
+          Nil, None, Map.empty, pcols, None, None, dvFiles,
+          dvCovered = covered.toSeq.sorted,
+          colMap = head.colMap, droppedPhys = head.droppedPhys)
         if (atomicCreate(fs, recordPath(root, c.version), render(c))) return Some(c)
         val newHead = latestCommit(fs, root).get
         val intervening = (base.version + 1L to newHead.version)
           .map(v => readCommit(fs, root, v))
-        val conflict = intervening.find { ic =>
-          ic.action == "overwrite" || ic.action == "delete_mor" ||
-            ic.action == "upsert_mor" ||
-            ic.schemaJson != head.schemaJson || ic.partitionCols != pcols ||
-            ic.constraintAdd.nonEmpty || ic.constraintDrop.nonEmpty ||
-            ic.remove.exists(covered.contains)
-        }
+        val conflict = intervening.find(
+          commitConflicts(_, covered, head.schemaJson, head.colMap, pcols))
         conflict.foreach { ic =>
           fs.delete(dvDir, true)
           throw new java.util.ConcurrentModificationException(
@@ -323,11 +422,14 @@ object Versioned {
     require(orderedFields(headSchema).toMap == orderedFields(updates.schema).toMap,
       s"upsertMoR schema mismatch at $path v${head.version}")
     val upd = updates.select(headSchema.fieldNames.toSeq.map(col): _*)
-    val (active, schema, pcols, dvs) = activeAt(fs, root, path, head.version)
+    val st = activeAt(fs, root, path, head.version)
+    val schema = st.schema
+    val pcols = st.partitionCols
     val cons = checksOf(fs, root, head.version)
     val keys = upd.select(keyCols.map(col): _*).distinct()
-    val matched = readFilesDF(spark, root, active, schema, pcols,
-        withRelCol = true, dvFiles = dvs, withPosCol = true)
+    val matched = readFilesDF(spark, root, st.active, schema, pcols,
+        withRelCol = true, dvFiles = st.dvs, withPosCol = true,
+        colMap = st.colMap)
       .join(broadcast(keys), keyCols, "left_semi")
     matched.cache()
     try {
@@ -350,10 +452,11 @@ object Versioned {
         }
       val dataDirName = s"d-$uuid"
       val dataDir = new Path(root, dataDirName)
-      writeData(upd, dataDir, pcols)
+      writeData(upd, dataDir, pcols, st.colMap)
       val files = listDataFiles(fs, dataDir, dataDirName)
       val (addRows, addFp, stats) =
-        try digestDir(spark, dataDir, dataDirName, schema, pcols, cons)
+        try digestDir(spark, dataDir, dataDirName, schema, pcols, cons,
+          st.colMap)
         catch { case e: Throwable =>
           fs.delete(dataDir, true); fs.delete(dvDir, true); throw e }
       var base = head
@@ -363,18 +466,15 @@ object Versioned {
           addRows, addFp,
           base.snapshotRows - delRows + addRows,
           base.snapshotFp - delFp + addFp,
-          Nil, None, stats, pcols, None, None, dvFiles)
+          Nil, None, stats, pcols, None, None, dvFiles,
+          dvCovered = covered.toSeq.sorted,
+          colMap = head.colMap, droppedPhys = head.droppedPhys)
         if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
         val newHead = latestCommit(fs, root).get
         val intervening = (base.version + 1L to newHead.version)
           .map(v => readCommit(fs, root, v))
-        val conflict = intervening.find { ic =>
-          ic.action == "overwrite" || ic.action == "delete_mor" ||
-            ic.action == "upsert_mor" ||
-            ic.schemaJson != head.schemaJson || ic.partitionCols != pcols ||
-            ic.constraintAdd.nonEmpty || ic.constraintDrop.nonEmpty ||
-            ic.remove.exists(covered.contains)
-        }
+        val conflict = intervening.find(
+          commitConflicts(_, covered, head.schemaJson, head.colMap, pcols))
         conflict.foreach { ic =>
           fs.delete(dataDir, true); fs.delete(dvDir, true)
           throw new java.util.ConcurrentModificationException(
@@ -416,7 +516,7 @@ object Versioned {
       .collect().map(_.getString(0)).sorted.toSeq
     val survivors =
       if (affected.isEmpty) upd // pure insert; nothing rewritten
-      else cur.filter(col("__file").isin(affected: _*))
+      else restrictToFiles(cur, affected)
         .join(broadcast(keys), keyCols, "left_anti").drop("__file")
         .unionByName(upd)
     rewriteCommit(spark, root, fs, head, survivors, affected)
@@ -430,9 +530,9 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = latestCommit(fs, root).getOrElse(
       throw new IllegalStateException(s"no commits at $path"))
-    val (active, schema, pcols, dvs) = activeAt(fs, root, path, head.version)
-    val cur = readFilesDF(spark, root, active, schema, pcols,
-        withRelCol = true, dvFiles = dvs)
+    val st = activeAt(fs, root, path, head.version)
+    val cur = readFilesDF(spark, root, st.active, st.schema, st.partitionCols,
+        withRelCol = true, dvFiles = st.dvs, colMap = st.colMap)
       .withColumnRenamed("__rel", "__file")
     (head, cur, root, fs)
   }
@@ -441,13 +541,14 @@ object Versioned {
     * `schema` — one scan. */
   private def digestFiles(spark: SparkSession, root: Path, files: Seq[String],
                           schema: StructType, partitionCols: Seq[String],
-                          dvFiles: Seq[String] = Nil): (Long, Long) =
+                          dvFiles: Seq[String] = Nil,
+                          colMap: Seq[(String, String)] = Nil): (Long, Long) =
     if (files.isEmpty) (0L, 0L)
     else {
       // dvFiles: the files' LIVE contribution (raw minus position
       // deletes) — what the snapshot totals actually carry for them
       val r = readFilesDF(spark, root, files, schema, partitionCols,
-          dvFiles = dvFiles)
+          dvFiles = dvFiles, colMap = colMap)
         .agg(count(lit(1)).as("n"),
           coalesce(sum(Fingerprint.rowDigest(
             schema.fieldNames.toSeq.map(col))), lit(0L)).as("fp")).head()
@@ -478,15 +579,16 @@ object Versioned {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
-    writeData(rebuilt, dataDir, pcols)
+    writeData(rebuilt, dataDir, pcols, head.colMap)
     val files = listDataFiles(fs, dataDir, dataDirName)
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     val (addRows, addFp, stats) =
-      try digestDir(spark, dataDir, dataDirName, schema, pcols, cons)
+      try digestDir(spark, dataDir, dataDirName, schema, pcols, cons,
+        head.colMap)
       catch { case e: Throwable => fs.delete(dataDir, true); throw e }
-    val (_, _, _, headDvs) = activeAt(fs, root, root.toString, head.version)
+    val headDvs = activeAt(fs, root, root.toString, head.version).dvs
     val (remRows, remFp) =
-      digestFiles(spark, root, removed, schema, pcols, headDvs)
+      digestFiles(spark, root, removed, schema, pcols, headDvs, head.colMap)
     if (requireContentPreserved &&
         (addRows != remRows || addFp != remFp)) {
       fs.delete(dataDir, true)
@@ -497,29 +599,48 @@ object Versioned {
           "maintenance must never change table content; staging deleted")
     }
     val removedSet = removed.toSet
+    // coverage of every deletion-vector file ever committed (metadata
+    // only) — a restore/clone record re-lists dv files without
+    // coverage, so known coverage from the originating MoR commit wins
+    def dvCoverage(upTo: Long): Map[String, Set[String]] =
+      listVersions(fs, root).filter(_ <= upTo)
+        .map(v => readCommit(fs, root, v))
+        .foldLeft(Map.empty[String, Set[String]]) { (m, c) =>
+          c.dv.foldLeft(m) { (acc, d) =>
+            if (acc.get(d).exists(_.nonEmpty)) acc
+            else acc.updated(d, c.dvCovered.toSet)
+          }
+        }
     var base = head
     var attempt = 0
     while (attempt < maxRetries) {
+      // PURGE deletion vectors this rewrite strands: a dv file none of
+      // whose covered data files stays active is dead weight — every
+      // read pays its anti-join and retention must keep it. Decided
+      // from log metadata alone (archived dvCovered); unknown coverage
+      // is kept conservatively (stale entries match nothing).
+      val baseState = activeAt(fs, root, root.toString, base.version)
+      val newActive = (baseState.active.filterNot(removedSet) ++ files).toSet
+      val cov = dvCoverage(base.version)
+      val purgedDvs = baseState.dvs.filter { d =>
+        cov.get(d).exists(s => s.nonEmpty && !s.exists(newActive.contains))
+      }
       val c = Commit(base.version + 1L, action, files, head.schemaJson,
         addRows, addFp,
         base.snapshotRows - remRows + addRows,
-        base.snapshotFp - remFp + addFp, removed, None, stats, pcols)
+        base.snapshotFp - remFp + addFp, removed, None, stats, pcols,
+        dvRemove = purgedDvs,
+        colMap = head.colMap, droppedPhys = head.droppedPhys)
       if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
-      // lost the claim: the disjoint-file recheck
+      // lost the claim: the disjoint-file recheck — an intervening MoR
+      // delete/upsert conflicts only when its archived coverage touches
+      // this rewrite's removed files (the survivors were computed
+      // before it and would resurrect its deleted rows)
       val newHead = latestCommit(fs, root).get
       val intervening = (base.version + 1L to newHead.version)
         .map(v => readCommit(fs, root, v))
-      val conflict = intervening.find { ic =>
-        // delete_mor: its positions may cover this rewrite's planned
-        // files — the survivors were computed before the delete and
-        // would resurrect the deleted rows; always conservative-abort
-        ic.action == "overwrite" || ic.action == "delete_mor" ||
-          ic.action == "upsert_mor" ||
-          ic.schemaJson != head.schemaJson ||
-          ic.partitionCols != pcols ||
-          ic.constraintAdd.nonEmpty || ic.constraintDrop.nonEmpty ||
-          ic.remove.exists(removedSet.contains)
-      }
+      val conflict = intervening.find(
+        commitConflicts(_, removedSet, head.schemaJson, head.colMap, pcols))
       conflict.foreach { ic =>
         fs.delete(dataDir, true)
         throw new java.util.ConcurrentModificationException(
@@ -629,17 +750,28 @@ object Versioned {
     val cons = latestCommit(fs, root)
       .map(h => checksOf(fs, root, h.version)).getOrElse(Nil)
 
+    // column mapping + dropped-physical ledger: an APPEND inherits the
+    // head's (files must be written under the current physical names);
+    // an OVERWRITE starts a fresh epoch (physical = logical again —
+    // old epochs' files are no longer active, and old VERSIONS read
+    // with the map archived on their own records)
+    val (cmap, dropped) = latestCommit(fs, root) match {
+      case Some(h) if action == "append" => (h.colMap, h.droppedPhys)
+      case _ => (Nil, Nil)
+    }
+
     // 1. data first: immutable, invisible until a log record points at it
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
-    writeData(df, dataDir, partitionCols)
+    writeData(df, dataDir, partitionCols, cmap)
     val files = listDataFiles(fs, dataDir, dataDirName)
     // one scan of the ADDED rows: exact count + additive content digest
     // + per-file zone-map stats + CHECK constraint enforcement (see
     // digestDir); a failed check deletes the staging before rethrowing
     val (nRows, addFp, stats) =
-      try digestDir(spark, dataDir, dataDirName, df.schema, partitionCols, cons)
+      try digestDir(spark, dataDir, dataDirName, df.schema, partitionCols,
+        cons, cmap)
       catch { case e: Throwable => fs.delete(dataDir, true); throw e }
 
     // 2. claim loop: validate against the CURRENT head, try to create
@@ -670,6 +802,14 @@ object Versioned {
                 s"[${h.partitionCols.mkString(", ")}], append staged " +
                 s"[${partitionCols.mkString(", ")}]")
           }
+          // the staged files were written under the column mapping read
+          // at stage time — a concurrent rename (or an overwrite that
+          // reset the map) makes their PHYSICAL names stale
+          if (h.colMap != cmap) {
+            fs.delete(dataDir, true)
+            throw new java.util.ConcurrentModificationException(
+              s"column mapping at $path changed concurrently — restage")
+          }
         }
         // the staged data was validated against the rule set read at
         // stage time — a concurrently added/dropped constraint or
@@ -692,7 +832,8 @@ object Versioned {
         case _ => (nRows, addFp)
       }
       val c = Commit(version, action, files, df.schema.json, nRows, addFp,
-        snapRows, snapFp, Nil, txn, stats, partitionCols)
+        snapRows, snapFp, Nil, txn, stats, partitionCols,
+        colMap = cmap, droppedPhys = dropped)
       if (atomicCreate(fs, recordPath(root, version), render(c))) return c
       attempt += 1 // lost the race: another writer claimed this version
     }
@@ -719,15 +860,15 @@ object Versioned {
   def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (active, schema, pcols, dvs) = activeAt(fs, root, path, version)
-    readFilesDF(spark, root, active, schema, pcols, dvFiles = dvs)
+    val st = activeAt(fs, root, path, version)
+    readFilesDF(spark, root, st.active, st.schema, st.partitionCols,
+      dvFiles = st.dvs, colMap = st.colMap)
   }
 
-  /** Replayed (active files, schema, partition columns, accumulated
-    * deletion-vector files) at `version` — from the newest checkpoint
+  /** Replayed [[TableState]] at `version` — from the newest checkpoint
     * at or before it plus the tail records after. */
   private def activeAt(fs: FileSystem, root: Path, path: String, version: Long)
-      : (Seq[String], StructType, Seq[String], Seq[String]) = {
+      : TableState = {
     val versions = listVersions(fs, root)
     require(versions.contains(version),
       s"version $version does not exist at $path (have: ${versions.mkString(", ")})")
@@ -737,8 +878,8 @@ object Versioned {
         s"(time-travel horizon is $hz) — its data files are gone")
     val ckpt = listCheckpoints(fs, root).filter(_ <= version).lastOption
       .map(v => readCheckpoint(fs, root, v))
-    val base = ckpt.map(_._2).getOrElse(Seq.empty[String])
-    val fromV = ckpt.map(_._1).getOrElse(0L)
+    val base = ckpt.map(_.active).getOrElse(Seq.empty[String])
+    val fromV = ckpt.map(_.version).getOrElse(0L)
     val commits = versions.filter(v => v > fromV && v <= version)
       .map(v => readCommit(fs, root, v))
     val active = commits.foldLeft(base) { (acc, c) =>
@@ -748,28 +889,43 @@ object Versioned {
     // deletion vectors accumulate; an overwrite RESETS the set to its
     // own record's list (empty for a plain overwrite — a restore
     // carries the target version's accumulated list, so rolled-back
-    // MoR deletes stay applied)
-    val dvBase = ckpt.map(_._5).getOrElse(Seq.empty[String])
+    // MoR deletes stay applied); a rewrite that left none of a vector's
+    // covered files active PURGES it (dvRemove), so readers stop paying
+    // the anti-join and retention can reclaim the file
+    val dvBase = ckpt.map(_.dvs).getOrElse(Seq.empty[String])
     val dvs = commits.foldLeft(dvBase) { (acc, c) =>
-      if (c.action == "overwrite") c.dv else acc ++ c.dv
+      if (c.action == "overwrite") c.dv
+      else acc.filterNot(c.dvRemove.toSet) ++ c.dv
     }
     val schemaJson = commits.lastOption.map(_.schemaJson)
-      .orElse(ckpt.map(_._3))
+      .orElse(ckpt.map(_.schemaJson))
       .getOrElse(throw new IllegalStateException(s"no schema at $path v$version"))
     val pcols = commits.lastOption.map(_.partitionCols)
-      .orElse(ckpt.map(_._4)).getOrElse(Nil)
-    (active, DataType.fromJson(schemaJson).asInstanceOf[StructType], pcols, dvs)
+      .orElse(ckpt.map(_.partitionCols)).getOrElse(Nil)
+    val colMap = commits.lastOption.map(_.colMap)
+      .orElse(ckpt.map(_.colMap)).getOrElse(Nil)
+    TableState(active, DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      pcols, dvs, colMap)
   }
 
   /** Stage `df` under `dataDir` — hive partition layout when
     * `partitionCols` is non-empty (Spark's writer drops the partition
     * columns from the files; readers reconstruct them from the path,
     * exactly the table-format model where partition values live in
-    * metadata, not data). */
+    * metadata, not data). Under a column mapping the frame (logical
+    * names) is renamed to PHYSICAL names first — every file on disk
+    * always carries physical names, whatever epoch wrote it. */
   private def writeData(df: DataFrame, dataDir: Path,
-                        partitionCols: Seq[String]): Unit =
-    if (partitionCols.isEmpty) df.write.parquet(dataDir.toString)
-    else df.write.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+                        partitionCols: Seq[String],
+                        colMap: Seq[(String, String)] = Nil): Unit = {
+    val phys = colMap.toMap
+    val out =
+      if (colMap.isEmpty) df
+      else df.select(df.columns.toSeq.map(n =>
+        col(n).as(phys.getOrElse(n, n))): _*)
+    if (partitionCols.isEmpty) out.write.parquet(dataDir.toString)
+    else out.write.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+  }
 
   /** Root-relative paths of every parquet file under a staged data dir
     * (recursive — partition layouts nest `col=value` directories). */
@@ -816,11 +972,24 @@ object Versioned {
     * result is reordered to the archived field order, so every
     * downstream consumer (digests, change feeds, COW planning) sees
     * one uniform frame. */
+  /** Foreign-file fallback for `__rel`: strip the URI scheme AND the
+    * `//authority` part (namenode / bucket), matching what
+    * `Path.toUri.getPath` — the form shallow-clone records store —
+    * yields. Stripping only the scheme would leave `//nn:8020/...`,
+    * which never string-equals a recorded `/...` entry on any
+    * authority-bearing filesystem (ADVICE r10). Cross-FILESYSTEM
+    * clones (two different authorities holding same-pathed files) are
+    * out of scope — a clone references files on the same filesystem. */
+  private[graft] def foreignRel(fpCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_replace(fpCol, "^[a-z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+
   private def readFilesDF(spark: SparkSession, root: Path, files: Seq[String],
                           schema: StructType, partitionCols: Seq[String],
                           withRelCol: Boolean = false,
                           dvFiles: Seq[String] = Nil,
-                          withPosCol: Boolean = false): DataFrame = {
+                          withPosCol: Boolean = false,
+                          colMap: Seq[(String, String)] = Nil): DataFrame = {
     import org.apache.spark.sql.types.StringType
     val extra =
       (if (withRelCol) Seq(org.apache.spark.sql.types.StructField("__rel", StringType))
@@ -834,8 +1003,16 @@ object Versioned {
     val paths = files.map(f => new Path(root, f).toString)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootQ = fs.makeQualified(root).toString
+    // COLUMN MAPPING: files store PHYSICAL names (stable for a file's
+    // lifetime); the scan declares the physical data schema and the
+    // frame is renamed back to logical right after the metadata-derived
+    // columns are computed. Partition columns are never mapped
+    // (rename/drop refuses them), so path reconstruction is unaffected.
+    val phys = colMap.toMap
+    def physOf(n: String): String = phys.getOrElse(n, n)
     val dataSchema = StructType(
-      schema.fields.filterNot(f => partitionCols.contains(f.name)))
+      schema.fields.filterNot(f => partitionCols.contains(f.name))
+        .map(f => f.copy(name = physOf(f.name))))
     // __rel must reproduce the commit record's add-entry for every row's
     // file: root-relative for the table's own d-* dirs, SCHEME-LESS
     // ABSOLUTE for foreign files (shallow-clone references) — string
@@ -855,8 +1032,17 @@ object Versioned {
     if (needRel) df = df.withColumn("__rel",
       when(fpCol.startsWith(rootQ + "/"),
         fpCol.substr(lit(rootQ.length + 2), lit(Int.MaxValue)))
-        .otherwise(regexp_replace(fpCol, "^[a-z][a-zA-Z0-9+.-]*:", "")))
+        .otherwise(foreignRel(fpCol)))
     if (needPos) df = df.withColumn("__pos", expr("_metadata.row_index"))
+    // physical -> logical, one select (sequential renames could collide
+    // when one column's physical name equals another's logical name)
+    if (colMap.nonEmpty)
+      df = df.select(df.columns.toSeq.map { n =>
+        colMap.find(_._2 == n) match {
+          case Some((logical, physical)) => col(physical).as(logical)
+          case None => col(n)
+        }
+      }: _*)
     partitionCols.foreach { c =>
       val f = schema.find(_.name == c).get
       val raw = regexp_extract(col("__rel"), s"(?:^|/)$c=([^/]+)/", 1)
@@ -891,12 +1077,18 @@ object Versioned {
     * the driver — bounded by the commit's file count. */
   private def digestDir(spark: SparkSession, dataDir: Path, dataDirName: String,
                         schema: StructType, partitionCols: Seq[String] = Nil,
-                        constraints: Seq[(String, String)] = Nil)
+                        constraints: Seq[(String, String)] = Nil,
+                        colMap: Seq[(String, String)] = Nil)
       : (Long, Long, Map[String, Map[String, (Long, Long)]]) = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val statCols = schema.fields
       .filter(f => f.dataType == LongType || f.dataType == IntegerType)
       .map(_.name).toSeq
+    // zone-map stats are keyed by PHYSICAL column name — stable across
+    // renames, so [[readAsOfPruned]] (which translates its logical
+    // query column per version) matches files from every epoch
+    val physMap = colMap.toMap
+    def physOf(n: String): String = physMap.getOrElse(n, n)
     // CHECK constraints ride the digest scan — zero extra passes: a row
     // whose predicate is FALSE (SQL-standard semantics: NULL passes)
     // fails the staging task loudly BEFORE the data can become visible
@@ -915,7 +1107,7 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = listDataFiles(fs, dataDir, dataDirName)
     val rows = readFilesDF(spark, root, files, schema, partitionCols,
-        withRelCol = true)
+        withRelCol = true, colMap = colMap)
       .groupBy(col("__rel").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -926,7 +1118,7 @@ object Versioned {
       val colStats = statCols.zipWithIndex.flatMap { case (c, i) =>
         val (mnI, mxI) = (3 + 2 * i, 4 + 2 * i)
         if (r.isNullAt(mnI)) None
-        else Some(c -> (r.getAs[Number](mnI).longValue(),
+        else Some(physOf(c) -> (r.getAs[Number](mnI).longValue(),
           r.getAs[Number](mxI).longValue()))
       }.toMap
       rel -> colStats
@@ -942,26 +1134,36 @@ object Versioned {
     * scanned). Files without archived stats for the column scan
     * conservatively. Returns (frame over the surviving files,
     * files scanned, files total); the frame still contains every
-    * surviving file's rows — apply the actual predicate on top. */
+    * surviving file's rows — apply the actual predicate on top.
+    *
+    * MERGE-ON-READ caveat: deletion vectors do NOT tighten archived
+    * stats — a heavily-tombstoned file keeps the min/max of its RAW
+    * content until OPTIMIZE rewrites it clean (which also purges the
+    * vectors), so pruning over such files is conservative-correct: it
+    * can only over-scan (a range kept alive solely by deleted rows),
+    * never skip a live row. */
   def readAsOfPruned(spark: SparkSession, path: String, version: Long,
                      colName: String, lo: Long, hi: Long)
       : (DataFrame, Int, Int) = {
     require(lo <= hi, s"need lo <= hi, got $lo > $hi")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (active, schema, pcols, dvs) = activeAt(fs, root, path, version)
+    val st = activeAt(fs, root, path, version)
     // stats lookup across every record <= version (records are always
-    // retained; checkpoints only short-circuit the ACTIVE-SET replay)
+    // retained; checkpoints only short-circuit the ACTIVE-SET replay);
+    // archived stats are keyed by PHYSICAL column name — translate the
+    // logical query column through the version's mapping
+    val physName = st.physOf(colName)
     val stats = listVersions(fs, root).filter(_ <= version)
       .flatMap(v => readCommit(fs, root, v).stats).toMap
-    val kept = active.filter { f =>
-      stats.get(f).flatMap(_.get(colName)) match {
+    val kept = st.active.filter { f =>
+      stats.get(f).flatMap(_.get(physName)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true // unknown stats -> conservative scan
       }
     }
-    (readFilesDF(spark, root, kept, schema, pcols, dvFiles = dvs),
-      kept.size, active.size)
+    (readFilesDF(spark, root, kept, st.schema, st.partitionCols,
+      dvFiles = st.dvs, colMap = st.colMap), kept.size, st.active.size)
   }
 
   /** [[readAsOf]] with PARTITION PRUNING decided entirely from LOG
@@ -977,12 +1179,13 @@ object Versioned {
       : (DataFrame, Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (active, schema, pcols, dvs) = activeAt(fs, root, path, version)
-    require(pcols.nonEmpty,
+    val st = activeAt(fs, root, path, version)
+    require(st.partitionCols.nonEmpty,
       s"table at $path is not partitioned as of v$version")
-    val kept = active.filter(f => keep(partitionValuesOf(f, pcols)))
-    (readFilesDF(spark, root, kept, schema, pcols, dvFiles = dvs),
-      kept.size, active.size)
+    val kept = st.active.filter(f =>
+      keep(partitionValuesOf(f, st.partitionCols)))
+    (readFilesDF(spark, root, kept, st.schema, st.partitionCols,
+      dvFiles = st.dvs, colMap = st.colMap), kept.size, st.active.size)
   }
 
   /** Row-level CHANGE FEED over `(fromVersion, toVersion]` — the
@@ -1016,11 +1219,11 @@ object Versioned {
       val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
       def readFiles(files: Seq[String], s: StructType,
                     pcols: Seq[String]): DataFrame =
-        readFilesDF(spark, root, files, s, pcols)
+        readFilesDF(spark, root, files, s, pcols, colMap = c.colMap)
       // a restore record carries the target version's deletion vectors:
       // its content is the files MINUS those positions
       val added = readFilesDF(spark, root, c.add, schema, c.partitionCols,
-        dvFiles = c.dv)
+        dvFiles = c.dv, colMap = c.colMap)
       val (ins, del) = c.action match {
         case "append" | "alter" => // alter: metadata only, no content change
           (added, readFiles(Nil, schema, c.partitionCols))
@@ -1036,7 +1239,8 @@ object Versioned {
               val covered = dvDf.select("file_rel").distinct()
                 .collect().map(_.getString(0)).toSeq.sorted
               val raw = readFilesDF(spark, root, covered, schema,
-                c.partitionCols, withRelCol = true, withPosCol = true)
+                c.partitionCols, withRelCol = true, withPosCol = true,
+                colMap = c.colMap)
               raw.join(dvDf,
                   raw("__rel") === dvDf("file_rel") && raw("__pos") === dvDf("pos"),
                   "left_semi")
@@ -1050,18 +1254,19 @@ object Versioned {
           // the removed side's LIVE rows: raw content minus the
           // deletion vectors in force at v-1 (rows a MoR delete already
           // removed must not resurface as rewrite-deletes)
-          val (_, _, _, prevDvs) = activeAt(fs, root, path, v - 1)
+          val prevDvs = activeAt(fs, root, path, v - 1).dvs
           val removed = readFilesDF(spark, root, c.remove, schema,
-            c.partitionCols, dvFiles = prevDvs)
+            c.partitionCols, dvFiles = prevDvs, colMap = c.colMap)
           (added.exceptAll(removed), removed.exceptAll(added))
         case _ => // overwrite: diff full before/after content
           val (before, after) =
             if (v == 1L) (readFiles(Nil, schema, c.partitionCols), added)
             else {
+              val prev = activeAt(fs, root, path, v - 1)
               val (prevActive, prevSchema, prevPcols, prevDvs) =
-                activeAt(fs, root, path, v - 1)
+                (prev.active, prev.schema, prev.partitionCols, prev.dvs)
               val b = readFilesDF(spark, root, prevActive, prevSchema,
-                prevPcols, dvFiles = prevDvs)
+                prevPcols, dvFiles = prevDvs, colMap = prev.colMap)
               // ALIGN BY NAME across a schema epoch: exceptAll resolves
               // positionally, so an overwrite that changed arity would
               // throw and one that reordered columns would diff wrongly.
@@ -1121,7 +1326,8 @@ object Versioned {
   def readCommitAdds(spark: SparkSession, path: String, c: Commit): DataFrame = {
     val root = new Path(path)
     val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
-    readFilesDF(spark, root, c.add, schema, c.partitionCols)
+    readFilesDF(spark, root, c.add, schema, c.partitionCols,
+      colMap = c.colMap)
   }
 
   /** SQL TIME-TRAVEL surface: register a temp view over the table AS
@@ -1185,7 +1391,8 @@ object Versioned {
       else acc.filterNot(c.remove.toSet) ++ c.add
     }
     val dvs = commits.foldLeft(Seq.empty[String]) { (acc, c) =>
-      if (c.action == "overwrite") c.dv else acc ++ c.dv
+      if (c.action == "overwrite") c.dv
+      else acc.filterNot(c.dvRemove.toSet) ++ c.dv
     }
     val last = commits.last
     val node = mapper.createObjectNode()
@@ -1199,6 +1406,10 @@ object Versioned {
     last.partitionCols.foreach(pc.add)
     val dvArr = node.putArray("dv")
     dvs.foreach(dvArr.add)
+    if (last.colMap.nonEmpty) {
+      val cm = node.putObject("colMap")
+      last.colMap.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
+    }
     val p = ckptPath(root, v)
     // overwrite-create: two racing checkpointers at the same version
     // write identical content, so last-writer-wins is safe
@@ -1291,7 +1502,8 @@ object Versioned {
           s"violate ($predicateSql)")
       val c = Commit(head.version + 1L, "alter", Nil, head.schemaJson,
         0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
-        head.partitionCols, Some((name, predicateSql)), None)
+        head.partitionCols, Some((name, predicateSql)), None,
+        colMap = head.colMap, droppedPhys = head.droppedPhys)
       if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
       attempt += 1 // lost the race: revalidate against the new head
     }
@@ -1332,7 +1544,8 @@ object Versioned {
           s"equal ($exprSql)")
       val c = Commit(head.version + 1L, "alter", Nil, head.schemaJson,
         0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
-        head.partitionCols, None, None, Nil, Some((name, exprSql)), None)
+        head.partitionCols, None, None, Nil, Some((name, exprSql)), None,
+        colMap = head.colMap, droppedPhys = head.droppedPhys)
       if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
       attempt += 1
     }
@@ -1354,7 +1567,8 @@ object Versioned {
         s"column `$name` is not generated at $path")
       val c = Commit(head.version + 1L, "alter", Nil, head.schemaJson,
         0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
-        head.partitionCols, None, None, Nil, None, Some(name))
+        head.partitionCols, None, None, Nil, None, Some(name),
+        colMap = head.colMap, droppedPhys = head.droppedPhys)
       if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
       attempt += 1
     }
@@ -1375,12 +1589,133 @@ object Versioned {
         s"constraint `$name` does not exist at $path")
       val c = Commit(head.version + 1L, "alter", Nil, head.schemaJson,
         0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
-        head.partitionCols, None, Some(name))
+        head.partitionCols, None, Some(name),
+        colMap = head.colMap, droppedPhys = head.droppedPhys)
       if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
       attempt += 1
     }
     throw new IllegalStateException(
       s"dropConstraint at $path lost the version race $maxRetries times")
+  }
+
+  /** Conservative "does this SQL expression mention the identifier"
+    * check — word-boundary, case-insensitive (SQL identifiers fold
+    * case). Used to refuse renaming/dropping columns that constraint
+    * or generated-column expressions reference. */
+  private def mentionsIdent(exprSql: String, name: String): Boolean =
+    ("(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
+      "(?![A-Za-z0-9_])").r.findFirstIn(exprSql).isDefined
+
+  /** RENAME a column as a METADATA-ONLY commit (the Delta
+    * column-mapping design): the new logical name maps to the column's
+    * unchanged PHYSICAL (on-disk parquet) name, so NO file is rewritten
+    * — old files stay readable under every version's own schema, later
+    * appends keep writing the physical name, and because the content
+    * fingerprint is value-only (names never enter the digest) the
+    * additive snapshot certification holds across the rename with no
+    * epoch recompute. Refused for partition columns (their name is the
+    * directory layout), generated columns, and columns referenced by
+    * CHECK-constraint / generated-column expressions (the archived SQL
+    * would silently dangle). */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+                   newName: String, maxRetries: Int = 20): Commit = {
+    require(newName.matches("[A-Za-z0-9_]+"),
+      s"column name `$newName` must match [A-Za-z0-9_]+")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestCommit(fs, root).getOrElse(
+        throw new IllegalStateException(s"no commits at $path"))
+      val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      require(headSchema.fieldNames.contains(oldName),
+        s"cannot rename `$oldName` at $path: no such column " +
+          s"(have: ${headSchema.fieldNames.mkString(", ")})")
+      require(!headSchema.fieldNames.contains(newName),
+        s"cannot rename `$oldName` -> `$newName` at $path: `$newName` exists")
+      require(!head.partitionCols.contains(oldName),
+        s"cannot rename partition column `$oldName` at $path — the name " +
+          "IS the directory layout; re-partition via overwrite instead")
+      require(!generatedOf(fs, root, head.version).exists(_._1 == oldName),
+        s"cannot rename generated column `$oldName` at $path — drop the " +
+          "generation rule first")
+      val refs = constraintsOf(fs, root, head.version) ++
+        generatedOf(fs, root, head.version)
+      refs.find { case (_, e) => mentionsIdent(e, oldName) }.foreach { case (n, e) =>
+        throw new IllegalArgumentException(
+          s"cannot rename `$oldName` at $path: expression of `$n` ($e) " +
+            "references it — drop/re-add the rule around the rename")
+      }
+      val physical = head.colMap.toMap.getOrElse(oldName, oldName)
+      val newMap = (head.colMap.filterNot(_._1 == oldName) ++
+        (if (physical != newName) Seq(newName -> physical) else Nil))
+        .sortBy(_._1)
+      val newSchema = StructType(headSchema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val c = Commit(head.version + 1L, "alter", Nil, newSchema.json,
+        0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
+        head.partitionCols, None, None, Nil, None, None, Nil, Nil,
+        newMap, head.droppedPhys)
+      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"renameColumn at $path lost the version race $maxRetries times")
+  }
+
+  /** DROP a column as a METADATA-ONLY commit: no file is rewritten —
+    * the column's physical name simply leaves the read schema (parquet
+    * subset reads skip it natively) and joins the `droppedPhys` ledger
+    * so a later re-add of the same logical name gets a FRESH physical
+    * name instead of resurrecting stale values from old files. Because
+    * removing a column's values moves every row digest, the snapshot
+    * totals are RECOMPUTED under the new schema with one scan — the
+    * same documented epoch price as [[appendEvolve]] — after which
+    * appends are additive again. Refused for partition columns,
+    * generated columns, referenced columns and the last column. */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+                 maxRetries: Int = 20): Commit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = latestCommit(fs, root).getOrElse(
+        throw new IllegalStateException(s"no commits at $path"))
+      val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      require(headSchema.fieldNames.contains(name),
+        s"cannot drop `$name` at $path: no such column")
+      require(headSchema.fields.length > 1,
+        s"cannot drop `$name` at $path: it is the only column")
+      require(!head.partitionCols.contains(name),
+        s"cannot drop partition column `$name` at $path")
+      require(!generatedOf(fs, root, head.version).exists(_._1 == name),
+        s"cannot drop generated column `$name` at $path — drop the " +
+          "generation rule first")
+      val refs = constraintsOf(fs, root, head.version) ++
+        generatedOf(fs, root, head.version)
+      refs.find { case (_, e) => mentionsIdent(e, name) }.foreach { case (n, e) =>
+        throw new IllegalArgumentException(
+          s"cannot drop `$name` at $path: expression of `$n` ($e) " +
+            "references it — drop the rule first")
+      }
+      val physical = head.colMap.toMap.getOrElse(name, name)
+      val newSchema = StructType(headSchema.fields.filterNot(_.name == name))
+      val newMap = head.colMap.filterNot(_._1 == name)
+      val newDropped = (head.droppedPhys :+ physical).distinct
+      // the epoch recompute: current content digested under the
+      // narrowed schema (one scan; deletion vectors stay in force)
+      val st = activeAt(fs, root, path, head.version)
+      val (rows, fp) = digestFiles(spark, root, st.active, newSchema,
+        st.partitionCols, st.dvs, newMap)
+      val c = Commit(head.version + 1L, "alter", Nil, newSchema.json,
+        0L, 0L, rows, fp, Nil, None, Map.empty,
+        head.partitionCols, None, None, Nil, None, None, Nil, Nil,
+        newMap, newDropped)
+      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"dropColumn at $path lost the version race $maxRetries times")
   }
 
   /** RESTORE the table to the content of `toVersion` as a NEW commit —
@@ -1396,7 +1731,8 @@ object Versioned {
               maxRetries: Int = 20): Commit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (active, _, _, dvs) = activeAt(fs, root, path, toVersion)
+    val tState = activeAt(fs, root, path, toVersion)
+    val (active, dvs) = (tState.active, tState.dvs)
     val tc = readCommit(fs, root, toVersion)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1415,7 +1751,8 @@ object Versioned {
       }
       val c = Commit(head.version + 1L, "overwrite", active, tc.schemaJson,
         tc.snapshotRows, tc.snapshotFp, tc.snapshotRows, tc.snapshotFp,
-        Nil, None, Map.empty, tc.partitionCols, None, None, dvs)
+        Nil, None, Map.empty, tc.partitionCols, None, None, dvs,
+        colMap = tc.colMap, droppedPhys = tc.droppedPhys)
       if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
       attempt += 1
     }
@@ -1440,9 +1777,12 @@ object Versioned {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = latestCommit(fs, src).getOrElse(
       throw new IllegalStateException(s"no commits at $srcPath"))
-    val (active, _, _, srcDvs) = activeAt(fs, src, srcPath, head.version)
+    val srcState = activeAt(fs, src, srcPath, head.version)
+    val (active, srcDvs) = (srcState.active, srcState.dvs)
     val srcQ = fs.makeQualified(src)
-    def absolute(f: String): String = new Path(srcQ, f).toUri.getPath
+    def absolute(f: String): String =
+      if (f.startsWith("/")) f // already foreign (clone of a clone)
+      else new Path(srcQ, f).toUri.getPath
     val abs = active.map(absolute)
     // carry the active files' archived zone maps, re-keyed to the
     // absolute paths the clone's records use
@@ -1455,12 +1795,45 @@ object Versioned {
     val dstFs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(listVersions(dstFs, dst).isEmpty,
       s"cloneShallow destination $dstPath already has commits")
+    // IN-FORCE DELETION VECTORS: the source dv parquet's (file_rel,
+    // pos) rows key files SOURCE-root-relative, but the clone reads
+    // those files as FOREIGN references whose __rel is the scheme-less
+    // ABSOLUTE path — carrying the dv files as-is would anti-join
+    // nothing and every MoR-deleted row would resurrect while the
+    // inherited snapshot totals already subtracted them (ADVICE r10
+    // high). So the vectors are REWRITTEN under the clone root with
+    // file_rel re-keyed absolute — O(tombstoned rows), the only bytes
+    // a shallow clone copies; data files stay zero-copy.
+    val (cloneDvs, cloneCovered) =
+      if (srcDvs.isEmpty) (Nil, Nil)
+      else {
+        val dvDf = spark.read.schema("file_rel STRING, pos LONG")
+          .parquet(srcDvs.map(f => new Path(src, f).toString): _*)
+        val srcRootPath = srcQ.toUri.getPath
+        val rekeyed = dvDf.select(
+          when(col("file_rel").startsWith("/"), col("file_rel"))
+            .otherwise(concat(lit(srcRootPath + "/"), col("file_rel")))
+            .as("file_rel"),
+          col("pos"))
+        val dvDirName = s"dv-${java.util.UUID.randomUUID().toString.take(8)}"
+        val dvDir = new Path(dst, dvDirName)
+        rekeyed.write.parquet(dvDir.toString)
+        val files = listDataFiles(dstFs, dvDir, dvDirName)
+        val covered = rekeyed.select("file_rel").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        (files, covered)
+      }
     val c = Commit(1L, "overwrite", abs, head.schemaJson,
       head.snapshotRows, head.snapshotFp, head.snapshotRows, head.snapshotFp,
-      Nil, None, stats, head.partitionCols, None, None, srcDvs.map(absolute))
-    if (!atomicCreate(dstFs, recordPath(dst, 1L), render(c)))
+      Nil, None, stats, head.partitionCols, None, None, cloneDvs,
+      dvCovered = cloneCovered,
+      colMap = head.colMap, droppedPhys = head.droppedPhys)
+    if (!atomicCreate(dstFs, recordPath(dst, 1L), render(c))) {
+      cloneDvs.headOption.foreach(f =>
+        dstFs.delete(new Path(dst, f.split("/").head), true))
       throw new java.util.ConcurrentModificationException(
         s"cloneShallow lost the v1 claim at $dstPath")
+    }
     c
   }
 
@@ -1487,7 +1860,7 @@ object Versioned {
     val retained = versions.filter(_ >= horizon)
     val needed = retained.flatMap { v =>
       val a = activeAt(fs, root, path, v)
-      a._1 ++ a._4 // data files AND deletion vectors still in force
+      a.active ++ a.dvs // data files AND deletion vectors still in force
     }.toSet
     val candidates = versions.map(v => readCommit(fs, root, v))
       .flatMap(c => c.add ++ c.dv)
@@ -1592,7 +1965,8 @@ object Versioned {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = latestCommit(fs, root).getOrElse(
       throw new IllegalStateException(s"no commits at $path"))
-    val (allActive, schema, pcols, dvs) = activeAt(fs, root, path, head.version)
+    val st = activeAt(fs, root, path, head.version)
+    val (allActive, schema, pcols) = (st.active, st.schema, st.partitionCols)
     val active = where match {
       case None => allActive
       case Some(keep) =>
@@ -1601,7 +1975,8 @@ object Versioned {
         allActive.filter(f => keep(partitionValuesOf(f, pcols)))
     }
     if (active.isEmpty) return None
-    val cur = readFilesDF(spark, root, active, schema, pcols, dvFiles = dvs)
+    val cur = readFilesDF(spark, root, active, schema, pcols,
+      dvFiles = st.dvs, colMap = st.colMap)
     val laid = zorderBy match {
       case Some((x, y)) =>
         // domain-checked like Ingest.checkedZ: an out-of-range value
@@ -1644,10 +2019,14 @@ object Versioned {
       .map(n => n.stripPrefix("ckpt-").stripSuffix(".json").toLong).sorted
   }
 
-  /** (version, active files, schema json, partition cols, accumulated
-    * deletion vectors) of a stored checkpoint. */
+  private final case class CkptState(version: Long, active: Seq[String],
+                                     schemaJson: String,
+                                     partitionCols: Seq[String],
+                                     dvs: Seq[String],
+                                     colMap: Seq[(String, String)])
+
   private def readCheckpoint(fs: FileSystem, root: Path, version: Long)
-      : (Long, Seq[String], String, Seq[String], Seq[String]) = {
+      : CkptState = {
     val in = fs.open(ckptPath(root, version))
     val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
       new java.io.DataInputStream(in)) finally in.close()
@@ -1658,9 +2037,14 @@ object Versioned {
     val dvs = Option(t.get("dv"))
       .map(d => (0 until d.size()).map(i => d.get(i).asText()).toSeq)
       .getOrElse(Nil)
-    (t.get("version").asLong(),
+    val colMap = Option(t.get("colMap")).map { cm =>
+      import scala.jdk.CollectionConverters._
+      cm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
+        .sortBy(_._1)
+    }.getOrElse(Nil)
+    CkptState(t.get("version").asLong(),
       (0 until t.get("active").size()).map(i => t.get("active").get(i).asText()),
-      t.get("schema").asText(), pcols, dvs)
+      t.get("schema").asText(), pcols, dvs, colMap)
   }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
@@ -1705,13 +2089,22 @@ object Versioned {
     val gAdd = Option(t.get("generatedAddName"))
       .map(n => (n.asText(), t.get("generatedAddExpr").asText()))
     val gDrop = Option(t.get("generatedDrop")).map(_.asText())
+    def strArr(field: String): Seq[String] = Option(t.get(field))
+      .map(a => (0 until a.size()).map(i => a.get(i).asText()).toSeq)
+      .getOrElse(Nil)
+    val colMap = Option(t.get("colMap")).map { cm =>
+      import scala.jdk.CollectionConverters._
+      cm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
+        .sortBy(_._1)
+    }.getOrElse(Nil)
     Commit(
       t.get("version").asLong(), t.get("action").asText(),
       (0 until t.get("add").size()).map(i => t.get("add").get(i).asText()),
       t.get("schema").asText(), t.get("nRows").asLong(),
       t.get("addFp").asLong(), t.get("snapshotRows").asLong(),
       t.get("snapshotFp").asLong(), rem, txn, stats, pcols, cAdd, cDrop, dv,
-      gAdd, gDrop)
+      gAdd, gDrop, strArr("dvCovered"), strArr("dvRemove"), colMap,
+      strArr("droppedPhys"))
   }
 
   private def render(c: Commit): Array[Byte] = {
@@ -1751,6 +2144,19 @@ object Versioned {
     c.generatedAdd.foreach { case (n, e) =>
       node.put("generatedAddName", n); node.put("generatedAddExpr", e) }
     c.generatedDrop.foreach(node.put("generatedDrop", _))
+    if (c.dvCovered.nonEmpty) {
+      val a = node.putArray("dvCovered"); c.dvCovered.foreach(a.add)
+    }
+    if (c.dvRemove.nonEmpty) {
+      val a = node.putArray("dvRemove"); c.dvRemove.foreach(a.add)
+    }
+    if (c.colMap.nonEmpty) {
+      val cm = node.putObject("colMap")
+      c.colMap.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
+    }
+    if (c.droppedPhys.nonEmpty) {
+      val a = node.putArray("droppedPhys"); c.droppedPhys.foreach(a.add)
+    }
     mapper.writeValueAsBytes(node)
   }
 

@@ -79,7 +79,17 @@ object NextItem {
     val ctx = second.join(last, "u")
 
     // candidate scoring: broadcast vocabulary + broadcast-able count
-    // lookups keyed on the (small) context set
+    // lookups keyed on the (small) context set.
+    // SCALE NOTE (VERDICT r10): the candidate space is U x V — every
+    // user's context crossed with the FULL broadcast vocabulary. That
+    // is the right shape for a music CATALOG (vocab fits one
+    // broadcast; Laplace smoothing means unseen items legitimately
+    // score > 0, so no candidate can be dropped without changing the
+    // ranking). At marketplace-scale vocabularies (V in the hundreds
+    // of millions) the smoothed tail ties anyway: restrict candidates
+    // to items with a nonzero backoff count for the context (join on
+    // `bi`/`tri` instead of crossJoin(vocab)) and append the
+    // deterministic smoothed tail only when fewer than k survive.
     val scored = ctx
       .crossJoin(broadcast(vocab))
       .join(tri.withColumnRenamed("a", "prev2").withColumnRenamed("b", "prev1"),

@@ -84,6 +84,30 @@ class ChangeFeedSpec extends SparkTestBase {
     assert((r.getLong(0), r.getLong(1)) == ((n, fp)))
   }
 
+  test("re-delivery with a DIFFERENT trigger width is absorbed (per-version keys)") {
+    val base = tmp("rewin")
+    val tbl = s"$base/tbl"
+    val down = s"$base/down"
+    Versioned.overwrite(df(1L -> "a"), tbl)       // v1
+    Versioned.append(df(2L -> "b"), tbl)          // v2
+    Versioned.append(df(3L -> "c"), tbl)          // v3
+    Versioned.append(df(4L -> "d"), tbl)          // v4
+    // first run windows (0,2], (2,4]; a window-keyed idempotence would
+    // tag batches 2 and 4
+    ChangeFeed.mirrorTo(spark, tbl, down, s"$base/ckpt1", "cf",
+      maxVersionsPerTrigger = 2)
+    val once = rows(Versioned.read(spark, down))
+    assert(once.size == 4)
+    val downCommits = Versioned.latestVersion(spark, down)
+    // fresh checkpoint, width 1: windows (0,1], (1,2], (2,3], (3,4] —
+    // upper versions 1 and 3 were never window keys, but the
+    // PER-SOURCE-VERSION tags absorb every row regardless of windowing
+    ChangeFeed.mirrorTo(spark, tbl, down, s"$base/ckpt2", "cf",
+      maxVersionsPerTrigger = 1)
+    assert(rows(Versioned.read(spark, down)) == once)
+    assert(Versioned.latestVersion(spark, down) == downCommits)
+  }
+
   test("an OPTIMIZE in the feed window mirrors as zero rows, no empty commit") {
     val base = tmp("opt")
     val tbl = s"$base/tbl"
