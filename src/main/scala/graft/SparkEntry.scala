@@ -4032,6 +4032,52 @@ object SparkEntry {
       versionedReport(s, tbl).crossJoin(inv)
     }),
 
+    // STREAMING ADMISSION CONTROL (sources/VersionedSource via the
+    // engine's SupportsAdmissionControl + SupportsTriggerAvailableNow
+    // contracts — the FileStreamSource pattern): a stream starting
+    // against a 6-commit backlog with maxVersionsPerTrigger=2 drains
+    // it in exactly THREE rate-limited micro-batches instead of one
+    // giant one (the cold-start/catch-up shape a long-running
+    // reference stream hits first; its format's equivalent knobs are
+    // maxFilesPerTrigger/maxBytesPerTrigger, both also supported).
+    // Pinned: the batch count from the checkpoint's offset log, sink
+    // content == table content (exactly once THROUGH the rate limit),
+    // and a caught-up rerun emitting nothing.
+    "q238_stream_admission" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      import org.apache.spark.sql.streaming.Trigger
+      val base = scratch("q238")
+      val tbl = s"$base/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      (0 to 5).foreach(m => Versioned.append(
+        orders.filter(col("o_orderkey") % 6 === m), tbl))
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft.sources.VersionedSource")
+          .option("maxVersionsPerTrigger", "2").load(tbl)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      val n1 = s.read.parquet(s"$base/out").count()
+      runOnce() // caught up: nothing new may land
+      val nBatches = new java.io.File(s"$base/ckpt/offsets").listFiles()
+        .count(f => f.getName.forall(_.isDigit)).toLong
+      val sink = s.read.parquet(s"$base/out")
+      import s.implicits._
+      val inv = broadcast(Seq((nBatches,
+          sink.count() == Versioned.read(s, tbl).count(),
+          sink.count() == n1))
+        .toDF("n_batches", "exactly_once", "second_run_empty"))
+      sink.groupBy(pmod(col("o_orderkey"), lit(6L)).as("slice"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+        .orderBy(col("slice"))
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -8213,6 +8259,17 @@ object SparkEntry {
         |  sum(cents)::BIGINT AS sum_cents, true AS violation_refused,
         |  true AS head_unchanged, 1::BIGINT AS n_generated_defs
         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the sink after the rate-limited drain holds exactly the table
+    // (all six slices); batch count / exactly-once / rerun-empty are
+    // Spark-verified invariants
+    "q238_stream_admission" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT (k % 6)::BIGINT AS slice, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS cents_sum, 3::BIGINT AS n_batches,
+        |  true AS exactly_once, true AS second_run_empty
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
@@ -57,6 +58,35 @@ import graft.ingest.Versioned
   * `startingVersion` (default 0) excludes all commits ≤ it from the
   * first batch — "stream only what happens from now on" is
   * `startingVersion = latestVersion(path)`.
+  *
+  * ADMISSION CONTROL (backlog catch-up): a stream starting against a
+  * long history — or recovering after downtime — must not materialize
+  * the entire backlog as one micro-batch. Three rate-limit options
+  * bound each trigger's window, the same knobs the reference's table
+  * format exposes for its streams (maxFilesPerTrigger /
+  * maxBytesPerTrigger; spark_utils.py:51–66 writes the tables those
+  * long-running streams tail):
+  *
+  *  - `maxVersionsPerTrigger`: at most N commits per batch;
+  *  - `maxFilesPerTrigger`: stop admitting versions once the window
+  *    holds ≥ N data files (version granularity — a commit is never
+  *    split, so at least ONE version is always admitted: progress is
+  *    guaranteed even when a single commit exceeds the cap);
+  *  - `maxBytesPerTrigger`: same, by data-file bytes (soft cap, same
+  *    at-least-one-version floor).
+  *
+  * Implemented through the engine's own admission-control contract
+  * ([[SupportsAdmissionControl]] — the engine passes the COMMITTED
+  * start offset into [[VersionedStreamSource.latestOffset]], so
+  * restart never regresses the window) and
+  * [[SupportsTriggerAvailableNow]] (an `AvailableNow` run snapshots
+  * the head at query start and then drains it in rate-limited batches
+  * instead of one giant one) — the exact pattern of Spark's own
+  * `FileStreamSource`. Cost per trigger: one log listing + one small
+  * commit-record read per version CONSIDERED (records are immutable
+  * and memoized per source instance), and for the bytes cap one
+  * `getFileStatus` per candidate file (memoized likewise) — all
+  * O(window), never O(table).
   */
 class VersionedSource extends StreamSourceProvider with DataSourceRegister {
 
@@ -103,28 +133,122 @@ class VersionedSource extends StreamSourceProvider with DataSourceRegister {
       startingVersion = parameters.get("startingVersion").map(_.toLong)
         .getOrElse(0L),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      metadataPath = metadataPath)
+      metadataPath = metadataPath,
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
+        .map(_.toLong),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong))
   }
 }
 
 private[sources] class VersionedStreamSource(
     sqlContext: SQLContext, path: String, streamSchema: StructType,
     cdf: Boolean, startingVersion: Long, ignoreChanges: Boolean,
-    metadataPath: String)
-  extends Source {
+    metadataPath: String,
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+  extends Source with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
 
   override def schema: StructType = streamSchema
 
   /** One directory listing; None until the table has commits past the
-    * starting version. */
+    * starting version. (V1 fallback surface — when any rate limit is
+    * set the engine goes through [[latestOffset]] instead.) */
   override def getOffset: Option[V1Offset] = {
     val head = Versioned.latestVersion(spark, path)
     if (head <= startingVersion) None else Some(LongOffset(head))
   }
 
-  private def versionOf(o: V1Offset): Long = o match {
+  // ---- admission control ------------------------------------------------
+
+  override def initialOffset(): OffsetV2 = LongOffset(startingVersion)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+
+  /** Files/bytes caps advertised to the engine; the versions cap is a
+    * source-private option the engine has no vocabulary for, consumed
+    * directly in [[latestOffset]]. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** `AvailableNow`: pin the head at query start; the run drains up to
+    * exactly this version in rate-limited batches, whatever lands
+    * concurrently. */
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Versioned.latestVersion(spark, path))
+
+  // commit records and file lengths are immutable — memoized for the
+  // source's lifetime so repeated admission walks stay O(window)
+  private val commitCache =
+    scala.collection.mutable.Map.empty[Long, Versioned.Commit]
+  private val lenCache = scala.collection.mutable.Map.empty[String, Long]
+
+  private def commitAt(v: Long): Versioned.Commit =
+    commitCache.getOrElseUpdate(v,
+      Versioned.commitsBetween(spark, path, v - 1L, v).headOption.getOrElse(
+        throw new IllegalStateException(s"no commit record v$v at $path")))
+
+  private def bytesOf(c: Versioned.Commit): Long = {
+    lazy val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    c.add.map(rel => lenCache.getOrElseUpdate(rel,
+      fs.getFileStatus(new Path(new Path(path), rel)).getLen)).sum
+  }
+
+  /** Flatten the engine-passed limit to (file cap, byte cap). Unknown
+    * limit shapes (e.g. ReadMinRows) are inapplicable to a
+    * version-offset source and read as unbounded. */
+  private def capsOf(limit: ReadLimit): (Long, Long) = limit match {
+    case _: ReadAllAvailable => (Long.MaxValue, Long.MaxValue)
+    case f: ReadMaxFiles => (f.maxFiles().toLong, Long.MaxValue)
+    case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(capsOf).reduce((a, b) =>
+        (math.min(a._1, b._1), math.min(a._2, b._2)))
+    case _ => (Long.MaxValue, Long.MaxValue)
+  }
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    // the engine passes null (not initialOffset()) before the first batch
+    val from = math.max(
+      Option(start).map(versionOf).getOrElse(startingVersion), startingVersion)
+    val headNow = Versioned.latestVersion(spark, path)
+    val head = availableNowCap.fold(headNow)(math.min(headNow, _))
+    if (head <= from) return LongOffset(from)
+    val (fileCap, byteCap) = capsOf(limit)
+    val vCap = maxVersionsPerTrigger.getOrElse(Long.MaxValue)
+    var v = from
+    var files = 0L
+    var bytes = 0L
+    while (v < head && (v - from) < vCap) {
+      val c = commitAt(v + 1L)
+      val cFiles = c.add.size.toLong
+      val cBytes = if (byteCap == Long.MaxValue) 0L else bytesOf(c)
+      // a commit is never split: the first version always admits
+      // (progress guarantee), later ones only while under both caps
+      if (v > from && (files + cFiles > fileCap || bytes + cBytes > byteCap))
+        return LongOffset(v)
+      v += 1L
+      files += cFiles
+      bytes += cBytes
+    }
+    LongOffset(v)
+  }
+
+  private def versionOf(o: OffsetV2): Long = o match {
     case LongOffset(v) => v
     case other => other.json.trim.toLong // SerializedOffset after restart
   }
