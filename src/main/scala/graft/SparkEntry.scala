@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.silver.Pipelines
-import graft.recommend.Recommender
+import graft.recommend.{ContentBased, Recommender}
 import graft.streaming.{StreamAgg, StreamIngest}
 import graft.ingest.{Ingest, Shards, Snapshot}
 import graft.quality.Quality
@@ -4077,6 +4077,82 @@ object SparkEntry {
         .crossJoin(inv)
         .orderBy(col("slice"))
     }),
+
+    // FULL CONDITIONAL MERGE (ingest/Versioned.merge): the complete
+    // Delta MERGE surface in one copy-on-write commit — WHEN MATCHED
+    // AND <cond> THEN DELETE, WHEN MATCHED THEN UPDATE, conditional
+    // WHEN NOT MATCHED INSERT, and both NOT MATCHED BY SOURCE forms
+    // (update + delete), first-match-wins within each population.
+    // upsert/applyChanges are the fixed-shape fast paths of this; the
+    // gate certifies both versions' full content by fingerprint.
+    "q239_merge_full" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      import graft.ingest.Versioned._
+      val tbl = scratch("q239") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 3 === 0), tbl)
+      val src = o.filter(col("k") % 2 === 0)
+        .withColumn("cents", col("cents") + 7L)
+      Versioned.merge(s, tbl, src, Seq("k"), Seq(
+        WhenMatchedDelete(Some(col("status") === "F")),
+        WhenMatchedUpdate(Map("cents" -> srcCol("cents"))),
+        WhenNotMatchedInsert(cond = Some(srcCol("cents") % 2 === 0)),
+        WhenNotMatchedBySourceUpdate(Map("status" -> lit("Z")),
+          Some(col("cents") % 10 < 5)),
+        WhenNotMatchedBySourceDelete(Some(col("cents") % 10 >= 8))))
+      versionedReport(s, tbl)
+    }),
+
+    // COLUMN MAPPING (ingest/Versioned.renameColumn / dropColumn):
+    // rename and drop as METADATA-ONLY commits through a logical->
+    // physical name map — no file rewrites (pinned), every version
+    // reads under its own schema's names, the value-only additive
+    // fingerprint survives the rename with NO epoch recompute, a drop
+    // recomputes once (the documented epoch price), and a RE-ADDED
+    // logical name maps to a fresh physical name so dropped values
+    // never resurrect (old files read NULL). The gate fingerprints all
+    // five versions' full content, including the null-backfilled
+    // re-add epoch.
+    "q240_column_mapping" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      val tbl = scratch("q240") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 3 === 0), tbl)          // v1
+      val cRen = Versioned.renameColumn(s, tbl, "cents", "amount_cents") // v2
+      Versioned.append(o.filter(col("k") % 3 === 1)
+        .withColumnRenamed("cents", "amount_cents"), tbl)             // v3
+      Versioned.dropColumn(s, tbl, "c")                               // v4
+      Versioned.appendEvolve(o.filter(col("k") % 3 === 2)
+        .select(col("k"), col("cents").as("amount_cents"), col("c")), tbl) // v5
+      import s.implicits._
+      val inv = broadcast(Seq((cRen.add.isEmpty && cRen.remove.isEmpty))
+        .toDF("rename_metadata_only"))
+      val rows = (1L to 5L).map { v =>
+        val asOf = Versioned.readAsOf(s, tbl, v)
+        val (an, afp) = Versioned.archivedFingerprint(s, tbl, v)
+        val r = asOf.agg(count(lit(1)), coalesce(sum(Fingerprint.rowDigest(
+          asOf.schema.fieldNames.toSeq.map(col))), lit(0L))).head()
+        (v, r.getLong(0), r.getLong(1), asOf.columns.mkString(","),
+          r.getLong(0) == an && r.getLong(1) == afp)
+      }.toDF("version", "n_rows", "fp", "schema_cols", "matches_archived")
+      rows.crossJoin(inv).orderBy(col("version"))
+    }),
+
+    // CONTENT-BASED FILTERING (recommend/ContentBased — reference
+    // ROADMAP.md Phase 4.1 "shared attributes like artist and genre"):
+    // the user's liked-attribute histograms score the catalog; exact
+    // integer scores, broadcast-only joins after the pushed-down
+    // single-user filter, TakeOrderedAndProject top-k.
+    "q241_content_recommend" -> ((s, dir) =>
+      ContentBased.recommend(
+        likes = Pipelines.likes(T(s, dir, "orders"), T(s, dir, "lineitem")),
+        tracks = T(s, dir, "part").select(col("p_partkey").as("track_id"),
+          col("p_brand").as("artist"), col("p_type").as("genre")),
+        userId = DemoUser, k = 10)),
 
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
@@ -8270,6 +8346,93 @@ object SparkEntry {
         |  sum(cents)::BIGINT AS cents_sum, 3::BIGINT AS n_batches,
         |  true AS exactly_once, true AS second_run_empty
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the merge replayed clause by clause: matched F-rows deleted,
+    // other matched rows take the source cents, target-only rows get
+    // status Z / deletion / passthrough by the cents band, source-only
+    // rows insert when even — both versions' content fingerprinted
+    "q239_merge_full" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |t AS (SELECT k, status, cents FROM o WHERE k % 3 = 0),
+        |s AS (SELECT k, status, cents + 7 AS cents FROM o WHERE k % 2 = 0),
+        |matched AS (SELECT t.k, t.status, s.cents
+        |  FROM t JOIN s USING (k) WHERE t.status <> 'F'),
+        |tgtonly AS (SELECT k,
+        |    CASE WHEN cents % 10 < 5 THEN 'Z' ELSE status END AS status, cents
+        |  FROM t WHERE k % 2 = 1 AND cents % 10 < 8),
+        |srconly AS (SELECT k, status, cents FROM s
+        |  WHERE k % 3 <> 0 AND cents % 2 = 0),
+        |u AS (SELECT 1 AS version, k, status, cents FROM t
+        |  UNION ALL SELECT 2, k, status, cents FROM matched
+        |  UNION ALL SELECT 2, k, status, cents FROM tgtonly
+        |  UNION ALL SELECT 2, k, status, cents FROM srconly),
+        |enc AS (SELECT version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(status)::VARCHAR || ':' || status || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM u)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // five versions replayed value-for-value: the rename leaves the
+    // digest untouched (names never enter it), the drop narrows the
+    // field list, the re-add epoch digests NULL (the 'N' sentinel) for
+    // pre-existing rows and the real value for the new slice
+    "q240_column_mapping" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |h3 AS (SELECT k, ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h FROM o),
+        |h2 AS (SELECT k, ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h FROM o),
+        |h3n AS (SELECT k, ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR || chr(1) ||
+        |      CASE WHEN k % 3 = 2
+        |        THEN length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR
+        |        ELSE 'N' END),
+        |      1, 8))::BIGINT AS h FROM o),
+        |u AS (
+        |  SELECT 1 AS version, 'k,c,cents' AS schema_cols, h
+        |    FROM h3 WHERE k % 3 = 0
+        |  UNION ALL SELECT 2, 'k,c,amount_cents', h FROM h3 WHERE k % 3 = 0
+        |  UNION ALL SELECT 3, 'k,c,amount_cents', h FROM h3 WHERE k % 3 <= 1
+        |  UNION ALL SELECT 4, 'k,amount_cents', h FROM h2 WHERE k % 3 <= 1
+        |  UNION ALL SELECT 5, 'k,amount_cents,c', h FROM h3n)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS n_rows,
+        |  sum(h)::BIGINT AS fp, schema_cols,
+        |  true AS matches_archived, true AS rename_metadata_only
+        |FROM u GROUP BY version, schema_cols ORDER BY 1""".stripMargin,
+
+    // the attribute-histogram model replayed literally (DemoUser
+    // interpolated so query and oracle can never desync)
+    "q241_content_recommend" ->
+      s"""WITH likes AS (
+        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS track_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |tracks AS (SELECT p_partkey AS track_id, p_brand AS artist,
+        |    p_type AS genre FROM part),
+        |ul AS (SELECT track_id FROM likes WHERE user_id = $DemoUser),
+        |liked AS (SELECT t.* FROM tracks t JOIN ul USING (track_id)),
+        |ap AS (SELECT artist, count(*)::BIGINT AS a_cnt FROM liked GROUP BY 1),
+        |gp AS (SELECT genre, count(*)::BIGINT AS g_cnt FROM liked GROUP BY 1),
+        |sc AS (SELECT t.track_id,
+        |    (coalesce(ap.a_cnt, 0) * 2 + coalesce(gp.g_cnt, 0))::BIGINT AS score
+        |  FROM tracks t LEFT JOIN ap USING (artist) LEFT JOIN gp USING (genre)),
+        |cand AS (SELECT track_id, score FROM sc
+        |  WHERE score > 0 AND track_id NOT IN (SELECT track_id FROM ul))
+        |SELECT track_id, score FROM cand
+        |ORDER BY score DESC, track_id ASC LIMIT 10""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle
