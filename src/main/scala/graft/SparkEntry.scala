@@ -4154,6 +4154,120 @@ object SparkEntry {
           col("p_brand").as("artist"), col("p_type").as("genre")),
         userId = DemoUser, k = 10)),
 
+    // TIMESTAMP AS OF time travel (ingest/Versioned.claimStamped /
+    // versionAsOfTimestamp / readAsOfTimestamp): every commit record
+    // is stamped max(wall clock, parent ts + 1) — the Delta rule — so
+    // version order and timestamp order always agree and wall-clock
+    // resolution is unique even under writer clock skew. Pinned:
+    // strict monotonicity, exact resolution at/between/after commit
+    // moments, the pre-first-commit refusal, and the full content of
+    // the timestamp-resolved read.
+    "q242_timestamp_travel" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q242") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 3 === 0), tbl) // v1
+      Versioned.append(orders.filter(col("o_orderkey") % 3 === 1), tbl)   // v2
+      Versioned.deleteWhere(s, tbl, col("cents") % 10 < 3)                // v3
+      val ts = (1L to 3L).map(v => Versioned.commitTimestamp(s, tbl, v))
+      val mono = ts.forall(_ > 0L) && ts == ts.sorted && ts.distinct == ts
+      val resolves =
+        Versioned.versionAsOfTimestamp(s, tbl, ts(1)) == 2L &&
+          Versioned.versionAsOfTimestamp(s, tbl, ts(2) - 1L) == 2L &&
+          Versioned.versionAsOfTimestamp(s, tbl,
+            System.currentTimeMillis() + 1000000L) == 3L
+      val refused =
+        try { Versioned.versionAsOfTimestamp(s, tbl, ts.head - 1L); false }
+        catch { case _: IllegalArgumentException => true }
+      import s.implicits._
+      val inv = broadcast(Seq((mono, resolves, refused))
+        .toDF("ts_monotonic", "resolves_exact", "pre_first_refused"))
+      Versioned.readAsOfTimestamp(s, tbl, ts(1))
+        .groupBy(pmod(col("o_orderkey"), lit(3L)).as("slice"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+        .orderBy(col("slice"))
+    }),
+
+    // PROTOCOL READER-FEATURE FLAGS (ingest/Versioned
+    // .SupportedReaderFeatures): each record is stamped with the
+    // features its correct interpretation REQUIRES (deletion-vectors,
+    // column-mapping — derived from the record's own content at claim
+    // time), and a reader that does not understand one refuses the
+    // WHOLE log loudly — an old engine ignoring a dv entry would
+    // silently resurrect deleted rows, the worst table-format failure.
+    // Pinned: per-record stamping, the loud refusal of an injected
+    // future-feature record (read AND vacuum — no destructive decision
+    // over a log the engine cannot interpret), and the head content
+    // THROUGH both supported features.
+    "q243_protocol_features" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q243") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(orders, tbl)                                  // v1
+      Versioned.deleteWhereMoR(s, tbl, col("cents") % 10 < 2)           // v2
+      Versioned.renameColumn(s, tbl, "o_custkey", "user_id")            // v3
+      val feats = Versioned.commitsBetween(s, tbl, 0L, 3L).map(_.features)
+      val stamped = feats(0).isEmpty &&
+        feats(1) == Seq("deletion-vectors") &&
+        feats(2) == Seq("column-mapping")
+      // inject a record claiming a feature from the future
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val log = new java.io.File(s"$tbl/_graft_log")
+      val node = m.readTree(new java.io.File(log, "v00000001.json"))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.put("version", 4L)
+      node.putArray("features").add("future-zstd-v9")
+      val v4 = new java.io.File(log, "v00000004.json")
+      java.nio.file.Files.write(v4.toPath, m.writeValueAsBytes(node))
+      val refused =
+        (try { Versioned.read(s, tbl).count(); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("future-zstd-v9") }) &&
+          (try { Versioned.vacuumVersions(s, tbl, 1); false }
+          catch { case _: IllegalStateException => true })
+      v4.delete() // un-poison: emit the head content through DV+colmap
+      import s.implicits._
+      val inv = broadcast(Seq((stamped, refused))
+        .toDF("features_stamped", "unknown_refused"))
+      Versioned.read(s, tbl)
+        .groupBy(pmod(col("user_id"), lit(10L)).as("cust_band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+        .orderBy(col("cust_band"))
+    }),
+
+    // CONDITIONAL MERGE, MERGE-ON-READ (ingest/Versioned.mergeMoR):
+    // q239's clause semantics with ZERO rewrites — claimed matches are
+    // tombstoned by a position-delete vector, updated versions +
+    // conditional inserts land as appended files, matched rows NO
+    // clause claims are untouched (no tombstone, no append), and
+    // BY SOURCE clauses are refused (full-table shape — use the CoW
+    // form). O(matched + inserted rows) written whatever the file
+    // count; both versions replay certified through the vector.
+    "q244_merge_mor" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      import graft.ingest.Versioned._
+      val tbl = scratch("q244") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 3 === 0), tbl)
+      val src = o.filter(col("k") % 2 === 0)
+        .withColumn("cents", col("cents") + 7L)
+      val c = Versioned.mergeMoR(s, tbl, src, Seq("k"), Seq(
+        WhenMatchedDelete(Some(col("status") === "F")),
+        WhenMatchedUpdate(Map("cents" -> srcCol("cents"))),
+        WhenNotMatchedInsert(cond = Some(srcCol("cents") % 2 === 0))))
+      import s.implicits._
+      val inv = broadcast(Seq((c.remove.isEmpty && c.dv.nonEmpty &&
+          c.add.nonEmpty))
+        .toDF("mor_rewrote_nothing"))
+      versionedReport(s, tbl).crossJoin(inv)
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -8433,6 +8547,54 @@ object SparkEntry {
         |  WHERE score > 0 AND track_id NOT IN (SELECT track_id FROM ul))
         |SELECT track_id, score FROM cand
         |ORDER BY score DESC, track_id ASC LIMIT 10""".stripMargin,
+
+    // the timestamp-resolved read lands on v2 = slices 0 and 1
+    "q242_timestamp_travel" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT (k % 3)::BIGINT AS slice, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS cents_sum, true AS ts_monotonic,
+        |  true AS resolves_exact, true AS pre_first_refused
+        |FROM o WHERE k % 3 <= 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the head through both features: MoR-deleted rows gone, the
+    // renamed column readable — booleans are Spark-verified invariants
+    "q243_protocol_features" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT (c % 10)::BIGINT AS cust_band, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS cents_sum, true AS features_stamped,
+        |  true AS unknown_refused
+        |FROM o WHERE cents % 10 >= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q239's replay minus the BY SOURCE clauses: matched F-rows
+    // deleted, other matched rows take the source cents, target-only
+    // rows pass through UNTOUCHED, source-only rows insert when even
+    "q244_merge_mor" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |t AS (SELECT k, status, cents FROM o WHERE k % 3 = 0),
+        |s AS (SELECT k, status, cents + 7 AS cents FROM o WHERE k % 2 = 0),
+        |matched AS (SELECT t.k, t.status, s.cents
+        |  FROM t JOIN s USING (k) WHERE t.status <> 'F'),
+        |tgtonly AS (SELECT k, status, cents FROM t WHERE k % 2 = 1),
+        |srconly AS (SELECT k, status, cents FROM s
+        |  WHERE k % 3 <> 0 AND cents % 2 = 0),
+        |u AS (SELECT 1 AS version, k, status, cents FROM t
+        |  UNION ALL SELECT 2, k, status, cents FROM matched
+        |  UNION ALL SELECT 2, k, status, cents FROM tgtonly
+        |  UNION ALL SELECT 2, k, status, cents FROM srconly),
+        |enc AS (SELECT version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(status)::VARCHAR || ':' || status || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM u)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents, true AS mor_rewrote_nothing
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

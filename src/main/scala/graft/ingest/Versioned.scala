@@ -87,9 +87,42 @@ object Versioned {
                           // re-add of the same logical name must pick a
                           // fresh physical name or old files' stale
                           // values would resurrect
-                          droppedPhys: Seq[String] = Nil)
+                          droppedPhys: Seq[String] = Nil,
+                          // ts: commit timestamp (epoch millis), stamped
+                          // MONOTONICALLY at claim time (max(clock,
+                          // parent ts + 1), the Delta rule) so TIMESTAMP
+                          // AS OF resolution is well-defined under
+                          // writer clock skew. 0 = legacy unstamped.
+                          ts: Long = 0L,
+                          // features: READER features this commit's
+                          // correct interpretation requires (the Delta
+                          // protocol-versioning idea): stamped from the
+                          // record's own content at claim time; a reader
+                          // that does not understand one REFUSES the
+                          // whole log rather than silently returning
+                          // wrong data (e.g. resurrecting MoR-deleted
+                          // rows by ignoring a dv entry)
+                          features: Seq[String] = Nil)
 
   final val LogDir = "_graft_log"
+
+  /** Reader features this engine understands (the Delta protocol-
+    * versioning idea, as named feature flags): a commit whose record
+    * lists a feature OUTSIDE this set makes the whole log REFUSE
+    * loudly — an old reader ignoring, say, a deletion-vector entry
+    * would silently resurrect deleted rows, the worst possible failure
+    * mode for a table format. Writers stamp the features a record's
+    * own content requires at claim time ([[claimStamped]]). */
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletion-vectors", "column-mapping")
+
+  /** Reader features required to interpret this record correctly. */
+  private def featuresOf(c: Commit): Seq[String] =
+    (if (c.dv.nonEmpty || c.dvRemove.nonEmpty) Seq("deletion-vectors")
+     else Nil) ++
+      (if (c.colMap.nonEmpty || c.droppedPhys.nonEmpty)
+        Seq("column-mapping")
+      else Nil)
 
   /** Replayed table state at one version: active data files, logical
     * schema, partition layout, in-force deletion-vector files, and the
@@ -249,7 +282,7 @@ object Versioned {
       val c = Commit(h.version + 1L, "append", files, evolved.json, nRows,
         addFp, pr._1 + nRows, pr._2 + addFp, Nil, None, stats, pcols,
         colMap = evolvedMap, droppedPhys = head.droppedPhys)
-      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      claimStamped(fs, root, c).foreach(cc => return cc)
       attempt += 1
     }
     fs.delete(dataDir, true)
@@ -380,7 +413,7 @@ object Versioned {
           Nil, None, Map.empty, pcols, None, None, dvFiles,
           dvCovered = covered.toSeq.sorted,
           colMap = head.colMap, droppedPhys = head.droppedPhys)
-        if (atomicCreate(fs, recordPath(root, c.version), render(c))) return Some(c)
+        claimStamped(fs, root, c).foreach(cc => return Some(cc))
         val newHead = latestCommit(fs, root).get
         val intervening = (base.version + 1L to newHead.version)
           .map(v => readCommit(fs, root, v))
@@ -469,7 +502,7 @@ object Versioned {
           Nil, None, stats, pcols, None, None, dvFiles,
           dvCovered = covered.toSeq.sorted,
           colMap = head.colMap, droppedPhys = head.droppedPhys)
-        if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+        claimStamped(fs, root, c).foreach(cc => return cc)
         val newHead = latestCommit(fs, root).get
         val intervening = (base.version + 1L to newHead.version)
           .map(v => readCommit(fs, root, v))
@@ -488,6 +521,203 @@ object Versioned {
       throw new IllegalStateException(
         s"MoR upsert at $path lost the version race 20 times")
     } finally matched.unpersist()
+  }
+
+  /** [[merge]]'s MERGE-ON-READ twin — conditional MERGE as ONE
+    * `merge_mor` commit that rewrites NOTHING: matched rows a clause
+    * claims are tombstoned by a position-delete vector, their updated
+    * versions (for UPDATE clauses) and the conditional inserts land as
+    * appended files. Cost is O(matched + inserted rows) regardless of
+    * how many files the keys touch — the steady-state conditional-CDC
+    * path at 100 TB. Matched rows NO clause claims are untouched (no
+    * tombstone, no append — zero write amplification for them, where
+    * even the CoW merge re-writes their whole file).
+    *
+    * NOT MATCHED BY SOURCE clauses are REFUSED: they touch the
+    * complement of the source keys — a full-table shape where MoR
+    * buys nothing over [[merge]]; use the CoW form and pay the honest
+    * cost. Same first-match-wins semantics, multi-match refusal and
+    * conflict rules as [[merge]]/[[upsertMoR]]. */
+  def mergeMoR(spark: SparkSession, path: String, source: DataFrame,
+               keyCols: Seq[String], clauses: Seq[MergeClause]): Commit = {
+    require(keyCols.nonEmpty, "mergeMoR needs at least one key column")
+    require(clauses.nonEmpty, "mergeMoR needs at least one WHEN clause")
+    clauses.foreach {
+      case _: WhenNotMatchedBySourceUpdate | _: WhenNotMatchedBySourceDelete =>
+        throw new IllegalArgumentException(
+          "mergeMoR refuses NOT MATCHED BY SOURCE clauses: they touch " +
+            "every target row without a source match — a full-table " +
+            "rewrite shape where merge-on-read buys nothing; use merge()")
+      case _ => ()
+    }
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = latestCommit(fs, root).getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val st = activeAt(fs, root, path, head.version)
+    val schema = st.schema
+    val cols = schema.fieldNames.toSeq
+    val pcols = st.partitionCols
+    val cons = checksOf(fs, root, head.version)
+    require(keyCols.forall(cols.contains),
+      s"mergeMoR keys $keyCols not all in table schema $cols")
+    require(keyCols.forall(source.columns.contains),
+      s"mergeMoR keys $keyCols not all in source ${source.columns.toSeq}")
+    clauses.collect { case WhenNotMatchedInsert(v, _) if v.isEmpty => () }
+      .headOption.foreach { _ =>
+        require(cols.forall(source.columns.contains),
+          "INSERT * needs every target column in the source: missing " +
+            cols.filterNot(source.columns.contains).mkString(", "))
+      }
+    val matchedClauses = clauses.collect {
+      case c: WhenMatchedUpdate => c: MergeClause
+      case c: WhenMatchedDelete => c: MergeClause }
+    if (matchedClauses.nonEmpty) {
+      val dupKeys = source.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+        .select(keyCols.map(col): _*)
+      lazy val probe = readFilesDF(spark, root, st.active, schema, pcols,
+        dvFiles = st.dvs, colMap = st.colMap)
+      if (!dupKeys.isEmpty &&
+          !probe.join(broadcast(dupKeys), keyCols, "left_semi").isEmpty)
+        throw new IllegalStateException(
+          s"mergeMoR into $path: multiple source rows match the same " +
+            "target row with MATCHED clauses present — nondeterministic; " +
+            s"de-duplicate the source on ${keyCols.mkString(", ")}")
+    }
+    val src = source
+      .select(source.columns.toSeq.map(c => col(c).as(s"__src_$c")): _*)
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    // ONE pass over the table: matched target rows with file+position
+    val tgtMatched = readFilesDF(spark, root, st.active, schema, pcols,
+        withRelCol = true, dvFiles = st.dvs, withPosCol = true,
+        colMap = st.colMap)
+      .join(broadcast(srcKeys), keyCols, "left_semi")
+    val joinCond = keyCols.map(k => col(k) === col(s"__src_$k"))
+      .reduce(_ && _)
+    // matched pairs (inner: multi-match already refused, keys distinct)
+    val pairs = tgtMatched.join(src, joinCond, "inner")
+    val actionCol = matchedClauses.map {
+        case WhenMatchedUpdate(_, c) => c.getOrElse(lit(true))
+        case WhenMatchedDelete(c) => c.getOrElse(lit(true))
+        case other => throw new IllegalStateException(
+          s"unreachable: $other filtered out above")
+      }.zipWithIndex
+      .foldLeft(when(lit(false), lit(0))) { case (acc, (g, i)) =>
+        acc.when(g, lit(i + 1)) }
+      .otherwise(lit(0))
+    val claimed = pairs.withColumn("__action", actionCol)
+      .filter(col("__action") =!= 0)
+    claimed.cache()
+    try {
+      val r = claimed.agg(count(lit(1)).as("n"),
+        coalesce(sum(Fingerprint.rowDigest(cols.map(col))), lit(0L)).as("fp"))
+        .head()
+      val (delRows, delFp) = (r.getLong(0), r.getLong(1))
+      val covered = claimed.select(col("__rel")).distinct()
+        .collect().map(_.getString(0)).toSet
+      // appended rows: updated versions of update-claimed matches...
+      def updOut(f: StructField): Column =
+        matchedClauses.zipWithIndex
+          .foldLeft(when(lit(false), lit(null))) { case (acc, (cl, i)) =>
+            cl match {
+              case WhenMatchedUpdate(set, _) => acc.when(
+                col("__action") === i + 1, set.getOrElse(f.name, col(f.name)))
+              case _ => acc // delete-claimed rows append nothing
+            }
+          }
+          .otherwise(col(f.name)).cast(f.dataType).as(f.name)
+      val updateIdx = matchedClauses.zipWithIndex.collect {
+        case (_: WhenMatchedUpdate, i) => i + 1 }
+      val updated =
+        if (updateIdx.isEmpty) spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else claimed
+          .filter(col("__action").isin(updateIdx.map(Integer.valueOf): _*))
+          .select(schema.fields.toSeq.map(updOut): _*)
+      // ...plus the conditional inserts (source keys matching nothing)
+      val srcOnly = src.join(
+        broadcast(tgtMatched.select(keyCols.map(col): _*).distinct()
+          .select(keyCols.map(k => col(k).as(s"__src_$k")): _*)),
+        keyCols.map(k => s"__src_$k"), "left_anti")
+      val insActionCol = clauses.zipWithIndex.collect {
+          case (WhenNotMatchedInsert(_, c), i) => (c.getOrElse(lit(true)), i + 1)
+        }
+        .foldLeft(when(lit(false), lit(0))) { case (acc, (g, i)) =>
+          acc.when(g, lit(i)) }
+        .otherwise(lit(0))
+      def insOut(f: StructField): Column =
+        clauses.zipWithIndex
+          .foldLeft(when(lit(false), lit(null))) { case (acc, (cl, i)) =>
+            cl match {
+              case WhenNotMatchedInsert(values, _) => acc.when(
+                col("__action") === i + 1,
+                if (values.isEmpty) col(s"__src_${f.name}")
+                else values.getOrElse(f.name, lit(null)))
+              case _ => acc
+            }
+          }
+          .otherwise(lit(null)).cast(f.dataType).as(f.name)
+      val inserted = srcOnly.withColumn("__action", insActionCol)
+        .filter(col("__action") =!= 0)
+        .select(schema.fields.toSeq.map(insOut): _*)
+      val appends = updated.unionByName(inserted)
+
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val dvDirName = s"dv-$uuid"
+      val dvDir = new Path(root, dvDirName)
+      val dvFiles =
+        if (delRows == 0L) Nil
+        else {
+          claimed.select(col("__rel").as("file_rel"), col("__pos").as("pos"))
+            .write.parquet(dvDir.toString)
+          listDataFiles(fs, dvDir, dvDirName)
+        }
+      val dataDirName = s"d-$uuid"
+      val dataDir = new Path(root, dataDirName)
+      // a delete-only merge appends NOTHING — no empty-file litter
+      val (files, addRows, addFp, stats) =
+        if (appends.isEmpty)
+          (Nil, 0L, 0L, Map.empty[String, Map[String, (Long, Long)]])
+        else {
+          writeData(appends, dataDir, pcols, st.colMap)
+          val fls = listDataFiles(fs, dataDir, dataDirName)
+          val (r, f, s2) =
+            try digestDir(spark, dataDir, dataDirName, schema, pcols, cons,
+              st.colMap)
+            catch { case e: Throwable =>
+              fs.delete(dataDir, true); fs.delete(dvDir, true); throw e }
+          (fls, r, f, s2)
+        }
+      var base = head
+      var attempt = 0
+      while (attempt < 20) {
+        val c = Commit(base.version + 1L, "merge_mor", files, head.schemaJson,
+          addRows, addFp,
+          base.snapshotRows - delRows + addRows,
+          base.snapshotFp - delFp + addFp,
+          Nil, None, stats, pcols, None, None, dvFiles,
+          dvCovered = covered.toSeq.sorted,
+          colMap = head.colMap, droppedPhys = head.droppedPhys)
+        claimStamped(fs, root, c).foreach(cc => return cc)
+        val newHead = latestCommit(fs, root).get
+        val intervening = (base.version + 1L to newHead.version)
+          .map(v => readCommit(fs, root, v))
+        val conflict = intervening.find(
+          commitConflicts(_, covered, head.schemaJson, head.colMap, pcols))
+        conflict.foreach { ic =>
+          fs.delete(dataDir, true); fs.delete(dvDir, true)
+          throw new java.util.ConcurrentModificationException(
+            s"MoR merge at $path planned against v${head.version} conflicts " +
+              s"with concurrent v${ic.version} (${ic.action}) — re-plan")
+        }
+        base = newHead
+        attempt += 1
+      }
+      fs.delete(dataDir, true); fs.delete(dvDir, true)
+      throw new IllegalStateException(
+        s"MoR merge at $path lost the version race 20 times")
+    } finally claimed.unpersist()
   }
 
   /** Row-level UPSERT (merge) as a copy-on-write commit: rows of
@@ -616,7 +846,10 @@ object Versioned {
       val dupKeys = source.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
         .select(keyCols.map(col): _*)
-      if (!cur.join(broadcast(dupKeys), keyCols, "left_semi").isEmpty)
+      // the target-side probe only runs when the source actually has
+      // duplicate keys — the common distinct-source merge never scans
+      if (!dupKeys.isEmpty &&
+          !cur.join(broadcast(dupKeys), keyCols, "left_semi").isEmpty)
         throw new IllegalStateException(
           s"merge into $path: multiple source rows match the same target " +
             "row with MATCHED clauses present — the update would be " +
@@ -805,7 +1038,7 @@ object Versioned {
         base.snapshotFp - remFp + addFp, removed, None, stats, pcols,
         dvRemove = purgedDvs,
         colMap = head.colMap, droppedPhys = head.droppedPhys)
-      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      claimStamped(fs, root, c).foreach(cc => return cc)
       // lost the claim: the disjoint-file recheck — an intervening MoR
       // delete/upsert conflicts only when its archived coverage touches
       // this rewrite's removed files (the survivors were computed
@@ -1008,7 +1241,7 @@ object Versioned {
       val c = Commit(version, action, files, df.schema.json, nRows, addFp,
         snapRows, snapFp, Nil, txn, stats, partitionCols,
         colMap = cmap, droppedPhys = dropped)
-      if (atomicCreate(fs, recordPath(root, version), render(c))) return c
+      claimStamped(fs, root, c).foreach(cc => return cc)
       attempt += 1 // lost the race: another writer claimed this version
     }
     fs.delete(dataDir, true)
@@ -1521,18 +1754,56 @@ object Versioned {
   }
 
   /** One row per commit: (version, action, n_files, n_rows, add_fp,
-    * snapshot_rows, snapshot_fp) — the audit/history surface; metadata
-    * only, no data scan. */
+    * snapshot_rows, snapshot_fp, ts) — the audit/history surface;
+    * metadata only, no data scan. */
   def history(spark: SparkSession, path: String): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = listVersions(fs, root).map(v => readCommit(fs, root, v))
       .map(c => (c.version, c.action, c.add.size.toLong, c.nRows, c.addFp,
-        c.snapshotRows, c.snapshotFp))
+        c.snapshotRows, c.snapshotFp, c.ts))
     import spark.implicits._
     rows.toDF("version", "action", "n_files", "n_rows", "add_fp",
-      "snapshot_rows", "snapshot_fp")
+      "snapshot_rows", "snapshot_fp", "ts")
   }
+
+  /** Commit timestamp (epoch millis) of `version` — strictly
+    * increasing across versions by the [[claimStamped]] rule. */
+  def commitTimestamp(spark: SparkSession, path: String,
+                      version: Long): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readCommit(fs, root, version).ts
+  }
+
+  /** TIMESTAMP AS OF resolution: the greatest version whose commit
+    * timestamp is <= `tsMillis` — what the table looked like at that
+    * wall-clock moment. Refuses a timestamp before the first commit
+    * (nothing existed) and any table with legacy unstamped records in
+    * range (resolution would be ill-defined). Monotonic stamping makes
+    * the answer unique; one metadata walk, newest-first early exit. */
+  def versionAsOfTimestamp(spark: SparkSession, path: String,
+                           tsMillis: Long): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, root)
+    require(versions.nonEmpty, s"no commits at $path")
+    versions.reverse.foreach { v =>
+      val c = readCommit(fs, root, v)
+      require(c.ts != 0L,
+        s"v$v at $path has no commit timestamp (pre-timestamp record) — " +
+          "TIMESTAMP AS OF is undefined for it; travel by version instead")
+      if (c.ts <= tsMillis) return v
+    }
+    throw new IllegalArgumentException(
+      s"timestamp $tsMillis at $path predates the first commit " +
+        s"(v${versions.head} at ${readCommit(fs, root, versions.head).ts})")
+  }
+
+  /** [[readAsOf]] by wall-clock moment instead of version. */
+  def readAsOfTimestamp(spark: SparkSession, path: String,
+                        tsMillis: Long): DataFrame =
+    readAsOf(spark, path, versionAsOfTimestamp(spark, path, tsMillis))
 
   /** The content fingerprint archived when `version` was committed —
     * what a replayed [[readAsOf]] must hash to (metadata read only). */
@@ -1678,7 +1949,7 @@ object Versioned {
         0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
         head.partitionCols, Some((name, predicateSql)), None,
         colMap = head.colMap, droppedPhys = head.droppedPhys)
-      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      claimStamped(fs, root, c).foreach(cc => return cc)
       attempt += 1 // lost the race: revalidate against the new head
     }
     throw new IllegalStateException(
@@ -1720,7 +1991,7 @@ object Versioned {
         0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
         head.partitionCols, None, None, Nil, Some((name, exprSql)), None,
         colMap = head.colMap, droppedPhys = head.droppedPhys)
-      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      claimStamped(fs, root, c).foreach(cc => return cc)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -1743,7 +2014,7 @@ object Versioned {
         0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
         head.partitionCols, None, None, Nil, None, Some(name),
         colMap = head.colMap, droppedPhys = head.droppedPhys)
-      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      claimStamped(fs, root, c).foreach(cc => return cc)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -1765,7 +2036,7 @@ object Versioned {
         0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
         head.partitionCols, None, Some(name),
         colMap = head.colMap, droppedPhys = head.droppedPhys)
-      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      claimStamped(fs, root, c).foreach(cc => return cc)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -1830,7 +2101,7 @@ object Versioned {
         0L, 0L, head.snapshotRows, head.snapshotFp, Nil, None, Map.empty,
         head.partitionCols, None, None, Nil, None, None, Nil, Nil,
         newMap, head.droppedPhys)
-      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      claimStamped(fs, root, c).foreach(cc => return cc)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -1885,7 +2156,7 @@ object Versioned {
         0L, 0L, rows, fp, Nil, None, Map.empty,
         head.partitionCols, None, None, Nil, None, None, Nil, Nil,
         newMap, newDropped)
-      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      claimStamped(fs, root, c).foreach(cc => return cc)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -1927,7 +2198,7 @@ object Versioned {
         tc.snapshotRows, tc.snapshotFp, tc.snapshotRows, tc.snapshotFp,
         Nil, None, Map.empty, tc.partitionCols, None, None, dvs,
         colMap = tc.colMap, droppedPhys = tc.droppedPhys)
-      if (atomicCreate(fs, recordPath(root, c.version), render(c))) return c
+      claimStamped(fs, root, c).foreach(cc => return cc)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -2271,14 +2542,24 @@ object Versioned {
       cm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
         .sortBy(_._1)
     }.getOrElse(Nil)
-    Commit(
+    val c = Commit(
       t.get("version").asLong(), t.get("action").asText(),
       (0 until t.get("add").size()).map(i => t.get("add").get(i).asText()),
       t.get("schema").asText(), t.get("nRows").asLong(),
       t.get("addFp").asLong(), t.get("snapshotRows").asLong(),
       t.get("snapshotFp").asLong(), rem, txn, stats, pcols, cAdd, cDrop, dv,
       gAdd, gDrop, strArr("dvCovered"), strArr("dvRemove"), colMap,
-      strArr("droppedPhys"))
+      strArr("droppedPhys"),
+      Option(t.get("ts")).map(_.asLong()).getOrElse(0L),
+      strArr("features"))
+    val unknown = c.features.filterNot(SupportedReaderFeatures)
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"commit v$version at $root requires reader feature(s) " +
+          s"${unknown.mkString(", ")} this engine does not support — " +
+          "refusing the log rather than silently misreading the table " +
+          s"(supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
+    c
   }
 
   private def render(c: Commit): Array[Byte] = {
@@ -2331,7 +2612,32 @@ object Versioned {
     if (c.droppedPhys.nonEmpty) {
       val a = node.putArray("droppedPhys"); c.droppedPhys.foreach(a.add)
     }
+    if (c.ts != 0L) node.put("ts", c.ts)
+    if (c.features.nonEmpty) {
+      val a = node.putArray("features"); c.features.foreach(a.add)
+    }
     mapper.writeValueAsBytes(node)
+  }
+
+  /** Stamp a MONOTONIC commit timestamp and claim the version: the
+    * record lands with ts = max(wall clock, parent ts + 1) — the Delta
+    * rule, so version order and timestamp order always agree and
+    * TIMESTAMP AS OF resolution stays well-defined even when writers'
+    * clocks skew. Returns the stamped commit iff the claim won (one
+    * extra parent-record read per claim — metadata-scale). */
+  private def claimStamped(fs: FileSystem, root: Path, c: Commit)
+      : Option[Commit] = {
+    val parentTs =
+      if (c.version <= 1L) 0L
+      else
+        try readCommit(fs, root, c.version - 1L).ts
+        catch { case _: Throwable => 0L } // pre-timestamp legacy record
+    val stamped = c.copy(
+      ts = math.max(System.currentTimeMillis(), parentTs + 1L),
+      features = featuresOf(c))
+    if (atomicCreate(fs, recordPath(root, stamped.version), render(stamped)))
+      Some(stamped)
+    else None
   }
 
   /** The atomic version claim. `file://`: NIO `CREATE_NEW` is an O_EXCL

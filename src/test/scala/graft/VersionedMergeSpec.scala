@@ -118,6 +118,64 @@ class VersionedMergeSpec extends SparkTestBase {
     assert(Versioned.readAsOf(spark, tbl, 1L).count() == 2L)
   }
 
+  test("mergeMoR: same clause semantics, zero rewrites, unclaimed matches untouched") {
+    val tbl = tmp("mor") + "/tbl"
+    Versioned.overwrite(
+      base((1L, "open", 10L), (2L, "open", 20L), (3L, "closed", 30L)), tbl)
+    val src = Seq((1L, "open", 11L), (2L, "skip", 0L), (3L, "closed", 0L),
+      (4L, "new", 40L), (5L, "new", 3L)).toDF("id", "status", "amount")
+    val c = Versioned.mergeMoR(spark, tbl, src, Seq("id"), Seq(
+      WhenMatchedDelete(Some(col("status") === "closed")),
+      WhenMatchedUpdate(Map("amount" -> srcCol("amount")),
+        Some(srcCol("status") =!= "skip")),
+      WhenNotMatchedInsert(cond = Some(srcCol("amount") >= 10L))))
+    assert(c.remove.isEmpty, "MoR rewrites nothing")
+    assert(c.dv.nonEmpty, "claimed matches are tombstoned")
+    // id=1 updated, id=2 matched but UNCLAIMED (skip cond) -> untouched,
+    // id=3 deleted, id=4 inserted, id=5 insert cond fails
+    assert(rowSet(Versioned.read(spark, tbl)) == Set(
+      Seq(1L, "open", 11L), Seq(2L, "open", 20L), Seq(4L, "new", 40L)))
+    (1L to 2L).foreach { v =>
+      val (n, fp) = Versioned.archivedFingerprint(spark, tbl, v)
+      val asOf = Versioned.readAsOf(spark, tbl, v)
+      val r = asOf.agg(count(lit(1)),
+        coalesce(sum(graft.ingest.Fingerprint.rowDigest(
+          asOf.schema.fieldNames.toSeq.map(col))), lit(0L))).head()
+      assert((r.getLong(0), r.getLong(1)) == ((n, fp)), s"v$v certified")
+    }
+  }
+
+  test("mergeMoR refuses BY SOURCE clauses; delete-only claims append nothing") {
+    val tbl = tmp("morref") + "/tbl"
+    Versioned.overwrite(base((1L, "open", 10L), (2L, "open", 20L)), tbl)
+    val src = Seq((1L, "x", 0L)).toDF("id", "status", "amount")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.mergeMoR(spark, tbl, src, Seq("id"), Seq(
+        WhenNotMatchedBySourceDelete()))
+    }
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+    val c = Versioned.mergeMoR(spark, tbl, src, Seq("id"),
+      Seq(WhenMatchedDelete()))
+    assert(c.add.isEmpty && c.dv.nonEmpty)
+    assert(rowSet(Versioned.read(spark, tbl)) == Set(Seq(2L, "open", 20L)))
+  }
+
+  test("mergeMoR multi-match refusal and distinct-source fast path") {
+    val tbl = tmp("mordup") + "/tbl"
+    Versioned.overwrite(base((1L, "open", 10L)), tbl)
+    val dup = Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("id", "status", "amount")
+    val e = intercept[IllegalStateException] {
+      Versioned.mergeMoR(spark, tbl, dup, Seq("id"),
+        Seq(WhenMatchedUpdate(Map("amount" -> srcCol("amount")))))
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+    // duplicate keys that only INSERT are legal (no matched clause)
+    val c = Versioned.mergeMoR(spark, tbl, dup, Seq("id"),
+      Seq(WhenNotMatchedInsert()))
+    assert(c.dv.isEmpty && Versioned.read(spark, tbl).count() == 1L,
+      "id=1 exists, so neither dup row inserts")
+  }
+
   test("INSERT * refuses a source missing target columns") {
     val tbl = tmp("insstar") + "/tbl"
     Versioned.overwrite(base((1L, "open", 10L)), tbl)
