@@ -4268,6 +4268,40 @@ object SparkEntry {
       versionedReport(s, tbl).crossJoin(inv)
     }),
 
+    // AGE-BASED RETENTION VACUUM (ingest/Versioned.vacuumOlderThan):
+    // the "keep N days of time travel" policy, driven by the monotonic
+    // commit timestamps — retain every version in the trailing window
+    // plus always the head; reads below the persisted horizon refuse
+    // loudly. Pinned: a day-wide window reclaims nothing, a zero
+    // window reclaims exactly the two dead pre-overwrite files and
+    // moves the horizon to the head, the below-horizon refusal, and
+    // the head content after the sweep.
+    "q245_vacuum_by_age" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q245") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 3 === 0).coalesce(1), tbl) // v1
+      Versioned.append(o.filter(col("k") % 3 === 1).coalesce(1), tbl)    // v2
+      Versioned.overwrite(o.filter(col("k") % 3 === 2).coalesce(1), tbl) // v3
+      val keepAll = Versioned.vacuumOlderThan(s, tbl, 86400000L)
+      val headOnly = Versioned.vacuumOlderThan(s, tbl, 0L)
+      val refused =
+        try { Versioned.readAsOf(s, tbl, 1L).count(); false }
+        catch { case _: IllegalArgumentException => true }
+      import s.implicits._
+      val inv = broadcast(Seq((keepAll == ((0L, 1L)),
+          headOnly == ((2L, 3L)), refused))
+        .toDF("recent_window_noop", "aged_out_reclaimed",
+          "below_horizon_refused"))
+      Versioned.read(s, tbl)
+        .groupBy(pmod(col("c"), lit(10L)).as("cust_band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+        .orderBy(col("cust_band"))
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -8595,6 +8629,15 @@ object SparkEntry {
         |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
         |  sum(cents)::BIGINT AS sum_cents, true AS mor_rewrote_nothing
         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the head after the age sweep is the v3 overwrite = slice 2
+    "q245_vacuum_by_age" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT (c % 10)::BIGINT AS cust_band, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS cents_sum, true AS recent_window_noop,
+        |  true AS aged_out_reclaimed, true AS below_horizon_refused
+        |FROM o WHERE k % 3 = 2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

@@ -1805,6 +1805,13 @@ object Versioned {
                         tsMillis: Long): DataFrame =
     readAsOf(spark, path, versionAsOfTimestamp(spark, path, tsMillis))
 
+  /** [[registerViewAsOf]] by wall-clock moment — the SQL persona's
+    * TIMESTAMP AS OF. Returns the resolved version. */
+  def registerViewAsOfTimestamp(spark: SparkSession, path: String,
+                                tsMillis: Long, viewName: String): Long =
+    registerViewAsOf(spark, path,
+      versionAsOfTimestamp(spark, path, tsMillis), viewName)
+
   /** The content fingerprint archived when `version` was committed —
     * what a replayed [[readAsOf]] must hash to (metadata read only). */
   def archivedFingerprint(spark: SparkSession, path: String, version: Long): (Long, Long) = {
@@ -1854,6 +1861,17 @@ object Versioned {
     if (last.colMap.nonEmpty) {
       val cm = node.putObject("colMap")
       last.colMap.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
+    }
+    // the checkpoint must carry the UNION of the summarized records'
+    // reader features: a replay-from-checkpoint never parses those
+    // records, so without this an old engine would silently consume
+    // state a future feature wrote (the exact hole the per-record
+    // refusal exists to close). Conservative union — refusing a
+    // feature an overwrite later obsoleted is safe, the reverse is not.
+    val feats = commits.flatMap(_.features).distinct.sorted
+    if (feats.nonEmpty) {
+      val fa = node.putArray("features")
+      feats.foreach(fa.add)
     }
     val p = ckptPath(root, v)
     // overwrite-create: two racing checkpointers at the same version
@@ -2300,8 +2318,44 @@ object Versioned {
     val versions = listVersions(fs, root)
     if (versions.isEmpty) return (0L, 0L)
     val head = versions.last
-    val horizon = math.max(readHorizon(fs, root),
+    vacuumToHorizon(spark, path, root, fs, versions,
       math.max(1L, head - retainLast + 1L))
+  }
+
+  /** [[vacuumVersions]] by AGE instead of count: retain every version
+    * committed within the trailing `retainMillis` window (by the
+    * monotonic commit timestamp) plus, always, the head — the "keep 7
+    * days of time travel" policy a 100 TB table actually runs.
+    * Refuses legacy unstamped records below the would-be horizon
+    * rather than treating ts=0 as infinitely old (which would silently
+    * reclaim their files). */
+  def vacuumOlderThan(spark: SparkSession, path: String,
+                      retainMillis: Long): (Long, Long) = {
+    require(retainMillis >= 0L, s"retainMillis must be >= 0, got $retainMillis")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, root)
+    if (versions.isEmpty) return (0L, 0L)
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val stamped = versions.map(v => v -> readCommit(fs, root, v).ts)
+    val horizon = stamped.find { case (_, ts) => ts >= cutoff }
+      .map(_._1).getOrElse(versions.last) // nothing recent: keep the head
+    stamped.filter(_._1 < horizon).find(_._2 == 0L).foreach { case (v, _) =>
+      throw new IllegalStateException(
+        s"v$v at $path has no commit timestamp (pre-timestamp record) — " +
+          "age-based vacuum cannot tell how old it is; use " +
+          "vacuumVersions(retainLast) for this table")
+    }
+    vacuumToHorizon(spark, path, root, fs, versions, horizon)
+  }
+
+  /** Shared retention sweep: physically reclaim files needed only by
+    * versions below `horizon` (clamped to the persisted one — the
+    * horizon never regresses), persist the new horizon. */
+  private def vacuumToHorizon(spark: SparkSession, path: String, root: Path,
+                              fs: FileSystem, versions: Seq[Long],
+                              rawHorizon: Long): (Long, Long) = {
+    val horizon = math.max(readHorizon(fs, root), rawHorizon)
     val retained = versions.filter(_ >= horizon)
     val needed = retained.flatMap { v =>
       val a = activeAt(fs, root, path, v)
@@ -2487,6 +2541,17 @@ object Versioned {
       cm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
         .sortBy(_._1)
     }.getOrElse(Nil)
+    val feats = Option(t.get("features"))
+      .map(a => (0 until a.size()).map(i => a.get(i).asText()).toSeq)
+      .getOrElse(Nil)
+    val unknown = feats.filterNot(SupportedReaderFeatures)
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"checkpoint v$version at $root summarizes commits requiring " +
+          s"reader feature(s) ${unknown.mkString(", ")} this engine does " +
+          "not support — refusing the replay rather than silently " +
+          "misreading the table (supported: " +
+          s"${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
     CkptState(t.get("version").asLong(),
       (0 until t.get("active").size()).map(i => t.get("active").get(i).asText()),
       t.get("schema").asText(), pcols, dvs, colMap)

@@ -73,7 +73,9 @@ import graft.ingest.Versioned
   *    split, so at least ONE version is always admitted: progress is
   *    guaranteed even when a single commit exceeds the cap);
   *  - `maxBytesPerTrigger`: same, by data-file bytes (soft cap, same
-  *    at-least-one-version floor).
+  *    at-least-one-version floor);
+  *  - `maxRowsPerTrigger`: same, by row count — FREE from the commit
+  *    records' archived nRows, no file I/O at all.
   *
   * Implemented through the engine's own admission-control contract
   * ([[SupportsAdmissionControl]] — the engine passes the COMMITTED
@@ -107,6 +109,9 @@ class VersionedSource extends StreamSourceProvider with DataSourceRegister {
                             parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "graft-versioned source derives its schema from the table — do not set one")
+    require(!(parameters.contains("startingVersion") &&
+      parameters.contains("startingTimestamp")),
+      "set startingVersion OR startingTimestamp, not both")
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val head = Versioned.latestVersion(spark, path)
@@ -125,19 +130,33 @@ class VersionedSource extends StreamSourceProvider with DataSourceRegister {
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    require(!(parameters.contains("startingVersion") &&
+      parameters.contains("startingTimestamp")),
+      "set startingVersion OR startingTimestamp, not both")
+    // startingTimestamp: stream only commits stamped AT or AFTER the
+    // moment — the exclusive version floor is the greatest version
+    // strictly before it (0 when the whole history qualifies)
+    val startingV = parameters.get("startingTimestamp").map { t =>
+      val ts = t.toLong
+      val head = Versioned.latestVersion(spark, path)
+      (1L to head).reverse
+        .find(v => Versioned.commitTimestamp(spark, path, v) < ts)
+        .getOrElse(0L)
+    }.orElse(parameters.get("startingVersion").map(_.toLong))
+      .getOrElse(0L)
     new VersionedStreamSource(
       sqlContext,
       path,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       cdf = cdfOf(parameters),
-      startingVersion = parameters.get("startingVersion").map(_.toLong)
-        .getOrElse(0L),
+      startingVersion = startingV,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       metadataPath = metadataPath,
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
         .map(_.toLong),
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt),
-      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong))
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong),
+      maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong))
   }
 }
 
@@ -147,7 +166,8 @@ private[sources] class VersionedStreamSource(
     metadataPath: String,
     maxVersionsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
   extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -175,13 +195,18 @@ private[sources] class VersionedStreamSource(
     * directly in [[latestOffset]]. */
   override def getDefaultReadLimit: ReadLimit = {
     val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
-      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq ++
+      maxRowsPerTrigger.map(ReadLimit.maxRows).toSeq
     limits match {
       case Nil => ReadLimit.allAvailable()
       case Seq(one) => one
       case many => ReadLimit.compositeLimit(many.toArray)
     }
   }
+
+  /** True head for progress reporting, independent of admission caps. */
+  override def reportLatestOffset(): OffsetV2 =
+    LongOffset(Versioned.latestVersion(spark, path))
 
   /** `AvailableNow`: pin the head at query start; the run drains up to
     * exactly this version in rate-limited batches, whatever lands
@@ -208,17 +233,20 @@ private[sources] class VersionedStreamSource(
       fs.getFileStatus(new Path(new Path(path), rel)).getLen)).sum
   }
 
-  /** Flatten the engine-passed limit to (file cap, byte cap). Unknown
-    * limit shapes (e.g. ReadMinRows) are inapplicable to a
-    * version-offset source and read as unbounded. */
-  private def capsOf(limit: ReadLimit): (Long, Long) = limit match {
-    case _: ReadAllAvailable => (Long.MaxValue, Long.MaxValue)
-    case f: ReadMaxFiles => (f.maxFiles().toLong, Long.MaxValue)
-    case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes())
+  /** Flatten the engine-passed limit to (file cap, byte cap, row cap).
+    * Unknown limit shapes (e.g. ReadMinRows) are inapplicable to a
+    * version-offset source and read as unbounded. Row counts come FREE
+    * from the commit records' archived nRows — no file I/O at all. */
+  private def capsOf(limit: ReadLimit): (Long, Long, Long) = limit match {
+    case _: ReadAllAvailable => (Long.MaxValue, Long.MaxValue, Long.MaxValue)
+    case f: ReadMaxFiles => (f.maxFiles().toLong, Long.MaxValue, Long.MaxValue)
+    case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes(), Long.MaxValue)
+    case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+      (Long.MaxValue, Long.MaxValue, r.maxRows())
     case c: CompositeReadLimit =>
       c.getReadLimits.map(capsOf).reduce((a, b) =>
-        (math.min(a._1, b._1), math.min(a._2, b._2)))
-    case _ => (Long.MaxValue, Long.MaxValue)
+        (math.min(a._1, b._1), math.min(a._2, b._2), math.min(a._3, b._3)))
+    case _ => (Long.MaxValue, Long.MaxValue, Long.MaxValue)
   }
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
@@ -228,22 +256,26 @@ private[sources] class VersionedStreamSource(
     val headNow = Versioned.latestVersion(spark, path)
     val head = availableNowCap.fold(headNow)(math.min(headNow, _))
     if (head <= from) return LongOffset(from)
-    val (fileCap, byteCap) = capsOf(limit)
+    val (fileCap, byteCap, rowCap) = capsOf(limit)
     val vCap = maxVersionsPerTrigger.getOrElse(Long.MaxValue)
     var v = from
     var files = 0L
     var bytes = 0L
+    var rows = 0L
     while (v < head && (v - from) < vCap) {
       val c = commitAt(v + 1L)
       val cFiles = c.add.size.toLong
       val cBytes = if (byteCap == Long.MaxValue) 0L else bytesOf(c)
+      val cRows = c.nRows
       // a commit is never split: the first version always admits
-      // (progress guarantee), later ones only while under both caps
-      if (v > from && (files + cFiles > fileCap || bytes + cBytes > byteCap))
+      // (progress guarantee), later ones only while under every cap
+      if (v > from && (files + cFiles > fileCap || bytes + cBytes > byteCap ||
+          rows + cRows > rowCap))
         return LongOffset(v)
       v += 1L
       files += cFiles
       bytes += cBytes
+      rows += cRows
     }
     LongOffset(v)
   }

@@ -106,6 +106,39 @@ class VersionedAdmissionSpec extends SparkTestBase {
     assert(out.filter("_change_type = 'delete'").count() == 1L)
   }
 
+  test("maxRowsPerTrigger admits by archived row counts (no file I/O)") {
+    val base = tmp("rcap")
+    val tbl = s"$base/tbl"
+    // v1: 1 row, v2: 2 rows, v3: 1 row, v4: 3 rows
+    Versioned.append(df(1L -> "a"), tbl)
+    Versioned.append(df(2L -> "b", 3L -> "c"), tbl)
+    Versioned.append(df(4L -> "d"), tbl)
+    Versioned.append(df((5L to 7L).map(i => i -> s"r$i"): _*), tbl)
+    runOnce(tbl, s"$base/ckpt", s"$base/out",
+      Map("maxRowsPerTrigger" -> "3"))
+    assert(spark.read.parquet(s"$base/out").count() == 7L)
+    // windows: (v1+v2)=3 rows, (v3)=1+3>3 stops after v3? v3+v4 = 4 > 3
+    // → v3 alone, then v4 (fat, admits alone) = 3 batches
+    assert(nBatches(s"$base/ckpt") == 3)
+  }
+
+  test("startingTimestamp streams only commits at or after the moment") {
+    val base = tmp("startts")
+    val tbl = s"$base/tbl"
+    backlog(tbl, 2)
+    val t3cut = Versioned.commitTimestamp(spark, tbl, 2L) + 1L
+    (3 to 4).foreach(i => Versioned.append(df(i.toLong -> s"r$i"), tbl))
+    runOnce(tbl, s"$base/ckpt", s"$base/out",
+      Map("startingTimestamp" -> t3cut.toString))
+    assert(rowSet(spark.read.parquet(s"$base/out")) ==
+      Set(Seq(3L, "r3"), Seq(4L, "r4")), "v1/v2 predate the moment")
+    intercept[IllegalArgumentException] {
+      spark.readStream.format(Fmt)
+        .option("startingVersion", "1")
+        .option("startingTimestamp", "0").load(tbl)
+    }
+  }
+
   test("continuous trigger path (no AvailableNow cap) rate-limits too") {
     val base = tmp("cont")
     val tbl = s"$base/tbl"

@@ -110,4 +110,19 @@ class VersionedColMapSpec extends SparkTestBase {
       Set(Seq(1L, 10L), Seq(2L, 21L), Seq(3L, 30L)))
     (1L to 3L).foreach(v => assert(certified(tbl, v), s"v$v certified"))
   }
+
+  test("mergeMoR works across a rename epoch (tombstones + appends map names)") {
+    import graft.ingest.Versioned._
+    val tbl = tmp("morren")
+    Versioned.overwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "amt"), tbl)
+    Versioned.renameColumn(spark, tbl, "amt", "amount")
+    val src = Seq((2L, 21L), (3L, 30L)).toDF("id", "amount")
+    val c = Versioned.mergeMoR(spark, tbl, src, Seq("id"), Seq(
+      WhenMatchedUpdate(Map("amount" -> srcCol("amount"))),
+      WhenNotMatchedInsert()))
+    assert(c.remove.isEmpty && c.dv.nonEmpty)
+    assert(rowSet(Versioned.read(spark, tbl)) ==
+      Set(Seq(1L, 10L), Seq(2L, 21L), Seq(3L, 30L)))
+    (1L to 3L).foreach(v => assert(certified(tbl, v), s"v$v certified"))
+  }
 }

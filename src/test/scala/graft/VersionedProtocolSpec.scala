@@ -96,6 +96,77 @@ class VersionedProtocolSpec extends SparkTestBase {
       Set(Seq(1L, "a"), Seq(3L, "c")))
   }
 
+  test("checkpoints carry the feature union and refuse unknown ones") {
+    val tbl = tmp("ckpt")
+    Versioned.append(df(1L -> "a", 2L -> "b"), tbl)
+    Versioned.deleteWhereMoR(spark, tbl, col("id") === 1L)
+    val v = Versioned.checkpoint(spark, tbl)
+    val m = new ObjectMapper()
+    val ckpt = new java.io.File(s"$tbl/_graft_log", f"ckpt-$v%08d.json")
+    val node = m.readTree(ckpt).asInstanceOf[ObjectNode]
+    val feats = (0 until node.get("features").size())
+      .map(node.get("features").get(_).asText())
+    assert(feats == Seq("deletion-vectors"),
+      "the checkpoint summarizes the dv commit's reader feature")
+    // replay-from-checkpoint still correct through the feature
+    assert(rowSet(Versioned.read(spark, tbl)) == Set(Seq(2L, "b")))
+    // a checkpoint claiming a FUTURE feature refuses the replay — a
+    // reader that skips the summarized records must not consume state
+    // it cannot interpret
+    node.putArray("features").add("future-zstd-v9")
+    java.nio.file.Files.write(ckpt.toPath, m.writeValueAsBytes(node))
+    // drop the stale Hadoop checksum sidecar the rewrite invalidated
+    new java.io.File(ckpt.getParent, s".${ckpt.getName}.crc").delete()
+    val e = intercept[IllegalStateException] {
+      Versioned.read(spark, tbl).count()
+    }
+    assert(e.getMessage.contains("future-zstd-v9"))
+  }
+
+  test("age-based vacuum retains the trailing window and always the head") {
+    val tbl = tmp("age")
+    Versioned.overwrite(df(1L -> "a").coalesce(1), tbl)   // v1
+    Versioned.append(df(2L -> "b").coalesce(1), tbl)      // v2
+    Versioned.overwrite(df(9L -> "z").coalesce(1), tbl)   // v3: v1/v2 files dead
+    // everything is younger than a day: nothing reclaimed, horizon v1
+    assert(Versioned.vacuumOlderThan(spark, tbl, 86400000L) == ((0L, 1L)))
+    // zero-window: only the head is retained; v1+v2's two files go
+    val (deleted, horizon) = Versioned.vacuumOlderThan(spark, tbl, 0L)
+    assert((deleted, horizon) == ((2L, 3L)))
+    assert(rowSet(Versioned.read(spark, tbl)) == Set(Seq(9L, "z")))
+    intercept[IllegalArgumentException] {
+      Versioned.readAsOf(spark, tbl, 1L).count() // below the horizon
+    }
+  }
+
+  test("age-based vacuum refuses legacy unstamped records below the horizon") {
+    val tbl = tmp("agelegacy")
+    Versioned.overwrite(df(1L -> "a").coalesce(1), tbl)
+    Versioned.overwrite(df(2L -> "b").coalesce(1), tbl)
+    val log = new java.io.File(s"$tbl/_graft_log")
+    val v1 = new java.io.File(log, "v00000001.json")
+    val m = new ObjectMapper()
+    val node = m.readTree(v1).asInstanceOf[ObjectNode]
+    node.remove("ts")
+    java.nio.file.Files.write(v1.toPath, m.writeValueAsBytes(node))
+    val e = intercept[IllegalStateException] {
+      Versioned.vacuumOlderThan(spark, tbl, 0L)
+    }
+    assert(e.getMessage.contains("age-based vacuum"))
+    // the count-based form still works
+    assert(Versioned.vacuumVersions(spark, tbl, 1)._1 == 1L)
+  }
+
+  test("registerViewAsOfTimestamp serves SQL TIMESTAMP AS OF") {
+    val tbl = tmp("sqlts")
+    Versioned.append(df(1L -> "a"), tbl)
+    Versioned.append(df(2L -> "b"), tbl)
+    val t1 = Versioned.commitTimestamp(spark, tbl, 1L)
+    val v = Versioned.registerViewAsOfTimestamp(spark, tbl, t1, "hist_ts")
+    assert(v == 1L)
+    assert(spark.sql("SELECT count(*) FROM hist_ts").head().getLong(0) == 1L)
+  }
+
   test("a legacy unstamped record refuses TIMESTAMP travel, not version travel") {
     val tbl = tmp("legacy")
     Versioned.append(df(1L -> "a"), tbl)
