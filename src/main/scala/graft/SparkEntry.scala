@@ -3697,6 +3697,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("rank"))
     }),
 
+    // RESTRICTED-CANDIDATE next-item (recommend/NextItem
+    // restrictCandidates=true — the VERDICT r10 marketplace-vocabulary
+    // scale path): candidates = the context's nonzero-count items plus
+    // the k smallest-id unseen tail, U x (observed + k) instead of
+    // U x V — gated against the SAME oracle as q227, because the two
+    // plans are exactly equivalent (observed always outscores unseen;
+    // unseen tie at the smoothed floor and rank by id).
+    "q247_next_track_restricted" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+      graft.recommend.NextItem
+        .nextItems(ev, "user_id", "item", "ts", "event_id", k = 3,
+          restrictCandidates = true)
+        .orderBy(col("user_id"), col("rank"))
+    }),
+
     // RESTORE as a metadata-only rollback commit (ingest/Versioned
     // .restore): the restore record is an overwrite whose add-list is
     // the target version's active file set — zero bytes written, old
@@ -4302,6 +4318,40 @@ object SparkEntry {
         .orderBy(col("cust_band"))
     }),
 
+    // MERGE WITH SCHEMA EVOLUTION (ingest/Versioned.merge
+    // evolveSchema=true — the Delta withSchemaEvolution counterpart of
+    // appendEvolve): the source's extra `band` column evolves the
+    // table inside the merge commit — matched rows take the source
+    // values, untouched rows read NULL for it (the 'N' digest
+    // sentinel), inserts carry it, the pre-evolution version keeps its
+    // narrower schema, and BOTH epochs replay certified (the epoch
+    // recompute priced in appendEvolve).
+    "q246_merge_evolve" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      import graft.ingest.Versioned._
+      val tbl = scratch("q246") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 3 === 0), tbl)
+      val src = o.filter(col("k") % 2 === 0)
+        .withColumn("cents", col("cents") + 7L)
+        .withColumn("band", col("cents") % 5L)
+      Versioned.merge(s, tbl, src, Seq("k"), Seq(
+        WhenMatchedUpdate(Map("cents" -> srcCol("cents"),
+          "band" -> srcCol("band"))),
+        WhenNotMatchedInsert(cond = Some(srcCol("cents") % 2 === 0))),
+        evolveSchema = true)
+      import s.implicits._
+      val inv = broadcast(Seq((
+          Versioned.read(s, tbl).columns.toSeq ==
+            Seq("k", "status", "cents", "band"),
+          Versioned.readAsOf(s, tbl, 1L).columns.toSeq ==
+            Seq("k", "status", "cents")))
+        .toDF("evolved_head", "narrow_history"))
+      versionedReport(s, tbl).crossJoin(inv)
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -4317,6 +4367,52 @@ object SparkEntry {
       ServingIndex.serve(s, idx, probeRows, k = 10, nProbe = 4)
     })
   )
+
+  /** Shared by q227 (full U x V cross join) and q247 (restricted
+    * candidates) — the two plans are exactly equivalent by the
+    * monotonicity argument in recommend/NextItem. */
+  private val nextTrackOracle: String =
+    """WITH e AS (SELECT user_id AS u,
+        |    json_extract_string(props, '$.k')::BIGINT AS i0, ts, event_id
+        |  FROM events),
+        |s AS (SELECT u, i0,
+        |    lead(i0, 1) OVER (PARTITION BY u ORDER BY ts, event_id) AS i1,
+        |    lead(i0, 2) OVER (PARTITION BY u ORDER BY ts, event_id) AS i2,
+        |    row_number() OVER (PARTITION BY u ORDER BY ts DESC, event_id DESC)
+        |      AS rnd
+        |  FROM e),
+        |tri AS (SELECT i0 AS a, i1 AS b, i2 AS x, count(*)::BIGINT AS c3
+        |  FROM s WHERE i2 IS NOT NULL GROUP BY 1, 2, 3),
+        |trip AS (SELECT i0 AS a, i1 AS b, count(*)::BIGINT AS c2pre
+        |  FROM s WHERE i2 IS NOT NULL GROUP BY 1, 2),
+        |bi AS (SELECT i0 AS b, i1 AS x, count(*)::BIGINT AS c2
+        |  FROM s WHERE i1 IS NOT NULL GROUP BY 1, 2),
+        |bip AS (SELECT i0 AS b, count(*)::BIGINT AS c1pre
+        |  FROM s WHERE i1 IS NOT NULL GROUP BY 1),
+        |voc AS (SELECT DISTINCT i0 AS x FROM e WHERE i0 IS NOT NULL),
+        |vc AS (SELECT count(*)::BIGINT AS v FROM voc),
+        |ctx AS (SELECT l.u, p.i0 AS prev2, l.i0 AS prev1
+        |  FROM (SELECT u, i0 FROM s WHERE rnd = 1) l
+        |  JOIN (SELECT u, i0 FROM s WHERE rnd = 2) p USING (u)),
+        |cand AS (SELECT ctx.u, ctx.prev2, ctx.prev1, voc.x, vc.v
+        |  FROM ctx CROSS JOIN voc CROSS JOIN vc),
+        |sc AS (SELECT cand.u, cand.prev2, cand.prev1, cand.x,
+        |    ((coalesce(tri.c3, 0) + 1) * (coalesce(bip.c1pre, 0) + cand.v)
+        |     + (coalesce(bi.c2, 0) + 1) * (coalesce(trip.c2pre, 0) + cand.v)
+        |    )::BIGINT AS score_num,
+        |    ((coalesce(trip.c2pre, 0) + cand.v)
+        |     * (coalesce(bip.c1pre, 0) + cand.v))::BIGINT AS den
+        |  FROM cand
+        |  LEFT JOIN tri ON tri.a = cand.prev2 AND tri.b = cand.prev1
+        |    AND tri.x = cand.x
+        |  LEFT JOIN trip ON trip.a = cand.prev2 AND trip.b = cand.prev1
+        |  LEFT JOIN bi ON bi.b = cand.prev1 AND bi.x = cand.x
+        |  LEFT JOIN bip ON bip.b = cand.prev1),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY u ORDER BY score_num DESC, x) AS rk FROM sc)
+        |SELECT u AS user_id, prev2, prev1, rk::BIGINT AS rank, x AS next_item,
+        |  score_num, score_num::DOUBLE / den AS score
+        |FROM r WHERE rk <= 3 ORDER BY 1, 4""".stripMargin
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -8245,48 +8341,11 @@ object SparkEntry {
     // same count tables, the same common-denominator integer numerator
     // N = (c3+1)(c1pre+V) + (c2+1)(c2pre+V), rank by (N desc, item),
     // score = one division of the same two integers
-    "q227_next_track" ->
-      """WITH e AS (SELECT user_id AS u,
-        |    json_extract_string(props, '$.k')::BIGINT AS i0, ts, event_id
-        |  FROM events),
-        |s AS (SELECT u, i0,
-        |    lead(i0, 1) OVER (PARTITION BY u ORDER BY ts, event_id) AS i1,
-        |    lead(i0, 2) OVER (PARTITION BY u ORDER BY ts, event_id) AS i2,
-        |    row_number() OVER (PARTITION BY u ORDER BY ts DESC, event_id DESC)
-        |      AS rnd
-        |  FROM e),
-        |tri AS (SELECT i0 AS a, i1 AS b, i2 AS x, count(*)::BIGINT AS c3
-        |  FROM s WHERE i2 IS NOT NULL GROUP BY 1, 2, 3),
-        |trip AS (SELECT i0 AS a, i1 AS b, count(*)::BIGINT AS c2pre
-        |  FROM s WHERE i2 IS NOT NULL GROUP BY 1, 2),
-        |bi AS (SELECT i0 AS b, i1 AS x, count(*)::BIGINT AS c2
-        |  FROM s WHERE i1 IS NOT NULL GROUP BY 1, 2),
-        |bip AS (SELECT i0 AS b, count(*)::BIGINT AS c1pre
-        |  FROM s WHERE i1 IS NOT NULL GROUP BY 1),
-        |voc AS (SELECT DISTINCT i0 AS x FROM e WHERE i0 IS NOT NULL),
-        |vc AS (SELECT count(*)::BIGINT AS v FROM voc),
-        |ctx AS (SELECT l.u, p.i0 AS prev2, l.i0 AS prev1
-        |  FROM (SELECT u, i0 FROM s WHERE rnd = 1) l
-        |  JOIN (SELECT u, i0 FROM s WHERE rnd = 2) p USING (u)),
-        |cand AS (SELECT ctx.u, ctx.prev2, ctx.prev1, voc.x, vc.v
-        |  FROM ctx CROSS JOIN voc CROSS JOIN vc),
-        |sc AS (SELECT cand.u, cand.prev2, cand.prev1, cand.x,
-        |    ((coalesce(tri.c3, 0) + 1) * (coalesce(bip.c1pre, 0) + cand.v)
-        |     + (coalesce(bi.c2, 0) + 1) * (coalesce(trip.c2pre, 0) + cand.v)
-        |    )::BIGINT AS score_num,
-        |    ((coalesce(trip.c2pre, 0) + cand.v)
-        |     * (coalesce(bip.c1pre, 0) + cand.v))::BIGINT AS den
-        |  FROM cand
-        |  LEFT JOIN tri ON tri.a = cand.prev2 AND tri.b = cand.prev1
-        |    AND tri.x = cand.x
-        |  LEFT JOIN trip ON trip.a = cand.prev2 AND trip.b = cand.prev1
-        |  LEFT JOIN bi ON bi.b = cand.prev1 AND bi.x = cand.x
-        |  LEFT JOIN bip ON bip.b = cand.prev1),
-        |r AS (SELECT *, row_number() OVER
-        |    (PARTITION BY u ORDER BY score_num DESC, x) AS rk FROM sc)
-        |SELECT u AS user_id, prev2, prev1, rk::BIGINT AS rank, x AS next_item,
-        |  score_num, score_num::DOUBLE / den AS score
-        |FROM r WHERE rk <= 3 ORDER BY 1, 4""".stripMargin,
+    "q227_next_track" -> nextTrackOracle,
+
+    // the RESTRICTED candidate generation must produce BIT-IDENTICAL
+    // output — same oracle, different (U x (observed+k)) plan
+    "q247_next_track_restricted" -> nextTrackOracle,
 
     // v1/v2 the slices, v3 the corrupting upsert, v4 the restore — v4's
     // content is literally v2's, digested under the same 3-field schema
@@ -8638,6 +8697,48 @@ object SparkEntry {
         |  sum(cents)::BIGINT AS cents_sum, true AS recent_window_noop,
         |  true AS aged_out_reclaimed, true AS below_horizon_refused
         |FROM o WHERE k % 3 = 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both epochs replayed: v1 digests three fields, v2 digests four
+    // with NULL band -> the 'N' sentinel for rows the merge never saw
+    "q246_merge_evolve" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |t AS (SELECT k, status, cents FROM o WHERE k % 3 = 0),
+        |s AS (SELECT k, status, (cents + 7)::BIGINT AS cents,
+        |    ((cents + 7) % 5)::BIGINT AS band FROM o WHERE k % 2 = 0),
+        |matched AS (SELECT t.k, t.status, s.cents, s.band
+        |  FROM t JOIN s USING (k)),
+        |tgtonly AS (SELECT k, status, cents, NULL::BIGINT AS band
+        |  FROM t WHERE k % 2 = 1),
+        |srconly AS (SELECT k, status, cents, band FROM s
+        |  WHERE k % 3 <> 0 AND cents % 2 = 0),
+        |u2 AS (SELECT * FROM matched UNION ALL SELECT * FROM tgtonly
+        |  UNION ALL SELECT * FROM srconly),
+        |e1 AS (SELECT cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(status)::VARCHAR || ':' || status || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM t),
+        |e2 AS (SELECT cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(status)::VARCHAR || ':' || status || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR || chr(1) ||
+        |      CASE WHEN band IS NULL THEN 'N'
+        |        ELSE length(band::VARCHAR)::VARCHAR || ':' || band::VARCHAR END),
+        |      1, 8))::BIGINT AS h
+        |  FROM u2),
+        |r AS (SELECT 1 AS version, count(*)::BIGINT AS snapshot_rows,
+        |    sum(h)::BIGINT AS snapshot_fp, sum(cents)::BIGINT AS sum_cents
+        |  FROM e1
+        |  UNION ALL SELECT 2, count(*)::BIGINT, sum(h)::BIGINT,
+        |    sum(cents)::BIGINT FROM e2)
+        |SELECT version::BIGINT AS version, snapshot_rows, snapshot_fp,
+        |  true AS matches_archived, sum_cents,
+        |  true AS evolved_head, true AS narrow_history
+        |FROM r ORDER BY 1""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

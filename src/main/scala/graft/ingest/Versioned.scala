@@ -814,13 +814,50 @@ object Versioned {
     * aggregation on the source's matched key set.
     *
     * Concurrency: write-serializable with the disjoint-file retry rule
-    * ([[rewriteCommit]]). Returns the commit. */
+    * ([[rewriteCommit]]). Returns the commit.
+    *
+    * SCHEMA EVOLUTION (`evolveSchema = true`, the Delta
+    * `withSchemaEvolution` counterpart of [[appendEvolve]]): every
+    * source column the target lacks is ADDED to the table schema —
+    * pre-existing rows read null for it, INSERT * carries it, UPDATE
+    * clauses may SET it. (Deliberately coarser than Delta's
+    * assignment-driven evolution — ALL new source columns evolve, a
+    * predictable rule documented here.) An evolving merge pays the
+    * epoch recompute ([[appendEvolve]]'s documented price) and aborts
+    * on ANY concurrent commit instead of retrying; it refuses tables
+    * with in-force deletion vectors (OPTIMIZE first) so the epoch
+    * totals never have to re-derive vector coverage mid-evolution. */
   def merge(spark: SparkSession, path: String, source: DataFrame,
-            keyCols: Seq[String], clauses: Seq[MergeClause]): Commit = {
+            keyCols: Seq[String], clauses: Seq[MergeClause],
+            evolveSchema: Boolean = false): Commit = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(clauses.nonEmpty, "merge needs at least one WHEN clause")
     val (head, cur, root, fs) = currentWithFiles(spark, path)
     val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val newCols: Seq[StructField] =
+      if (!evolveSchema) Nil
+      else {
+        source.schema.filter(f => headSchema.fieldNames.contains(f.name))
+          .foreach { f =>
+            val t = headSchema(f.name).dataType
+            require(f.dataType == t,
+              s"merge evolveSchema at $path: existing column `${f.name}` " +
+                s"changed type (${t.simpleString} -> " +
+                s"${f.dataType.simpleString}) — widening is not supported")
+          }
+        source.schema.filterNot(f => headSchema.fieldNames.contains(f.name))
+          .toSeq
+      }
+    if (newCols.nonEmpty) {
+      val st0 = activeAt(fs, root, path, head.version)
+      require(st0.dvs.isEmpty,
+        s"merge evolveSchema at $path: table has in-force deletion " +
+          "vectors — OPTIMIZE them into clean files first, then evolve")
+    }
+    val outSchema =
+      if (newCols.isEmpty) headSchema
+      else StructType(headSchema.fields ++ newCols)
+    val isNewCol = newCols.map(_.name).toSet
     val cols = headSchema.fieldNames.toSeq
     require(keyCols.forall(cols.contains),
       s"merge keys $keyCols not all in table schema $cols")
@@ -906,27 +943,81 @@ object Versioned {
     val dropCond = (if (deleteIdx.isEmpty) lit(false)
                     else col("__action").isin(deleteIdx.map(Integer.valueOf): _*)) ||
       (isSrcOnly && col("__action") === 0)
+    // the "keep the target value" default: a column the table is only
+    // now gaining has no target value — pre-existing rows read null
+    def keepCol(f: StructField): Column =
+      if (isNewCol(f.name)) lit(null) else col(f.name)
     def outCol(f: StructField): Column =
       clauses.zipWithIndex
         .foldLeft(when(lit(false), lit(null))) { case (acc, (cl, i)) =>
           cl match {
             case WhenMatchedUpdate(set, _) => acc.when(
-              col("__action") === i + 1, set.getOrElse(f.name, col(f.name)))
+              col("__action") === i + 1, set.getOrElse(f.name, keepCol(f)))
             case WhenNotMatchedInsert(values, _) => acc.when(
               col("__action") === i + 1,
               if (values.isEmpty) col(s"__src_${f.name}")
               else values.getOrElse(f.name, lit(null)))
             case WhenNotMatchedBySourceUpdate(set, _) => acc.when(
-              col("__action") === i + 1, set.getOrElse(f.name, col(f.name)))
+              col("__action") === i + 1, set.getOrElse(f.name, keepCol(f)))
             case _ => acc // delete rows are filtered out before this
           }
         }
-        .otherwise(col(f.name))
+        .otherwise(keepCol(f))
         .cast(f.dataType).as(f.name)
     val survivors = withAction.filter(!dropCond)
-      .select(headSchema.fields.toSeq.map(outCol): _*)
-    rewriteCommit(spark, root, fs, head, survivors, affected,
-      action = "merge")
+      .select(outSchema.fields.toSeq.map(outCol): _*)
+    if (newCols.isEmpty)
+      return rewriteCommit(spark, root, fs, head, survivors, affected,
+        action = "merge")
+
+    // ---- schema-evolving commit: epoch recompute, abort on any race
+    // fresh physical names for the new columns (the appendEvolve rule:
+    // never reuse a dropped or claimed physical name)
+    val takenPhys = head.droppedPhys.toSet ++
+      headSchema.fieldNames.map(n => head.colMap.toMap.getOrElse(n, n))
+    val evolvedMap = head.colMap ++ newCols.flatMap { f =>
+      if (takenPhys.contains(f.name))
+        Some(f.name -> s"${f.name}__p${head.version + 1L}")
+      else None
+    }
+    val pcols = head.partitionCols
+    val cons = checksOf(fs, root, head.version)
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val dataDirName = s"d-$uuid"
+    val dataDir = new Path(root, dataDirName)
+    writeData(survivors, dataDir, pcols, evolvedMap)
+    val files = listDataFiles(fs, dataDir, dataDirName)
+    val (addRows, addFp, stats) =
+      try digestDir(spark, dataDir, dataDirName, outSchema, pcols, cons,
+        evolvedMap)
+      catch { case e: Throwable => fs.delete(dataDir, true); throw e }
+    val removedSet = affected.toSet
+    var attempt = 0
+    while (attempt < 20) {
+      val h = latestCommit(fs, root).get
+      if (h.version != head.version) {
+        fs.delete(dataDir, true)
+        throw new java.util.ConcurrentModificationException(
+          s"schema-evolving merge at $path planned against " +
+            s"v${head.version} but head is v${h.version} — re-plan " +
+            "(evolution commits never merge with concurrent writes)")
+      }
+      // the epoch recompute: untouched files digested under the
+      // EVOLVED schema (missing columns read null -> the 'N' sentinel)
+      val remaining = activeAt(fs, root, path, h.version).active
+        .filterNot(removedSet)
+      val (remRows, remFp) = digestFiles(spark, root, remaining, outSchema,
+        pcols, Nil, evolvedMap)
+      val c = Commit(h.version + 1L, "merge", files, outSchema.json,
+        addRows, addFp, remRows + addRows, remFp + addFp, affected, None,
+        stats, pcols, None, None, Nil, None, None, Nil, Nil,
+        evolvedMap, head.droppedPhys)
+      claimStamped(fs, root, c).foreach(cc => return cc)
+      attempt += 1
+    }
+    fs.delete(dataDir, true)
+    throw new IllegalStateException(
+      s"schema-evolving merge at $path lost the version race 20 times")
   }
 
   /** Head commit + the current table frame tagged with each row's
@@ -1634,10 +1725,11 @@ object Versioned {
       val (ins, del) = c.action match {
         case "append" | "alter" => // alter: metadata only, no content change
           (added, readFiles(Nil, schema, c.partitionCols))
-        case "delete_mor" | "upsert_mor" =>
+        case "delete_mor" | "upsert_mor" | "merge_mor" =>
           // deleted rows = THIS commit's position-delete entries joined
           // back to their files (the covered file list is O(files));
-          // an upsert_mor additionally inserts its added files' rows
+          // upsert_mor / merge_mor additionally insert their added
+          // files' rows
           val deleted =
             if (c.dv.isEmpty) readFiles(Nil, schema, c.partitionCols)
             else {
@@ -1654,17 +1746,50 @@ object Versioned {
                 .drop("__rel", "__pos")
             }
           val inserted =
-            if (c.action == "upsert_mor") readFiles(c.add, schema, c.partitionCols)
-            else readFiles(Nil, schema, c.partitionCols)
+            if (c.action == "delete_mor") readFiles(Nil, schema, c.partitionCols)
+            else readFiles(c.add, schema, c.partitionCols)
           (inserted, deleted)
-        case "rewrite" =>
+        // a CoW merge is rewrite-shaped: add = rebuilt survivors +
+        // inserts, remove = the affected files — NOT a full-content
+        // snapshot, so the overwrite diff below must never see it
+        case "rewrite" | "merge" =>
           // the removed side's LIVE rows: raw content minus the
           // deletion vectors in force at v-1 (rows a MoR delete already
           // removed must not resurface as rewrite-deletes)
-          val prevDvs = activeAt(fs, root, path, v - 1).dvs
-          val removed = readFilesDF(spark, root, c.remove, schema,
-            c.partitionCols, dvFiles = prevDvs, colMap = c.colMap)
-          (added.exceptAll(removed), removed.exceptAll(added))
+          val prev = activeAt(fs, root, path, v - 1)
+          val sameShape =
+            prev.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+              schema.fields.map(f => (f.name, f.dataType)).toSeq
+          if (sameShape) {
+            val removed = readFilesDF(spark, root, c.remove, schema,
+              c.partitionCols, dvFiles = prev.dvs, colMap = c.colMap)
+            (added.exceptAll(removed), removed.exceptAll(added))
+          } else {
+            // SCHEMA-EVOLVING merge: the removed side reads under the
+            // previous epoch's schema; align both sides by name before
+            // the positional exceptAll (retypes cannot align)
+            prev.schema.foreach { pf =>
+              schema.find(_.name == pf.name).foreach { af =>
+                if (af.dataType != pf.dataType) throw new IllegalStateException(
+                  s"change feed cannot span v$v: column `${pf.name}` " +
+                    s"changed type (${pf.dataType.simpleString} -> " +
+                    s"${af.dataType.simpleString})")
+              }
+            }
+            val beforeOnly = prev.schema.fields
+              .filterNot(f => schema.fieldNames.contains(f.name))
+            val commonCols = schema.fields ++ beforeOnly
+            def aligned(df: DataFrame, have: StructType): DataFrame =
+              df.select(commonCols.toSeq.map { f =>
+                if (have.fieldNames.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+              }: _*)
+            val removed = aligned(readFilesDF(spark, root, c.remove,
+              prev.schema, prev.partitionCols, dvFiles = prev.dvs,
+              colMap = prev.colMap), prev.schema)
+            val addedA = aligned(added, schema)
+            (addedA.exceptAll(removed), removed.exceptAll(addedA))
+          }
         case _ => // overwrite: diff full before/after content
           val (before, after) =
             if (v == 1L) (readFiles(Nil, schema, c.partitionCols), added)

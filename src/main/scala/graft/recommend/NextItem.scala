@@ -41,9 +41,23 @@ object NextItem {
 
   /** Ranked next-item candidates per user: (user, prev2, prev1, rank,
     * item, score_num, score) — `score_num` the exact integer rank key,
-    * `score` the single-division readable blend. */
+    * `score` the single-division readable blend.
+    *
+    * `restrictCandidates = true` is the marketplace-vocabulary scale
+    * path (VERDICT r10): instead of crossing every context with the
+    * FULL broadcast vocabulary (U × V), candidates are only the items
+    * with a nonzero order-2 or backoff count for the context, plus the
+    * deterministic smoothed tail — the k smallest-id unseen items.
+    * EXACTLY equivalent output: any observed candidate (c3>0 or c2>0)
+    * outscores every unseen one (both smoothed terms are monotone in
+    * the counts), and unseen candidates all tie at the context's
+    * smoothed floor, where ranking falls to item id ascending — so the
+    * k smallest unseen ids are precisely the tail the full cross join
+    * would rank. Candidate space drops from U × V to
+    * U × (observed transitions + k). */
   def nextItems(events: DataFrame, userCol: String, itemCol: String,
-                tsCol: String, tieCol: String, k: Int = 3): DataFrame = {
+                tsCol: String, tieCol: String, k: Int = 3,
+                restrictCandidates: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = Window.partitionBy(col("u")).orderBy(col("__ts"), col("__tie"))
     val seq = events.select(col(userCol).as("u"), col(itemCol).as("i0"),
@@ -90,15 +104,15 @@ object NextItem {
     // to items with a nonzero backoff count for the context (join on
     // `bi`/`tri` instead of crossJoin(vocab)) and append the
     // deterministic smoothed tail only when fewer than k survive.
-    val scored = ctx
-      .crossJoin(broadcast(vocab))
-      .join(tri.withColumnRenamed("a", "prev2").withColumnRenamed("b", "prev1"),
-        Seq("prev2", "prev1", "x"), "left")
-      .join(broadcast(triPre.withColumnRenamed("a", "prev2")
-        .withColumnRenamed("b", "prev1")), Seq("prev2", "prev1"), "left")
-      .join(bi.withColumnRenamed("b", "prev1"), Seq("prev1", "x"), "left")
-      .join(broadcast(biPre.withColumnRenamed("b", "prev1")),
-        Seq("prev1"), "left")
+    val triC = tri.withColumnRenamed("a", "prev2")
+      .withColumnRenamed("b", "prev1")
+    val biC = bi.withColumnRenamed("b", "prev1")
+    val triPreC = triPre.withColumnRenamed("a", "prev2")
+      .withColumnRenamed("b", "prev1")
+    val biPreC = biPre.withColumnRenamed("b", "prev1")
+    def withScores(df: DataFrame): DataFrame = df
+      .join(broadcast(triPreC), Seq("prev2", "prev1"), "left")
+      .join(broadcast(biPreC), Seq("prev1"), "left")
       .withColumn("score_num",
         (coalesce(col("c3"), lit(0L)) + 1L) *
           (coalesce(col("c1pre"), lit(0L)) + vCount) +
@@ -107,6 +121,49 @@ object NextItem {
       .withColumn("score_den",
         (coalesce(col("c2pre"), lit(0L)) + vCount) *
           (coalesce(col("c1pre"), lit(0L)) + vCount))
+
+    val scored = if (!restrictCandidates)
+      withScores(ctx
+        .crossJoin(broadcast(vocab))
+        .join(triC, Seq("prev2", "prev1", "x"), "left")
+        .join(biC, Seq("prev1", "x"), "left"))
+    else {
+      // observed candidates: one shuffle-free pass over each count
+      // table probed by the (small, broadcast) context set
+      val ctxB = broadcast(ctx)
+      val obs3 = ctxB.join(triC, Seq("prev2", "prev1"))
+        .select(col("u"), col("prev2"), col("prev1"), col("x"), col("c3"))
+      val obs2 = ctxB.join(biC, Seq("prev1"))
+        .select(col("u"), col("prev2"), col("prev1"), col("x"), col("c2"))
+      // prev2/prev1 are functionally dependent on u (one context/user),
+      // so the four-key outer join cannot mis-pair. Materialized once:
+      // three consumers (tail bound, anti-join, the scored union) —
+      // recomputing the probe joins per consumer erased the restricted
+      // plan's win at 10x data (measured)
+      val observed = obs3
+        .join(obs2, Seq("u", "prev2", "prev1", "x"), "full_outer")
+        .localCheckpoint()
+      // the smoothed tail: the k smallest-id items the context never
+      // saw — all unseen items tie at the context's floor, ranked by
+      // id, so only these can enter the top k. The slice is bounded by
+      // k + the largest per-context observed set.
+      val maxObs = observed.groupBy(col("u"))
+        .agg(count(lit(1)).as("nobs"))
+        .agg(coalesce(max(col("nobs")), lit(0L))).head().getLong(0)
+      require(maxObs + k <= 10000000L,
+        s"restricted next-item tail slice k+$maxObs exceeds the 1e7 " +
+          "in-memory bound — the context with the most transitions is " +
+          "catalog-scale; use restrictCandidates=false")
+      val smallVocab = vocab.orderBy(col("x")).limit((k + maxObs).toInt)
+      val tail = ctxB.crossJoin(broadcast(smallVocab))
+        .join(observed.select(col("u"), col("x")), Seq("u", "x"),
+          "left_anti")
+        .withColumn("c3", lit(null).cast("long"))
+        .withColumn("c2", lit(null).cast("long"))
+      withScores(observed.unionByName(tail
+        .select(col("u"), col("prev2"), col("prev1"), col("x"),
+          col("c3"), col("c2"))))
+    }
 
     val rank = Window.partitionBy(col("u"))
       .orderBy(col("score_num").desc, col("x"))

@@ -88,6 +88,19 @@ class NextItemSpec extends SparkTestBase {
     assert(top == 20L)
   }
 
+  test("restrictCandidates produces bit-identical output to the full cross join") {
+    for (k <- Seq(1, 3, 7)) {
+      val full = NextItem
+        .nextItems(events, "user_id", "item", "ts", "event_id", k = k)
+        .collect().map(_.toSeq).toSet
+      val restricted = NextItem
+        .nextItems(events, "user_id", "item", "ts", "event_id", k = k,
+          restrictCandidates = true)
+        .collect().map(_.toSeq).toSet
+      assert(restricted == full, s"k=$k")
+    }
+  }
+
   test("scores are the single-division blend of the integer rationals") {
     val r = NextItem.nextItems(events, "user_id", "item", "ts", "event_id", k = 1)
       .filter(col("user_id") === 1L)

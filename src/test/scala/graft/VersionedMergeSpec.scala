@@ -176,6 +176,109 @@ class VersionedMergeSpec extends SparkTestBase {
       "id=1 exists, so neither dup row inserts")
   }
 
+  test("evolveSchema: new source columns evolve the table, old rows read null") {
+    val tbl = tmp("evolve") + "/tbl"
+    Versioned.overwrite(
+      base((1L, "open", 10L), (2L, "open", 20L), (3L, "open", 30L)), tbl)
+    val src = Seq((2L, "open", 21L, "patched"), (4L, "new", 40L, "fresh"))
+      .toDF("id", "status", "amount", "note")
+    val c = Versioned.merge(spark, tbl, src, Seq("id"), Seq(
+      WhenMatchedUpdate(Map("amount" -> srcCol("amount"),
+        "note" -> srcCol("note"))),
+      WhenNotMatchedInsert()), evolveSchema = true)
+    val head = Versioned.read(spark, tbl)
+    assert(head.columns.toSeq == Seq("id", "status", "amount", "note"))
+    assert(rowSet(head) == Set(
+      Seq(1L, "open", 10L, null), Seq(2L, "open", 21L, "patched"),
+      Seq(3L, "open", 30L, null), Seq(4L, "new", 40L, "fresh")))
+    // pre-evolution version reads under its own (narrower) schema
+    assert(Versioned.readAsOf(spark, tbl, 1L).columns.toSeq ==
+      Seq("id", "status", "amount"))
+    // both versions certified across the epoch boundary
+    (1L to 2L).foreach { v =>
+      val (n, fp) = Versioned.archivedFingerprint(spark, tbl, v)
+      val asOf = Versioned.readAsOf(spark, tbl, v)
+      val r = asOf.agg(count(lit(1)),
+        coalesce(sum(graft.ingest.Fingerprint.rowDigest(
+          asOf.schema.fieldNames.toSeq.map(col))), lit(0L))).head()
+      assert((r.getLong(0), r.getLong(1)) == ((n, fp)), s"v$v certified")
+    }
+    assert(c.colMap.isEmpty, "note's physical name is its logical name")
+    // appends keep working against the evolved schema
+    Versioned.append(Seq((5L, "x", 50L, "n5"))
+      .toDF("id", "status", "amount", "note"), tbl)
+    assert(Versioned.read(spark, tbl).count() == 5L)
+  }
+
+  test("evolveSchema refuses type changes and DV tables; off by default") {
+    val tbl = tmp("evguard") + "/tbl"
+    Versioned.overwrite(base((1L, "open", 10L), (2L, "open", 20L)), tbl)
+    val retyped = Seq((1L, "open", 1.5)).toDF("id", "status", "amount")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.merge(spark, tbl, retyped, Seq("id"),
+        Seq(WhenMatchedUpdate(Map("amount" -> srcCol("amount")))),
+        evolveSchema = true)
+    }
+    assert(e.getMessage.contains("widening is not supported"))
+    // without the flag, extra source columns are clause inputs only
+    val extra = Seq((1L, "open", 11L, "ignored"))
+      .toDF("id", "status", "amount", "note")
+    Versioned.merge(spark, tbl, extra, Seq("id"),
+      Seq(WhenMatchedUpdate(Map("amount" -> srcCol("amount")))))
+    assert(Versioned.read(spark, tbl).columns.toSeq ==
+      Seq("id", "status", "amount"))
+    // in-force DVs refuse evolution
+    Versioned.deleteWhereMoR(spark, tbl, col("id") === 2L)
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.merge(spark, tbl, extra, Seq("id"),
+        Seq(WhenMatchedUpdate(Map("note" -> srcCol("note")))),
+        evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("deletion"))
+  }
+
+  test("change feed across CoW merge, evolve merge and MoR merge") {
+    val tbl = tmp("cdf") + "/tbl"
+    Versioned.overwrite(
+      base((1L, "open", 10L), (2L, "open", 20L), (3L, "closed", 30L))
+        .coalesce(1), tbl)
+    // v2: CoW merge — update 2, delete 3, insert 4; row 1 untouched
+    Versioned.merge(spark, tbl,
+      Seq((2L, "open", 21L), (3L, "closed", 0L), (4L, "new", 40L))
+        .toDF("id", "status", "amount"),
+      Seq("id"), Seq(
+        WhenMatchedDelete(Some(col("status") === "closed")),
+        WhenMatchedUpdate(Map("amount" -> srcCol("amount"))),
+        WhenNotMatchedInsert()))
+    val cdf2 = Versioned.changesBetween(spark, tbl, 1L, 2L)
+      .select("_change_type", "id", "status", "amount")
+    assert(rowSet(cdf2) == Set(
+      Seq("insert", 2L, "open", 21L), Seq("insert", 4L, "new", 40L),
+      Seq("delete", 2L, "open", 20L), Seq("delete", 3L, "closed", 30L)),
+      "a merge diffs add/remove files, never the full snapshot; " +
+        "untouched row 1 must cancel")
+    // v3: schema-evolving merge — note lands, only row 2 changes
+    Versioned.merge(spark, tbl,
+      Seq((2L, "open", 21L, "x")).toDF("id", "status", "amount", "note"),
+      Seq("id"),
+      Seq(WhenMatchedUpdate(Map("note" -> srcCol("note")))),
+      evolveSchema = true)
+    val cdf3 = Versioned.changesBetween(spark, tbl, 2L, 3L)
+      .select("_change_type", "id", "status", "amount", "note")
+    assert(rowSet(cdf3) == Set(
+      Seq("insert", 2L, "open", 21L, "x"),
+      Seq("delete", 2L, "open", 21L, null)),
+      "the evolve diff aligns epochs by name; unchanged rows cancel")
+    // v4: MoR merge — delete 4 by tombstone
+    Versioned.mergeMoR(spark, tbl,
+      Seq((4L, "new", 0L, "gone")).toDF("id", "status", "amount", "note"),
+      Seq("id"), Seq(WhenMatchedDelete()))
+    val cdf4 = Versioned.changesBetween(spark, tbl, 3L, 4L)
+      .select("_change_type", "id", "status", "amount", "note")
+    assert(rowSet(cdf4) == Set(Seq("delete", 4L, "new", 40L, null)),
+      "a MoR merge's deletes surface from its position vector")
+  }
+
   test("INSERT * refuses a source missing target columns") {
     val tbl = tmp("insstar") + "/tbl"
     Versioned.overwrite(base((1L, "open", 10L)), tbl)
