@@ -4352,6 +4352,56 @@ object SparkEntry {
       versionedReport(s, tbl).crossJoin(inv)
     }),
 
+    // STREAMING CDF OVER A MERGE COMMIT, RATE-LIMITED — the
+    // composition of q233 (CDF stream), q238 (admission control) and
+    // q239 (conditional merge): the stream drains one version per
+    // trigger, the merge's window surfaces as its EXACT add/remove
+    // diff (unchanged rows cancel — a merge is rewrite-shaped, never a
+    // full-snapshot diff), and a caught-up rerun emits nothing.
+    "q248_merge_cdf_stream" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      import graft.ingest.Versioned._
+      import org.apache.spark.sql.streaming.Trigger
+      val base = scratch("q248")
+      val tbl = s"$base/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 3 === 0), tbl)
+      Versioned.merge(s, tbl,
+        o.filter(col("k") % 2 === 0).withColumn("cents", col("cents") + 7L),
+        Seq("k"), Seq(
+          WhenMatchedDelete(Some(col("status") === "F")),
+          WhenMatchedUpdate(Map("cents" -> srcCol("cents"))),
+          WhenNotMatchedInsert(cond = Some(srcCol("cents") % 2 === 0))))
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft.sources.VersionedSource")
+          .option("readChangeFeed", "true")
+          .option("maxVersionsPerTrigger", "1").load(tbl)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      val n1 = s.read.parquet(s"$base/out").count()
+      runOnce() // caught up: nothing new may land
+      val nBatches = new java.io.File(s"$base/ckpt/offsets").listFiles()
+        .count(f => f.getName.forall(_.isDigit)).toLong
+      val sink = s.read.parquet(s"$base/out")
+      import s.implicits._
+      val inv = broadcast(Seq((nBatches, sink.count() == n1))
+        .toDF("n_batches", "exactly_once"))
+      sink.groupBy(col("_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
+          sum(Fingerprint.rowDigest(Seq(col("k"), col("status"),
+            col("cents")))).as("fp"))
+        .crossJoin(inv)
+        .orderBy(col("version"), col("change_type"))
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -8739,6 +8789,36 @@ object SparkEntry {
         |  true AS matches_archived, sum_cents,
         |  true AS evolved_head, true AS narrow_history
         |FROM r ORDER BY 1""".stripMargin,
+
+    // the merge's exact change multiset: every matched old row deletes
+    // (F-rows die, the rest change cents), non-F matches re-insert
+    // with the source cents, even source-only rows insert; v1 is the
+    // seed insert — unchanged target-only rows never surface
+    "q248_merge_cdf_stream" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |t AS (SELECT k, status, cents FROM o WHERE k % 3 = 0),
+        |s AS (SELECT k, status, cents + 7 AS cents FROM o WHERE k % 2 = 0),
+        |m AS (SELECT t.k, t.status, t.cents AS oldc, s.cents AS newc
+        |  FROM t JOIN s USING (k)),
+        |u AS (
+        |  SELECT 1 AS version, 'insert' AS change_type, k, status, cents FROM t
+        |  UNION ALL SELECT 2, 'insert', k, status, newc FROM m
+        |    WHERE status <> 'F'
+        |  UNION ALL SELECT 2, 'insert', k, status, cents FROM s
+        |    WHERE k % 3 <> 0 AND cents % 2 = 0
+        |  UNION ALL SELECT 2, 'delete', k, status, oldc FROM m),
+        |enc AS (SELECT version, change_type, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(status)::VARCHAR || ':' || status || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM u)
+        |SELECT version::BIGINT AS version, change_type,
+        |  count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents_sum,
+        |  sum(h)::BIGINT AS fp, 2::BIGINT AS n_batches, true AS exactly_once
+        |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle
