@@ -16,6 +16,11 @@ package object functions {
   def z_value(x: Column, y: Column, bits: Int = 21): Column =
     ColumnShim.column(ZValue(ColumnShim.expression(x), ColumnShim.expression(y), bits))
 
+  /** N-dimensional Morton interleave (n·bits <= 63); for two columns
+    * the codes are bit-identical to [[z_value]]. */
+  def z_value_n(cols: Seq[Column], bits: Int): Column =
+    ColumnShim.column(ZValueN(cols.map(ColumnShim.expression), bits))
+
   /** k-view MinHash signature of an `array<string>` shingle column. */
   def minhash_sig(shingles: Column, k: Int): Column =
     ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), k))

@@ -88,6 +88,13 @@ object Versioned {
                           // fresh physical name or old files' stale
                           // values would resurrect
                           droppedPhys: Seq[String] = Nil,
+                          // widenedCols: columns whose type this commit
+                          // WIDENED (int->long etc.): older active files
+                          // keep the narrow physical type and the scan
+                          // promotes at read time — a reader that does
+                          // not know to widen would misread or refuse
+                          // mid-scan, so the commit is feature-flagged
+                          widenedCols: Seq[String] = Nil,
                           // ts: commit timestamp (epoch millis), stamped
                           // MONOTONICALLY at claim time (max(clock,
                           // parent ts + 1), the Delta rule) so TIMESTAMP
@@ -114,7 +121,7 @@ object Versioned {
     * mode for a table format. Writers stamp the features a record's
     * own content requires at claim time ([[claimStamped]]). */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletion-vectors", "column-mapping")
+    Set("deletion-vectors", "column-mapping", "type-widening")
 
   /** Reader features required to interpret this record correctly. */
   private def featuresOf(c: Commit): Seq[String] =
@@ -122,7 +129,27 @@ object Versioned {
      else Nil) ++
       (if (c.colMap.nonEmpty || c.droppedPhys.nonEmpty)
         Seq("column-mapping")
-      else Nil)
+      else Nil) ++
+      (if (c.widenedCols.nonEmpty) Seq("type-widening") else Nil)
+
+  /** The TYPE-WIDENING lattice (the Delta type-widening feature's safe
+    * core): promotions the parquet vectorized reader performs natively
+    * at scan time (declared wide read schema over a narrow physical
+    * column — SPARK-40876) AND that are value-lossless, so a widened
+    * table's old files never rewrite and old values never change.
+    * Narrowing, and lossy widenings (int -> float, long -> double),
+    * refuse. */
+  private val widensTo: Map[DataType, Set[DataType]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      ByteType -> Set[DataType](ShortType, IntegerType, LongType),
+      ShortType -> Set[DataType](IntegerType, LongType),
+      IntegerType -> Set[DataType](LongType),
+      FloatType -> Set[DataType](DoubleType))
+  }
+
+  private def isWidening(from: DataType, to: DataType): Boolean =
+    widensTo.get(from).exists(_.contains(to))
 
   /** Replayed table state at one version: active data files, logical
     * schema, partition layout, in-force deletion-vector files, and the
@@ -220,18 +247,31 @@ object Versioned {
     if (headOpt.isEmpty) return commit(df, path, "overwrite", maxRetries)
     val head = headOpt.get
     val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    val incomingTypes = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
-    headSchema.foreach { f =>
+    val incomingTypes = df.schema.map(f => f.name -> f.dataType).toMap
+    // existing columns: exact type, or a LOSSLESS WIDENING (int->long,
+    // float->double, ... — see widensTo). A widened column evolves the
+    // schema like a new column does: old files keep the narrow physical
+    // type (the scan promotes natively), and the commit pays the same
+    // epoch recompute because old rows' digests change under the wide
+    // rendering. Anything else refuses.
+    val widened = headSchema.flatMap { f =>
       val in = incomingTypes.getOrElse(f.name, throw new IllegalStateException(
         s"appendEvolve at $path: evolution may only ADD columns — " +
           s"existing column `${f.name}` is missing from the incoming frame"))
-      require(in == f.dataType.simpleString,
+      if (in == f.dataType) None
+      else if (isWidening(f.dataType, in)) Some(f.name)
+      else throw new IllegalArgumentException(
         s"appendEvolve at $path: existing column `${f.name}` changed type " +
-          s"(${f.dataType.simpleString} -> $in) — widening is not supported")
+          s"(${f.dataType.simpleString} -> ${in.simpleString}) — only " +
+          "lossless widenings (byte->short->int->long, float->double) " +
+          "are supported")
     }
     val newCols = df.schema.filterNot(f => headSchema.fieldNames.contains(f.name))
-    if (newCols.isEmpty) return append(df, path, maxRetries)
-    val evolved = StructType(headSchema.fields ++ newCols)
+    if (newCols.isEmpty && widened.isEmpty) return append(df, path, maxRetries)
+    val widenedSet = widened.toSet
+    val evolved = StructType(headSchema.fields.map(f =>
+      if (widenedSet(f.name)) f.copy(dataType = incomingTypes(f.name))
+      else f) ++ newCols)
     val ordered = df.select(evolved.fieldNames.toSeq.map(col): _*)
     val pcols = head.partitionCols
 
@@ -281,7 +321,8 @@ object Versioned {
         prev.dvs, evolvedMap)
       val c = Commit(h.version + 1L, "append", files, evolved.json, nRows,
         addFp, pr._1 + nRows, pr._2 + addFp, Nil, None, stats, pcols,
-        colMap = evolvedMap, droppedPhys = head.droppedPhys)
+        colMap = evolvedMap, droppedPhys = head.droppedPhys,
+        widenedCols = widened)
       claimStamped(fs, root, c).foreach(cc => return cc)
       attempt += 1
     }
@@ -323,6 +364,29 @@ object Versioned {
     * val, so the plan-shape spec can exercise the join path without
     * staging thousands of files. */
   private[graft] var isinFileThreshold: Int = 1000
+
+  /** Merge/upsert planning broadcast guard (VERDICT r11 #1, the twin of
+    * [[isinFileThreshold]]): the planning semi-joins hint
+    * `broadcast(distinct source keys)` — right for CDC-sized batches,
+    * where it keeps the table scan shuffle-free — but a fat backfill
+    * batch (say 10⁸ distinct keys) would OOM the driver on the FORCED
+    * broadcast before AQE could save it. Above this optimizer size
+    * estimate the hint is dropped and the join strategy is left to
+    * Catalyst/AQE, which can still pick a broadcast at runtime from the
+    * ACTUAL build-side size, or fall back to a shuffled join that
+    * scales arbitrarily. Estimate, not a count: reading
+    * `optimizedPlan.stats.sizeInBytes` costs no job, while a count()
+    * would pay an extra distinct shuffle per merge. Var so the
+    * plan-shape spec can exercise the unhinted path without staging
+    * gigabytes. */
+  private[graft] var broadcastKeyBytesThreshold: Long = 128L << 20
+
+  /** `broadcast(df)` iff the optimizer's size estimate is under
+    * [[broadcastKeyBytesThreshold]]; otherwise `df` unhinted. */
+  private[graft] def maybeBroadcast(df: DataFrame): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        broadcastKeyBytesThreshold) broadcast(df)
+    else df
 
   /** `cur` restricted to rows whose `__file` is in `affected` —
     * In-literal below [[isinFileThreshold]], broadcast semi-join above. */
@@ -463,7 +527,7 @@ object Versioned {
     val matched = readFilesDF(spark, root, st.active, schema, pcols,
         withRelCol = true, dvFiles = st.dvs, withPosCol = true,
         colMap = st.colMap)
-      .join(broadcast(keys), keyCols, "left_semi")
+      .join(maybeBroadcast(keys), keyCols, "left_semi")
     matched.cache()
     try {
       val r = matched.agg(count(lit(1)).as("n"),
@@ -579,7 +643,7 @@ object Versioned {
       lazy val probe = readFilesDF(spark, root, st.active, schema, pcols,
         dvFiles = st.dvs, colMap = st.colMap)
       if (!dupKeys.isEmpty &&
-          !probe.join(broadcast(dupKeys), keyCols, "left_semi").isEmpty)
+          !probe.join(maybeBroadcast(dupKeys), keyCols, "left_semi").isEmpty)
         throw new IllegalStateException(
           s"mergeMoR into $path: multiple source rows match the same " +
             "target row with MATCHED clauses present — nondeterministic; " +
@@ -592,7 +656,7 @@ object Versioned {
     val tgtMatched = readFilesDF(spark, root, st.active, schema, pcols,
         withRelCol = true, dvFiles = st.dvs, withPosCol = true,
         colMap = st.colMap)
-      .join(broadcast(srcKeys), keyCols, "left_semi")
+      .join(maybeBroadcast(srcKeys), keyCols, "left_semi")
     val joinCond = keyCols.map(k => col(k) === col(s"__src_$k"))
       .reduce(_ && _)
     // matched pairs (inner: multi-match already refused, keys distinct)
@@ -635,11 +699,19 @@ object Versioned {
         else claimed
           .filter(col("__action").isin(updateIdx.map(Integer.valueOf): _*))
           .select(schema.fields.toSeq.map(updOut): _*)
-      // ...plus the conditional inserts (source keys matching nothing)
-      val srcOnly = src.join(
-        broadcast(tgtMatched.select(keyCols.map(col): _*).distinct()
-          .select(keyCols.map(k => col(k).as(s"__src_$k")): _*)),
-        keyCols.map(k => s"__src_$k"), "left_anti")
+      // ...plus the conditional inserts (source keys matching nothing).
+      // Target columns are added as TYPED NULLS so an insert condition/
+      // assignment referencing a target column by plain name resolves
+      // to null — exactly what it is on merge()'s full-outer frame for
+      // a source-only row — instead of throwing an unresolved-column
+      // error only on the MoR surface (ADVICE r11: the two merge
+      // surfaces must accept the same clause lists).
+      val srcOnly = schema.fields.foldLeft(src.join(
+          maybeBroadcast(tgtMatched.select(keyCols.map(col): _*).distinct()
+            .select(keyCols.map(k => col(k).as(s"__src_$k")): _*)),
+          keyCols.map(k => s"__src_$k"), "left_anti")) { (d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
       val insActionCol = clauses.zipWithIndex.collect {
           case (WhenNotMatchedInsert(_, c), i) => (c.getOrElse(lit(true)), i + 1)
         }
@@ -741,13 +813,13 @@ object Versioned {
     // (the same pin the append path applies)
     val upd = updates.select(headSchema.fieldNames.toSeq.map(col): _*)
     val keys = upd.select(keyCols.map(col): _*).distinct()
-    val affected = cur.join(broadcast(keys), keyCols, "left_semi")
+    val affected = cur.join(maybeBroadcast(keys), keyCols, "left_semi")
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     val survivors =
       if (affected.isEmpty) upd // pure insert; nothing rewritten
       else restrictToFiles(cur, affected)
-        .join(broadcast(keys), keyCols, "left_anti").drop("__file")
+        .join(maybeBroadcast(keys), keyCols, "left_anti").drop("__file")
         .unionByName(upd)
     rewriteCommit(spark, root, fs, head, survivors, affected)
   }
@@ -834,29 +906,34 @@ object Versioned {
     require(clauses.nonEmpty, "merge needs at least one WHEN clause")
     val (head, cur, root, fs) = currentWithFiles(spark, path)
     val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    val newCols: Seq[StructField] =
-      if (!evolveSchema) Nil
+    // evolveSchema: NEW source columns evolve in; an existing column
+    // whose source type is a LOSSLESS WIDENING of the table type
+    // (int->long, float->double, ... — widensTo) widens the table
+    // schema in the same commit; any other type change refuses.
+    val (newCols: Seq[StructField], widened: Seq[String]) =
+      if (!evolveSchema) (Nil, Nil)
       else {
-        source.schema.filter(f => headSchema.fieldNames.contains(f.name))
-          .foreach { f =>
+        val w = source.schema.toSeq
+          .filter(f => headSchema.fieldNames.contains(f.name))
+          .flatMap { f =>
             val t = headSchema(f.name).dataType
-            require(f.dataType == t,
+            if (f.dataType == t) None
+            else if (isWidening(t, f.dataType)) Some(f.name)
+            else throw new IllegalArgumentException(
               s"merge evolveSchema at $path: existing column `${f.name}` " +
                 s"changed type (${t.simpleString} -> " +
-                s"${f.dataType.simpleString}) — widening is not supported")
+                s"${f.dataType.simpleString}) — only lossless widenings " +
+                "(byte->short->int->long, float->double) are supported")
           }
-        source.schema.filterNot(f => headSchema.fieldNames.contains(f.name))
-          .toSeq
+        (source.schema.filterNot(f =>
+          headSchema.fieldNames.contains(f.name)).toSeq, w)
       }
-    if (newCols.nonEmpty) {
-      val st0 = activeAt(fs, root, path, head.version)
-      require(st0.dvs.isEmpty,
-        s"merge evolveSchema at $path: table has in-force deletion " +
-          "vectors — OPTIMIZE them into clean files first, then evolve")
-    }
+    val widenedSet = widened.toSet
     val outSchema =
-      if (newCols.isEmpty) headSchema
-      else StructType(headSchema.fields ++ newCols)
+      if (newCols.isEmpty && widened.isEmpty) headSchema
+      else StructType(headSchema.fields.map(f =>
+        if (widenedSet(f.name)) f.copy(dataType = source.schema(f.name).dataType)
+        else f) ++ newCols)
     val isNewCol = newCols.map(_.name).toSet
     val cols = headSchema.fieldNames.toSeq
     require(keyCols.forall(cols.contains),
@@ -886,7 +963,7 @@ object Versioned {
       // the target-side probe only runs when the source actually has
       // duplicate keys — the common distinct-source merge never scans
       if (!dupKeys.isEmpty &&
-          !cur.join(broadcast(dupKeys), keyCols, "left_semi").isEmpty)
+          !cur.join(maybeBroadcast(dupKeys), keyCols, "left_semi").isEmpty)
         throw new IllegalStateException(
           s"merge into $path: multiple source rows match the same target " +
             "row with MATCHED clauses present — the update would be " +
@@ -902,7 +979,7 @@ object Versioned {
           .collect().map(_.getString(0)).sorted.toSeq
       else {
         val keys = source.select(keyCols.map(col): _*).distinct()
-        cur.join(broadcast(keys), keyCols, "left_semi")
+        cur.join(maybeBroadcast(keys), keyCols, "left_semi")
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).sorted.toSeq
       }
@@ -966,7 +1043,7 @@ object Versioned {
         .cast(f.dataType).as(f.name)
     val survivors = withAction.filter(!dropCond)
       .select(outSchema.fields.toSeq.map(outCol): _*)
-    if (newCols.isEmpty)
+    if (newCols.isEmpty && widened.isEmpty)
       return rewriteCommit(spark, root, fs, head, survivors, affected,
         action = "merge")
 
@@ -1003,15 +1080,27 @@ object Versioned {
             "(evolution commits never merge with concurrent writes)")
       }
       // the epoch recompute: untouched files digested under the
-      // EVOLVED schema (missing columns read null -> the 'N' sentinel)
-      val remaining = activeAt(fs, root, path, h.version).active
-        .filterNot(removedSet)
+      // EVOLVED schema (missing columns read null -> the 'N' sentinel;
+      // widened columns promote natively), with IN-FORCE DELETION
+      // VECTORS applied — the recompute digests each remaining file's
+      // LIVE contribution, so evolving over a table with live DVs
+      // needs no OPTIMIZE-first rewrite (VERDICT r11 #5)
+      val stH = activeAt(fs, root, path, h.version)
+      val remaining = stH.active.filterNot(removedSet)
       val (remRows, remFp) = digestFiles(spark, root, remaining, outSchema,
-        pcols, Nil, evolvedMap)
+        pcols, stH.dvs, evolvedMap)
+      // vectors stranded by this merge's rewrite (none of their covered
+      // files stays active) are purged, same rule as rewriteCommit
+      val newActive = (remaining ++ files).toSet
+      val cov = dvCoverage(fs, root, h.version)
+      val purgedDvs = stH.dvs.filter { d =>
+        cov.get(d).exists(s => s.nonEmpty && !s.exists(newActive.contains))
+      }
       val c = Commit(h.version + 1L, "merge", files, outSchema.json,
         addRows, addFp, remRows + addRows, remFp + addFp, affected, None,
-        stats, pcols, None, None, Nil, None, None, Nil, Nil,
-        evolvedMap, head.droppedPhys)
+        stats, pcols, dvRemove = purgedDvs,
+        colMap = evolvedMap, droppedPhys = head.droppedPhys,
+        widenedCols = widened)
       claimStamped(fs, root, c).foreach(cc => return cc)
       attempt += 1
     }
@@ -1019,6 +1108,22 @@ object Versioned {
     throw new IllegalStateException(
       s"schema-evolving merge at $path lost the version race 20 times")
   }
+
+  /** Coverage of every deletion-vector file ever committed (metadata
+    * only) — a restore/clone record re-lists dv files without
+    * coverage, so known coverage from the originating MoR commit wins.
+    * Shared by [[rewriteCommit]] and the schema-evolving merge, both of
+    * which purge vectors stranded by a rewrite. */
+  private def dvCoverage(fs: FileSystem, root: Path,
+                         upTo: Long): Map[String, Set[String]] =
+    listVersions(fs, root).filter(_ <= upTo)
+      .map(v => readCommit(fs, root, v))
+      .foldLeft(Map.empty[String, Set[String]]) { (m, c) =>
+        c.dv.foldLeft(m) { (acc, d) =>
+          if (acc.get(d).exists(_.nonEmpty)) acc
+          else acc.updated(d, c.dvCovered.toSet)
+        }
+      }
 
   /** Head commit + the current table frame tagged with each row's
     * RELATIVE file path (the copy-on-write planning scan). */
@@ -1097,18 +1202,6 @@ object Versioned {
           "maintenance must never change table content; staging deleted")
     }
     val removedSet = removed.toSet
-    // coverage of every deletion-vector file ever committed (metadata
-    // only) — a restore/clone record re-lists dv files without
-    // coverage, so known coverage from the originating MoR commit wins
-    def dvCoverage(upTo: Long): Map[String, Set[String]] =
-      listVersions(fs, root).filter(_ <= upTo)
-        .map(v => readCommit(fs, root, v))
-        .foldLeft(Map.empty[String, Set[String]]) { (m, c) =>
-          c.dv.foldLeft(m) { (acc, d) =>
-            if (acc.get(d).exists(_.nonEmpty)) acc
-            else acc.updated(d, c.dvCovered.toSet)
-          }
-        }
     var base = head
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1119,7 +1212,7 @@ object Versioned {
       // is kept conservatively (stale entries match nothing).
       val baseState = activeAt(fs, root, root.toString, base.version)
       val newActive = (baseState.active.filterNot(removedSet) ++ files).toSet
-      val cov = dvCoverage(base.version)
+      val cov = dvCoverage(fs, root, base.version)
       val purgedDvs = baseState.dvs.filter { d =>
         cov.get(d).exists(s => s.nonEmpty && !s.exists(newActive.contains))
       }
@@ -1925,6 +2018,31 @@ object Versioned {
         s"(v${versions.head} at ${readCommit(fs, root, versions.head).ts})")
   }
 
+  /** Greatest version stamped STRICTLY BEFORE `tsMillis` (0 when every
+    * commit is at/after it) — the exclusive version floor a stream's
+    * `startingTimestamp` resolves to. One newest-first metadata walk
+    * over a SINGLE filesystem handle, each record read at most once
+    * (ADVICE r11: the per-version commitTimestamp calls re-resolved the
+    * filesystem and re-read records), early-exiting at the first
+    * qualifying record by monotonicity. Refuses legacy unstamped
+    * records LOUDLY like [[versionAsOfTimestamp]] — a ts=0 record would
+    * otherwise silently act as an "older than everything" floor and
+    * re-deliver history the caller asked to skip. */
+  def versionFloorBefore(spark: SparkSession, path: String,
+                         tsMillis: Long): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listVersions(fs, root).reverse.foreach { v =>
+      val c = readCommit(fs, root, v)
+      require(c.ts != 0L,
+        s"v$v at $path has no commit timestamp (pre-timestamp record) — " +
+          "timestamp-based resolution is undefined for it; use " +
+          "startingVersion instead")
+      if (c.ts < tsMillis) return v
+    }
+    0L
+  }
+
   /** [[readAsOf]] by wall-clock moment instead of version. */
   def readAsOfTimestamp(spark: SparkSession, path: String,
                         tsMillis: Long): DataFrame =
@@ -1959,15 +2077,40 @@ object Versioned {
   def checkpoint(spark: SparkSession, path: String): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    checkpointAt(fs, root)
+  }
+
+  /** Checkpoints on disk (ascending versions) — the audit surface the
+    * auto-cadence gate reads; one directory listing. */
+  def checkpoints(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listCheckpoints(fs, root)
+  }
+
+  /** [[checkpoint]]'s engine: INCREMENTAL — folds from the newest
+    * existing checkpoint plus the tail records after it (not the whole
+    * log), so the auto-cadence hook costs O(interval) record reads per
+    * checkpoint, keeping the COMMIT path metadata-flat on a
+    * 10,000-commit table. The feature union is carried forward from
+    * the prior checkpoint (its union already covers the records it
+    * summarized — q243's rule survives the incremental fold). */
+  private def checkpointAt(fs: FileSystem, root: Path): Long = {
     val versions = listVersions(fs, root)
     if (versions.isEmpty) return 0L
     val v = versions.last
-    val commits = versions.map(readCommit(fs, root, _))
-    val active = commits.foldLeft(Seq.empty[String]) { (acc, c) =>
-      if (c.action == "overwrite") c.add
-      else acc.filterNot(c.remove.toSet) ++ c.add
+    val ckpt = listCheckpoints(fs, root).filter(_ <= v).lastOption
+      .map(readCheckpoint(fs, root, _))
+    val fromV = ckpt.map(_.version).getOrElse(0L)
+    if (fromV == v) return v // head already checkpointed
+    val commits = versions.filter(x => x > fromV && x <= v)
+      .map(readCommit(fs, root, _))
+    val active = commits.foldLeft(ckpt.map(_.active).getOrElse(Nil)) {
+      (acc, c) =>
+        if (c.action == "overwrite") c.add
+        else acc.filterNot(c.remove.toSet) ++ c.add
     }
-    val dvs = commits.foldLeft(Seq.empty[String]) { (acc, c) =>
+    val dvs = commits.foldLeft(ckpt.map(_.dvs).getOrElse(Nil)) { (acc, c) =>
       if (c.action == "overwrite") c.dv
       else acc.filterNot(c.dvRemove.toSet) ++ c.dv
     }
@@ -1993,7 +2136,9 @@ object Versioned {
     // state a future feature wrote (the exact hole the per-record
     // refusal exists to close). Conservative union — refusing a
     // feature an overwrite later obsoleted is safe, the reverse is not.
-    val feats = commits.flatMap(_.features).distinct.sorted
+    // Incremental fold: prior checkpoint's union ∪ the tail's.
+    val feats = (ckpt.map(_.features).getOrElse(Nil) ++
+      commits.flatMap(_.features)).distinct.sorted
     if (feats.nonEmpty) {
       val fa = node.putArray("features")
       feats.foreach(fa.add)
@@ -2416,13 +2561,18 @@ object Versioned {
       Nil, None, stats, head.partitionCols, None, None, cloneDvs,
       dvCovered = cloneCovered,
       colMap = head.colMap, droppedPhys = head.droppedPhys)
-    if (!atomicCreate(dstFs, recordPath(dst, 1L), render(c))) {
+    // the clone's v1 goes through the SAME claim funnel as every other
+    // commit (ADVICE r11): claimStamped stamps the monotonic ts (so
+    // versionAsOfTimestamp / vacuumOlderThan accept the clone from
+    // birth) and the reader features its content requires (a clone
+    // carrying deletion vectors or a column mapping must refuse old
+    // readers exactly like the commit that created them would)
+    claimStamped(dstFs, dst, c).getOrElse {
       cloneDvs.headOption.foreach(f =>
         dstFs.delete(new Path(dst, f.split("/").head), true))
       throw new java.util.ConcurrentModificationException(
         s"cloneShallow lost the v1 claim at $dstPath")
     }
-    c
   }
 
   /** RETENTION VACUUM: physically delete data files needed ONLY by
@@ -2580,11 +2730,25 @@ object Versioned {
                sortBy: Seq[String] = Nil,
                zorderBy: Option[(String, String)] = None,
                zBits: Int = 16,
-               where: Option[Map[String, Option[String]] => Boolean] = None)
+               where: Option[Map[String, Option[String]] => Boolean] = None,
+               zorderByN: Seq[String] = Nil)
       : Option[Commit] = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    require(sortBy.isEmpty || zorderBy.isEmpty,
-      "give sortBy OR zorderBy, not both")
+    // zorderBy (the 2-d pair) and zorderByN (any >= 2 column list) are
+    // the same layout — n = 2 interleaves bit-identically — kept as two
+    // spellings for source compatibility; give at most one of the three
+    val zCols: Seq[String] =
+      zorderBy.map(t => Seq(t._1, t._2)).getOrElse(zorderByN)
+    require(zorderBy.isEmpty || zorderByN.isEmpty,
+      "give zorderBy OR zorderByN, not both")
+    require(sortBy.isEmpty || zCols.isEmpty,
+      "give sortBy OR a z-order column list, not both")
+    require(zCols.isEmpty || zCols.size >= 2,
+      s"z-ordering needs >= 2 columns, got $zCols (use sortBy for 1-d)")
+    require(zCols.distinct == zCols, s"duplicate z-order columns: $zCols")
+    require(zCols.isEmpty || zCols.size * zBits <= 63,
+      s"${zCols.size} z-order dims x $zBits bits exceed a positive long " +
+        "(n*bits <= 63) — lower zBits")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = latestCommit(fs, root).getOrElse(
@@ -2601,8 +2765,8 @@ object Versioned {
     if (active.isEmpty) return None
     val cur = readFilesDF(spark, root, active, schema, pcols,
       dvFiles = st.dvs, colMap = st.colMap)
-    val laid = zorderBy match {
-      case Some((x, y)) =>
+    val laid =
+      if (zCols.nonEmpty) {
         // domain-checked like Ingest.checkedZ: an out-of-range value
         // would silently collapse onto an unrelated z-code and quietly
         // void the skipping contract (the r5 lesson)
@@ -2610,19 +2774,19 @@ object Versioned {
         def checked(c: String): org.apache.spark.sql.Column = {
           val v = col(c).cast("long")
           when(v < 0 || v >= lim, raise_error(concat(
-            lit(s"optimize zorderBy: `$c` value "), v.cast("string"),
+            lit(s"optimize z-order: `$c` value "), v.cast("string"),
             lit(s" outside [0, 2^$zBits) — scale the dimension into " +
               "range or raise zBits")))).otherwise(v)
         }
-        cur.withColumn("__z", graft.functions.z_value(checked(x), checked(y), zBits))
+        cur.withColumn("__z",
+            graft.functions.z_value_n(zCols.map(checked), zBits))
           .repartitionByRange(numFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
           .drop("__z")
-      case None if sortBy.nonEmpty =>
+      } else if (sortBy.nonEmpty)
         cur.repartitionByRange(numFiles, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
-      case None => cur.coalesce(numFiles)
-    }
+      else cur.coalesce(numFiles)
     Some(rewriteCommit(spark, root, fs, head, laid, active,
       requireContentPreserved = true))
   }
@@ -2647,7 +2811,8 @@ object Versioned {
                                      schemaJson: String,
                                      partitionCols: Seq[String],
                                      dvs: Seq[String],
-                                     colMap: Seq[(String, String)])
+                                     colMap: Seq[(String, String)],
+                                     features: Seq[String])
 
   private def readCheckpoint(fs: FileSystem, root: Path, version: Long)
       : CkptState = {
@@ -2679,7 +2844,7 @@ object Versioned {
           s"${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
     CkptState(t.get("version").asLong(),
       (0 until t.get("active").size()).map(i => t.get("active").get(i).asText()),
-      t.get("schema").asText(), pcols, dvs, colMap)
+      t.get("schema").asText(), pcols, dvs, colMap, feats)
   }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
@@ -2739,7 +2904,7 @@ object Versioned {
       t.get("addFp").asLong(), t.get("snapshotRows").asLong(),
       t.get("snapshotFp").asLong(), rem, txn, stats, pcols, cAdd, cDrop, dv,
       gAdd, gDrop, strArr("dvCovered"), strArr("dvRemove"), colMap,
-      strArr("droppedPhys"),
+      strArr("droppedPhys"), strArr("widened"),
       Option(t.get("ts")).map(_.asLong()).getOrElse(0L),
       strArr("features"))
     val unknown = c.features.filterNot(SupportedReaderFeatures)
@@ -2802,6 +2967,9 @@ object Versioned {
     if (c.droppedPhys.nonEmpty) {
       val a = node.putArray("droppedPhys"); c.droppedPhys.foreach(a.add)
     }
+    if (c.widenedCols.nonEmpty) {
+      val a = node.putArray("widened"); c.widenedCols.foreach(a.add)
+    }
     if (c.ts != 0L) node.put("ts", c.ts)
     if (c.features.nonEmpty) {
       val a = node.putArray("features"); c.features.foreach(a.add)
@@ -2817,18 +2985,42 @@ object Versioned {
     * extra parent-record read per claim — metadata-scale). */
   private def claimStamped(fs: FileSystem, root: Path, c: Commit)
       : Option[Commit] = {
+    // Narrow catch (ADVICE r11): only a genuinely-MISSING parent record
+    // (a gap-tolerant log after manual surgery) may default to the
+    // legacy parentTs=0. A transient IO/parse failure must PROPAGATE —
+    // defaulting it to 0 could stamp ts=wall-clock below a clock-skew-
+    // inflated parent and silently break the strict monotonicity that
+    // versionAsOfTimestamp's early exit and vacuumOlderThan rely on.
+    // (A parent record WITHOUT a ts field parses fine and reads ts=0 —
+    // the legacy-shape case needs no catch at all.)
     val parentTs =
       if (c.version <= 1L) 0L
       else
         try readCommit(fs, root, c.version - 1L).ts
-        catch { case _: Throwable => 0L } // pre-timestamp legacy record
+        catch { case _: java.io.FileNotFoundException => 0L }
     val stamped = c.copy(
       ts = math.max(System.currentTimeMillis(), parentTs + 1L),
       features = featuresOf(c))
-    if (atomicCreate(fs, recordPath(root, stamped.version), render(stamped)))
+    if (atomicCreate(fs, recordPath(root, stamped.version), render(stamped))) {
+      // AUTOMATIC CHECKPOINT CADENCE (VERDICT r11 #2, Delta's every-10
+      // rule): every Nth commit folds a checkpoint so readAsOf replay
+      // stays O(tail) on a long-lived table whose operator never calls
+      // checkpoint() by hand. Incremental (prior ckpt + N tail records,
+      // see checkpointAt), so the commit path stays metadata-flat.
+      // Checkpoints are DERIVED data — a failure here must never fail
+      // the commit that already landed; it only costs a longer replay
+      // until the next cadence hit succeeds.
+      if (autoCheckpointInterval > 0 &&
+          stamped.version % autoCheckpointInterval == 0L)
+        try checkpointAt(fs, root)
+        catch { case scala.util.control.NonFatal(_) => () }
       Some(stamped)
-    else None
+    } else None
   }
+
+  /** Write a checkpoint automatically every N winning commits
+    * (0 disables). Delta checkpoints every 10 commits; same default. */
+  private[graft] var autoCheckpointInterval: Int = 10
 
   /** The atomic version claim. `file://`: NIO `CREATE_NEW` is an O_EXCL
     * open — kernel-atomic, no check-then-create window (Hadoop's

@@ -135,14 +135,12 @@ class VersionedSource extends StreamSourceProvider with DataSourceRegister {
       "set startingVersion OR startingTimestamp, not both")
     // startingTimestamp: stream only commits stamped AT or AFTER the
     // moment — the exclusive version floor is the greatest version
-    // strictly before it (0 when the whole history qualifies)
-    val startingV = parameters.get("startingTimestamp").map { t =>
-      val ts = t.toLong
-      val head = Versioned.latestVersion(spark, path)
-      (1L to head).reverse
-        .find(v => Versioned.commitTimestamp(spark, path, v) < ts)
-        .getOrElse(0L)
-    }.orElse(parameters.get("startingVersion").map(_.toLong))
+    // strictly before it (0 when the whole history qualifies). One
+    // newest-first walk, one fs handle, one record read per version
+    // considered, loud refusal on legacy unstamped records (ADVICE r11)
+    val startingV = parameters.get("startingTimestamp")
+      .map(t => Versioned.versionFloorBefore(spark, path, t.toLong))
+      .orElse(parameters.get("startingVersion").map(_.toLong))
       .getOrElse(0L)
     new VersionedStreamSource(
       sqlContext,

@@ -210,16 +210,18 @@ class VersionedMergeSpec extends SparkTestBase {
     assert(Versioned.read(spark, tbl).count() == 5L)
   }
 
-  test("evolveSchema refuses type changes and DV tables; off by default") {
+  test("evolveSchema refuses lossy type changes; off by default") {
     val tbl = tmp("evguard") + "/tbl"
     Versioned.overwrite(base((1L, "open", 10L), (2L, "open", 20L)), tbl)
+    // bigint -> double is LOSSY (2^53 cliff) — refused even though it
+    // "widens" colloquially; the r12 lattice allows only lossless moves
     val retyped = Seq((1L, "open", 1.5)).toDF("id", "status", "amount")
     val e = intercept[IllegalArgumentException] {
       Versioned.merge(spark, tbl, retyped, Seq("id"),
         Seq(WhenMatchedUpdate(Map("amount" -> srcCol("amount")))),
         evolveSchema = true)
     }
-    assert(e.getMessage.contains("widening is not supported"))
+    assert(e.getMessage.contains("lossless widenings"))
     // without the flag, extra source columns are clause inputs only
     val extra = Seq((1L, "open", 11L, "ignored"))
       .toDF("id", "status", "amount", "note")
@@ -227,14 +229,15 @@ class VersionedMergeSpec extends SparkTestBase {
       Seq(WhenMatchedUpdate(Map("amount" -> srcCol("amount")))))
     assert(Versioned.read(spark, tbl).columns.toSeq ==
       Seq("id", "status", "amount"))
-    // in-force DVs refuse evolution
+    // in-force DVs no longer refuse evolution (r12): the epoch
+    // recompute digests live contributions, so the deleted row stays
+    // dead through the boundary with no OPTIMIZE-first rewrite
     Versioned.deleteWhereMoR(spark, tbl, col("id") === 2L)
-    val e2 = intercept[IllegalArgumentException] {
-      Versioned.merge(spark, tbl, extra, Seq("id"),
-        Seq(WhenMatchedUpdate(Map("note" -> srcCol("note")))),
-        evolveSchema = true)
-    }
-    assert(e2.getMessage.contains("deletion"))
+    Versioned.merge(spark, tbl, extra, Seq("id"),
+      Seq(WhenMatchedUpdate(Map("note" -> srcCol("note")))),
+      evolveSchema = true)
+    assert(rowSet(Versioned.read(spark, tbl)) ==
+      Set(Seq[Any](1L, "open", 11L, "ignored")))
   }
 
   test("change feed across CoW merge, evolve merge and MoR merge") {
