@@ -4402,6 +4402,152 @@ object SparkEntry {
         .orderBy(col("version"), col("change_type"))
     }),
 
+    // TYPE WIDENING (ingest/Versioned.appendEvolve, r12): the narrow
+    // epoch stores cents as INT; the widening append arrives with LONG
+    // values beyond the int range — old files keep their narrow
+    // physical type and promote at scan time (no rewrite), the commit
+    // pays the documented epoch recompute, is stamped with the
+    // `type-widening` reader feature (old readers refuse rather than
+    // misread), and BOTH epochs replay fingerprint-certified.
+    "q249_type_widening" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q249") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 3 === 0)
+        .withColumn("cents", col("cents").cast("int")), tbl) // v1: int epoch
+      val c = Versioned.appendEvolve(o.filter(col("k") % 3 === 1)
+        .withColumn("cents", col("cents") + 3000000000L), tbl) // v2: long
+      import s.implicits._
+      val inv = broadcast(Seq((
+          Versioned.read(s, tbl).schema("cents").dataType.simpleString ==
+            "bigint",
+          Versioned.readAsOf(s, tbl, 1L).schema("cents")
+            .dataType.simpleString == "int",
+          c.widenedCols == Seq("cents") &&
+            c.features.contains("type-widening")))
+        .toDF("head_widened", "narrow_history", "widen_flagged"))
+      versionedReport(s, tbl).crossJoin(inv)
+    }),
+
+    // N-DIMENSIONAL Z-ORDER (ingest/Versioned.optimize zorderByN, r12 —
+    // Delta's `OPTIMIZE ZORDER BY (a, b, c)` shape, q223 generalized):
+    // the 3-d Morton layout gives every dimension tight per-file zone
+    // maps at once, so a half-range filter on ANY of the three prunes
+    // files from log metadata — a 1-d sort can serve only one. Content
+    // identity is certified at commit time by the additive fingerprint.
+    "q250_zorder_ndim" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q250") + "/tbl"
+      val orders = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("kmod", pmod(col("o_custkey"), lit(16L)))
+        .withColumn("cmod", pmod(col("cents"), lit(16L)))
+        .withColumn("dmod", pmod(col("o_orderkey"), lit(16L)))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 4 === 0)
+        .coalesce(1), tbl)
+      (1 to 3).foreach(m => Versioned.append(
+        orders.filter(col("o_orderkey") % 4 === m).coalesce(1), tbl))
+      val preHead = Versioned.latestVersion(s, tbl)
+      val (preRows, preFp) = Versioned.archivedFingerprint(s, tbl, preHead)
+      val c = Versioned.optimize(s, tbl, numFiles = 8,
+        zorderByN = Seq("kmod", "cmod", "dmod"), zBits = 4).get
+      def pruned(dim: String): Boolean = {
+        val (_, scanned, total) =
+          Versioned.readAsOfPruned(s, tbl, c.version, dim, 0L, 7L)
+        scanned < total
+      }
+      val band = Versioned.read(s, tbl)
+        .filter(col("kmod") <= 7L && col("cmod") <= 7L && col("dmod") <= 7L)
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("sc"))
+        .head()
+      import s.implicits._
+      Seq((4L, // one file per pre-optimize commit
+          (c.snapshotRows, c.snapshotFp) == ((preRows, preFp)),
+          Versioned.readAsOf(s, tbl, 1L).count(),
+          Versioned.changesBetween(s, tbl, preHead, c.version).count(),
+          pruned("kmod"), pruned("cmod"), pruned("dmod"),
+          band.getLong(0), band.getLong(1)))
+        .toDF("n_files_before", "content_identical", "v1_rows",
+          "optimize_cdf_rows", "pruned_k", "pruned_c", "pruned_d",
+          "band_rows", "band_cents")
+    }),
+
+    // SCHEMA EVOLUTION OVER LIVE DELETION VECTORS (r12): a MoR delete
+    // leaves in-force DVs, then merge(evolveSchema=true) adds a column
+    // WITHOUT the OPTIMIZE-first rewrite r11 demanded — the epoch
+    // recompute digests each remaining file's LIVE contribution, so
+    // the tombstoned rows stay dead across the epoch boundary and all
+    // three versions replay certified.
+    "q251_evolve_with_dvs" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      import graft.ingest.Versioned._
+      val tbl = scratch("q251") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 3 === 0), tbl)        // v1
+      Versioned.deleteWhereMoR(s, tbl, col("cents") % 10 < 2)       // v2
+      val src = o.filter(col("k") % 2 === 0)
+        .withColumn("band", col("cents") % 5L)
+      Versioned.merge(s, tbl, src, Seq("k"), Seq(                   // v3
+        WhenMatchedUpdate(Map("cents" -> (srcCol("cents") + 1L),
+          "band" -> srcCol("band"))),
+        WhenNotMatchedInsert(cond = Some(srcCol("cents") % 2 === 0))),
+        evolveSchema = true)
+      import s.implicits._
+      val head = Versioned.read(s, tbl)
+      val inv = broadcast(Seq((
+          head.columns.toSeq == Seq("k", "status", "cents", "band"),
+          Versioned.commitsBetween(s, tbl, 1L, 2L).head.dv.nonEmpty,
+          // target-only rows come from the LIVE v2 view: no tombstoned
+          // row (cents%10<2, never merged) resurfaces after the epoch
+          head.filter(col("k") % 2 === 1 && col("cents") % 10 < 2)
+            .count() == 0L))
+        .toDF("evolved_head", "dv_was_live", "deleted_stay_dead"))
+      versionedReport(s, tbl).crossJoin(inv)
+    }),
+
+    // AUTOMATIC CHECKPOINT CADENCE (r12, Delta's every-10 rule): 25
+    // commits land checkpoints at v10 and v20 with NO manual
+    // checkpoint() call, and the proof the head replay is O(tail) is
+    // PHYSICAL — the gate deletes every record below the newest
+    // checkpoint and the head still replays (so the fold cannot have
+    // read them), content-identical and certified.
+    "q252_auto_checkpoint" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q252") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 25 === 0).coalesce(1), tbl)
+      (1L to 24L).foreach(m => Versioned.append(
+        o.filter(col("k") % 25 === m).coalesce(1), tbl))
+      val ckpts = Versioned.checkpoints(s, tbl)
+      val before = Versioned.read(s, tbl).count()
+      val log = new java.io.File(s"$tbl/_graft_log")
+      (1L to 19L).foreach { v =>
+        val f = new java.io.File(log, f"v$v%08d.json")
+        require(f.delete(), s"gate setup: could not delete $f")
+      }
+      val (aRows, aFp) = Versioned.archivedFingerprint(s, tbl, 25L)
+      val head = Versioned.read(s, tbl)
+      val r = head.agg(count(lit(1)),
+        coalesce(sum(graft.ingest.Fingerprint.rowDigest(
+          Seq(col("k"), col("c"), col("cents")))), lit(0L))).head()
+      import s.implicits._
+      val inv = broadcast(Seq((ckpts == Seq(10L, 20L),
+          r.getLong(0) == before,
+          (r.getLong(0), r.getLong(1)) == ((aRows, aFp))))
+        .toDF("cadence_held", "tail_only_replay", "certified"))
+      head.groupBy(pmod(col("c"), lit(10L)).as("cust_band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+        .orderBy(col("cust_band"))
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -8819,6 +8965,105 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents_sum,
         |  sum(h)::BIGINT AS fp, 2::BIGINT AS n_batches, true AS exactly_once
         |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // both epochs: v1 digests int-typed cents (same rendering as
+    // bigint — the widening is value-lossless by construction), v2
+    // adds the beyond-int slice under the widened type
+    "q249_type_widening" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |t1 AS (SELECT k, status, cents FROM o WHERE k % 3 = 0),
+        |t2 AS (SELECT k, status, cents + 3000000000 AS cents FROM o
+        |  WHERE k % 3 = 1),
+        |u AS (SELECT 1 AS version, k, status, cents FROM t1
+        |  UNION ALL SELECT 2, k, status, cents FROM t1
+        |  UNION ALL SELECT 2, k, status, cents FROM t2),
+        |enc AS (SELECT version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(status)::VARCHAR || ':' || status || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM u)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents, true AS head_widened,
+        |  true AS narrow_history, true AS widen_flagged
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the optimize is content-preserving (certified at commit time), so
+    // the band aggregate is plain SQL over the full table; the pruning
+    // and CDF-cancellation booleans are computed engine-side
+    "q250_zorder_ndim" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |m AS (SELECT k, cents, c % 16 AS kmod, cents % 16 AS cmod,
+        |    k % 16 AS dmod FROM o)
+        |SELECT 4::BIGINT AS n_files_before, true AS content_identical,
+        |  (SELECT count(*) FROM m WHERE k % 4 = 0)::BIGINT AS v1_rows,
+        |  0::BIGINT AS optimize_cdf_rows,
+        |  true AS pruned_k, true AS pruned_c, true AS pruned_d,
+        |  count(*)::BIGINT AS band_rows,
+        |  coalesce(sum(cents), 0)::BIGINT AS band_cents
+        |FROM m WHERE kmod <= 7 AND cmod <= 7 AND dmod <= 7""".stripMargin,
+
+    // three versions: the seed, the MoR delete's live view, and the
+    // evolved merge — matched rows update from the source, unmatched
+    // LIVE targets read NULL band ('N' sentinel), tombstoned rows never
+    // resurface, even-cents source-only keys insert
+    "q251_evolve_with_dvs" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |t1 AS (SELECT k, status, cents FROM o WHERE k % 3 = 0),
+        |t2 AS (SELECT k, status, cents FROM t1 WHERE cents % 10 >= 2),
+        |s AS (SELECT k, status, cents, (cents % 5)::BIGINT AS band FROM o
+        |  WHERE k % 2 = 0),
+        |matched AS (SELECT t2.k, t2.status, s.cents + 1 AS cents, s.band
+        |  FROM t2 JOIN s ON t2.k = s.k),
+        |tgtonly AS (SELECT k, status, cents, NULL::BIGINT AS band
+        |  FROM t2 WHERE k % 2 = 1),
+        |srconly AS (SELECT s.k, s.status, s.cents, s.band FROM s
+        |  WHERE s.k NOT IN (SELECT k FROM t2) AND s.cents % 2 = 0),
+        |head AS (SELECT * FROM matched UNION ALL SELECT * FROM tgtonly
+        |  UNION ALL SELECT * FROM srconly),
+        |enc3 AS (SELECT 1 AS version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(status)::VARCHAR || ':' || status || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM t1
+        |  UNION ALL SELECT 2, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(status)::VARCHAR || ':' || status || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT
+        |  FROM t2
+        |  UNION ALL SELECT 3, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(status)::VARCHAR || ':' || status || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR || chr(1) ||
+        |      CASE WHEN band IS NULL THEN 'N'
+        |        ELSE length(band::VARCHAR)::VARCHAR || ':' || band::VARCHAR END),
+        |      1, 8))::BIGINT
+        |  FROM head)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents, true AS evolved_head,
+        |  true AS dv_was_live, true AS deleted_stay_dead
+        |FROM enc3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 25 one-slice commits reassemble the whole table; the cadence,
+    // tail-only-replay and certification booleans are engine-side
+    "q252_auto_checkpoint" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT (c % 10)::BIGINT AS cust_band, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS cents_sum, true AS cadence_held,
+        |  true AS tail_only_replay, true AS certified
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle
