@@ -4548,6 +4548,112 @@ object SparkEntry {
         .orderBy(col("cust_band"))
     }),
 
+    // INCREMENTAL SMALL-FILE COMPACTION (r12, Delta's auto-compaction
+    // shape): a streaming writer's drip of tiny commits compacts in
+    // O(small files) — ONLY the under-threshold files rewrite (the big
+    // seed file is untouched and stays shared with every version), the
+    // rebuilt rows are the small files' LIVE content (the MoR delete's
+    // tombstones drop out), content identity is certified at commit
+    // time and the change feed sees ZERO rows.
+    "q253_compact_small" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q253") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 8 < 4).coalesce(1), tbl) // big
+      (4L to 7L).foreach(m => Versioned.append(
+        o.filter(col("k") % 8 === m).coalesce(1), tbl)) // four small files
+      Versioned.deleteWhereMoR(s, tbl, col("cents") % 10 < 1) // live DVs
+      val preHead = Versioned.latestVersion(s, tbl)
+      val bigFile = Versioned.commitsBetween(s, tbl, 0L, 1L).head.add.head
+      val bigBytes = new java.io.File(s"$tbl/$bigFile").length
+      val c = Versioned.compactSmallFiles(s, tbl, maxFileBytes = bigBytes,
+        targetNumFiles = 1).get
+      import s.implicits._
+      val inv = broadcast(Seq((c.remove.size.toLong,
+          !c.remove.contains(bigFile), c.add.size.toLong,
+          Versioned.changesBetween(s, tbl, preHead, c.version).count() == 0L,
+          Versioned.compactSmallFiles(s, tbl, 2L).isEmpty)) // nothing small
+        .toDF("n_compacted", "big_file_untouched", "n_output_files",
+          "cdf_cancels", "noop_below_min"))
+      Versioned.read(s, tbl)
+        .groupBy(pmod(col("c"), lit(10L)).as("cust_band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+        .orderBy(col("cust_band"))
+    }),
+
+    // MERGE-ON-READ SCHEMA EVOLUTION (r12): mergeMoR(evolveSchema) —
+    // the conditional CDC apply evolves the table (new `band` column,
+    // cents WIDENED int->long with beyond-int source values) while
+    // REWRITING NOTHING: matched rows tombstone+append, old files keep
+    // their narrow physical type and promote at scan time, the epoch
+    // recompute re-certifies the totals, and the commit carries the
+    // type-widening + deletion-vectors reader features.
+    "q254_merge_mor_evolve" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      import graft.ingest.Versioned._
+      val tbl = scratch("q254") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 3 === 0)
+        .withColumn("cents", col("cents").cast("int")), tbl) // v1: int
+      val src = o.filter(col("k") % 2 === 0)
+        .withColumn("cents", col("cents") + 3000000000L)
+        .withColumn("band", col("cents") % 5L)
+      val c = Versioned.mergeMoR(s, tbl, src, Seq("k"), Seq(
+        WhenMatchedUpdate(Map("cents" -> srcCol("cents"),
+          "band" -> srcCol("band"))),
+        WhenNotMatchedInsert(cond = Some(srcCol("cents") % 2 === 0))),
+        evolveSchema = true)
+      import s.implicits._
+      val inv = broadcast(Seq((
+          c.remove.isEmpty && c.dv.nonEmpty, // rewrote NOTHING, tombstoned
+          c.widenedCols == Seq("cents") &&
+            c.features.contains("type-widening"),
+          Versioned.read(s, tbl).schema("cents").dataType.simpleString ==
+            "bigint",
+          Versioned.readAsOf(s, tbl, 1L).schema("cents")
+            .dataType.simpleString == "int"))
+        .toDF("rewrote_nothing", "widen_flagged", "head_widened",
+          "narrow_history"))
+      versionedReport(s, tbl).crossJoin(inv)
+    }),
+
+    // CHANGE FEED ACROSS A TYPE-WIDENING EPOCH (r12): a widening CoW
+    // merge retypes `cents` int->long mid-log; the feed aligns the
+    // before side by the SAME lossless promotion the scan applies
+    // (cast up, never a re-parse), so the diff stays exact row-level —
+    // updated rows surface as delete+insert pairs, unchanged rows
+    // cancel, and the narrow epoch's inserts coerce losslessly in the
+    // union.
+    "q255_cdf_across_widening" -> ((s, dir) => {
+      import graft.ingest.{Fingerprint, Versioned}
+      import graft.ingest.Versioned._
+      val tbl = scratch("q255") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 3 === 0)
+        .withColumn("cents", col("cents").cast("int"))
+        .coalesce(1), tbl) // v1: int epoch
+      Versioned.merge(s, tbl,
+        o.filter(col("k") % 2 === 0)
+          .withColumn("cents", col("cents") + 3000000000L),
+        Seq("k"),
+        Seq(WhenMatchedUpdate(Map("cents" -> srcCol("cents")))),
+        evolveSchema = true) // v2: widening merge
+      Versioned.changesBetween(s, tbl, 0L, 2L)
+        .groupBy(col("_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
+          sum(Fingerprint.rowDigest(Seq(col("k"), col("status"),
+            col("cents")))).as("fp"))
+        .orderBy(col("version"), col("change_type"))
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -9064,6 +9170,85 @@ object SparkEntry {
         |  sum(cents)::BIGINT AS cents_sum, true AS cadence_held,
         |  true AS tail_only_replay, true AS certified
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // compaction is content-preserving over the LIVE view: the head is
+    // the full table minus the MoR-deleted rows; the file accounting
+    // and no-op booleans are engine-side
+    "q253_compact_small" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT (c % 10)::BIGINT AS cust_band, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS cents_sum, 4::BIGINT AS n_compacted,
+        |  true AS big_file_untouched, 1::BIGINT AS n_output_files,
+        |  true AS cdf_cancels, true AS noop_below_min
+        |FROM o WHERE cents % 10 >= 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // three populations under the evolved schema: matched rows take the
+    // widened source cents + band, unmatched LIVE targets read NULL
+    // band ('N'), even-cents source-only keys insert; v1 digests the
+    // narrow epoch (int renders like bigint — lossless by construction)
+    "q254_merge_mor_evolve" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |t1 AS (SELECT k, status, cents FROM o WHERE k % 3 = 0),
+        |s AS (SELECT k, status, cents + 3000000000 AS cents,
+        |    ((cents + 3000000000) % 5)::BIGINT AS band FROM o
+        |  WHERE k % 2 = 0),
+        |matched AS (SELECT t1.k, t1.status, s.cents, s.band
+        |  FROM t1 JOIN s ON t1.k = s.k),
+        |tgtonly AS (SELECT k, status, cents, NULL::BIGINT AS band
+        |  FROM t1 WHERE k % 2 = 1),
+        |srconly AS (SELECT s.k, s.status, s.cents, s.band FROM s
+        |  WHERE s.k NOT IN (SELECT k FROM t1) AND s.cents % 2 = 0),
+        |head AS (SELECT * FROM matched UNION ALL SELECT * FROM tgtonly
+        |  UNION ALL SELECT * FROM srconly),
+        |enc AS (SELECT 1 AS version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(status)::VARCHAR || ':' || status || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM t1
+        |  UNION ALL SELECT 2, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(status)::VARCHAR || ':' || status || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR || chr(1) ||
+        |      CASE WHEN band IS NULL THEN 'N'
+        |        ELSE length(band::VARCHAR)::VARCHAR || ':' || band::VARCHAR END),
+        |      1, 8))::BIGINT
+        |  FROM head)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents, true AS rewrote_nothing,
+        |  true AS widen_flagged, true AS head_widened,
+        |  true AS narrow_history
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the widening merge's exact change multiset: every matched row
+    // (k even) deletes its narrow-epoch version and inserts the widened
+    // one; unmatched rows cancel; v1 is the seed insert
+    "q255_cdf_across_widening" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |t1 AS (SELECT k, status, cents FROM o WHERE k % 3 = 0),
+        |m AS (SELECT k, status, cents AS oldc, cents + 3000000000 AS newc
+        |  FROM t1 WHERE k % 2 = 0),
+        |u AS (
+        |  SELECT 1 AS version, 'insert' AS change_type, k, status, cents FROM t1
+        |  UNION ALL SELECT 2, 'insert', k, status, newc FROM m
+        |  UNION ALL SELECT 2, 'delete', k, status, oldc FROM m),
+        |enc AS (SELECT version, change_type, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(status)::VARCHAR || ':' || status || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM u)
+        |SELECT version::BIGINT AS version, change_type,
+        |  count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents_sum,
+        |  sum(h)::BIGINT AS fp
+        |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

@@ -151,6 +151,56 @@ object Versioned {
   private def isWidening(from: DataType, to: DataType): Boolean =
     widensTo.get(from).exists(_.contains(to))
 
+  /** Schema evolution a merge source implies against the table schema:
+    * (NEW source columns to add, existing columns the source LOSSLESSLY
+    * WIDENS). Any other type change refuses loudly. Shared by the CoW
+    * and MoR merge surfaces so the two can never drift. */
+  private def evolutionOf(headSchema: StructType, source: DataFrame,
+                          evolveSchema: Boolean, ctx: String)
+      : (Seq[StructField], Seq[String]) =
+    if (!evolveSchema) (Nil, Nil)
+    else {
+      val w = source.schema.toSeq
+        .filter(f => headSchema.fieldNames.contains(f.name))
+        .flatMap { f =>
+          val t = headSchema(f.name).dataType
+          if (f.dataType == t) None
+          else if (isWidening(t, f.dataType)) Some(f.name)
+          else throw new IllegalArgumentException(
+            s"$ctx: existing column `${f.name}` changed type " +
+              s"(${t.simpleString} -> ${f.dataType.simpleString}) — only " +
+              "lossless widenings (byte->short->int->long, float->double) " +
+              "are supported")
+        }
+      (source.schema.filterNot(f =>
+        headSchema.fieldNames.contains(f.name)).toSeq, w)
+    }
+
+  /** The table schema after [[evolutionOf]]'s changes apply. */
+  private def evolvedSchema(headSchema: StructType, source: DataFrame,
+                            newCols: Seq[StructField],
+                            widened: Seq[String]): StructType =
+    if (newCols.isEmpty && widened.isEmpty) headSchema
+    else {
+      val widenedSet = widened.toSet
+      StructType(headSchema.fields.map(f =>
+        if (widenedSet(f.name)) f.copy(dataType = source.schema(f.name).dataType)
+        else f) ++ newCols)
+    }
+
+  /** Fresh physical names for evolution-added columns (the appendEvolve
+    * rule: never reuse a dropped or already-claimed physical name). */
+  private def evolvedColMap(head: Commit, headSchema: StructType,
+                            newCols: Seq[StructField]): Seq[(String, String)] = {
+    val takenPhys = head.droppedPhys.toSet ++
+      headSchema.fieldNames.map(n => head.colMap.toMap.getOrElse(n, n))
+    head.colMap ++ newCols.flatMap { f =>
+      if (takenPhys.contains(f.name))
+        Some(f.name -> s"${f.name}__p${head.version + 1L}")
+      else None
+    }
+  }
+
   /** Replayed table state at one version: active data files, logical
     * schema, partition layout, in-force deletion-vector files, and the
     * logical->physical COLUMN MAPPING of that epoch (empty until a
@@ -279,13 +329,7 @@ object Versioned {
     // DROPPED column once used it (old files still carry values under
     // it — re-reading them would resurrect stale data) or another
     // column's physical name claims it; then a fresh epoch-suffixed one
-    val takenPhys = head.droppedPhys.toSet ++
-      headSchema.fieldNames.map(n => head.colMap.toMap.getOrElse(n, n))
-    val evolvedMap = head.colMap ++ newCols.flatMap { f =>
-      if (takenPhys.contains(f.name))
-        Some(f.name -> s"${f.name}__p${head.version + 1L}")
-      else None
-    }
+    val evolvedMap = evolvedColMap(head, headSchema, newCols.toSeq)
 
     val cons = checksOf(fs, root, head.version)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
@@ -601,9 +645,19 @@ object Versioned {
     * complement of the source keys — a full-table shape where MoR
     * buys nothing over [[merge]]; use the CoW form and pay the honest
     * cost. Same first-match-wins semantics, multi-match refusal and
-    * conflict rules as [[merge]]/[[upsertMoR]]. */
+    * conflict rules as [[merge]]/[[upsertMoR]].
+    *
+    * SCHEMA EVOLUTION (`evolveSchema = true`): same rule set as
+    * [[merge]] — new source columns evolve in, lossless widenings
+    * widen, anything else refuses — and the DATA cost stays
+    * O(matched + inserted): untouched files are never rewritten (old
+    * rows read null for new columns and promote for widened ones).
+    * The commit still pays the documented epoch recompute for its
+    * snapshot TOTALS (one digest scan — metadata certification, not
+    * data movement) and aborts on any concurrent commit. */
   def mergeMoR(spark: SparkSession, path: String, source: DataFrame,
-               keyCols: Seq[String], clauses: Seq[MergeClause]): Commit = {
+               keyCols: Seq[String], clauses: Seq[MergeClause],
+               evolveSchema: Boolean = false): Commit = {
     require(keyCols.nonEmpty, "mergeMoR needs at least one key column")
     require(clauses.nonEmpty, "mergeMoR needs at least one WHEN clause")
     clauses.foreach {
@@ -623,6 +677,13 @@ object Versioned {
     val cols = schema.fieldNames.toSeq
     val pcols = st.partitionCols
     val cons = checksOf(fs, root, head.version)
+    val (newCols, widened) = evolutionOf(schema, source, evolveSchema,
+      s"mergeMoR evolveSchema at $path")
+    val outSchema = evolvedSchema(schema, source, newCols, widened)
+    val isNewCol = newCols.map(_.name).toSet
+    val evolving = newCols.nonEmpty || widened.nonEmpty
+    val outMap = if (evolving) evolvedColMap(head, schema, newCols)
+                 else st.colMap
     require(keyCols.forall(cols.contains),
       s"mergeMoR keys $keyCols not all in table schema $cols")
     require(keyCols.forall(source.columns.contains),
@@ -681,24 +742,28 @@ object Versioned {
       val covered = claimed.select(col("__rel")).distinct()
         .collect().map(_.getString(0)).toSet
       // appended rows: updated versions of update-claimed matches...
+      // (an evolution-added column has no target value — unset it
+      // defaults to null, the same keep-the-target rule merge() uses)
+      def keepCol(f: StructField): Column =
+        if (isNewCol(f.name)) lit(null) else col(f.name)
       def updOut(f: StructField): Column =
         matchedClauses.zipWithIndex
           .foldLeft(when(lit(false), lit(null))) { case (acc, (cl, i)) =>
             cl match {
               case WhenMatchedUpdate(set, _) => acc.when(
-                col("__action") === i + 1, set.getOrElse(f.name, col(f.name)))
+                col("__action") === i + 1, set.getOrElse(f.name, keepCol(f)))
               case _ => acc // delete-claimed rows append nothing
             }
           }
-          .otherwise(col(f.name)).cast(f.dataType).as(f.name)
+          .otherwise(keepCol(f)).cast(f.dataType).as(f.name)
       val updateIdx = matchedClauses.zipWithIndex.collect {
         case (_: WhenMatchedUpdate, i) => i + 1 }
       val updated =
         if (updateIdx.isEmpty) spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
         else claimed
           .filter(col("__action").isin(updateIdx.map(Integer.valueOf): _*))
-          .select(schema.fields.toSeq.map(updOut): _*)
+          .select(outSchema.fields.toSeq.map(updOut): _*)
       // ...plus the conditional inserts (source keys matching nothing).
       // Target columns are added as TYPED NULLS so an insert condition/
       // assignment referencing a target column by plain name resolves
@@ -706,7 +771,7 @@ object Versioned {
       // a source-only row — instead of throwing an unresolved-column
       // error only on the MoR surface (ADVICE r11: the two merge
       // surfaces must accept the same clause lists).
-      val srcOnly = schema.fields.foldLeft(src.join(
+      val srcOnly = outSchema.fields.foldLeft(src.join(
           maybeBroadcast(tgtMatched.select(keyCols.map(col): _*).distinct()
             .select(keyCols.map(k => col(k).as(s"__src_$k")): _*)),
           keyCols.map(k => s"__src_$k"), "left_anti")) { (d, f) =>
@@ -732,7 +797,7 @@ object Versioned {
           .otherwise(lit(null)).cast(f.dataType).as(f.name)
       val inserted = srcOnly.withColumn("__action", insActionCol)
         .filter(col("__action") =!= 0)
-        .select(schema.fields.toSeq.map(insOut): _*)
+        .select(outSchema.fields.toSeq.map(insOut): _*)
       val appends = updated.unionByName(inserted)
 
       val uuid = java.util.UUID.randomUUID().toString.take(8)
@@ -752,15 +817,46 @@ object Versioned {
         if (appends.isEmpty)
           (Nil, 0L, 0L, Map.empty[String, Map[String, (Long, Long)]])
         else {
-          writeData(appends, dataDir, pcols, st.colMap)
+          writeData(appends, dataDir, pcols, outMap)
           val fls = listDataFiles(fs, dataDir, dataDirName)
           val (r, f, s2) =
-            try digestDir(spark, dataDir, dataDirName, schema, pcols, cons,
-              st.colMap)
+            try digestDir(spark, dataDir, dataDirName, outSchema, pcols, cons,
+              outMap)
             catch { case e: Throwable =>
               fs.delete(dataDir, true); fs.delete(dvDir, true); throw e }
           (fls, r, f, s2)
         }
+      if (evolving) {
+        // ---- schema-evolving MoR commit: epoch recompute of the
+        // TOTALS only (data movement stays O(matched + inserted)) —
+        // the live contribution of every active file under the evolved
+        // schema with the in-force vectors PLUS this merge's new
+        // tombstones applied, then the appends. Aborts on any race
+        // (evolution commits never merge with concurrent writes).
+        var attempt = 0
+        while (attempt < 20) {
+          val h = latestCommit(fs, root).get
+          if (h.version != head.version) {
+            fs.delete(dataDir, true); fs.delete(dvDir, true)
+            throw new java.util.ConcurrentModificationException(
+              s"schema-evolving MoR merge at $path planned against " +
+                s"v${head.version} but head is v${h.version} — re-plan")
+          }
+          val (liveRows, liveFp) = digestFiles(spark, root, st.active,
+            outSchema, pcols, st.dvs ++ dvFiles, outMap)
+          val c = Commit(h.version + 1L, "merge_mor", files, outSchema.json,
+            addRows, addFp, liveRows + addRows, liveFp + addFp,
+            Nil, None, stats, pcols, None, None, dvFiles,
+            dvCovered = covered.toSeq.sorted,
+            colMap = outMap, droppedPhys = head.droppedPhys,
+            widenedCols = widened)
+          claimStamped(fs, root, c).foreach(cc => return cc)
+          attempt += 1
+        }
+        fs.delete(dataDir, true); fs.delete(dvDir, true)
+        throw new IllegalStateException(
+          s"schema-evolving MoR merge at $path lost the version race 20 times")
+      }
       var base = head
       var attempt = 0
       while (attempt < 20) {
@@ -906,34 +1002,9 @@ object Versioned {
     require(clauses.nonEmpty, "merge needs at least one WHEN clause")
     val (head, cur, root, fs) = currentWithFiles(spark, path)
     val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    // evolveSchema: NEW source columns evolve in; an existing column
-    // whose source type is a LOSSLESS WIDENING of the table type
-    // (int->long, float->double, ... — widensTo) widens the table
-    // schema in the same commit; any other type change refuses.
-    val (newCols: Seq[StructField], widened: Seq[String]) =
-      if (!evolveSchema) (Nil, Nil)
-      else {
-        val w = source.schema.toSeq
-          .filter(f => headSchema.fieldNames.contains(f.name))
-          .flatMap { f =>
-            val t = headSchema(f.name).dataType
-            if (f.dataType == t) None
-            else if (isWidening(t, f.dataType)) Some(f.name)
-            else throw new IllegalArgumentException(
-              s"merge evolveSchema at $path: existing column `${f.name}` " +
-                s"changed type (${t.simpleString} -> " +
-                s"${f.dataType.simpleString}) — only lossless widenings " +
-                "(byte->short->int->long, float->double) are supported")
-          }
-        (source.schema.filterNot(f =>
-          headSchema.fieldNames.contains(f.name)).toSeq, w)
-      }
-    val widenedSet = widened.toSet
-    val outSchema =
-      if (newCols.isEmpty && widened.isEmpty) headSchema
-      else StructType(headSchema.fields.map(f =>
-        if (widenedSet(f.name)) f.copy(dataType = source.schema(f.name).dataType)
-        else f) ++ newCols)
+    val (newCols, widened) =
+      evolutionOf(headSchema, source, evolveSchema, s"merge evolveSchema at $path")
+    val outSchema = evolvedSchema(headSchema, source, newCols, widened)
     val isNewCol = newCols.map(_.name).toSet
     val cols = headSchema.fieldNames.toSeq
     require(keyCols.forall(cols.contains),
@@ -1048,15 +1119,7 @@ object Versioned {
         action = "merge")
 
     // ---- schema-evolving commit: epoch recompute, abort on any race
-    // fresh physical names for the new columns (the appendEvolve rule:
-    // never reuse a dropped or claimed physical name)
-    val takenPhys = head.droppedPhys.toSet ++
-      headSchema.fieldNames.map(n => head.colMap.toMap.getOrElse(n, n))
-    val evolvedMap = head.colMap ++ newCols.flatMap { f =>
-      if (takenPhys.contains(f.name))
-        Some(f.name -> s"${f.name}__p${head.version + 1L}")
-      else None
-    }
+    val evolvedMap = evolvedColMap(head, headSchema, newCols)
     val pcols = head.partitionCols
     val cons = checksOf(fs, root, head.version)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
@@ -1860,28 +1923,16 @@ object Versioned {
           } else {
             // SCHEMA-EVOLVING merge: the removed side reads under the
             // previous epoch's schema; align both sides by name before
-            // the positional exceptAll (retypes cannot align)
-            prev.schema.foreach { pf =>
-              schema.find(_.name == pf.name).foreach { af =>
-                if (af.dataType != pf.dataType) throw new IllegalStateException(
-                  s"change feed cannot span v$v: column `${pf.name}` " +
-                    s"changed type (${pf.dataType.simpleString} -> " +
-                    s"${af.dataType.simpleString})")
-              }
-            }
-            val beforeOnly = prev.schema.fields
-              .filterNot(f => schema.fieldNames.contains(f.name))
-            val commonCols = schema.fields ++ beforeOnly
-            def aligned(df: DataFrame, have: StructType): DataFrame =
-              df.select(commonCols.toSeq.map { f =>
-                if (have.fieldNames.contains(f.name)) col(f.name)
-                else lit(null).cast(f.dataType).as(f.name)
-              }: _*)
-            val removed = aligned(readFilesDF(spark, root, c.remove,
-              prev.schema, prev.partitionCols, dvFiles = prev.dvs,
-              colMap = prev.colMap), prev.schema)
-            val addedA = aligned(added, schema)
-            (addedA.exceptAll(removed), removed.exceptAll(addedA))
+            // the positional exceptAll. A same-name retype aligns ONLY
+            // when it is a lossless widening (the before side casts up
+            // exactly like the scan promotes old files) — anything else
+            // refuses loudly.
+            val (removedA, addedA) = alignedEpochs(
+              readFilesDF(spark, root, c.remove, prev.schema,
+                prev.partitionCols, dvFiles = prev.dvs,
+                colMap = prev.colMap),
+              prev.schema, added, schema, v)
+            (addedA.exceptAll(removedA), removedA.exceptAll(addedA))
           }
         case _ => // overwrite: diff full before/after content
           val (before, after) =
@@ -1895,26 +1946,8 @@ object Versioned {
               // ALIGN BY NAME across a schema epoch: exceptAll resolves
               // positionally, so an overwrite that changed arity would
               // throw and one that reordered columns would diff wrongly.
-              // Same-name retypes cannot be aligned — fail explicitly.
-              prevSchema.foreach { pf =>
-                schema.find(_.name == pf.name).foreach { af =>
-                  if (af.dataType != pf.dataType) throw new IllegalStateException(
-                    s"change feed cannot span v$v: column `${pf.name}` " +
-                      s"changed type (${pf.dataType.simpleString} -> " +
-                      s"${af.dataType.simpleString})")
-                }
-              }
-              // common column space: the after-schema order, then any
-              // columns the overwrite dropped; missing sides fill null
-              val beforeOnly =
-                prevSchema.fields.filterNot(f => schema.fieldNames.contains(f.name))
-              val commonCols = schema.fields ++ beforeOnly
-              def aligned(df: DataFrame, have: StructType): DataFrame =
-                df.select(commonCols.toSeq.map { f =>
-                  if (have.fieldNames.contains(f.name)) col(f.name)
-                  else lit(null).cast(f.dataType).as(f.name)
-                }: _*)
-              (aligned(b, prevSchema), aligned(added, schema))
+              // Same-name retypes align only as lossless widenings.
+              alignedEpochs(b, prevSchema, added, schema, v)
             }
           (after.exceptAll(before), before.exceptAll(after))
       }
@@ -1926,6 +1959,39 @@ object Versioned {
     // (appendEvolve) mixes commits with different widths — rows from
     // the narrow epoch carry null in the evolved columns
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Align a change feed's BEFORE and AFTER sides across a schema
+    * epoch, by name, into one common column space (after-schema order,
+    * then any dropped columns): a column one side lacks fills typed
+    * null; a same-name retype aligns iff it is a LOSSLESS WIDENING
+    * (before casts up — bit-exactly the promotion the scan applies to
+    * old files under the wide schema), anything else refuses loudly —
+    * a lossy retype cannot produce an exact row-level diff. */
+  private def alignedEpochs(before: DataFrame, beforeSchema: StructType,
+                            after: DataFrame, afterSchema: StructType,
+                            v: Long): (DataFrame, DataFrame) = {
+    beforeSchema.foreach { pf =>
+      afterSchema.find(_.name == pf.name).foreach { af =>
+        if (af.dataType != pf.dataType &&
+            !isWidening(pf.dataType, af.dataType))
+          throw new IllegalStateException(
+            s"change feed cannot span v$v: column `${pf.name}` " +
+              s"changed type (${pf.dataType.simpleString} -> " +
+              s"${af.dataType.simpleString}) and the change is not a " +
+              "lossless widening")
+      }
+    }
+    val beforeOnly =
+      beforeSchema.fields.filterNot(f => afterSchema.fieldNames.contains(f.name))
+    val commonCols = afterSchema.fields ++ beforeOnly
+    def aligned(df: DataFrame, have: StructType): DataFrame =
+      df.select(commonCols.toSeq.map { f =>
+        if (have.fieldNames.contains(f.name))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    (aligned(before, beforeSchema), aligned(after, afterSchema))
   }
 
   /** The table at its current head. */
@@ -2788,6 +2854,42 @@ object Versioned {
           .sortWithinPartitions(sortBy.map(col): _*)
       else cur.coalesce(numFiles)
     Some(rewriteCommit(spark, root, fs, head, laid, active,
+      requireContentPreserved = true))
+  }
+
+  /** INCREMENTAL small-file compaction (Delta's auto-compaction shape):
+    * rewrite ONLY the active files smaller than `maxFileBytes` into
+    * `targetNumFiles` bin-packed files, leaving every right-sized file
+    * untouched — at 100 TB a streaming writer's drip of tiny commits
+    * compacts in O(small files), never an O(table) OPTIMIZE. Committed
+    * as an ordinary `rewrite` record, so time travel, the zero-row
+    * change feed, disjoint-file conflict retry, commit-time content
+    * certification and stranded-DV purging all apply as in [[optimize]];
+    * the rebuilt rows are the small files' LIVE content (deletion
+    * vectors applied), so compaction also purges their tombstones.
+    * File sizes come from one `getFileStatus` per active file —
+    * metadata-scale. Returns None when fewer than `minInputFiles`
+    * qualify (no churn commits: compacting one file buys nothing). */
+  def compactSmallFiles(spark: SparkSession, path: String,
+                        maxFileBytes: Long, targetNumFiles: Int = 1,
+                        minInputFiles: Int = 2): Option[Commit] = {
+    require(maxFileBytes > 0L, s"maxFileBytes must be > 0, got $maxFileBytes")
+    require(targetNumFiles >= 1 && minInputFiles >= 2,
+      s"need targetNumFiles >= 1 and minInputFiles >= 2")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = latestCommit(fs, root).getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val st = activeAt(fs, root, path, head.version)
+    val small = st.active.filter { f =>
+      val p = if (f.startsWith("/")) new Path(f) else new Path(root, f)
+      fs.getFileStatus(p).getLen < maxFileBytes
+    }
+    if (small.size < minInputFiles) return None
+    val rebuilt = readFilesDF(spark, root, small, st.schema,
+        st.partitionCols, dvFiles = st.dvs, colMap = st.colMap)
+      .coalesce(targetNumFiles)
+    Some(rewriteCommit(spark, root, fs, head, rebuilt, small,
       requireContentPreserved = true))
   }
 

@@ -328,6 +328,115 @@ class VersionedR12Spec extends SparkTestBase {
     assert(e2.getMessage.contains("n*bits"))
   }
 
+  // -------------------------------------------- small-file auto-compaction
+
+  test("compactSmallFiles rewrites only the under-threshold files") {
+    val tbl = tmp("compact")
+    Versioned.overwrite(df((1L to 400L).map(i => (i, s"v$i" * 8)): _*)
+      .coalesce(1), tbl) // one big file
+    (1L to 3L).foreach(i =>
+      Versioned.append(df((400L + i) -> "tiny").coalesce(1), tbl))
+    Versioned.deleteWhereMoR(spark, tbl, col("id") === 401L) // live DV
+    val big = Versioned.commitsBetween(spark, tbl, 0L, 1L).head.add.head
+    val bigBytes = new java.io.File(s"$tbl/$big").length
+    val preRows = rowSet(Versioned.read(spark, tbl))
+    val c = Versioned.compactSmallFiles(spark, tbl, bigBytes).get
+    assert(c.remove.size == 3 && !c.remove.contains(big),
+      s"only the three tiny files compact, got ${c.remove}")
+    assert(c.add.size == 1)
+    // live-content compaction: the tombstoned row does NOT resurface
+    assert(rowSet(Versioned.read(spark, tbl)) == preRows)
+    assert(certified(tbl, c.version))
+    // the change feed over the compaction cancels to zero rows
+    assert(Versioned.changesBetween(spark, tbl, c.version - 1L,
+      c.version).count() == 0L)
+    // no-churn guard: nothing small left -> None, and a 1-file set
+    // never compacts (minInputFiles)
+    assert(Versioned.compactSmallFiles(spark, tbl, 2L).isEmpty)
+  }
+
+  // ------------------------------------------------ MoR schema evolution
+
+  test("mergeMoR evolveSchema adds and widens without rewriting") {
+    val tbl = tmp("morevolve")
+    Versioned.overwrite(Seq((1L, 10, "a"), (2L, 20, "b"), (3L, 30, "c"))
+      .toDF("id", "n", "t").coalesce(1), tbl) // n is INT
+    val src = Seq((2L, 3000000000L, "B", 7L), (4L, 40L, "D", 8L))
+      .toDF("id", "n", "t", "extra") // n widened, extra new
+    val c = Versioned.mergeMoR(spark, tbl, src, Seq("id"), Seq(
+      WhenMatchedUpdate(Map("n" -> srcCol("n"), "t" -> srcCol("t"),
+        "extra" -> srcCol("extra"))),
+      WhenNotMatchedInsert()), evolveSchema = true)
+    assert(c.remove.isEmpty && c.dv.nonEmpty,
+      "MoR evolution must tombstone+append, never rewrite")
+    assert(c.widenedCols == Seq("n") && c.features.contains("type-widening"))
+    val head = Versioned.read(spark, tbl)
+    assert(head.schema("n").dataType == LongType)
+    assert(rowSet(head) == Set(
+      Seq[Any](1L, 10L, "a", null), // untouched narrow row, null extra
+      Seq[Any](2L, 3000000000L, "B", 7L),
+      Seq[Any](3L, 30L, "c", null),
+      Seq[Any](4L, 40L, "D", 8L)), rowSet(head).toString)
+    assert(Versioned.readAsOf(spark, tbl, 1L)
+      .schema("n").dataType == IntegerType)
+    assert(certified(tbl, 1L) && certified(tbl, 2L))
+    // the evolved epoch keeps composing: a later plain MoR delete works
+    Versioned.deleteWhereMoR(spark, tbl, col("id") === 3L)
+    assert(rowSet(Versioned.read(spark, tbl)).map(_.head) ==
+      Set[Any](1L, 2L, 4L))
+    assert(certified(tbl, 3L))
+  }
+
+  test("mergeMoR evolveSchema refuses lossy retypes like merge does") {
+    val tbl = tmp("morevguard")
+    Versioned.overwrite(Seq((1L, 10L)).toDF("id", "n").coalesce(1), tbl)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.mergeMoR(spark, tbl, Seq((1L, 1.5)).toDF("id", "n"),
+        Seq("id"), Seq(WhenMatchedUpdate(Map("n" -> srcCol("n")))),
+        evolveSchema = true)
+    }
+    assert(e.getMessage.contains("lossless widenings"))
+  }
+
+  // ------------------------------------------- CDF across widening epochs
+
+  test("change feed aligns widening epochs by lossless promotion") {
+    val tbl = tmp("cdfwiden")
+    val narrow = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "n")
+    Versioned.overwrite(narrow.coalesce(1), tbl) // v1: int
+    // v2: widening MERGE (retype only, no new column)
+    Versioned.merge(spark, tbl,
+      Seq((2L, 3000000000L)).toDF("id", "n"), Seq("id"),
+      Seq(WhenMatchedUpdate(Map("n" -> srcCol("n")))), evolveSchema = true)
+    val cdf = Versioned.changesBetween(spark, tbl, 1L, 2L)
+    val got = rowSet(cdf.select(col("_change_type"), col("id"), col("n")))
+    assert(got == Set(
+      Seq[Any]("delete", 2L, 20L), // narrow value promoted, not re-parsed
+      Seq[Any]("insert", 2L, 3000000000L)), got.toString)
+    // unchanged rows cancelled; the feed spans the epoch end to end
+    assert(Versioned.changesBetween(spark, tbl, 0L, 2L)
+      .filter(col("_change_type") === "insert" && col("_version") === 1L)
+      .count() == 3L)
+    // a widening OVERWRITE aligns the same way (overwrite branch)
+    val tbl2 = tmp("cdfwideow")
+    Versioned.overwrite(narrow.coalesce(1), tbl2)
+    Versioned.overwrite(Seq((1L, 10L), (2L, 9999999999L))
+      .toDF("id", "n").coalesce(1), tbl2)
+    val ow = rowSet(Versioned.changesBetween(spark, tbl2, 1L, 2L)
+      .select(col("_change_type"), col("id"), col("n")))
+    assert(ow == Set(
+      Seq[Any]("delete", 2L, 20L), Seq[Any]("delete", 3L, 30L),
+      Seq[Any]("insert", 2L, 9999999999L)), ow.toString)
+    // a LOSSY retype still refuses loudly
+    val tbl3 = tmp("cdflossy")
+    Versioned.overwrite(Seq((1L, 10L)).toDF("id", "n").coalesce(1), tbl3)
+    Versioned.overwrite(Seq((1L, 1.5)).toDF("id", "n").coalesce(1), tbl3)
+    val e = intercept[IllegalStateException] {
+      Versioned.changesBetween(spark, tbl3, 1L, 2L).count()
+    }
+    assert(e.getMessage.contains("not a lossless widening"))
+  }
+
   // ------------------------------------------------ startingTimestamp walk
 
   test("versionFloorBefore resolves in one walk and refuses unstamped") {
