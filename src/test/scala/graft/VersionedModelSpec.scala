@@ -1,0 +1,198 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{Fingerprint, Versioned}
+import graft.ingest.Versioned._
+
+/** MODEL-BASED randomized testing of the versioned table format: a
+  * fixed-seed random sequence of write operations (append, overwrite,
+  * CoW/MoR upsert and delete, conditional CoW/MoR merge, OPTIMIZE,
+  * small-file compaction, RESTORE, one type-widening evolution) runs
+  * against both the real table and a trivial in-memory model
+  * (`Map[id -> (v, t)]`); after EVERY commit the table head must equal
+  * the model and certify against its archived fingerprint, and at the
+  * end every historical version must still replay certified and equal
+  * the model snapshot recorded when it was committed. Auto-checkpoints
+  * fire every 3 commits throughout, so replay-through-checkpoint is
+  * exercised mid-sequence, across epochs and restores.
+  *
+  * This is the interleaving coverage the per-capability gates cannot
+  * give: any pairwise interaction bug between the format's features
+  * (e.g. a restore over a widened epoch, compaction over a MoR delete
+  * after a merge) surfaces as a model divergence or a certification
+  * failure at the exact op that introduced it.
+  */
+class VersionedModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_model_$name").toString
+
+  private type Model = Map[Long, (Long, String)]
+
+  private def certified(tbl: String, v: Long): Boolean = {
+    val (n, fp) = Versioned.archivedFingerprint(spark, tbl, v)
+    val asOf = Versioned.readAsOf(spark, tbl, v)
+    val r = asOf.agg(count(lit(1)),
+      coalesce(sum(Fingerprint.rowDigest(
+        asOf.schema.fieldNames.toSeq.map(col))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1)) == ((n, fp))
+  }
+
+  /** Frame under the CURRENT schema epoch (v is int until widened). */
+  private def frame(rows: Seq[(Long, Long, String)], wide: Boolean): DataFrame =
+    if (wide) rows.toDF("id", "v", "t")
+    else rows.map { case (i, v, t) => (i, v.toInt, t) }.toDF("id", "v", "t")
+
+  private def tableRows(tbl: String): Model =
+    Versioned.read(spark, tbl).collect().map { r =>
+      val v = r.get(1) match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long => l.longValue
+        case other => fail(s"unexpected v type: $other"); 0L
+      }
+      r.getLong(0) -> ((v, r.getString(2)))
+    }.toMap
+
+  test("random op sequences: head == model after every commit, all versions certified") {
+    val savedI = Versioned.autoCheckpointInterval
+    try {
+      Versioned.autoCheckpointInterval = 3 // exercise checkpoints often
+      Seq(11L, 47L).foreach(runSequence)
+    } finally Versioned.autoCheckpointInterval = savedI
+  }
+
+  private def runSequence(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val tbl = tmp(s"seq$seed")
+    var nextId = 1000L
+    def freshRows(n: Int): Seq[(Long, Long, String)] =
+      (1 to n).map { _ =>
+        nextId += 1
+        (nextId, rnd.nextInt(1000).toLong, "s" + rnd.nextInt(5))
+      }
+    def sampleIds(model: Model, n: Int): Seq[Long] =
+      rnd.shuffle(model.keys.toSeq).take(n)
+    /** source mixing ~half existing ids with fresh ones, distinct keys */
+    def mixedRows(model: Model, n: Int): Seq[(Long, Long, String)] = {
+      val existing = sampleIds(model, n / 2 + 1).map(id =>
+        (id, rnd.nextInt(1000).toLong, "s" + rnd.nextInt(5)))
+      (existing ++ freshRows(n - existing.size)).distinctBy(_._1)
+    }
+
+    var model: Model = freshRows(8).map(r => r._1 -> ((r._2, r._3))).toMap
+    var wide = false
+    Versioned.overwrite(
+      frame(model.toSeq.map { case (i, (v, t)) => (i, v, t) }, wide)
+        .coalesce(1), tbl)
+    // snapshot of (model, wide) recorded per committed version
+    val snaps = mutable.Map[Long, (Model, Boolean)](
+      1L -> ((model, wide)))
+
+    def src(rows: Seq[(Long, Long, String)]): DataFrame = frame(rows, wide)
+
+    /** the shared conditional-merge model transition (CoW and MoR run
+      * the same clause list, so they share it) */
+    def mergeModel(rows: Seq[(Long, Long, String)]): Model =
+      rows.foldLeft(model) { case (m, (id, v, t)) =>
+        m.get(id) match {
+          case Some((_, oldT)) =>
+            if (v % 7 == 0) m - id // WhenMatchedDelete
+            else m.updated(id, (v, oldT)) // update sets v, keeps t
+          case None =>
+            if (v % 2 == 0) m.updated(id, (v, t)) // conditional insert
+            else m
+        }
+      }
+    val mergeClauses = Seq(
+      WhenMatchedDelete(Some(srcCol("v") % 7 === 0)),
+      WhenMatchedUpdate(Map("v" -> srcCol("v"))),
+      WhenNotMatchedInsert(cond = Some(srcCol("v") % 2 === 0)))
+
+    (1 to 22).foreach { step =>
+      val op = rnd.nextInt(12)
+      op match {
+        case 0 => // append fresh rows
+          val rows = freshRows(1 + rnd.nextInt(3))
+          Versioned.append(src(rows).coalesce(1), tbl)
+          model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
+        case 1 => // overwrite with a fresh set
+          val rows = freshRows(4 + rnd.nextInt(4))
+          Versioned.overwrite(src(rows).coalesce(1), tbl)
+          model = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+        case 2 => // CoW upsert
+          val rows = mixedRows(model, 3)
+          Versioned.upsert(spark, tbl, src(rows), Seq("id"))
+          model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
+        case 3 => // MoR upsert
+          val rows = mixedRows(model, 3)
+          Versioned.upsertMoR(spark, tbl, src(rows), Seq("id"))
+          model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
+        case 4 => // CoW delete by predicate
+          val k = 2 + rnd.nextInt(5)
+          Versioned.deleteWhere(spark, tbl, col("v") % k === 0)
+          model = model.filter { case (_, (v, _)) => v % k != 0 }
+        case 5 => // MoR delete by predicate
+          val k = 2 + rnd.nextInt(5)
+          Versioned.deleteWhereMoR(spark, tbl, col("v") % k === 1)
+          model = model.filter { case (_, (v, _)) => v % k != 1 }
+        case 6 => // conditional CoW merge
+          val rows = mixedRows(model, 4)
+          Versioned.merge(spark, tbl, src(rows), Seq("id"), mergeClauses)
+          model = mergeModel(rows)
+        case 7 => // conditional MoR merge
+          val rows = mixedRows(model, 4)
+          Versioned.mergeMoR(spark, tbl, src(rows), Seq("id"), mergeClauses)
+          model = mergeModel(rows)
+        case 8 => // OPTIMIZE (content-preserving; may purge DVs)
+          Versioned.optimize(spark, tbl, numFiles = 1 + rnd.nextInt(2))
+        case 9 => // small-file compaction (threshold catches everything)
+          Versioned.compactSmallFiles(spark, tbl, maxFileBytes = 1L << 30)
+        case 10 => // RESTORE to a random prior version
+          val vs = snaps.keys.toSeq.sorted
+          val target = vs(rnd.nextInt(vs.size))
+          Versioned.restore(spark, tbl, target)
+          val (m2, w2) = snaps(target)
+          model = m2
+          wide = w2
+        case 11 => // the one-way widening epoch (int -> long v)
+          if (!wide) {
+            val rows = freshRows(2)
+            Versioned.appendEvolve(rows.toDF("id", "v", "t").coalesce(1), tbl)
+            model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
+            wide = true
+          } else { // already wide: plain append instead
+            val rows = freshRows(2)
+            Versioned.append(src(rows).coalesce(1), tbl)
+            model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
+          }
+      }
+      val head = Versioned.latestVersion(spark, tbl)
+      snaps(head) = ((model, wide))
+      assert(tableRows(tbl) == model,
+        s"seed $seed step $step (op $op): table diverged from model at v$head")
+      assert(certified(tbl, head),
+        s"seed $seed step $step (op $op): v$head failed certification")
+    }
+
+    // the full history: every committed version still replays certified
+    // AND equals the model snapshot recorded when it landed
+    snaps.keys.toSeq.sorted.foreach { v =>
+      assert(certified(tbl, v), s"seed $seed: v$v certification regressed")
+      val expect = snaps(v)._1
+      val got = Versioned.readAsOf(spark, tbl, v).collect().map { r =>
+        val vv = r.get(1) match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long => l.longValue
+          case other => fail(s"unexpected v type: $other"); 0L
+        }
+        r.getLong(0) -> ((vv, r.getString(2)))
+      }.toMap
+      assert(got == expect, s"seed $seed: v$v time travel diverged")
+    }
+  }
+}
