@@ -425,12 +425,26 @@ object Versioned {
     * gigabytes. */
   private[graft] var broadcastKeyBytesThreshold: Long = 128L << 20
 
+  /** Is `df` small enough (by the optimizer's size estimate) to hint a
+    * broadcast? Costs one driver-side optimization of df's plan — call
+    * it ONCE per merge on the SOURCE-derived keys frame and REUSE the
+    * answer for the subset frames (dup keys, matched keys): a subset of
+    * a broadcast-safe key set is itself broadcast-safe, and re-deriving
+    * the estimate on a table-scan-derived subtree would pay a second
+    * full optimizer pass for a strictly weaker answer. */
+  private[graft] def broadcastOk(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      broadcastKeyBytesThreshold
+
   /** `broadcast(df)` iff the optimizer's size estimate is under
     * [[broadcastKeyBytesThreshold]]; otherwise `df` unhinted. */
   private[graft] def maybeBroadcast(df: DataFrame): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        broadcastKeyBytesThreshold) broadcast(df)
-    else df
+    if (broadcastOk(df)) broadcast(df) else df
+
+  /** Hint carrier for a frame whose broadcast-safety was already
+    * decided by [[broadcastOk]] on a superset key frame. */
+  private def hinted(df: DataFrame, ok: Boolean): DataFrame =
+    if (ok) broadcast(df) else df
 
   /** `cur` restricted to rows whose `__file` is in `affected` —
     * In-literal below [[isinFileThreshold]], broadcast semi-join above. */
@@ -697,6 +711,11 @@ object Versioned {
     val matchedClauses = clauses.collect {
       case c: WhenMatchedUpdate => c: MergeClause
       case c: WhenMatchedDelete => c: MergeClause }
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    // ONE size estimate, on the cheap source-derived frame; dup keys
+    // and matched keys are SUBSETS of the source keys, so the decision
+    // transfers (broadcastOk's doc) without re-optimizing table subtrees
+    val srcKeysOk = broadcastOk(srcKeys)
     if (matchedClauses.nonEmpty) {
       val dupKeys = source.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
@@ -704,7 +723,7 @@ object Versioned {
       lazy val probe = readFilesDF(spark, root, st.active, schema, pcols,
         dvFiles = st.dvs, colMap = st.colMap)
       if (!dupKeys.isEmpty &&
-          !probe.join(maybeBroadcast(dupKeys), keyCols, "left_semi").isEmpty)
+          !probe.join(hinted(dupKeys, srcKeysOk), keyCols, "left_semi").isEmpty)
         throw new IllegalStateException(
           s"mergeMoR into $path: multiple source rows match the same " +
             "target row with MATCHED clauses present — nondeterministic; " +
@@ -712,12 +731,11 @@ object Versioned {
     }
     val src = source
       .select(source.columns.toSeq.map(c => col(c).as(s"__src_$c")): _*)
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
     // ONE pass over the table: matched target rows with file+position
     val tgtMatched = readFilesDF(spark, root, st.active, schema, pcols,
         withRelCol = true, dvFiles = st.dvs, withPosCol = true,
         colMap = st.colMap)
-      .join(maybeBroadcast(srcKeys), keyCols, "left_semi")
+      .join(hinted(srcKeys, srcKeysOk), keyCols, "left_semi")
     val joinCond = keyCols.map(k => col(k) === col(s"__src_$k"))
       .reduce(_ && _)
     // matched pairs (inner: multi-match already refused, keys distinct)
@@ -772,8 +790,8 @@ object Versioned {
       // error only on the MoR surface (ADVICE r11: the two merge
       // surfaces must accept the same clause lists).
       val srcOnly = outSchema.fields.foldLeft(src.join(
-          maybeBroadcast(tgtMatched.select(keyCols.map(col): _*).distinct()
-            .select(keyCols.map(k => col(k).as(s"__src_$k")): _*)),
+          hinted(tgtMatched.select(keyCols.map(col): _*).distinct()
+            .select(keyCols.map(k => col(k).as(s"__src_$k")): _*), srcKeysOk),
           keyCols.map(k => s"__src_$k"), "left_anti")) { (d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType))
       }
@@ -909,13 +927,14 @@ object Versioned {
     // (the same pin the append path applies)
     val upd = updates.select(headSchema.fieldNames.toSeq.map(col): _*)
     val keys = upd.select(keyCols.map(col): _*).distinct()
-    val affected = cur.join(maybeBroadcast(keys), keyCols, "left_semi")
+    val keysOk = broadcastOk(keys) // one estimate, reused for both joins
+    val affected = cur.join(hinted(keys, keysOk), keyCols, "left_semi")
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     val survivors =
       if (affected.isEmpty) upd // pure insert; nothing rewritten
       else restrictToFiles(cur, affected)
-        .join(maybeBroadcast(keys), keyCols, "left_anti").drop("__file")
+        .join(hinted(keys, keysOk), keyCols, "left_anti").drop("__file")
         .unionByName(upd)
     rewriteCommit(spark, root, fs, head, survivors, affected)
   }
@@ -1024,6 +1043,12 @@ object Versioned {
             cols.filterNot(source.columns.contains).mkString(", "))
       }
 
+    // ONE size estimate on the source keys, reused for the dup-key
+    // subset (broadcastOk's doc); lazy — the BY SOURCE path never plans
+    // a key join at all
+    lazy val srcKeysOk =
+      broadcastOk(source.select(keyCols.map(col): _*).distinct())
+
     // refuse the nondeterministic update: a target row matching more
     // than one source row while matched clauses exist (Delta's
     // DELTA_MULTIPLE_SOURCE_ROW_MATCHING error)
@@ -1034,7 +1059,7 @@ object Versioned {
       // the target-side probe only runs when the source actually has
       // duplicate keys — the common distinct-source merge never scans
       if (!dupKeys.isEmpty &&
-          !cur.join(maybeBroadcast(dupKeys), keyCols, "left_semi").isEmpty)
+          !cur.join(hinted(dupKeys, srcKeysOk), keyCols, "left_semi").isEmpty)
         throw new IllegalStateException(
           s"merge into $path: multiple source rows match the same target " +
             "row with MATCHED clauses present — the update would be " +
@@ -1050,7 +1075,7 @@ object Versioned {
           .collect().map(_.getString(0)).sorted.toSeq
       else {
         val keys = source.select(keyCols.map(col): _*).distinct()
-        cur.join(maybeBroadcast(keys), keyCols, "left_semi")
+        cur.join(hinted(keys, srcKeysOk), keyCols, "left_semi")
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).sorted.toSeq
       }
