@@ -4654,6 +4654,44 @@ object SparkEntry {
         .orderBy(col("version"), col("change_type"))
     }),
 
+    // CONVERT TO VERSIONED IN PLACE (r12, Delta's CONVERT TO DELTA): a
+    // pre-existing hive-partitioned plain-parquet dataset becomes a
+    // versioned table with ZERO bytes copied — v1 references the files
+    // where they are, certified by the one digest scan the conversion
+    // pays — and the whole capability surface composes immediately: an
+    // append inherits the layout, a COW delete rewrites only affected
+    // files, time travel reaches the converted snapshot forever.
+    "q256_convert_in_place" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q256") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("band", pmod(col("c"), lit(4L)))
+      // a plain (pre-format) partitioned parquet dataset
+      o.write.partitionBy("band").parquet(tbl)
+      val preFiles = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(tbl))
+          .filter(_.getName.endsWith(".parquet")).map(_.toString).toSet
+      }
+      val c1 = Versioned.convertInPlace(s, tbl, partitionCols = Seq("band"))
+      // zero-copy proof: v1 references exactly the pre-existing files
+      val zeroCopy = c1.add.map(f => s"$tbl/$f").toSet == preFiles
+      Versioned.append( // the layout is inherited by later writes
+        o.filter(col("k") % 97 === 0).withColumn("k", col("k") + 10000000L)
+          .withColumn("band", col("band").cast("int")), // path-inferred type
+        tbl)
+      Versioned.deleteWhere(s, tbl, col("cents") % 10 === 3) // COW composes
+      val (band2, kept, total) = Versioned.readAsOfPartitions(s, tbl, 1L)(
+        m => m("band") == Some("2"))
+      import s.implicits._
+      val inv = broadcast(Seq((zeroCopy, band2.count(), kept < total))
+        .toDF("zero_copy", "v1_band2_rows", "v1_partitions_pruned"))
+      versionedReport(s, tbl).crossJoin(inv)
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -9249,6 +9287,49 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS cents_sum,
         |  sum(h)::BIGINT AS fp
         |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // three versions: the zero-copy conversion, the layout-inheriting
+    // append, and the COW delete; digests run over all four columns in
+    // schema order (band is the path-inferred partition column —
+    // integer, rendered identically to bigint)
+    "q256_convert_in_place" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents,
+        |    (o_custkey % 4)::BIGINT AS band FROM orders),
+        |a AS (SELECT k + 10000000 AS k, c, cents, band FROM o
+        |  WHERE k % 97 = 0),
+        |v2 AS (SELECT * FROM o UNION ALL SELECT * FROM a),
+        |v3 AS (SELECT * FROM v2 WHERE cents % 10 <> 3),
+        |enc AS (SELECT 1 AS version, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR || chr(1) ||
+        |      length(band::VARCHAR)::VARCHAR || ':' || band::VARCHAR),
+        |      1, 8))::BIGINT AS h
+        |  FROM o
+        |  UNION ALL SELECT 2, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR || chr(1) ||
+        |      length(band::VARCHAR)::VARCHAR || ':' || band::VARCHAR),
+        |      1, 8))::BIGINT
+        |  FROM v2
+        |  UNION ALL SELECT 3, cents,
+        |    ('0x' || substr(md5(
+        |      length(k::VARCHAR)::VARCHAR || ':' || k::VARCHAR || chr(1) ||
+        |      length(c::VARCHAR)::VARCHAR || ':' || c::VARCHAR || chr(1) ||
+        |      length(cents::VARCHAR)::VARCHAR || ':' || cents::VARCHAR || chr(1) ||
+        |      length(band::VARCHAR)::VARCHAR || ':' || band::VARCHAR),
+        |      1, 8))::BIGINT
+        |  FROM v3)
+        |SELECT version::BIGINT AS version, count(*)::BIGINT AS snapshot_rows,
+        |  sum(h)::BIGINT AS snapshot_fp, true AS matches_archived,
+        |  sum(cents)::BIGINT AS sum_cents, true AS zero_copy,
+        |  (SELECT count(*) FROM o WHERE band = 2)::BIGINT AS v1_band2_rows,
+        |  true AS v1_partitions_pruned
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

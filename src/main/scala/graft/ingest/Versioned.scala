@@ -2882,6 +2882,59 @@ object Versioned {
       requireContentPreserved = true))
   }
 
+  /** CONVERT an existing parquet directory into a versioned table IN
+    * PLACE (Delta's `CONVERT TO DELTA`): the discovered data files are
+    * referenced by the v1 record exactly where they are — ZERO bytes
+    * copied, which at 100 TB is the difference between adopting the
+    * format and not — and the one scan the conversion pays is the
+    * content digest that certifies the table from birth. A
+    * hive-partitioned layout (`col=value/` directories) converts with
+    * `partitionCols` set: partition values stay path-encoded (every
+    * file's segments are parse-checked up front, fail-loud) and later
+    * appends inherit the layout. After conversion every capability
+    * applies — appends, COW/MoR writes, time travel, OPTIMIZE (which
+    * also backfills the zone-map stats the pre-format files don't
+    * have; until then range reads scan conservatively). The directory
+    * must not already carry a commit log. */
+  def convertInPlace(spark: SparkSession, path: String,
+                     partitionCols: Seq[String] = Nil): Commit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(listVersions(fs, root).isEmpty,
+      s"convertInPlace: $path already has a commit log")
+    val rootQ = fs.makeQualified(root).toString
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toString.stripPrefix(rootQ).stripPrefix("/")
+      // same visibility rule as Spark's file index: any `_`/`.`-prefixed
+      // path segment is metadata, not data — skipping it here keeps the
+      // digested file set identical to what the schema-inferring read saw
+      if (s.isFile && rel.endsWith(".parquet") &&
+          !rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+        buf += rel
+    }
+    val files = buf.sorted.toSeq
+    require(files.nonEmpty, s"convertInPlace: no parquet files under $path")
+    // the logical schema, with hive partition columns inferred from the
+    // layout exactly as a plain read sees them (types included)
+    val schema = spark.read.parquet(path).schema
+    validatePartitionCols(schema, partitionCols)
+    require(partitionCols.isEmpty ||
+      schema.fieldNames.takeRight(partitionCols.size).toSeq == partitionCols,
+      s"convertInPlace: partitionCols $partitionCols must be the " +
+        s"layout-inferred trailing columns of ${schema.fieldNames.toSeq}")
+    if (partitionCols.nonEmpty)
+      files.foreach(f => partitionValuesOf(f, partitionCols)) // fail-loud
+    val (nRows, fp) = digestFiles(spark, root, files, schema, partitionCols)
+    val c = Commit(1L, "overwrite", files, schema.json, nRows, fp,
+      nRows, fp, partitionCols = partitionCols)
+    claimStamped(fs, root, c).getOrElse(
+      throw new java.util.ConcurrentModificationException(
+        s"convertInPlace lost the v1 claim at $path"))
+  }
+
   /** INCREMENTAL small-file compaction (Delta's auto-compaction shape):
     * rewrite ONLY the active files smaller than `maxFileBytes` into
     * `targetNumFiles` bin-packed files, leaving every right-sized file

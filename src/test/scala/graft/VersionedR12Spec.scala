@@ -437,6 +437,41 @@ class VersionedR12Spec extends SparkTestBase {
     assert(e.getMessage.contains("not a lossless widening"))
   }
 
+  // ------------------------------------------------- convert in place
+
+  test("convertInPlace adopts a plain parquet dir with zero copies") {
+    val base = tmp("convert")
+    val dir = s"$base/plain"
+    df(1L -> "a", 2L -> "b", 3L -> "c").coalesce(2).write.parquet(dir)
+    val preFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val c = Versioned.convertInPlace(spark, dir)
+    assert(c.version == 1L && c.add.toSet == preFiles,
+      s"v1 must reference exactly the pre-existing files: ${c.add}")
+    assert(c.ts > 0L, "conversion claims through the stamped funnel")
+    assert(rowSet(Versioned.read(spark, dir)) ==
+      Set(Seq[Any](1L, "a"), Seq[Any](2L, "b"), Seq[Any](3L, "c")))
+    assert(certified(dir, 1L), "certified from birth by the one digest scan")
+    // the whole surface composes post-conversion
+    Versioned.upsert(spark, dir, df(2L -> "B", 4L -> "D"), Seq("id"))
+    assert(rowSet(Versioned.read(spark, dir)) ==
+      Set(Seq[Any](1L, "a"), Seq[Any](2L, "B"), Seq[Any](3L, "c"),
+        Seq[Any](4L, "D")))
+    assert(certified(dir, 2L))
+    // re-conversion refuses: the log exists
+    val e = intercept[IllegalArgumentException] {
+      Versioned.convertInPlace(spark, dir)
+    }
+    assert(e.getMessage.contains("already has a commit log"))
+    // an empty dir refuses
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/empty2"))
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.convertInPlace(spark, s"$base/empty2")
+    }
+    assert(e2.getMessage.contains("no parquet files"))
+  }
+
   // ------------------------------------------------ startingTimestamp walk
 
   test("versionFloorBefore resolves in one walk and refuses unstamped") {
