@@ -11,7 +11,9 @@ import graft.ingest.Versioned._
 /** MODEL-BASED randomized testing of the versioned table format: a
   * fixed-seed random sequence of write operations (append, overwrite,
   * CoW/MoR upsert and delete, conditional CoW/MoR merge, OPTIMIZE,
-  * small-file compaction, RESTORE, one type-widening evolution) runs
+  * small-file compaction, RESTORE, metadata-only column RENAME, one
+  * type-widening evolution — over a table seeded either through the
+  * format or by zero-copy convertInPlace adoption) runs
   * against both the real table and a trivial in-memory model
   * (`Map[id -> (v, t)]`); after EVERY commit the table head must equal
   * the model and certify against its archived fingerprint, and at the
@@ -43,10 +45,12 @@ class VersionedModelSpec extends SparkTestBase {
     (r.getLong(0), r.getLong(1)) == ((n, fp))
   }
 
-  /** Frame under the CURRENT schema epoch (v is int until widened). */
-  private def frame(rows: Seq[(Long, Long, String)], wide: Boolean): DataFrame =
-    if (wide) rows.toDF("id", "v", "t")
-    else rows.map { case (i, v, t) => (i, v.toInt, t) }.toDF("id", "v", "t")
+  /** Frame under the CURRENT schema epoch (v is int until widened; the
+    * text column's name follows the rename state). */
+  private def frame(rows: Seq[(Long, Long, String)], wide: Boolean,
+                    tName: String): DataFrame =
+    if (wide) rows.toDF("id", "v", tName)
+    else rows.map { case (i, v, t) => (i, v.toInt, t) }.toDF("id", "v", tName)
 
   private def tableRows(tbl: String): Model =
     Versioned.read(spark, tbl).collect().map { r =>
@@ -86,14 +90,23 @@ class VersionedModelSpec extends SparkTestBase {
 
     var model: Model = freshRows(8).map(r => r._1 -> ((r._2, r._3))).toMap
     var wide = false
-    Versioned.overwrite(
-      frame(model.toSeq.map { case (i, (v, t)) => (i, v, t) }, wide)
+    var tName = "t"
+    if (seed % 2 == 0) {
+      // even seeds ADOPT a pre-existing plain parquet dataset in place
+      // (convertInPlace as the v1) instead of writing through the format
+      frame(model.toSeq.map { case (i, (v, t)) => (i, v, t) }, wide, tName)
+        .coalesce(1).write.parquet(tbl + "/data")
+      Versioned.convertInPlace(spark, tbl + "/data")
+    } else Versioned.overwrite(
+      frame(model.toSeq.map { case (i, (v, t)) => (i, v, t) }, wide, tName)
         .coalesce(1), tbl)
-    // snapshot of (model, wide) recorded per committed version
-    val snaps = mutable.Map[Long, (Model, Boolean)](
-      1L -> ((model, wide)))
+    val root = if (seed % 2 == 0) tbl + "/data" else tbl
+    // snapshot of (model, wide, text-column name) per committed version
+    val snaps = mutable.Map[Long, (Model, Boolean, String)](
+      1L -> ((model, wide, tName)))
 
-    def src(rows: Seq[(Long, Long, String)]): DataFrame = frame(rows, wide)
+    def src(rows: Seq[(Long, Long, String)]): DataFrame =
+      frame(rows, wide, tName)
 
     /** the shared conditional-merge model transition (CoW and MoR run
       * the same clause list, so they share it) */
@@ -114,77 +127,89 @@ class VersionedModelSpec extends SparkTestBase {
       WhenNotMatchedInsert(cond = Some(srcCol("v") % 2 === 0)))
 
     (1 to 22).foreach { step =>
-      val op = rnd.nextInt(12)
+      val op = rnd.nextInt(13)
       op match {
         case 0 => // append fresh rows
           val rows = freshRows(1 + rnd.nextInt(3))
-          Versioned.append(src(rows).coalesce(1), tbl)
+          Versioned.append(src(rows).coalesce(1), root)
           model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
         case 1 => // overwrite with a fresh set
           val rows = freshRows(4 + rnd.nextInt(4))
-          Versioned.overwrite(src(rows).coalesce(1), tbl)
+          Versioned.overwrite(src(rows).coalesce(1), root)
           model = rows.map(r => r._1 -> ((r._2, r._3))).toMap
         case 2 => // CoW upsert
           val rows = mixedRows(model, 3)
-          Versioned.upsert(spark, tbl, src(rows), Seq("id"))
+          Versioned.upsert(spark, root, src(rows), Seq("id"))
           model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
         case 3 => // MoR upsert
           val rows = mixedRows(model, 3)
-          Versioned.upsertMoR(spark, tbl, src(rows), Seq("id"))
+          Versioned.upsertMoR(spark, root, src(rows), Seq("id"))
           model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
         case 4 => // CoW delete by predicate
           val k = 2 + rnd.nextInt(5)
-          Versioned.deleteWhere(spark, tbl, col("v") % k === 0)
+          Versioned.deleteWhere(spark, root, col("v") % k === 0)
           model = model.filter { case (_, (v, _)) => v % k != 0 }
         case 5 => // MoR delete by predicate
           val k = 2 + rnd.nextInt(5)
-          Versioned.deleteWhereMoR(spark, tbl, col("v") % k === 1)
+          Versioned.deleteWhereMoR(spark, root, col("v") % k === 1)
           model = model.filter { case (_, (v, _)) => v % k != 1 }
         case 6 => // conditional CoW merge
           val rows = mixedRows(model, 4)
-          Versioned.merge(spark, tbl, src(rows), Seq("id"), mergeClauses)
+          Versioned.merge(spark, root, src(rows), Seq("id"), mergeClauses)
           model = mergeModel(rows)
         case 7 => // conditional MoR merge
           val rows = mixedRows(model, 4)
-          Versioned.mergeMoR(spark, tbl, src(rows), Seq("id"), mergeClauses)
+          Versioned.mergeMoR(spark, root, src(rows), Seq("id"), mergeClauses)
           model = mergeModel(rows)
         case 8 => // OPTIMIZE (content-preserving; may purge DVs)
-          Versioned.optimize(spark, tbl, numFiles = 1 + rnd.nextInt(2))
+          Versioned.optimize(spark, root, numFiles = 1 + rnd.nextInt(2))
         case 9 => // small-file compaction (threshold catches everything)
-          Versioned.compactSmallFiles(spark, tbl, maxFileBytes = 1L << 30)
+          Versioned.compactSmallFiles(spark, root, maxFileBytes = 1L << 30)
         case 10 => // RESTORE to a random prior version
           val vs = snaps.keys.toSeq.sorted
           val target = vs(rnd.nextInt(vs.size))
-          Versioned.restore(spark, tbl, target)
-          val (m2, w2) = snaps(target)
+          Versioned.restore(spark, root, target)
+          val (m2, w2, t2) = snaps(target)
           model = m2
           wide = w2
+          tName = t2
         case 11 => // the one-way widening epoch (int -> long v)
           if (!wide) {
             val rows = freshRows(2)
-            Versioned.appendEvolve(rows.toDF("id", "v", "t").coalesce(1), tbl)
+            Versioned.appendEvolve(rows.toDF("id", "v", tName).coalesce(1), root)
             model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
             wide = true
           } else { // already wide: plain append instead
             val rows = freshRows(2)
-            Versioned.append(src(rows).coalesce(1), tbl)
+            Versioned.append(src(rows).coalesce(1), root)
             model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
           }
+        case 12 => // metadata-only RENAME of the text column (toggles)
+          val newName = if (tName == "t") "label" else "t"
+          Versioned.renameColumn(spark, root, tName, newName)
+          tName = newName // content identical; only the logical name moves
       }
-      val head = Versioned.latestVersion(spark, tbl)
-      snaps(head) = ((model, wide))
-      assert(tableRows(tbl) == model,
+      val head = Versioned.latestVersion(spark, root)
+      snaps(head) = ((model, wide, tName))
+      assert(Versioned.read(spark, root).columns.toSeq ==
+        Seq("id", "v", tName),
+        s"seed $seed step $step (op $op): schema names diverged at v$head")
+      assert(tableRows(root) == model,
         s"seed $seed step $step (op $op): table diverged from model at v$head")
-      assert(certified(tbl, head),
+      assert(certified(root, head),
         s"seed $seed step $step (op $op): v$head failed certification")
     }
 
     // the full history: every committed version still replays certified
-    // AND equals the model snapshot recorded when it landed
+    // AND equals the model snapshot recorded when it landed, under the
+    // column names of ITS epoch
     snaps.keys.toSeq.sorted.foreach { v =>
-      assert(certified(tbl, v), s"seed $seed: v$v certification regressed")
-      val expect = snaps(v)._1
-      val got = Versioned.readAsOf(spark, tbl, v).collect().map { r =>
+      assert(certified(root, v), s"seed $seed: v$v certification regressed")
+      val (expect, _, tn) = snaps(v)
+      val asOf = Versioned.readAsOf(spark, root, v)
+      assert(asOf.columns.toSeq == Seq("id", "v", tn),
+        s"seed $seed: v$v reads under the wrong epoch names")
+      val got = asOf.collect().map { r =>
         val vv = r.get(1) match {
           case i: java.lang.Integer => i.longValue
           case l: java.lang.Long => l.longValue
