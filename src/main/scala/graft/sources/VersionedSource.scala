@@ -86,9 +86,10 @@ import graft.ingest.Versioned
   * instead of one giant one) — the exact pattern of Spark's own
   * `FileStreamSource`. Cost per trigger: one log listing + one small
   * commit-record read per version CONSIDERED (records are immutable
-  * and memoized per source instance), and for the bytes cap one
-  * `getFileStatus` per candidate file (memoized likewise) — all
-  * O(window), never O(table).
+  * and memoized per source instance); the bytes cap reads each
+  * record's archived `addSizes` — zero filesystem RPCs (legacy
+  * size-less records fall back to one memoized `getFileStatus` per
+  * file) — all O(window), never O(table).
   */
 class VersionedSource extends StreamSourceProvider with DataSourceRegister {
 
@@ -224,12 +225,21 @@ private[sources] class VersionedStreamSource(
       Versioned.commitsBetween(spark, path, v - 1L, v).headOption.getOrElse(
         throw new IllegalStateException(s"no commit record v$v at $path")))
 
-  private def bytesOf(c: Versioned.Commit): Long = {
-    lazy val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    c.add.map(rel => lenCache.getOrElseUpdate(rel,
-      fs.getFileStatus(new Path(new Path(path), rel)).getLen)).sum
-  }
+  /** A commit's admitted data bytes: straight from the record's
+    * archived `addSizes` (zero filesystem RPCs — the commit's staging
+    * listed the sizes once and the log carries them); only legacy
+    * size-less records fall back to one memoized getFileStatus per
+    * file (counted in [[Versioned.fileStatusProbes]]). */
+  private def bytesOf(c: Versioned.Commit): Long =
+    if (c.addSizes.size == c.add.size) c.addSizes.sum
+    else {
+      lazy val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      c.add.map(rel => lenCache.getOrElseUpdate(rel, {
+        Versioned.fileStatusProbes.incrementAndGet()
+        fs.getFileStatus(new Path(new Path(path), rel)).getLen
+      })).sum
+    }
 
   /** Flatten the engine-passed limit to (file cap, byte cap, row cap).
     * Unknown limit shapes (e.g. ReadMinRows) are inapplicable to a
