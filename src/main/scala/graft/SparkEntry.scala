@@ -4692,6 +4692,175 @@ object SparkEntry {
       versionedReport(s, tbl).crossJoin(inv)
     }),
 
+    // CHECKPOINT-STATE PLANNING (r13, VERDICT r12 #1–#2): the
+    // checkpoint carries the COMPLETE table state — file sizes,
+    // zone-map stats, dv coverage, constraints — so on a long-history
+    // table EVERY maintenance plan (OPTIMIZE's dv-purge decision, the
+    // constraint revalidation, compaction's size scan) reads
+    // checkpoint + tail, never a v1 log replay, and compaction
+    // planning pays ZERO filesystem stat RPCs (sizes ride the add
+    // records). The gate builds 25 one-slice commits (auto-ckpts at
+    // 10/20) plus a live MoR delete and a CHECK constraint, then
+    // counts actual record reads and stat probes around the rewrites.
+    "q257_ckpt_state_planning" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q257") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 25 === 0).coalesce(1), tbl)
+      (1L to 24L).foreach(m => Versioned.append(
+        o.filter(col("k") % 25 === m).coalesce(1), tbl)) // v25; ckpts 10, 20
+      Versioned.deleteWhereMoR(s, tbl, col("cents") % 100 === 7) // v26: live dv
+      Versioned.addConstraint(s, tbl, "cents_nonneg", "cents >= 0") // v27
+      val r0 = Versioned.commitRecordReads.get()
+      Versioned.optimize(s, tbl, numFiles = 2).get // v28: purges the dv
+      val planReads = Versioned.commitRecordReads.get() - r0
+      val p0 = Versioned.fileStatusProbes.get()
+      val cc = Versioned.compactSmallFiles(s, tbl, maxFileBytes = 1L << 26).get
+      val statProbes = Versioned.fileStatusProbes.get() - p0
+      val (aRows, aFp) = Versioned.archivedFingerprint(s, tbl, cc.version)
+      val head = Versioned.read(s, tbl)
+      val r = head.agg(count(lit(1)),
+        coalesce(sum(graft.ingest.Fingerprint.rowDigest(
+          Seq(col("k"), col("c"), col("cents")))), lit(0L))).head()
+      import s.implicits._
+      // naive v1-replay planning would read ~6 folds x 27 records
+      // (~160); checkpoint+tail must stay far under the log length
+      val inv = broadcast(Seq((planReads <= 50L, statProbes == 0L,
+          (r.getLong(0), r.getLong(1)) == ((aRows, aFp))))
+        .toDF("plan_reads_o_interval", "zero_stat_probes", "certified"))
+      head.groupBy(pmod(col("c"), lit(10L)).as("cust_band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+        .orderBy(col("cust_band"))
+    }),
+
+    // MULTI-PART CHECKPOINT (r13, VERDICT r12 #3 — Delta's multi-part
+    // scheme): above a file-count threshold the checkpoint's per-file
+    // payload shards into bounded part records written before a
+    // manifest stamped with the multipart-checkpoint reader feature;
+    // a million-file table checkpoints in bounded chunks instead of
+    // one driver-choking record. Proof of replay-through-parts: the
+    // v1 record is physically deleted and the 61-file state still
+    // reassembles, certified against the archived fingerprint.
+    "q258_multipart_ckpt" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q258") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val oldPart = Versioned.ckptPartFiles
+      Versioned.ckptPartFiles = 16
+      try {
+        Versioned.overwrite(o.filter(col("k") % 25 =!= 0)
+          .repartition(60), tbl) // v1: 60 files
+        Versioned.append(o.filter(col("k") % 25 === 0).coalesce(1), tbl) // v2
+        val v = Versioned.checkpoint(s, tbl)
+        val log = new java.io.File(s"$tbl/_graft_log")
+        val nParts = log.listFiles()
+          .count(_.getName.startsWith(f"ckptp-$v%08d-"))
+        val manifest = new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(log, f"ckpt-$v%08d.json").toPath))
+        val f1 = new java.io.File(log, f"v${1L}%08d.json")
+        require(f1.delete(), s"gate setup: could not delete $f1")
+        val (aRows, aFp) = Versioned.archivedFingerprint(s, tbl, v)
+        val head = Versioned.read(s, tbl)
+        val r = head.agg(count(lit(1)),
+          coalesce(sum(graft.ingest.Fingerprint.rowDigest(
+            Seq(col("k"), col("c"), col("cents")))), lit(0L))).head()
+        import s.implicits._
+        val inv = broadcast(Seq((nParts >= 4L,
+            manifest.contains("multipart-checkpoint") &&
+              !manifest.contains("\"active\""),
+            (r.getLong(0), r.getLong(1)) == ((aRows, aFp))))
+          .toDF("sharded_payload", "manifest_feature_no_inline",
+            "parts_replay_certified"))
+        head.groupBy(pmod(col("c"), lit(10L)).as("cust_band"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+          .crossJoin(inv)
+          .orderBy(col("cust_band"))
+      } finally Versioned.ckptPartFiles = oldPart
+    }),
+
+    // VACUUM CHECKPOINT HYGIENE (r13, VERDICT r12 #4): retention
+    // vacuum deletes checkpoints below the new horizon (they summarize
+    // state whose data files are gone) AND re-checkpoints the head, so
+    // replays of every retained version stay O(tail) and can never
+    // resolve through a record referencing reclaimed files. Reads
+    // below the horizon keep refusing loudly.
+    "q259_vacuum_ckpt_hygiene" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q259") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Versioned.overwrite(o.filter(col("k") % 24 === 0).coalesce(1), tbl)
+      (1L to 11L).foreach(m => Versioned.append(
+        o.filter(col("k") % 24 === 2 * m).coalesce(1), tbl)) // v12: evens
+      Versioned.optimize(s, tbl, numFiles = 2) // v13: 12 slice files die
+      Seq(Seq(1L, 3L, 5L, 7L), Seq(9L, 11L, 13L, 15L),
+          Seq(17L, 19L, 21L, 23L)).foreach(g => Versioned.append(
+        o.filter(pmod(col("k"), lit(24L)).isin(g: _*)).coalesce(1), tbl))
+      // head v16 = the full orders projection; ckpt cadence hit at 10
+      val (deleted, horizon) = Versioned.vacuumVersions(s, tbl, retainLast = 3)
+      val cks = Versioned.checkpoints(s, tbl)
+      val belowRefuses =
+        try { Versioned.readAsOf(s, tbl, 13L); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("horizon") }
+      val (aRows, aFp) = Versioned.archivedFingerprint(s, tbl, 14L)
+      val asOf14 = Versioned.readAsOf(s, tbl, 14L)
+      val r14 = asOf14.agg(count(lit(1)),
+        coalesce(sum(graft.ingest.Fingerprint.rowDigest(
+          Seq(col("k"), col("c"), col("cents")))), lit(0L))).head()
+      import s.implicits._
+      val inv = broadcast(Seq((deleted == 12L && horizon == 14L,
+          cks.forall(_ >= horizon) && cks.contains(16L),
+          belowRefuses,
+          (r14.getLong(0), r14.getLong(1)) == ((aRows, aFp))))
+        .toDF("reclaimed_to_horizon", "stale_ckpts_gone_head_recheckpointed",
+          "below_horizon_refuses", "oldest_retained_certified"))
+      Versioned.read(s, tbl)
+        .groupBy(pmod(col("c"), lit(10L)).as("cust_band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+        .orderBy(col("cust_band"))
+    }),
+
+    // CONVERT-IN-PLACE PARTITION AUTO-INFERENCE (r13, ADVICE r12): a
+    // hive-partitioned plain-parquet dataset converts with its
+    // partition columns INFERRED from the layout — previously an
+    // omitted partitionCols stored partitionCols=Nil and every read
+    // saw the path-encoded columns as null, with the birth digest
+    // certifying the loss. Now the layout is detected, parse-checked
+    // per file, and the v1 record archives both the columns and every
+    // file's byte size.
+    "q260_convert_autoinfer" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q260") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("band", pmod(col("c"), lit(4L)))
+      o.write.partitionBy("band").parquet(tbl)
+      val c1 = Versioned.convertInPlace(s, tbl) // partitionCols OMITTED
+      val head = Versioned.read(s, tbl)
+      val (bandDf, kept, total) = Versioned.readAsOfPartitions(s, tbl, 1L)(
+        m => m("band") == Some("1"))
+      import s.implicits._
+      val inv = broadcast(Seq((c1.partitionCols == Seq("band"),
+          c1.addSizes.size == c1.add.size && c1.add.nonEmpty,
+          head.filter(col("band").isNull).count() == 0L,
+          kept < total && bandDf.filter(col("band") =!= 1).count() == 0L))
+        .toDF("layout_inferred", "sizes_archived", "no_silent_nulls",
+          "v1_partitions_pruned"))
+      head.groupBy(col("band").cast("long").as("band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+        .orderBy(col("band"))
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -9330,6 +9499,52 @@ object SparkEntry {
         |  (SELECT count(*) FROM o WHERE band = 2)::BIGINT AS v1_band2_rows,
         |  true AS v1_partitions_pruned
         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 25 slice commits + a MoR delete reassemble the live view; the
+    // O(interval) read count, zero-stat-probe and certification
+    // booleans are engine-side
+    "q257_ckpt_state_planning" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT (c % 10)::BIGINT AS cust_band, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS cents_sum, true AS plan_reads_o_interval,
+        |  true AS zero_stat_probes, true AS certified
+        |FROM o WHERE cents % 100 <> 7 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the two slices union to the whole projection; the part-count,
+    // manifest-shape and replay-through-parts booleans are engine-side
+    "q258_multipart_ckpt" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT (c % 10)::BIGINT AS cust_band, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS cents_sum, true AS sharded_payload,
+        |  true AS manifest_feature_no_inline, true AS parts_replay_certified
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // evens (12 slices + optimize) plus odds (3 grouped appends) union
+    // to the whole projection; the reclaim count, checkpoint-hygiene,
+    // horizon-refusal and certification booleans are engine-side
+    "q259_vacuum_ckpt_hygiene" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT (c % 10)::BIGINT AS cust_band, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS cents_sum, true AS reclaimed_to_horizon,
+        |  true AS stale_ckpts_gone_head_recheckpointed,
+        |  true AS below_horizon_refuses, true AS oldest_retained_certified
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the converted table IS the partitioned projection; the
+    // layout-inference, size-archival, no-null and pruning booleans
+    // are engine-side
+    "q260_convert_autoinfer" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents,
+        |    (o_custkey % 4)::BIGINT AS band FROM orders)
+        |SELECT band, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS cents_sum, true AS layout_inferred,
+        |  true AS sizes_archived, true AS no_silent_nulls,
+        |  true AS v1_partitions_pruned
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

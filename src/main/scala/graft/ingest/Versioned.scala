@@ -445,20 +445,21 @@ object Versioned {
     * the estimate on a table-scan-derived subtree would pay a second
     * full optimizer pass for a strictly weaker answer.
     *
-    * STRUCTURAL SHORT-CIRCUIT (VERDICT r12 #5): when every leaf of the
-    * frame is an in-memory LocalRelation — the typical CDC micro-batch
-    * source — the leaves' own size statistics bound the frame from
-    * above (the callers only pass key-column projections/distincts of
-    * the source, which never widen a row), so the ~0.3 s optimizer
-    * pass is skipped entirely and a sub-second merge stops spending a
-    * third of its wall in the estimator. Leaf stats on the ANALYZED
-    * plan are a field read for LocalRelation (rows × row width) — no
-    * optimization, no job. */
+    * STRUCTURAL SHORT-CIRCUIT (VERDICT r12 #5): the ANALYZED plan's
+    * LEAF size statistics bound the frame from above — the callers
+    * only pass key-column projections/distincts of the source, which
+    * never widen a row — so when the leaves already sum under the
+    * threshold (an in-memory CDC micro-batch: LocalRelation rows ×
+    * width; a small parquet source: the file index's byte size) the
+    * ~0.3 s optimizer pass is skipped entirely and a sub-second merge
+    * stops spending a third of its wall in the estimator. Leaf stats
+    * on the analyzed plan are a field read — no optimization, no job;
+    * only a source whose raw leaves EXCEED the threshold (where
+    * filters/projections might still shrink the optimized estimate
+    * under it) pays the full pass. */
   private[graft] def broadcastOk(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val leaves = df.queryExecution.analyzed.collectLeaves()
-    val localBound = leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalRelation])
-    if (localBound &&
+    if (leaves.nonEmpty &&
         leaves.map(_.stats.sizeInBytes).sum <= broadcastKeyBytesThreshold)
       true
     else {

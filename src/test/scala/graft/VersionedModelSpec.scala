@@ -10,16 +10,18 @@ import graft.ingest.Versioned._
 
 /** MODEL-BASED randomized testing of the versioned table format: a
   * fixed-seed random sequence of write operations (append, overwrite,
-  * CoW/MoR upsert and delete, conditional CoW/MoR merge, OPTIMIZE,
-  * small-file compaction, RESTORE, metadata-only column RENAME, one
-  * type-widening evolution — over a table seeded either through the
+  * CoW/MoR upsert and delete, conditional CoW/MoR merge, OPTIMIZE —
+  * plain and Z-ORDERED — small-file compaction, RESTORE, metadata-only
+  * column RENAME, one type-widening evolution via appendEvolve OR a
+  * schema-evolving MoR merge — over a table seeded either through the
   * format or by zero-copy convertInPlace adoption) runs
   * against both the real table and a trivial in-memory model
   * (`Map[id -> (v, t)]`); after EVERY commit the table head must equal
   * the model and certify against its archived fingerprint, and at the
   * end every historical version must still replay certified and equal
   * the model snapshot recorded when it was committed. Auto-checkpoints
-  * fire every 3 commits throughout, so replay-through-checkpoint is
+  * fire every 3 commits throughout WITH ckptPartFiles=2 — every
+  * checkpoint is multi-part — so replay-through-sharded-checkpoint is
   * exercised mid-sequence, across epochs and restores.
   *
   * This is the interleaving coverage the per-capability gates cannot
@@ -64,10 +66,16 @@ class VersionedModelSpec extends SparkTestBase {
 
   test("random op sequences: head == model after every commit, all versions certified") {
     val savedI = Versioned.autoCheckpointInterval
+    val savedP = Versioned.ckptPartFiles
     try {
       Versioned.autoCheckpointInterval = 3 // exercise checkpoints often
+      Versioned.ckptPartFiles = 2 // every checkpoint is MULTI-PART:
+      // all mid-sequence replays resolve through sharded part records
       Seq(11L, 47L).foreach(runSequence)
-    } finally Versioned.autoCheckpointInterval = savedI
+    } finally {
+      Versioned.autoCheckpointInterval = savedI
+      Versioned.ckptPartFiles = savedP
+    }
   }
 
   private def runSequence(seed: Long): Unit = {
@@ -127,7 +135,7 @@ class VersionedModelSpec extends SparkTestBase {
       WhenNotMatchedInsert(cond = Some(srcCol("v") % 2 === 0)))
 
     (1 to 22).foreach { step =>
-      val op = rnd.nextInt(13)
+      val op = rnd.nextInt(15)
       op match {
         case 0 => // append fresh rows
           val rows = freshRows(1 + rnd.nextInt(3))
@@ -188,6 +196,20 @@ class VersionedModelSpec extends SparkTestBase {
           val newName = if (tName == "t") "label" else "t"
           Versioned.renameColumn(spark, root, tName, newName)
           tName = newName // content identical; only the logical name moves
+        case 13 => // widening via a schema-evolving MoR merge (one-way);
+          // already wide → an ordinary MoR merge with the same clauses
+          val rows = mixedRows(model, 3)
+          if (!wide) {
+            Versioned.mergeMoR(spark, root, rows.toDF("id", "v", tName),
+              Seq("id"), mergeClauses, evolveSchema = true)
+            wide = true
+          } else
+            Versioned.mergeMoR(spark, root, src(rows), Seq("id"), mergeClauses)
+          model = mergeModel(rows)
+        case 14 => // Z-ORDERED optimize (content-preserving layout; ids
+          // and v both stay far inside the 2^16 z-domain)
+          Versioned.optimize(spark, root, numFiles = 1 + rnd.nextInt(2),
+            zorderByN = Seq("id", "v"))
       }
       val head = Versioned.latestVersion(spark, root)
       snaps(head) = ((model, wide, tName))

@@ -218,6 +218,35 @@ class VersionedR13Spec extends SparkTestBase {
     } finally Versioned.ckptPartFiles = old
   }
 
+  test("a 10k-file table checkpoints multi-part and replays certified") {
+    val tbl = tmp("tenk") + "/tbl"
+    val old = Versioned.ckptPartFiles
+    Versioned.ckptPartFiles = 4096
+    try {
+      // range partitioning: every one of the 2500 ranges holds >= 1 of
+      // the contiguous ids, so each commit lands exactly ~2500 files
+      val slice = df((1L to 2500L).map(i => (i, s"v$i")): _*)
+      Versioned.overwrite(slice.repartitionByRange(2500, col("id")), tbl)
+      for (i <- 1 to 3)
+        Versioned.append(slice
+          .withColumn("id", col("id") + lit(i * 2500L))
+          .repartitionByRange(2500, col("id")), tbl) // v4: ~10k active files
+      val v = Versioned.checkpoint(spark, tbl)
+      assert(v == 4L)
+      val log = new java.io.File(tbl, "_graft_log")
+      val nParts = log.listFiles()
+        .count(_.getName.startsWith(f"ckptp-$v%08d-"))
+      assert(nParts >= 3, s"10k files over 4096/part must shard, got $nParts")
+      // replay resolves through the sharded checkpoint alone: delete
+      // every summarized record below the head
+      (1L to 3L).foreach { dv =>
+        assert(new java.io.File(log, f"v$dv%08d.json").delete())
+      }
+      assert(Versioned.read(spark, tbl).count() == 10000L)
+      assert(certified(tbl, 4L))
+    } finally Versioned.ckptPartFiles = old
+  }
+
   // ------------------------------------------- vacuum checkpoint hygiene
 
   test("retention vacuum deletes below-horizon checkpoints, re-checkpoints head") {
@@ -293,17 +322,30 @@ class VersionedR13Spec extends SparkTestBase {
     assert(Versioned.broadcastEstimatorPasses.get() == before,
       "a LocalRelation-rooted CDC source must not pay the optimizer pass")
     assert(Versioned.read(spark, tbl).count() == 3L)
-    // a table-scan-rooted source cannot be bounded structurally: the
-    // guarded estimate still runs (the r11 OOM guard is intact)
+    // a small scan-rooted source short-circuits on the file index's
+    // own byte size — still no optimizer pass
     val ext = tmp("bcshort_src") + "/p"
     Seq((2L, "open", 99L)).toDF("id", "status", "amount")
       .write.parquet(ext)
     Versioned.merge(spark, tbl, spark.read.parquet(ext), Seq("id"),
       Seq(WhenMatchedUpdate(Map("amount" -> srcCol("amount")))))
-    assert(Versioned.broadcastEstimatorPasses.get() > before,
-      "a scan-rooted source must still pay the guarded size estimate")
+    assert(Versioned.broadcastEstimatorPasses.get() == before,
+      "a under-threshold scan-rooted source must skip the estimator too")
     assert(Versioned.read(spark, tbl).filter(col("id") === 2L)
       .head().getLong(2) == 99L)
+    // leaves ABOVE the threshold cannot be bounded structurally: the
+    // guarded estimate still runs (the r11 OOM guard is intact) and,
+    // refusing the hint, the merge stays correct unhinted
+    val oldT = Versioned.broadcastKeyBytesThreshold
+    Versioned.broadcastKeyBytesThreshold = 1L
+    try {
+      Versioned.merge(spark, tbl, spark.read.parquet(ext), Seq("id"),
+        Seq(WhenMatchedUpdate(Map("amount" -> lit(77L)))))
+      assert(Versioned.broadcastEstimatorPasses.get() > before,
+        "an over-threshold source must still pay the guarded size estimate")
+      assert(Versioned.read(spark, tbl).filter(col("id") === 2L)
+        .head().getLong(2) == 77L)
+    } finally Versioned.broadcastKeyBytesThreshold = oldT
   }
 
   // ------------------------------------------ convertInPlace fail-loud
