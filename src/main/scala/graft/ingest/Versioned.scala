@@ -3277,6 +3277,32 @@ object Versioned {
       .foldLeft(base)((st, v) => foldState(st, readCommit(fs, root, v)))
   }
 
+  /** Test hook (the model spec's per-commit invariant): the
+    * INCREMENTAL state — newest checkpoint + tail — must equal a
+    * from-scratch replay of every record, field for field. Divergence
+    * here is the exact bug class a checkpoint bug would introduce
+    * SILENTLY (wrong purge/pruning/compaction decisions that are
+    * individually conservative and invisible to content checks).
+    * Normalizations: feature order is irrelevant (checkpoints sort the
+    * union), and checkpoints drop EMPTY dv-coverage entries (absent
+    * and present-empty behave identically everywhere: never purged,
+    * first-non-empty-wins on fold). */
+  private[graft] def stateParity(spark: SparkSession, path: String): Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, root)
+    if (versions.isEmpty) return true
+    val head = versions.last
+    val inc = stateAt(fs, root, head)
+    val full = versions.filter(_ <= head)
+      .foldLeft(CkptState(0L, Nil, "", Nil, Nil, Nil, Nil))(
+        (st, v) => foldState(st, readCommit(fs, root, v)))
+    def norm(st: CkptState) = st.copy(
+      features = st.features.sorted,
+      dvCoverage = st.dvCoverage.filter(_._2.nonEmpty))
+    norm(inc) == norm(full)
+  }
+
   private def readCheckpoint(fs: FileSystem, root: Path, version: Long)
       : CkptState = {
     def readTreeAt(p: Path) = {
@@ -3350,8 +3376,13 @@ object Versioned {
           parts.foldLeft(Map.empty[String, Long])(_ ++ _._2),
           parts.foldLeft(Map.empty[String, Map[String, (Long, Long)]])(_ ++ _._3))
       }
+    // the refusal above sees the layout feature; the RETURNED state
+    // strips it — it describes this record's shape, not commit content,
+    // and must never reach a later checkpoint's carried union (or make
+    // the incremental fold diverge from a raw-record replay)
     CkptState(t.get("version").asLong(), active,
-      t.get("schema").asText(), pcols, dvs, colMap, feats,
+      t.get("schema").asText(), pcols, dvs, colMap,
+      feats.filterNot(_ == MultipartCkptFeature),
       Option(t.get("snapshotRows")).map(_.asLong()).getOrElse(0L),
       Option(t.get("snapshotFp")).map(_.asLong()).getOrElse(0L),
       sizes, stats, dvCov, pairs("constraints"), pairs("generated"), txns)

@@ -134,8 +134,10 @@ class VersionedModelSpec extends SparkTestBase {
       WhenMatchedUpdate(Map("v" -> srcCol("v"))),
       WhenNotMatchedInsert(cond = Some(srcCol("v") % 2 === 0)))
 
+    var hasCons = false
+    var txnBatch = 0L
     (1 to 22).foreach { step =>
-      val op = rnd.nextInt(15)
+      val op = rnd.nextInt(17)
       op match {
         case 0 => // append fresh rows
           val rows = freshRows(1 + rnd.nextInt(3))
@@ -210,6 +212,29 @@ class VersionedModelSpec extends SparkTestBase {
           // and v both stay far inside the 2^16 z-domain)
           Versioned.optimize(spark, root, numFiles = 1 + rnd.nextInt(2),
             zorderByN = Seq("id", "v"))
+        case 15 => // CHECK-constraint toggle (metadata commit; every
+          // generated row satisfies it, so writes keep landing) —
+          // constraints are table properties: they survive overwrites
+          // and restores, and their fold rides the checkpoint state
+          if (!hasCons) {
+            Versioned.addConstraint(spark, root, "v_nonneg", "v >= 0")
+            hasCons = true
+          } else {
+            Versioned.dropConstraint(spark, root, "v_nonneg")
+            hasCons = false
+          }
+        case 16 => // exactly-once tagged append: the commit lands once,
+          // the immediate re-delivery is a no-op off the checkpointed
+          // txn watermark — interleaved with every other op shape
+          val rows = freshRows(2)
+          txnBatch += 1L
+          assert(Versioned.idempotentAppend(src(rows).coalesce(1), root,
+            "modelApp", txnBatch).nonEmpty,
+            s"seed $seed step $step: tagged batch $txnBatch must commit")
+          assert(Versioned.idempotentAppend(src(rows).coalesce(1), root,
+            "modelApp", txnBatch).isEmpty,
+            s"seed $seed step $step: re-delivered batch $txnBatch must no-op")
+          model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
       }
       val head = Versioned.latestVersion(spark, root)
       snaps(head) = ((model, wide, tName))
@@ -220,6 +245,14 @@ class VersionedModelSpec extends SparkTestBase {
         s"seed $seed step $step (op $op): table diverged from model at v$head")
       assert(certified(root, head),
         s"seed $seed step $step (op $op): v$head failed certification")
+      // the incremental (checkpoint + tail) fold must equal a
+      // from-scratch replay of every record FIELD FOR FIELD — sizes,
+      // stats, dv coverage, constraints, txn watermarks included; this
+      // is the invariant content checks can't see (a checkpoint bug
+      // shows up as conservative-but-wrong planning, not wrong rows)
+      assert(Versioned.stateParity(spark, root),
+        s"seed $seed step $step (op $op): incremental state diverged " +
+          s"from the full log replay at v$head")
     }
 
     // the full history: every committed version still replays certified
