@@ -3303,7 +3303,37 @@ object Versioned {
     norm(inc) == norm(full)
   }
 
+  /** Parsed-checkpoint cache. A checkpoint record is immutable once
+    * written (racing checkpointers produce identical content), so the
+    * parse — the dominant driver cost of every stateAt on a big table,
+    * paid ~2-4× per commit — is memoized. The entry is VALIDATED by
+    * the record file's (length, mtime): a test or bench harness that
+    * wipes and recreates a table at the same path writes a different
+    * record at the same version, and serving the stale parse would be
+    * silently wrong state — the one failure mode worse than parsing
+    * twice. One getFileStatus replaces a full read+parse on hit (at
+    * object-store latencies, a HEAD instead of a GET of megabytes).
+    * Bounded: cleared wholesale when it outgrows a handful of tables. */
+  private val ckptCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Long, Long, CkptState)]()
+  private[graft] def clearCheckpointCache(): Unit = ckptCache.clear()
+
   private def readCheckpoint(fs: FileSystem, root: Path, version: Long)
+      : CkptState = {
+    val p = ckptPath(root, version)
+    val st0 = fs.getFileStatus(p)
+    val key = (fs.makeQualified(p).toString, version)
+    val cached = ckptCache.get(key)
+    if (cached != null && cached._1 == st0.getLen &&
+        cached._2 == st0.getModificationTime)
+      return cached._3
+    val parsed = readCheckpointUncached(fs, root, version)
+    if (ckptCache.size > 8) ckptCache.clear()
+    ckptCache.put(key, (st0.getLen, st0.getModificationTime, parsed))
+    parsed
+  }
+
+  private def readCheckpointUncached(fs: FileSystem, root: Path, version: Long)
       : CkptState = {
     def readTreeAt(p: Path) = {
       val in = fs.open(p)
