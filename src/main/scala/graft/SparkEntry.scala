@@ -4861,6 +4861,38 @@ object SparkEntry {
         .orderBy(col("band"))
     }),
 
+    // AUTOMATIC DATA SKIPPING (r13, the reading-side payoff of the
+    // archived metadata): readAsOfWhere prunes files from the
+    // predicate's simple conjuncts using ONLY the log — zone maps for
+    // the cents range, path-encoded values for the band equality —
+    // then applies the full predicate to the survivors, so the result
+    // is provably the plain filtered read. The table stages two
+    // disjoint cents ranges per partition, so BOTH pruning modes must
+    // fire: of 8 files (4 bands × 2 ranges), exactly 1 survives.
+    "q261_data_skipping" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q261") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("band", pmod(col("c"), lit(4L)))
+      val split = 20000000L
+      Versioned.overwrite(o.filter(col("cents") < split).coalesce(1), tbl,
+        partitionBy = Seq("band"))
+      Versioned.append(o.filter(col("cents") >= split).coalesce(1), tbl)
+      val pred = col("cents") >= 30000000L && col("band") === 2L
+      val (df, kept, total) =
+        Versioned.readAsOfWhere(s, tbl, 2L, pred)
+      import s.implicits._
+      val inv = broadcast(Seq((kept == 1L && total == 8L,
+          Versioned.read(s, tbl).filter(pred).count() == df.count()))
+        .toDF("pruned_to_one_file", "equals_full_scan_filter"))
+      df.groupBy(pmod(col("c"), lit(10L)).as("cust_band"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .crossJoin(inv)
+        .orderBy(col("cust_band"))
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -9545,6 +9577,18 @@ object SparkEntry {
         |  true AS sizes_archived, true AS no_silent_nulls,
         |  true AS v1_partitions_pruned
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the skipped read must equal the plain filtered projection; the
+    // file-count and equality booleans are engine-side
+    "q261_data_skipping" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    round(o_totalprice * 100)::BIGINT AS cents,
+        |    (o_custkey % 4)::BIGINT AS band FROM orders)
+        |SELECT (c % 10)::BIGINT AS cust_band, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS cents_sum, true AS pruned_to_one_file,
+        |  true AS equals_full_scan_filter
+        |FROM o WHERE cents >= 30000000 AND band = 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see
     // logitTrainOracle

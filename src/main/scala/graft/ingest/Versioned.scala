@@ -1902,6 +1902,117 @@ object Versioned {
       dvFiles = st.dvs, colMap = st.colMap), kept.size, st.active.size)
   }
 
+  /** [[readAsOf]] with AUTOMATIC DATA SKIPPING (the reference format's
+    * reading-side move, composing everything the log archives): the
+    * predicate's simple conjuncts prune files from LOG METADATA alone —
+    * archived zone maps for integral data columns, path-encoded values
+    * for partition columns — and the FULL predicate is still applied to
+    * the surviving rows, so pruning is purely an optimization and can
+    * never change the result. Skippable shapes: `col <op> literal` (or
+    * mirrored) conjuncts under AND, op ∈ {=, <, <=, >, >=}, integral
+    * literals against stat-covered or partition columns, plus string
+    * equality against partition columns. Anything else (ORs, functions,
+    * non-literal sides, uncovered columns) scans conservatively and is
+    * decided by the row filter. Column names translate through the
+    * version's column mapping (zone maps are keyed physical); a file
+    * whose stats are absent — e.g. adopted by convertInPlace before an
+    * OPTIMIZE backfills — is always kept. At 100 TB this is the read
+    * path that turns a point query over a year-partitioned table into
+    * a handful of file opens with ZERO file-footer reads spent deciding.
+    * Returns (frame, files kept, files total). */
+  def readAsOfWhere(spark: SparkSession, path: String, version: Long,
+                    predicate: Column): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.graftshim.{ColumnShim => CS}
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = activeAt(fs, root, path, version)
+    val stats = stateAt(fs, root, version).stats
+    // the PUBLIC Column API builds node trees whose comparisons are
+    // function calls ("and", ">=", "=", …) — walked structurally
+    // through the graftshim view, no analysis pass, no session
+    type Lit = (Any, Option[DataType])
+    def conjuncts(n: AnyRef): Seq[AnyRef] = CS.asFunction(n) match {
+      case Some(("and", args)) => args.flatMap(conjuncts)
+      case _ => Seq(n)
+    }
+    def longOf(l: Lit): Option[Long] = l._1 match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case i: java.lang.Long => Some(i.longValue)
+      case i: java.lang.Short => Some(i.longValue)
+      case i: java.lang.Byte => Some(i.longValue)
+      case _ => None
+    }
+    // (column, op, literal) with the column on the LEFT; mirrored
+    // comparisons normalize by flipping the operator
+    sealed trait Op
+    case object Eq extends Op; case object Lt extends Op
+    case object Le extends Op; case object Gt extends Op
+    case object Ge extends Op
+    val mirror = Map[Op, Op](Eq -> Eq, Lt -> Gt, Le -> Ge, Gt -> Lt, Ge -> Le)
+    val opNames = Map("=" -> Eq, "==" -> Eq, "<" -> Lt, "<=" -> Le,
+      ">" -> Gt, ">=" -> Ge)
+    def boundOf(n: AnyRef): Option[(String, Op, Lit)] =
+      CS.asFunction(n) match {
+        case Some((fn, Seq(a, b))) if opNames.contains(fn) =>
+          val op = opNames(fn)
+          (CS.asAttribute(a), CS.asLiteral(b),
+            CS.asLiteral(a), CS.asAttribute(b)) match {
+            case (Some(name), Some(l), _, _) => Some((name, op, l))
+            case (_, _, Some(l), Some(name)) => Some((name, mirror(op), l))
+            case _ => None
+          }
+        case _ => None
+      }
+    val bounds = conjuncts(CS.nodeOf(predicate)).flatMap(boundOf(_))
+    def rangeOk(mn: Long, mx: Long, op: Op, v: Long): Boolean = op match {
+      case Eq => v >= mn && v <= mx
+      case Lt => mn < v
+      case Le => mn <= v
+      case Gt => mx > v
+      case Ge => mx >= v
+    }
+    def fileOk(f: String): Boolean = bounds.forall { case (name, op, l) =>
+      if (st.partitionCols.contains(name)) {
+        // the file's path-encoded value: constant per file, so the
+        // check is EXACT. A null partition value satisfies no
+        // comparison (SQL: the row filter would drop it anyway).
+        partitionValuesOf(f, st.partitionCols)(name) match {
+          case None => false
+          case Some(raw) =>
+            import org.apache.spark.sql.types.{ByteType, IntegerType,
+              LongType, ShortType, StringType}
+            // the literal's TYPE gates the comparison: a date literal
+            // could carry days-since-epoch while the path renders
+            // "2024-01-01" — comparing those numerically or textually
+            // would prune wrongly, so non-integral, non-string shapes
+            // scan conservatively (the row filter decides)
+            val intLit = longOf(l).filter(_ => l._2.forall {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            })
+            (intLit, raw.toLongOption) match {
+              case (Some(v), Some(pv)) => rangeOk(pv, pv, op, v)
+              case _ if op == Eq && l._1.isInstanceOf[String] &&
+                  l._2.forall(_ == StringType) =>
+                raw == l._1.toString
+              case _ => true
+            }
+        }
+      } else longOf(l) match {
+        case Some(v) =>
+          // zone maps ignore nulls; a file with no archived stat for
+          // the column (all-null, legacy, or non-integral) is kept
+          stats.get(f).flatMap(_.get(st.physOf(name)))
+            .forall { case (mn, mx) => rangeOk(mn, mx, op, v) }
+        case None => true // non-integral literal on a data column
+      }
+    }
+    val kept = st.active.filter(fileOk)
+    val df = readFilesDF(spark, root, kept, st.schema, st.partitionCols,
+      dvFiles = st.dvs, colMap = st.colMap).filter(predicate)
+    (df, kept.size, st.active.size)
+  }
+
   /** Row-level CHANGE FEED over `(fromVersion, toVersion]` — the
     * change-data-capture read that lets a downstream pipeline process
     * ONLY what a version range changed instead of diffing snapshots:

@@ -348,6 +348,44 @@ class VersionedR13Spec extends SparkTestBase {
     } finally Versioned.broadcastKeyBytesThreshold = oldT
   }
 
+  // ----------------------------------------------- automatic data skipping
+
+  test("readAsOfWhere prunes from zone maps + partition values, result exact") {
+    val tbl = tmp("skipwhere") + "/tbl"
+    def rows(lo: Long, hi: Long, g: String) =
+      (lo until hi).map(i => (i, i * 10L, g)).toDF("id", "cents", "g")
+    Versioned.overwrite(
+      rows(0L, 50L, "a").unionByName(rows(0L, 50L, "b")).coalesce(1), tbl,
+      partitionBy = Seq("g")) // 2 files: one per partition, cents 0..490
+    Versioned.append(
+      rows(100L, 150L, "a").unionByName(rows(100L, 150L, "b")).coalesce(1),
+      tbl) // 2 more files, cents 1000..1490
+    val full = Versioned.read(spark, tbl)
+    def exact(pred: org.apache.spark.sql.Column): (Int, Int) = {
+      val (df, kept, total) =
+        Versioned.readAsOfWhere(spark, tbl, 2L, pred)
+      assert(df.orderBy("id", "g").collect().toSeq ==
+        full.filter(pred).orderBy("id", "g").collect().toSeq,
+        s"pruned result diverged for $pred")
+      (kept, total)
+    }
+    // zone maps: the high-cents conjunct eliminates both v1 files
+    val (k1, t1) = exact(col("cents") >= 1000L)
+    assert(k1 == 2 && t1 == 4, s"zone maps must keep 2 of 4, got $k1/$t1")
+    // partition values: string equality halves the survivors
+    val (k2, _) = exact(col("cents") >= 1000L && col("g") === "b")
+    assert(k2 == 1, s"partition equality must keep 1 file, got $k2")
+    // mirrored literal normalizes to the same bound
+    val (k3, _) = exact(lit(1000L) <= col("cents") && col("g") === "b")
+    assert(k3 == 1, s"mirrored comparison must prune identically, got $k3")
+    // an OR is not a conjunct: conservative full scan, result still exact
+    val (k4, t4) = exact(col("cents") >= 1000L || col("g") === "a")
+    assert(k4 == t4, "disjunctions must scan conservatively")
+    // a predicate no file satisfies prunes everything
+    val (k5, _) = exact(col("cents") > 100000L)
+    assert(k5 == 0, s"unsatisfiable range must prune all files, got $k5")
+  }
+
   // ------------------------------------------ convertInPlace fail-loud
 
   test("convertInPlace auto-infers hive partition columns (no silent nulls)") {
