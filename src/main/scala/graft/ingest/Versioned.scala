@@ -1951,19 +1951,31 @@ object Versioned {
     val mirror = Map[Op, Op](Eq -> Eq, Lt -> Gt, Le -> Ge, Gt -> Lt, Ge -> Le)
     val opNames = Map("=" -> Eq, "==" -> Eq, "<" -> Lt, "<=" -> Le,
       ">" -> Gt, ">=" -> Ge)
-    def boundOf(n: AnyRef): Option[(String, Op, Lit)] =
+    // each skippable conjunct = one column with an OR of bounds: a
+    // plain comparison is one bound; `col.isin(...)` is one equality
+    // bound per (all-literal) member — a file survives the conjunct
+    // iff ANY bound is satisfiable on it
+    def boundsOf(n: AnyRef): Option[(String, Seq[(Op, Lit)])] =
       CS.asFunction(n) match {
         case Some((fn, Seq(a, b))) if opNames.contains(fn) =>
           val op = opNames(fn)
           (CS.asAttribute(a), CS.asLiteral(b),
             CS.asLiteral(a), CS.asAttribute(b)) match {
-            case (Some(name), Some(l), _, _) => Some((name, op, l))
-            case (_, _, Some(l), Some(name)) => Some((name, mirror(op), l))
+            case (Some(name), Some(l), _, _) => Some((name, Seq((op, l))))
+            case (_, _, Some(l), Some(name)) =>
+              Some((name, Seq((mirror(op), l))))
+            case _ => None
+          }
+        case Some(("in", args)) if args.size >= 2 =>
+          val lits = args.tail.map(CS.asLiteral(_))
+          CS.asAttribute(args.head) match {
+            case Some(name) if lits.forall(_.isDefined) =>
+              Some((name, lits.map(l => (Eq: Op, l.get))))
             case _ => None
           }
         case _ => None
       }
-    val bounds = conjuncts(CS.nodeOf(predicate)).flatMap(boundOf(_))
+    val bounds = conjuncts(CS.nodeOf(predicate)).flatMap(boundsOf(_))
     def rangeOk(mn: Long, mx: Long, op: Op, v: Long): Boolean = op match {
       case Eq => v >= mn && v <= mx
       case Lt => mn < v
@@ -1971,7 +1983,7 @@ object Versioned {
       case Gt => mx > v
       case Ge => mx >= v
     }
-    def fileOk(f: String): Boolean = bounds.forall { case (name, op, l) =>
+    def boundOk(f: String, name: String, op: Op, l: Lit): Boolean =
       if (st.partitionCols.contains(name)) {
         // the file's path-encoded value: constant per file, so the
         // check is EXACT. A null partition value satisfies no
@@ -2006,6 +2018,8 @@ object Versioned {
             .forall { case (mn, mx) => rangeOk(mn, mx, op, v) }
         case None => true // non-integral literal on a data column
       }
+    def fileOk(f: String): Boolean = bounds.forall { case (name, alts) =>
+      alts.exists { case (op, l) => boundOk(f, name, op, l) }
     }
     val kept = st.active.filter(fileOk)
     val df = readFilesDF(spark, root, kept, st.schema, st.partitionCols,

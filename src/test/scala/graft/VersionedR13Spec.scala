@@ -384,6 +384,11 @@ class VersionedR13Spec extends SparkTestBase {
     // a predicate no file satisfies prunes everything
     val (k5, _) = exact(col("cents") > 100000L)
     assert(k5 == 0, s"unsatisfiable range must prune all files, got $k5")
+    // isin = OR of equalities on ONE column: still a prunable conjunct
+    val (k6, _) = exact(col("g").isin("b", "zzz") && col("cents") >= 1000L)
+    assert(k6 == 1, s"isin on the partition column must keep 1 file, got $k6")
+    val (k7, _) = exact(col("cents").isin(0L, 40L)) // zone-map isin
+    assert(k7 == 2, s"isin inside v1's cents range must keep 2 files, got $k7")
   }
 
   // ------------------------------------------ convertInPlace fail-loud
