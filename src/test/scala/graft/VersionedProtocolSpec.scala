@@ -117,6 +117,11 @@ class VersionedProtocolSpec extends SparkTestBase {
     java.nio.file.Files.write(ckpt.toPath, m.writeValueAsBytes(node))
     // drop the stale Hadoop checksum sidecar the rewrite invalidated
     new java.io.File(ckpt.getParent, s".${ckpt.getName}.crc").delete()
+    // the hand-edit above preserves the record's write nonce, so the
+    // parse memo would (per its contract: records are immutable once
+    // written) serve the pre-edit state — flush it so the read sees
+    // the tampered bytes
+    Versioned.clearCheckpointCache()
     val e = intercept[IllegalStateException] {
       Versioned.read(spark, tbl).count()
     }
