@@ -4893,6 +4893,107 @@ object SparkEntry {
         .orderBy(col("cust_band"))
     }),
 
+    // Timestamp zone-map skipping on an UNPARTITIONED table — the
+    // reference's flagship predicate shape (the trailing window over
+    // fact_listening_events.timestamp, process_silver_trending_tracks
+    // .py:26-27): four ts-banded commits, a window probe that must
+    // prune to the two overlapping files from log metadata alone, and
+    // the q261 result-neutrality invariant against the plain filtered
+    // scan.
+    "q262_ts_skipping" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q262") + "/tbl"
+      val ev = T(s, dir, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"))
+      def I(x: String) = java.time.Instant.parse(x)
+      val cuts = Seq(I("2024-01-09T00:00:00Z"), I("2024-01-17T00:00:00Z"),
+        I("2024-01-25T00:00:00Z"))
+      Versioned.overwrite(ev.filter(col("ts") < lit(cuts(0))).coalesce(1), tbl)
+      Versioned.append(ev.filter(col("ts") >= lit(cuts(0)) &&
+        col("ts") < lit(cuts(1))).coalesce(1), tbl)
+      Versioned.append(ev.filter(col("ts") >= lit(cuts(1)) &&
+        col("ts") < lit(cuts(2))).coalesce(1), tbl)
+      Versioned.append(ev.filter(col("ts") >= lit(cuts(2))).coalesce(1), tbl)
+      val pred = col("ts") >= lit(I("2024-01-24T00:00:00Z"))
+      val (df, kept, total) = Versioned.readAsOfWhere(s, tbl, 4L, pred)
+      import s.implicits._
+      val inv = broadcast(Seq((kept == 2 && total == 4,
+          Versioned.read(s, tbl).filter(pred).count() == df.count()))
+        .toDF("pruned_to_two_files", "equals_full_scan_filter"))
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("user_id")).as("sum_user"))
+        .crossJoin(inv)
+        .orderBy(col("event_type"))
+    }),
+
+    // Null-count skipping: a no-null file and an all-null file for the
+    // same column; IS NOT NULL must prune the all-null file, IS NULL
+    // the no-null file — decided from the per-file null counts the
+    // commits archived, result-neutral by the re-applied filter.
+    "q263_null_skipping" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q263") + "/tbl"
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        when(pmod(col("o_orderkey"), lit(2L)) === 0L,
+          col("o_orderpriority")).as("tag"))
+      Versioned.overwrite(o.filter(pmod(col("k"), lit(2L)) === 0L)
+        .coalesce(1), tbl)
+      Versioned.append(o.filter(pmod(col("k"), lit(2L)) === 1L)
+        .coalesce(1), tbl)
+      val (nn, nnKept, nnTotal) =
+        Versioned.readAsOfWhere(s, tbl, 2L, col("tag").isNotNull)
+      val (isn, isnKept, _) =
+        Versioned.readAsOfWhere(s, tbl, 2L, col("tag").isNull)
+      import s.implicits._
+      val inv = broadcast(Seq((nnKept == 1 && nnTotal == 2, isnKept == 1,
+          isn.count() ==
+            Versioned.read(s, tbl).filter(col("tag").isNull).count()))
+        .toDF("pruned_notnull", "pruned_isnull", "isnull_result_neutral"))
+      nn.groupBy(col("tag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sum_c"))
+        .crossJoin(inv)
+        .orderBy(col("tag"))
+    }),
+
+    // The SQL persona's data skipping (VERDICT r13 #2): a view over
+    // the V1 relation; a plain SQL WHERE pushes its conjuncts into the
+    // relation scan, pruning files from log metadata with zero
+    // Versioned-specific syntax in the query. The pruning is observed
+    // through the relation counters and gated as a column.
+    "q264_sql_skipping" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val tbl = scratch("q264") + "/tbl"
+      val ev = T(s, dir, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"))
+      def I(x: String) = java.time.Instant.parse(x)
+      val cuts = Seq(I("2024-01-09T00:00:00Z"), I("2024-01-17T00:00:00Z"),
+        I("2024-01-25T00:00:00Z"))
+      Versioned.overwrite(ev.filter(col("ts") < lit(cuts(0))).coalesce(1), tbl)
+      Versioned.append(ev.filter(col("ts") >= lit(cuts(0)) &&
+        col("ts") < lit(cuts(1))).coalesce(1), tbl)
+      Versioned.append(ev.filter(col("ts") >= lit(cuts(1)) &&
+        col("ts") < lit(cuts(2))).coalesce(1), tbl)
+      Versioned.append(ev.filter(col("ts") >= lit(cuts(2))).coalesce(1), tbl)
+      Versioned.registerViewAsOfSkipping(s, "q264_events", tbl, 4L)
+      val k0 = Versioned.relationFilesKept.get()
+      val t0 = Versioned.relationFilesTotal.get()
+      val got = s.sql(
+        """SELECT event_type, count(*) AS n_rows, sum(user_id) AS sum_user
+          |FROM q264_events
+          |WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+          |GROUP BY event_type""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val kept = Versioned.relationFilesKept.get() - k0
+      val total = Versioned.relationFilesTotal.get() - t0
+      import s.implicits._
+      got.toSeq.toDF("event_type", "n_rows", "sum_user")
+        // ratio form: one pruning pass per action, but robust if the
+        // planner ever consults the relation more than once
+        .withColumn("sql_pruned_half", lit(total >= 4 && kept * 2 == total))
+        .orderBy(col("event_type"))
+    }),
+
     "q215_ann_index_append" -> ((s, dir) => {
       import graft.vector.ServingIndex
       val emb = Tables.embeddings(s, dir)
@@ -9588,6 +9689,31 @@ object SparkEntry {
         |  sum(cents)::BIGINT AS cents_sum, true AS pruned_to_one_file,
         |  true AS equals_full_scan_filter
         |FROM o WHERE cents >= 30000000 AND band = 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the versioned table is the events table re-committed in four ts
+    // bands; the skipping invariants are gated as constant columns
+    "q262_ts_skipping" ->
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |  sum(user_id)::BIGINT AS sum_user, true AS pruned_to_two_files,
+        |  true AS equals_full_scan_filter
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q263_null_skipping" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END AS tag
+        |  FROM orders)
+        |SELECT tag, count(*)::BIGINT AS n_rows, sum(c)::BIGINT AS sum_c,
+        |  true AS pruned_notnull, true AS pruned_isnull,
+        |  true AS isnull_result_neutral
+        |FROM o WHERE tag IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q264_sql_skipping" ->
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |  sum(user_id)::BIGINT AS sum_user, true AS sql_pruned_half
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // five unrolled integer-micro gradient iterations — see

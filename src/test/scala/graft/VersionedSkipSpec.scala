@@ -1,0 +1,201 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Versioned
+
+/** Round-14 data-skipping surface: timestamp/date zone maps (the
+  * reference's flagship 7-day-window shape prunes files on an
+  * UNPARTITIONED table), per-file null counts with IS [NOT] NULL
+  * skipping and all-null-column pruning, the per-conjunct
+  * [[Versioned.SkipReport]] diagnostics, and the V1 relation that
+  * carries all of it to the SQL surface. Every pruning assertion is
+  * paired with a result-neutrality assertion against the plain
+  * filtered scan (the q261 invariant). */
+class VersionedSkipSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_skip_$name").toString
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Five commits of ten rows each, disjoint one-day timestamp ranges
+    * (2024-03-01 .. 2024-03-05), UNPARTITIONED single-file commits —
+    * the reference's events-table shape. */
+  private def tsTable(): String = {
+    val tbl = tmp("ts") + "/tbl"
+    for (day <- 1 to 5) {
+      val rows = (0 until 10).map { i =>
+        (day * 100L + i, ts(f"2024-03-$day%02d 0$i:30:00"), s"d$day-r$i")
+      }.toDF("id", "event_ts", "note").coalesce(1)
+      if (day == 1) Versioned.overwrite(rows, tbl)
+      else Versioned.append(rows, tbl)
+    }
+    tbl
+  }
+
+  test("timestamp-range predicate prunes files on an unpartitioned table") {
+    val tbl = tsTable()
+    // the flagship shape: a trailing window over event_ts
+    val pred = col("event_ts") >= ts("2024-03-04 00:00:00")
+    val (df, kept, total) = Versioned.readAsOfWhere(spark, tbl, 5L, pred)
+    assert(total == 5, s"expected 5 single-file commits, got $total")
+    assert(kept == 2, s"ts >= Mar-4 must keep exactly days 4-5, kept $kept")
+    // result-neutral vs the plain filtered scan
+    assert(rows(df) == rows(Versioned.read(spark, tbl).filter(pred)))
+    // a bounded window keeps exactly its one day
+    val window = col("event_ts") >= ts("2024-03-02 00:00:00") &&
+      col("event_ts") < ts("2024-03-03 00:00:00")
+    val (wdf, wkept, _) = Versioned.readAsOfWhere(spark, tbl, 5L, window)
+    assert(wkept == 1, s"one-day window must keep 1 file, kept $wkept")
+    assert(wdf.count() == 10L)
+    // java.time.Instant literals normalize identically (UTC session tz)
+    val inst = java.time.Instant.parse("2024-03-04T00:00:00Z")
+    val (idf, ikept, _) =
+      Versioned.readAsOfWhere(spark, tbl, 5L, col("event_ts") >= lit(inst))
+    assert(ikept == 2 && idf.count() == 20L)
+  }
+
+  test("date and timestamp_ntz zone maps prune; mismatched types do not") {
+    val tbl = tmp("dt") + "/tbl"
+    for (m <- 1 to 4) {
+      val rows = (1 to 5).map { i =>
+        (m * 10L + i, Date.valueOf(f"2024-$m%02d-$i%02d"),
+          LocalDateTime.parse(f"2024-$m%02d-$i%02dT12:00:00"))
+      }.toDF("id", "d", "ntz").coalesce(1)
+      if (m == 1) Versioned.overwrite(rows, tbl) else Versioned.append(rows, tbl)
+    }
+    val dPred = col("d") >= Date.valueOf("2024-03-01")
+    val (ddf, dkept, dtotal) = Versioned.readAsOfWhere(spark, tbl, 4L, dPred)
+    assert(dtotal == 4 && dkept == 2, s"date range kept $dkept/$dtotal")
+    assert(rows(ddf) == rows(Versioned.read(spark, tbl).filter(dPred)))
+    // LocalDate literal form prunes the same
+    val (_, dkept2, _) = Versioned.readAsOfWhere(spark, tbl, 4L,
+      col("d") >= lit(java.time.LocalDate.parse("2024-03-01")))
+    assert(dkept2 == 2)
+    // NTZ literal against the NTZ column
+    val nPred = col("ntz") < lit(LocalDateTime.parse("2024-02-01T00:00:00"))
+    val (ndf, nkept, _) = Versioned.readAsOfWhere(spark, tbl, 4L, nPred)
+    assert(nkept == 1, s"ntz upper bound must keep only January, kept $nkept")
+    assert(rows(ndf) == rows(Versioned.read(spark, tbl).filter(nPred)))
+    // date isin: two members, two files
+    val inPred = col("d").isin(Date.valueOf("2024-01-03"), Date.valueOf("2024-04-02"))
+    val (indf, inkept, _) = Versioned.readAsOfWhere(spark, tbl, 4L, inPred)
+    assert(inkept == 2 && indf.count() == 2L)
+    // a DATE literal against the NTZ column: type families differ, so
+    // the conjunct must scan conservatively (prune nothing), never
+    // compare days against micros
+    val (mdf, mkept, mtotal) = Versioned.readAsOfWhere(spark, tbl, 4L,
+      col("ntz") >= lit(java.time.LocalDate.parse("2024-03-01")))
+    assert(mkept == mtotal, s"cross-type comparison must not prune ($mkept/$mtotal)")
+    assert(mdf.count() ==
+      Versioned.read(spark, tbl)
+        .filter(col("ntz") >= lit(java.time.LocalDate.parse("2024-03-01"))).count())
+  }
+
+  test("null-count stats: IS NULL / IS NOT NULL and all-null-column pruning") {
+    val tbl = tmp("nulls") + "/tbl"
+    // f1: no nulls; f2: mixed; f3: score entirely null
+    Versioned.overwrite(Seq[(Long, Option[Long], String)](
+        (1L, Some(10L), "a"), (2L, Some(20L), "b"))
+      .toDF("id", "score", "t").coalesce(1), tbl)
+    Versioned.append(Seq[(Long, Option[Long], String)](
+        (3L, Some(30L), "c"), (4L, None, "d"))
+      .toDF("id", "score", "t").coalesce(1), tbl)
+    Versioned.append(Seq[(Long, Option[Long], String)](
+        (5L, None, "e"), (6L, None, "f"))
+      .toDF("id", "score", "t").coalesce(1), tbl)
+    val (nn, nnKept, nnTotal) =
+      Versioned.readAsOfWhere(spark, tbl, 3L, col("score").isNotNull)
+    assert(nnTotal == 3 && nnKept == 2,
+      s"isNotNull must prune the all-null file ($nnKept/$nnTotal)")
+    assert(rowSet(nn.select(col("id"))).map(_.head) == Set(1L, 2L, 3L))
+    val (isn, isnKept, _) =
+      Versioned.readAsOfWhere(spark, tbl, 3L, col("score").isNull)
+    assert(isnKept == 2, s"isNull must prune the no-null file ($isnKept)")
+    assert(rowSet(isn.select(col("id"))).map(_.head) == Set(4L, 5L, 6L))
+    // a COMPARISON can't be satisfied on the all-null file either,
+    // even though that file archives no min/max for the column
+    val (cmp, cmpKept, _) =
+      Versioned.readAsOfWhere(spark, tbl, 3L, col("score") > 0L)
+    assert(cmpKept == 2,
+      s"score > 0 must prune the all-null file f3 only, kept $cmpKept")
+    assert(cmp.count() == 3L) // ids 1,2,3
+  }
+
+  test("skip report: per-conjunct pruned counts and ignored-shape reasons") {
+    val tbl = tsTable()
+    // ids are day*100+i: the ts conjunct excludes days 1-2, the id
+    // conjunct excludes days 4-5 — their intersection is day 3 only
+    val pred = col("event_ts") >= ts("2024-03-03 00:00:00") &&
+      length(col("note")) > lit(2) && col("id") < 390L
+    val (df, rep) = Versioned.readAsOfWhereReport(spark, tbl, 5L, pred)
+    assert(rep.filesTotal == 5)
+    assert(rep.conjuncts.size == 3, rep.conjuncts.map(_.conjunct).toString)
+    val tsC = rep.conjuncts.find(_.conjunct.startsWith("event_ts >=")).get
+    assert(tsC.skippable && tsC.prunedFiles == 2, tsC.toString)
+    val lenC = rep.conjuncts.find(c => !c.skippable).get
+    assert(lenC.prunedFiles == 0 &&
+      lenC.detail.contains("row filter"), lenC.toString)
+    val idC = rep.conjuncts.find(_.conjunct.startsWith("id <")).get
+    assert(idC.skippable && idC.prunedFiles == 2, idC.toString)
+    assert(rep.filesKept == 1 && df.count() == 10L,
+      s"only day-3 survives both skippable conjuncts " +
+        s"(kept ${rep.filesKept}, rows ${df.count()})")
+    // a skippable conjunct over a column with NO archived stats says so
+    val noStats = tmp("nostats") + "/t"
+    Versioned.overwrite(Seq((1L, 0.5d), (2L, 1.5d)).toDF("id", "w"), noStats)
+    val (_, rep2) = Versioned.readAsOfWhereReport(spark, noStats, 1L,
+      col("w") > lit(1.0d))
+    val wC = rep2.conjuncts.head
+    assert(wC.skippable && wC.prunedFiles == 0 &&
+      wC.detail.contains("no archived min/max stats"), wC.toString)
+  }
+
+  test("SQL surface: a view over the V1 relation prunes from plain WHERE") {
+    val tbl = tsTable()
+    Versioned.registerViewAsOfSkipping(spark, "skip_events", tbl, 5L)
+    val k0 = Versioned.relationFilesKept.get()
+    val t0 = Versioned.relationFilesTotal.get()
+    val got = spark.sql(
+      """SELECT id, note FROM skip_events
+        |WHERE event_ts >= TIMESTAMP'2024-03-04 00:00:00' ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(Versioned.relationFilesTotal.get() - t0 == 5L,
+      "the scan must have consulted all five active files' metadata")
+    assert(Versioned.relationFilesKept.get() - k0 == 2L,
+      "SQL WHERE must prune to the two matching files")
+    val want = Versioned.read(spark, tbl)
+      .filter(col("event_ts") >= ts("2024-03-04 00:00:00"))
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == want, "SQL view result must equal the full filtered scan")
+    // IS NOT NULL pushes too; a no-filter query scans everything
+    val k1 = Versioned.relationFilesKept.get()
+    assert(spark.sql("SELECT count(*) AS n FROM skip_events").head().getLong(0) == 50L)
+    assert(Versioned.relationFilesKept.get() - k1 == 5L,
+      "an unfiltered query keeps all files")
+  }
+
+  test("SQL surface composes with deletion vectors and time travel") {
+    val tbl = tsTable()
+    Versioned.deleteWhereMoR(spark, tbl, col("id") === 401L) // v6, dv on day-4 file
+    Versioned.registerViewAsOfSkipping(spark, "skip_ev_dv", tbl, 6L)
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM skip_ev_dv
+        |WHERE event_ts >= TIMESTAMP'2024-03-04 00:00:00'""".stripMargin)
+      .head().getLong(0)
+    assert(n == 19L, s"20 rows in days 4-5 minus one MoR-deleted, got $n")
+    // versionAsOf travels: the pre-delete view still sees the row
+    val pre = spark.read.format("graft-table").option("versionAsOf", "5")
+      .load(tbl).filter(col("id") === 401L)
+    assert(pre.count() == 1L)
+    // the registered shortName resolves through META-INF services
+    val viaShort = spark.read.format("graft-table").load(tbl)
+    assert(viaShort.count() == 49L)
+  }
+}
