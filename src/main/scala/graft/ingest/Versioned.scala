@@ -2330,6 +2330,34 @@ object Versioned {
   private[graft] val relationFilesTotal =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** Planning-state PROBE (measurement hook): resolves the full
+    * head-version state fold exactly as every planner does and returns
+    * (active file count, total stat entries, approximate retained
+    * bytes of the driver-side state). Honest-residual context
+    * (PLAN_AUDIT): planning state is O(active files) on the DRIVER —
+    * the same order as Delta's snapshot — and this probe is what the
+    * ceiling measurement (VersionedScaleSpec, PLAN_AUDIT r14) runs
+    * against; the mitigation path beyond the measured ceiling is
+    * per-file state as a DataFrame folded with joins. */
+  private[graft] def planningStateProbe(spark: SparkSession, path: String)
+      : (Int, Long, Long) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = stateAt(fs, root, listVersions(fs, root).max)
+    val statEntries = st.stats.valuesIterator.map(_.size.toLong).sum
+    // structural estimate: JVM string ≈ 48B header + 2B/char (pre-
+    // compact-strings worst case), map entry ≈ 48B, boxed-long pair
+    // tuple ≈ 72B — deliberately pessimistic
+    val approxBytes =
+      st.active.iterator.map(f => 48L + 2L * f.length).sum +
+        st.sizes.size * 88L +
+        st.stats.iterator.map { case (f, cols) =>
+          48L + 2L * f.length +
+            cols.iterator.map { case (c, _) => 120L + 2L * c.length }.sum
+        }.sum
+    (st.active.size, statEntries, approxBytes)
+  }
+
   /** Logical schema of the table as of `version` (what the SQL
     * relation exposes). */
   private[graft] def schemaAt(spark: SparkSession, path: String,

@@ -78,6 +78,179 @@ class VersionedModelSpec extends SparkTestBase {
     }
   }
 
+  test("random ops under checkpoint faults and concurrent writers stay certified") {
+    val savedI = Versioned.autoCheckpointInterval
+    val savedP = Versioned.ckptPartFiles
+    try {
+      Versioned.autoCheckpointInterval = 3
+      Versioned.ckptPartFiles = 2
+      Seq(5L, 28L).foreach(runFaultSequence)
+    } finally {
+      Versioned.autoCheckpointInterval = savedI
+      Versioned.ckptPartFiles = savedP
+    }
+  }
+
+  /** The model sequence COMPOSED with the two things the per-capability
+    * gates test only in isolation (VERDICT r13 #5): (a) torn/corrupt/
+    * missing checkpoint records and crashed-writer staging leftovers
+    * injected BETWEEN random ops — every later op must keep resolving
+    * state through the fallbacks; (b) concurrent COMMUTING writers
+    * (two appends; append racing a content-preserving OPTIMIZE)
+    * interleaved with the random ops — both claims must land (or the
+    * maintenance op abort harmlessly) with no lost update. Invariants
+    * after every step: head == model, certification, and incremental/
+    * full-replay state parity. */
+  private def runFaultSequence(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val root = tmp(s"fault$seed")
+    var nextId = 1L
+    def freshRows(n: Int): Seq[(Long, Long, String)] =
+      (1 to n).map { _ =>
+        nextId += 1
+        (nextId, rnd.nextInt(1000).toLong, "s" + rnd.nextInt(5))
+      }
+    type M = Map[Long, (Long, String)]
+    var model: M = freshRows(6).map(r => r._1 -> ((r._2, r._3))).toMap
+    Versioned.overwrite(
+      model.toSeq.map { case (i, (v, t)) => (i, v, t) }.toDF("id", "v", "t")
+        .coalesce(1), root)
+    val snaps = mutable.Map[Long, M](1L -> model)
+    def src(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("id", "v", "t").coalesce(1)
+
+    val logDir = new java.io.File(root, "_graft_log")
+    def ckpts(prefix: String): Seq[java.io.File] =
+      Option(logDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix)).sortBy(_.getName).toSeq
+    /** one injected fault; every shape must be recoverable (state comes
+      * from older checkpoints or the raw log, staging junk is invisible
+      * until a record references it) */
+    def injectFault(): String = {
+      val shape = rnd.nextInt(5)
+      val done = shape match {
+        case 0 => ckpts("ckpt-").lastOption.map { f => // torn head record
+          val keep = rnd.nextInt(math.max(1, f.length().toInt))
+          val raf = new java.io.RandomAccessFile(f, "rw")
+          try raf.setLength(keep.toLong) finally raf.close()
+          s"torn ${f.getName} at $keep bytes"
+        }
+        case 1 => ckpts("ckpt-").lastOption.map { f => // garbage record
+          java.nio.file.Files.write(f.toPath,
+            s"{not json ${rnd.nextLong()}".getBytes)
+          s"garbage ${f.getName}"
+        }
+        case 2 => ckpts("ckptp-").lastOption.map { f => // torn part shard
+          val raf = new java.io.RandomAccessFile(f, "rw")
+          try raf.setLength(f.length() / 2) finally raf.close()
+          s"torn part ${f.getName}"
+        }
+        case 3 => ckpts("ckpt-").lastOption.map { f => // vacuum-crash gap
+          assert(f.delete()); s"deleted ${f.getName}"
+        }
+        case 4 => // crashed writer's staging leftovers: junk parquet in
+          // an unreferenced d-<uuid> dir must stay invisible
+          val stray = new java.io.File(root, s"d-dead${rnd.nextInt(100)}")
+          stray.mkdirs()
+          java.nio.file.Files.write(
+            new java.io.File(stray, "part-00000-junk.parquet").toPath,
+            Array.fill(64)(rnd.nextInt(256).toByte))
+          Some(s"stray staging ${stray.getName}")
+      }
+      // a hand-tampered record can keep its nonce prefix intact (a
+      // shape no real writer produces — records are create-once), so
+      // flush the parse memo like any out-of-band mutation requires
+      Versioned.clearCheckpointCache()
+      done.getOrElse("no-op (no checkpoint yet)")
+    }
+
+    def concurrently(a: () => Any, b: () => Any): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { a(); () } })
+        val fb = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { b(); () } })
+        fa.get(300, java.util.concurrent.TimeUnit.SECONDS)
+        fb.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      } finally pool.shutdownNow()
+    }
+
+    var txnBatch = 0L
+    (1 to 18).foreach { step =>
+      val op = rnd.nextInt(11)
+      op match {
+        case 0 | 1 => // append fresh rows
+          val rows = freshRows(1 + rnd.nextInt(3))
+          Versioned.append(src(rows), root)
+          model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
+        case 2 => // overwrite with a fresh set
+          val rows = freshRows(4 + rnd.nextInt(3))
+          Versioned.overwrite(src(rows), root)
+          model = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+        case 3 => // CoW upsert mixing existing and fresh ids
+          val existing = rnd.shuffle(model.keys.toSeq).take(2)
+            .map(id => (id, rnd.nextInt(1000).toLong, "s" + rnd.nextInt(5)))
+          val rows = (existing ++ freshRows(2)).distinctBy(_._1)
+          Versioned.upsert(spark, root, src(rows), Seq("id"))
+          model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
+        case 4 => // MoR delete by predicate
+          val k = 2 + rnd.nextInt(5)
+          Versioned.deleteWhereMoR(spark, root, col("v") % k === 1)
+          model = model.filter { case (_, (v, _)) => v % k != 1 }
+        case 5 => // OPTIMIZE (content-preserving)
+          Versioned.optimize(spark, root, numFiles = 1 + rnd.nextInt(2))
+        case 6 => // small-file compaction
+          Versioned.compactSmallFiles(spark, root, maxFileBytes = 1L << 30)
+        case 7 => // RESTORE to a random prior version
+          val vs = snaps.keys.toSeq.sorted
+          val target = vs(rnd.nextInt(vs.size))
+          Versioned.restore(spark, root, target)
+          model = snaps(target)
+        case 8 => // exactly-once tagged append + no-op re-delivery
+          val rows = freshRows(2)
+          txnBatch += 1L
+          assert(Versioned.idempotentAppend(src(rows), root,
+            "faultApp", txnBatch).nonEmpty)
+          assert(Versioned.idempotentAppend(src(rows), root,
+            "faultApp", txnBatch).isEmpty)
+          model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
+        case 9 => // CONCURRENT commuting appends: no lost update
+          val (ra, rb) = (freshRows(2), freshRows(2))
+          concurrently(() => Versioned.append(src(ra), root),
+            () => Versioned.append(src(rb), root))
+          model = model ++ (ra ++ rb).map(r => r._1 -> ((r._2, r._3)))
+        case 10 => // append racing OPTIMIZE: the append must land; the
+          // maintenance op either lands or aborts content-neutrally
+          val rows = freshRows(2)
+          concurrently(() => Versioned.append(src(rows), root),
+            () => try Versioned.optimize(spark, root, numFiles = 1)
+            catch { case scala.util.control.NonFatal(_) => Nil })
+          model = model ++ rows.map(r => r._1 -> ((r._2, r._3)))
+      }
+      val injected = if (rnd.nextInt(5) < 2) injectFault() else "none"
+      val head = Versioned.latestVersion(spark, root)
+      snaps(head) = model
+      assert(tableRows(root) == model,
+        s"seed $seed step $step (op $op, fault: $injected): " +
+          s"table diverged from model at v$head")
+      assert(certified(root, head),
+        s"seed $seed step $step (op $op, fault: $injected): " +
+          s"v$head failed certification")
+      assert(Versioned.stateParity(spark, root),
+        s"seed $seed step $step (op $op, fault: $injected): " +
+          s"incremental state diverged from the full replay at v$head")
+    }
+    // full history still certified and model-exact through every fault
+    snaps.keys.toSeq.sorted.foreach { v =>
+      assert(certified(root, v), s"seed $seed: v$v certification regressed")
+      val got = Versioned.readAsOf(spark, root, v).collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getString(2)))
+      }.toMap
+      assert(got == snaps(v), s"seed $seed: v$v time travel diverged")
+    }
+  }
+
   private def runSequence(seed: Long): Unit = {
     val rnd = new scala.util.Random(seed)
     val tbl = tmp(s"seq$seed")
