@@ -1811,6 +1811,30 @@ object Versioned {
     * scan). Keyed by PHYSICAL column name like the min/max entries. */
   private[graft] val RowsStatKey = "\u0000rows"
   private[graft] def nullsStatKey(phys: String): String = "\u0000nulls:" + phys
+  private[graft] def strStatKey(phys: String): String = "\u0000str:" + phys
+
+  /** Order-preserving 8-byte UTF-8 prefix of a string, packed
+    * big-endian into a raw-bits Long - compare with
+    * `Long.compareUnsigned`. Spark compares strings by UTF8String
+    * BINARY order (byte-wise unsigned), and a fixed-length prefix of a
+    * byte sequence is monotone under that order, so
+    * `x <= y  ==>  p8(x) <=u p8(y)`: a string column's [min, max]
+    * projects to a sound p8 interval that fits the (Long, Long) stat
+    * tuple - the Delta truncated-string-stats idea with the
+    * truncation done at ENCODE time instead of a format change. `pad`
+    * fills short strings: 0x00 for lower bounds, 0xFF for the upper
+    * end of a prefix interval (every continuation of a short prefix
+    * sorts at or below the 0xFF fill). */
+  private[graft] def strPrefix8(s: String, pad: Int = 0): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else pad & 0xffL)
+      i += 1
+    }
+    v
+  }
 
   /** A collected min/max value normalized to the zone-map Long domain:
     * integrals as-is, dates as epoch DAYS, timestamps as epoch MICROS
@@ -1860,6 +1884,11 @@ object Versioned {
            DateType | TimestampType | TimestampNTZType => true
       case _ => false
     }).map(_.name).toSeq
+    // string columns archive the order-preserving 8-byte prefix of
+    // their min/max (see [[strPrefix8]]) under a separate reserved key
+    val strCols = schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
     // null counts cover EVERY column (IS NULL / IS NOT NULL skipping
     // is type-agnostic); the reserved-key encoding can't represent a
     // name containing the prefix byte, so such a (pathological) column
@@ -1883,9 +1912,12 @@ object Versioned {
       coalesce(sum(Fingerprint.rowDigest(schema.fieldNames.toSeq.map(col))),
         lit(0L)).as("__fp")) ++
       statCols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) ++
+      strCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c)).as(s"__smn$i"), max(col(c)).as(s"__smx$i")) } ++
       nullCols.zipWithIndex.map { case (c, i) => count(col(c)).as(s"__nn$i") } ++
       checkAggs
-    val nullBase = 3 + 2 * statCols.size
+    val strBase = 3 + 2 * statCols.size
+    val nullBase = strBase + 2 * strCols.size
     val root = dataDir.getParent
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = listDataFiles(fs, dataDir, dataDirName).map(_._1)
@@ -1904,11 +1936,18 @@ object Versioned {
         if (r.isNullAt(mnI)) None
         else Some(physOf(c) -> (statLongOf(r.get(mnI)), statLongOf(r.get(mxI))))
       }.toMap
+      val strStats = strCols.zipWithIndex.flatMap { case (c, i) =>
+        val (mnI, mxI) = (strBase + 2 * i, strBase + 2 * i + 1)
+        if (r.isNullAt(mnI)) None
+        else Some(strStatKey(physOf(c)) ->
+          (strPrefix8(r.getString(mnI)), strPrefix8(r.getString(mxI))))
+      }.toMap
       val nulls = nullCols.zipWithIndex.map { case (c, i) =>
         val nNull = fileRows - r.getLong(nullBase + i)
         nullsStatKey(physOf(c)) -> (nNull, nNull)
       }.toMap
-      rel -> (colStats ++ nulls + (RowsStatKey -> (fileRows, fileRows)))
+      rel -> (colStats ++ strStats ++ nulls +
+        (RowsStatKey -> (fileRows, fileRows)))
     }.toMap
     (nRows, fp, stats)
   }
@@ -1993,6 +2032,11 @@ object Versioned {
       text: String) extends SkipConjunct
   private final case class SkipNull(name: String, isNull: Boolean,
       text: String) extends SkipConjunct
+  /** `col.startsWith(p)` / SQL `LIKE 'p%'`: prunable against archived
+    * string-prefix stats — the match interval in p8 space is
+    * [p8(p, 0x00), p8(p, 0xFF)]. */
+  private final case class SkipPrefix(name: String, prefix: String,
+      text: String) extends SkipConjunct
   /** Anything log metadata can't decide — scans conservatively, the
     * re-applied row filter decides. */
   private final case class SkipOpaque(text: String) extends SkipConjunct
@@ -2071,6 +2115,13 @@ object Versioned {
           .map(nm =>
             SkipNull(nm, isNull = false, s"$nm IS NOT NULL"): SkipConjunct)
           .getOrElse(SkipOpaque("<isnotnull of a non-column>"))
+      case Some((fn, Seq(a, b))) if fn.equalsIgnoreCase("startswith") =>
+        (CS.asAttribute(a), CS.asLiteral(b)) match {
+          case (Some(name), Some((v: String, dt)))
+              if dt.forall(_ == org.apache.spark.sql.types.StringType) =>
+            SkipPrefix(name, v, s"$name LIKE '$v%'")
+          case _ => SkipOpaque("<startswith over non-(column, string)>")
+        }
       case Some((fn, _)) => SkipOpaque(s"<$fn(...)>")
       case _ => SkipOpaque("<non-function predicate node>")
     }
@@ -2101,6 +2152,8 @@ object Versioned {
           s"$a IN (${vs.mkString(", ")})")
       case IsNull(a) => SkipNull(a, isNull = true, s"$a IS NULL")
       case IsNotNull(a) => SkipNull(a, isNull = false, s"$a IS NOT NULL")
+      case StringStartsWith(a, v) if v != null =>
+        SkipPrefix(a, v, s"$a LIKE '$v%'")
       case other => SkipOpaque(s"<${other.toString}>")
     }
   }
@@ -2193,6 +2246,28 @@ object Versioned {
       case SkGt => mx > v
       case SkGe => mx >= v
     }
+    def fileStrStat(name: String): Option[(Long, Long)] =
+      stats.get(f).flatMap(_.get(strStatKey(st.physOf(name))))
+    /** provably zero non-null values of `name` in this file — no
+      * comparison or prefix match can be satisfied */
+    def allNullOf(name: String): Boolean =
+      (fileNulls(name), fileRows) match {
+        case (Some(nNull), Some(n)) => n > 0 && nNull == n
+        case _ => false
+      }
+    def strRangeOk(mn8: Long, mx8: Long, op: SkipOp, v: String): Boolean = {
+      import java.lang.Long.{compareUnsigned => cmpU}
+      val p = strPrefix8(v)
+      op match {
+        // p8 is a non-strict projection: equality prunes only when the
+        // literal's prefix falls outside [mn8, mx8]; order bounds
+        // prune only when the prefix PROVES the range empty (ties in
+        // prefix space stay conservative)
+        case SkEq => cmpU(p, mn8) >= 0 && cmpU(p, mx8) <= 0
+        case SkLt | SkLe => cmpU(mn8, p) <= 0
+        case SkGt | SkGe => cmpU(mx8, p) >= 0
+      }
+    }
     c match {
       case SkipOpaque(_) => true
       case SkipNull(name, isNull, _) =>
@@ -2200,11 +2275,26 @@ object Versioned {
           case (Some(nNull), Some(n)) => if (isNull) nNull > 0 else nNull < n
           case _ => true // no archived null counts: conservative
         }
+      case SkipPrefix(name, prefix, _) =>
+        if (st.partitionCols.contains(name))
+          partitionValuesOf(f, st.partitionCols)(name) match {
+            case None => false
+            case Some(raw) =>
+              // exact when the partition column is a string (the path
+              // renders the value verbatim); conservative otherwise
+              if (colType(name).forall(_ == StringType))
+                raw.startsWith(prefix)
+              else true
+          }
+        else if (colType(name).contains(StringType))
+          !allNullOf(name) && fileStrStat(name).forall { case (mn8, mx8) =>
+            import java.lang.Long.{compareUnsigned => cmpU}
+            cmpU(strPrefix8(prefix, 0xff), mn8) >= 0 &&
+              cmpU(strPrefix8(prefix), mx8) <= 0
+          }
+        else true // prefix over a non-string column: row filter decides
       case SkipBounds(name, alts, _) =>
-        val allNull = (fileNulls(name), fileRows) match {
-          case (Some(nNull), Some(n)) => n > 0 && nNull == n
-          case _ => false
-        }
+        val allNull = allNullOf(name)
         def boundOk(op: SkipOp, value: Any,
                     declared: Option[DataType]): Boolean =
           if (st.partitionCols.contains(name)) {
@@ -2225,10 +2315,16 @@ object Versioned {
                   case _ => true
                 }
             }
-          } else skipLitLong(colType(name), value, declared) match {
-            case Some(v) => fileStat(name)
-              .forall { case (mn, mx) => rangeOk(mn, mx, op, v) }
-            case None => true // unnormalizable literal: row filter decides
+          } else colType(name) match {
+            case Some(StringType) if value.isInstanceOf[String] &&
+                declared.forall(_ == StringType) =>
+              fileStrStat(name).forall { case (mn8, mx8) =>
+                strRangeOk(mn8, mx8, op, value.toString) }
+            case ct => skipLitLong(ct, value, declared) match {
+              case Some(v) => fileStat(name)
+                .forall { case (mn, mx) => rangeOk(mn, mx, op, v) }
+              case None => true // unnormalizable literal: row filter decides
+            }
           }
         !allNull && alts.exists { case (op, value, declared) =>
           boundOk(op, value, declared)
@@ -2249,17 +2345,26 @@ object Versioned {
         case SkipOpaque(_) => 0
         case _ => st.active.count(f => !skipFileOk(st, stats, f, c))
       }
+      def noStats(name: String): Boolean = {
+        val k = st.physOf(name)
+        !st.active.exists(f => stats.get(f).exists(m =>
+          m.contains(k) || m.contains(strStatKey(k))))
+      }
       val (skippable, detail) = c match {
         case SkipOpaque(_) =>
           (false, "unsupported shape - decided by the row filter only")
         case SkipBounds(name, _, _) if pruned == 0 &&
-            !st.partitionCols.contains(name) &&
-            !st.active.exists(f =>
-              stats.get(f).exists(_.contains(st.physOf(name)))) =>
+            !st.partitionCols.contains(name) && noStats(name) =>
           (true, s"no archived min/max stats for `$name` on any active " +
             "file (legacy commits or a non-stat type) - pruned nothing")
         case _: SkipBounds =>
           (true, s"zone-map/partition bounds pruned $pruned/$total files")
+        case SkipPrefix(name, _, _) if pruned == 0 &&
+            !st.partitionCols.contains(name) && noStats(name) =>
+          (true, s"no archived string-prefix stats for `$name` on any " +
+            "active file (legacy commits) - pruned nothing")
+        case _: SkipPrefix =>
+          (true, s"string-prefix bounds pruned $pruned/$total files")
         case SkipNull(name, _, _) if pruned == 0 &&
             !st.active.exists(f => stats.get(f)
               .exists(_.contains(nullsStatKey(st.physOf(name))))) =>
@@ -2283,9 +2388,11 @@ object Versioned {
     * the FULL predicate is still applied to the surviving rows, so
     * pruning is purely an optimization and can never change the
     * result. Skippable shapes: `col <op> literal` (or mirrored)
-    * conjuncts under AND, op ∈ {=, <, <=, >, >=}, `isin`, and
-    * `isNull`/`isNotNull`; literals must match the column's type
-    * family (integral, date, timestamp with matching zone). Anything
+    * conjuncts under AND, op ∈ {=, <, <=, >, >=}, `isin`,
+    * `isNull`/`isNotNull`, and `startsWith` (string prefix); literals
+    * must match the column's type family (integral, date, timestamp
+    * with matching zone, string — strings prune via order-preserving
+    * 8-byte UTF-8 prefixes of the archived min/max). Anything
     * else (ORs, functions, non-literal sides, uncovered columns) scans
     * conservatively and is decided by the row filter. Column names
     * translate through the version's column mapping (zone maps are
@@ -2435,19 +2542,32 @@ object Versioned {
     }
   }
 
-  /** Register `name` as a temp view over the V1 SKIPPING relation —
-    * the SQL persona's route to data skipping: any `WHERE` on the view
-    * pushes its conjuncts into [[buildPrunedScan]], so a dashboard
-    * query over a versioned table prunes files from log metadata
-    * exactly like the Scala [[readAsOfWhere]] API, with zero change to
-    * the SQL text. ([[registerViewAsOf]] remains the plain
-    * full-scan registration.) */
-  def registerViewAsOfSkipping(spark: SparkSession, name: String,
-                               path: String, version: Long): Unit =
+  /** Register `viewName` as a temp view over the V1 SKIPPING relation
+    * — the SQL persona's route to data skipping: any `WHERE` on the
+    * view pushes its conjuncts into [[buildPrunedScan]], so a
+    * dashboard query over a versioned table prunes files from log
+    * metadata exactly like the Scala [[readAsOfWhere]] API, with zero
+    * change to the SQL text. ([[registerViewAsOf]] remains the plain
+    * full-scan registration.) Negative versions count back from the
+    * head like [[registerViewAsOf]]; returns the resolved version. */
+  def registerViewAsOfSkipping(spark: SparkSession, path: String,
+                               version: Long, viewName: String): Long = {
+    val head = latestVersion(spark, path)
+    val v = if (version < 0) head + version else version
     spark.read.format("graft.sources.VersionedTable")
-      .option("versionAsOf", version.toString)
+      .option("versionAsOf", v.toString)
       .load(path)
-      .createOrReplaceTempView(name)
+      .createOrReplaceTempView(viewName)
+    v
+  }
+
+  /** [[registerViewAsOfSkipping]] addressed by commit timestamp — the
+    * SQL `TIMESTAMP AS OF` persona with data skipping. */
+  def registerViewAsOfTimestampSkipping(spark: SparkSession, path: String,
+                                        tsMillis: Long,
+                                        viewName: String): Long =
+    registerViewAsOfSkipping(spark, path,
+      versionAsOfTimestamp(spark, path, tsMillis), viewName)
 
   /** Row-level CHANGE FEED over `(fromVersion, toVersion]` — the
     * change-data-capture read that lets a downstream pipeline process

@@ -156,9 +156,47 @@ class VersionedSkipSpec extends SparkTestBase {
       wC.detail.contains("no archived min/max stats"), wC.toString)
   }
 
+  test("string zone maps: equality, ranges, isin and prefixes prune by p8 order") {
+    val tbl = tmp("str") + "/tbl"
+    Versioned.overwrite(Seq((1L, "apple"), (2L, "apricot"))
+      .toDF("id", "w").coalesce(1), tbl)
+    Versioned.append(Seq((3L, "banana"), (4L, "blueberry"))
+      .toDF("id", "w").coalesce(1), tbl)
+    Versioned.append(Seq((5L, "cherry"), (6L, "date"))
+      .toDF("id", "w").coalesce(1), tbl)
+    def probe(pred: org.apache.spark.sql.Column): (Long, Int, Long) = {
+      val (df, kept, total) = Versioned.readAsOfWhere(spark, tbl, 3L, pred)
+      assert(total == 3)
+      val full = Versioned.read(spark, tbl).filter(pred).count()
+      assert(df.count() == full, s"result-neutrality broke for $pred")
+      (df.count(), kept, full)
+    }
+    assert(probe(col("w") === "banana")._2 == 1)
+    assert(probe(col("w") < "b")._2 == 1) // only the apple/apricot file
+    assert(probe(col("w") >= "ch")._2 == 1) // only cherry/date
+    assert(probe(col("w").isin("apricot", "date"))._2 == 2)
+    assert(probe(col("w").startsWith("bl"))._2 == 1) // blueberry's file
+    assert(probe(col("w").startsWith("z"))._2 == 0) // nothing above "view"
+    // report says what the prefix conjunct did
+    val (_, rep) = Versioned.readAsOfWhereReport(spark, tbl, 3L,
+      col("w").startsWith("bl"))
+    assert(rep.conjuncts.head.conjunct == "w LIKE 'bl%'" &&
+      rep.conjuncts.head.prunedFiles == 2, rep.conjuncts.head.toString)
+    // strings sharing the 8-byte prefix cannot be distinguished: the
+    // projection is non-strict, so equality stays conservative
+    val tie = tmp("strtie") + "/tbl"
+    Versioned.overwrite(Seq((1L, "prefix12aaa")).toDF("id", "w").coalesce(1), tie)
+    Versioned.append(Seq((2L, "prefix12bbb")).toDF("id", "w").coalesce(1), tie)
+    val (tdf, tKept, tTotal) =
+      Versioned.readAsOfWhere(spark, tie, 2L, col("w") === "prefix12zzz")
+    assert(tTotal == 2 && tKept == 2,
+      s"p8 ties must keep both files ($tKept/$tTotal)")
+    assert(tdf.count() == 0L) // the re-applied filter decides
+  }
+
   test("SQL surface: a view over the V1 relation prunes from plain WHERE") {
     val tbl = tsTable()
-    Versioned.registerViewAsOfSkipping(spark, "skip_events", tbl, 5L)
+    Versioned.registerViewAsOfSkipping(spark, tbl, 5L, "skip_events")
     val k0 = Versioned.relationFilesKept.get()
     val t0 = Versioned.relationFilesTotal.get()
     val got = spark.sql(
@@ -184,7 +222,7 @@ class VersionedSkipSpec extends SparkTestBase {
   test("SQL surface composes with deletion vectors and time travel") {
     val tbl = tsTable()
     Versioned.deleteWhereMoR(spark, tbl, col("id") === 401L) // v6, dv on day-4 file
-    Versioned.registerViewAsOfSkipping(spark, "skip_ev_dv", tbl, 6L)
+    Versioned.registerViewAsOfSkipping(spark, tbl, 6L, "skip_ev_dv")
     val n = spark.sql(
       """SELECT count(*) AS n FROM skip_ev_dv
         |WHERE event_ts >= TIMESTAMP'2024-03-04 00:00:00'""".stripMargin)
