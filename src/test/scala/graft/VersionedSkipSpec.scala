@@ -194,6 +194,74 @@ class VersionedSkipSpec extends SparkTestBase {
     assert(tdf.count() == 0L) // the re-applied filter decides
   }
 
+  test("FUZZ: random predicates over random tables are always result-neutral") {
+    // the adversarial form of the q261 invariant: for ANY predicate —
+    // matched or MISmatched literal types, nulls, opaque shapes —
+    // pruning must never change the result. A single wrongly-pruned
+    // file shows up as a row-set diff at the failing seed.
+    val rnd = new scala.util.Random(421L)
+    def randTable(): (String, Long) = {
+      val tbl = tmp("fuzz") + "/t"
+      val commits = 2 + rnd.nextInt(3)
+      (1 to commits).foreach { c =>
+        val base = rnd.nextInt(50)
+        val rows = (1 to 4 + rnd.nextInt(5)).map { i =>
+          val n: java.lang.Long =
+            if (rnd.nextInt(4) == 0) null
+            else java.lang.Long.valueOf((base + rnd.nextInt(30)).toLong)
+          (c * 100L + i, n,
+            Seq("alpha", "beta", "gamma", "delta", "prefix12aa",
+              "prefix12bb")(rnd.nextInt(6)),
+            Date.valueOf(f"2024-${1 + rnd.nextInt(6)}%02d-${1 + rnd.nextInt(28)}%02d"),
+            ts(f"2024-${1 + rnd.nextInt(6)}%02d-${1 + rnd.nextInt(28)}%02d " +
+              f"${rnd.nextInt(24)}%02d:00:00"))
+        }.toDF("id", "n", "s", "d", "t").coalesce(1)
+        if (c == 1) Versioned.overwrite(rows, tbl)
+        else Versioned.append(rows, tbl)
+      }
+      (tbl, commits.toLong)
+    }
+    def randConjunct(): org.apache.spark.sql.Column = {
+      val name = Seq("id", "n", "s", "d", "t")(rnd.nextInt(5))
+      val c = col(name)
+      // literals stay in a Spark-comparable family for the column; the
+      // date<->timestamp cross is legal in Spark but refuses to prune
+      // here (unit mismatch), exercising the conservative path
+      def v0(): Any = name match {
+        case "id" | "n" => (rnd.nextInt(80)).toLong
+        case "s" => Seq("alpha", "beta", "gamma", "prefix12zz")(rnd.nextInt(4))
+        case "d" if rnd.nextInt(4) == 0 =>
+          ts(f"2024-${1 + rnd.nextInt(6)}%02d-15 12:00:00")
+        case "d" => Date.valueOf(f"2024-${1 + rnd.nextInt(6)}%02d-15")
+        case _ if rnd.nextInt(4) == 0 =>
+          Date.valueOf(f"2024-${1 + rnd.nextInt(6)}%02d-15")
+        case _ => ts(f"2024-${1 + rnd.nextInt(6)}%02d-15 12:00:00")
+      }
+      rnd.nextInt(8) match {
+        case 0 => c === lit(v0())
+        case 1 => c < lit(v0())
+        case 2 => c >= lit(v0())
+        case 3 => lit(v0()) > c // mirrored
+        case 4 => c.isNull
+        case 5 => c.isNotNull
+        case 6 => c.isin(v0(), v0())
+        case _ if name == "s" => c.startsWith("pre")
+        case _ => length(c.cast("string")) > lit(3) // opaque shape
+      }
+    }
+    (1 to 25).foreach { trial =>
+      val (tbl, head) = randTable()
+      val pred = (1 to 1 + rnd.nextInt(3)).map(_ => randConjunct())
+        .reduce(_ && _)
+      val (df, kept, total) = Versioned.readAsOfWhere(spark, tbl, head, pred)
+      assert(kept <= total)
+      val want = Versioned.read(spark, tbl).filter(pred)
+      assert(rows(df) == rows(want),
+        s"trial $trial: pruning changed the result for $pred " +
+          s"(kept $kept/$total)")
+    }
+  }
+
   test("SQL surface: a view over the V1 relation prunes from plain WHERE") {
     val tbl = tsTable()
     Versioned.registerViewAsOfSkipping(spark, tbl, 5L, "skip_events")
