@@ -2041,8 +2041,17 @@ object Versioned {
     * re-applied row filter decides. */
   private final case class SkipOpaque(text: String) extends SkipConjunct
 
+  /** A DISJUNCTION of conjunction branches (the predicate's OR,
+    * flattened two levels deep): a file survives iff SOME branch's
+    * conjuncts all allow it. A branch containing an opaque shape
+    * keeps every file through that branch — conservative, since the
+    * full predicate is re-applied. */
+  private final case class SkipOr(branches: Seq[Seq[SkipConjunct]],
+      text: String) extends SkipConjunct
+
   private sealed trait SkipOp
   private case object SkEq extends SkipOp
+  private case object SkNe extends SkipOp
   private case object SkLt extends SkipOp
   private case object SkLe extends SkipOp
   private case object SkGt extends SkipOp
@@ -2064,6 +2073,31 @@ object Versioned {
     def filesPruned: Int = filesTotal - filesKept
   }
 
+  /** NOT of an analyzed conjunct, where a sound negation exists:
+    * comparisons flip (`!(a < b)` = `a >= b` — null-safe here because
+    * a null comparison fails BOTH forms, so either way the row is
+    * gone and pruning on the flipped op stays conservative-correct),
+    * null checks flip, and `NOT IN` becomes an AND of `!=` (rendered
+    * as a single-branch [[SkipOr]]). Everything else — negated
+    * prefixes, nested disjunctions — stays opaque for the row
+    * filter. */
+  private def negateConjunct(c: SkipConjunct): SkipConjunct = {
+    val negOp = Map[SkipOp, SkipOp](SkEq -> SkNe, SkNe -> SkEq,
+      SkLt -> SkGe, SkLe -> SkGt, SkGt -> SkLe, SkGe -> SkLt)
+    c match {
+      case SkipBounds(name, Seq((op, v, d)), text) =>
+        SkipBounds(name, Seq((negOp(op), v, d)), s"NOT ($text)")
+      case SkipBounds(name, alts, text) if alts.forall(_._1 == SkEq) =>
+        SkipOr(Seq(alts.map { case (_, v, d) =>
+          SkipBounds(name, Seq((SkNe, v, d)), s"$name != $v") }),
+          s"NOT ($text)")
+      case SkipNull(name, isNull, _) =>
+        SkipNull(name, !isNull,
+          if (isNull) s"$name IS NOT NULL" else s"$name IS NULL")
+      case other => SkipOpaque(s"<NOT (${other.text})>")
+    }
+  }
+
   /** Structural conjunct parse of a PUBLIC Column tree — the
     * comparisons the Column API builds are function-call nodes
     * ("and", ">=", "isnotnull", …), walked through the graftshim
@@ -2075,12 +2109,13 @@ object Versioned {
       case _ => Seq(n)
     }
     // mirrored comparisons (literal on the left) normalize by flipping
-    val mirror = Map[SkipOp, SkipOp](SkEq -> SkEq, SkLt -> SkGt,
-      SkLe -> SkGe, SkGt -> SkLt, SkGe -> SkLe)
+    val mirror = Map[SkipOp, SkipOp](SkEq -> SkEq, SkNe -> SkNe,
+      SkLt -> SkGt, SkLe -> SkGe, SkGt -> SkLt, SkGe -> SkLe)
     val opNames = Map[String, SkipOp]("=" -> SkEq, "==" -> SkEq,
+      "!=" -> SkNe, "<>" -> SkNe,
       "<" -> SkLt, "<=" -> SkLe, ">" -> SkGt, ">=" -> SkGe)
-    val opSym = Map[SkipOp, String](SkEq -> "=", SkLt -> "<",
-      SkLe -> "<=", SkGt -> ">", SkGe -> ">=")
+    val opSym = Map[SkipOp, String](SkEq -> "=", SkNe -> "!=",
+      SkLt -> "<", SkLe -> "<=", SkGt -> ">", SkGe -> ">=")
     def one(n: AnyRef): SkipConjunct = CS.asFunction(n) match {
       case Some((fn, Seq(a, b))) if opNames.contains(fn) =>
         val op = opNames(fn)
@@ -2122,6 +2157,19 @@ object Versioned {
             SkipPrefix(name, v, s"$name LIKE '$v%'")
           case _ => SkipOpaque("<startswith over non-(column, string)>")
         }
+      case Some(("!", Seq(inner))) => negateConjunct(one(inner))
+      case Some(("not", Seq(inner))) => negateConjunct(one(inner))
+      case Some(("or", args)) =>
+        // OR of conjunction branches: each branch parses recursively
+        // (its own ANDed conjuncts); a file failing EVERY branch is
+        // provably excluded by the whole disjunction
+        def orBranches(x: AnyRef): Seq[AnyRef] = CS.asFunction(x) match {
+          case Some(("or", bs)) => bs.flatMap(orBranches)
+          case _ => Seq(x)
+        }
+        val branches = args.flatMap(orBranches).map(b => flat(b).map(one))
+        SkipOr(branches,
+          branches.map(_.map(_.text).mkString(" AND ")).mkString("(", ") OR (", ")"))
       case Some((fn, _)) => SkipOpaque(s"<$fn(...)>")
       case _ => SkipOpaque("<non-function predicate node>")
     }
@@ -2154,6 +2202,21 @@ object Versioned {
       case IsNotNull(a) => SkipNull(a, isNull = false, s"$a IS NOT NULL")
       case StringStartsWith(a, v) if v != null =>
         SkipPrefix(a, v, s"$a LIKE '$v%'")
+      case Not(child) => negateConjunct(skipConjunctOfFilter(child))
+      case Or(l, r) =>
+        def orFlat(x: Filter): Seq[Filter] = x match {
+          case Or(a2, b2) => orFlat(a2) ++ orFlat(b2)
+          case other => Seq(other)
+        }
+        def andFlat(x: Filter): Seq[Filter] = x match {
+          case And(a2, b2) => andFlat(a2) ++ andFlat(b2)
+          case other => Seq(other)
+        }
+        val branches = orFlat(Or(l, r))
+          .map(br => andFlat(br).map(skipConjunctOfFilter))
+        SkipOr(branches,
+          branches.map(_.map(_.text).mkString(" AND "))
+            .mkString("(", ") OR (", ")"))
       case other => SkipOpaque(s"<${other.toString}>")
     }
   }
@@ -2241,6 +2304,8 @@ object Versioned {
       stats.get(f).flatMap(_.get(RowsStatKey)).map(_._1)
     def rangeOk(mn: Long, mx: Long, op: SkipOp, v: Long): Boolean = op match {
       case SkEq => v >= mn && v <= mx
+      // != prunes only a single-point file whose sole value IS v
+      case SkNe => !(mn == mx && mn == v)
       case SkLt => mn < v
       case SkLe => mn <= v
       case SkGt => mx > v
@@ -2264,12 +2329,15 @@ object Versioned {
         // prune only when the prefix PROVES the range empty (ties in
         // prefix space stay conservative)
         case SkEq => cmpU(p, mn8) >= 0 && cmpU(p, mx8) <= 0
+        case SkNe => true // a p8 point can hide distinct full strings
         case SkLt | SkLe => cmpU(mn8, p) <= 0
         case SkGt | SkGe => cmpU(mx8, p) >= 0
       }
     }
     c match {
       case SkipOpaque(_) => true
+      case SkipOr(branches, _) =>
+        branches.exists(_.forall(skipFileOk(st, stats, f, _)))
       case SkipNull(name, isNull, _) =>
         (fileNulls(name), fileRows) match {
           case (Some(nNull), Some(n)) => if (isNull) nNull > 0 else nNull < n
@@ -2308,10 +2376,12 @@ object Versioned {
                 (skipLitLong(ct, value, declared),
                   skipPartLong(ct, raw)) match {
                   case (Some(v), Some(pv)) => rangeOk(pv, pv, op, v)
-                  case _ if op == SkEq && value.isInstanceOf[String] &&
+                  case _ if (op == SkEq || op == SkNe) &&
+                      value.isInstanceOf[String] &&
                       declared.forall(_ == StringType) &&
                       ct.forall(_ == StringType) =>
-                    raw == value.toString
+                    if (op == SkEq) raw == value.toString
+                    else raw != value.toString
                   case _ => true
                 }
             }
@@ -2365,6 +2435,12 @@ object Versioned {
             "active file (legacy commits) - pruned nothing")
         case _: SkipPrefix =>
           (true, s"string-prefix bounds pruned $pruned/$total files")
+        case SkipOr(branches, _)
+            if branches.forall(_.forall(_.isInstanceOf[SkipOpaque])) =>
+          (false, "no branch has a skippable shape - row filter only")
+        case _: SkipOr =>
+          (true, s"disjunction (all branches refuted) pruned " +
+            s"$pruned/$total files")
         case SkipNull(name, _, _) if pruned == 0 &&
             !st.active.exists(f => stats.get(f)
               .exists(_.contains(nullsStatKey(st.physOf(name))))) =>

@@ -194,6 +194,55 @@ class VersionedSkipSpec extends SparkTestBase {
     assert(tdf.count() == 0L) // the re-applied filter decides
   }
 
+  test("OR disjunctions, !=, and NOT prune when every branch is refuted") {
+    val tbl = tsTable() // 5 single-day files, ids day*100+i
+    // a file failing EVERY branch is excluded; day-5 (ts) and day-1
+    // (id) each satisfy one branch
+    val orPred = col("event_ts") >= ts("2024-03-05 00:00:00") ||
+      col("id") < 150L
+    val (odf, oKept, oTotal) = Versioned.readAsOfWhere(spark, tbl, 5L, orPred)
+    assert(oTotal == 5 && oKept == 2, s"OR must keep days 1 and 5 ($oKept)")
+    assert(rows(odf) == rows(Versioned.read(spark, tbl).filter(orPred)))
+    // an opaque branch makes the whole disjunction conservative
+    val (_, cKept, _) = Versioned.readAsOfWhere(spark, tbl, 5L,
+      length(col("note")) > lit(50) || col("id") < 150L)
+    assert(cKept == 5, "an opaque branch must keep every file")
+    // AND inside an OR branch
+    val mixed = (col("id") >= 200L && col("id") < 300L) ||
+      col("event_ts") >= ts("2024-03-05 00:00:00")
+    val (mdf, mKept, _) = Versioned.readAsOfWhere(spark, tbl, 5L, mixed)
+    assert(mKept == 2 && mdf.count() == 20L)
+    // !=: prunes only a single-point file
+    val ne = tmp("ne") + "/tbl"
+    Versioned.overwrite(Seq((7L, "x"), (7L, "y")).toDF("k", "t")
+      .coalesce(1), ne)
+    Versioned.append(Seq((1L, "a"), (5L, "b")).toDF("k", "t")
+      .coalesce(1), ne)
+    val (ndf, nKept, nTotal) =
+      Versioned.readAsOfWhere(spark, ne, 2L, col("k") =!= 7L)
+    assert(nTotal == 2 && nKept == 1,
+      s"!= must prune the all-sevens file ($nKept/$nTotal)")
+    assert(ndf.count() == 2L)
+    // NOT of a range flips it; NOT IN becomes an AND of !=
+    val (nrdf, nrKept, _) =
+      Versioned.readAsOfWhere(spark, ne, 2L, !(col("k") < 6L))
+    assert(nrKept == 1 && nrdf.count() == 2L, s"NOT(<6) keeps sevens only")
+    val (nidf, niKept, _) = Versioned.readAsOfWhere(spark, ne, 2L,
+      !col("k").isin(7L))
+    assert(niKept == 1 && nidf.count() == 2L,
+      s"NOT IN (7) prunes the all-sevens file ($niKept)")
+    // SQL surface: OR pushes as sources.Or through the relation
+    Versioned.registerViewAsOfSkipping(spark, tbl, 5L, "skip_or_view")
+    val k0 = Versioned.relationFilesKept.get()
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM skip_or_view
+        |WHERE event_ts >= TIMESTAMP'2024-03-05 00:00:00' OR id < 150
+        |""".stripMargin).head().getLong(0)
+    assert(n == 20L)
+    assert(Versioned.relationFilesKept.get() - k0 == 2L,
+      "SQL OR must prune to two files via the pushed sources.Or")
+  }
+
   test("FUZZ: random predicates over random tables are always result-neutral") {
     // the adversarial form of the q261 invariant: for ANY predicate —
     // matched or MISmatched literal types, nulls, opaque shapes —
@@ -251,8 +300,14 @@ class VersionedSkipSpec extends SparkTestBase {
     }
     (1 to 25).foreach { trial =>
       val (tbl, head) = randTable()
-      val pred = (1 to 1 + rnd.nextInt(3)).map(_ => randConjunct())
-        .reduce(_ && _)
+      val pred = (1 to 1 + rnd.nextInt(3)).map { _ =>
+        val base = randConjunct()
+        rnd.nextInt(5) match {
+          case 0 => !base // negation path
+          case 1 => base || randConjunct() // disjunction path
+          case _ => base
+        }
+      }.reduce(_ && _)
       val (df, kept, total) = Versioned.readAsOfWhere(spark, tbl, head, pred)
       assert(kept <= total)
       val want = Versioned.read(spark, tbl).filter(pred)
