@@ -4964,6 +4964,56 @@ object SparkEntry {
         .orderBy(col("tag"))
     }),
 
+    // STREAMING data skipping: the versioned stream source's `where`
+    // option prunes each micro-batch's files from the stats the commit
+    // records archive (zero extra log reads per trigger) and applies
+    // the full predicate to the surviving rows — "tail only the events
+    // I care about" without scanning the rest. Gated: the one-window
+    // AvailableNow run must keep exactly the two matching band files,
+    // and the sink content must equal the batch filtered scan.
+    "q266_stream_skipping" -> ((s, dir) => {
+      import graft.ingest.Versioned
+      val base = scratch("q266")
+      val tbl = s"$base/tbl"
+      val ev = T(s, dir, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"))
+      def I(x: String) = java.time.Instant.parse(x)
+      val cuts = Seq(I("2024-01-09T00:00:00Z"), I("2024-01-17T00:00:00Z"),
+        I("2024-01-25T00:00:00Z"))
+      // all four band commits are APPENDS (v1 appends onto the empty
+      // table) — the append-only stream refuses overwrite actions
+      Versioned.append(ev.filter(col("ts") < lit(cuts(0))).coalesce(1), tbl)
+      Versioned.append(ev.filter(col("ts") >= lit(cuts(0)) &&
+        col("ts") < lit(cuts(1))).coalesce(1), tbl)
+      Versioned.append(ev.filter(col("ts") >= lit(cuts(1)) &&
+        col("ts") < lit(cuts(2))).coalesce(1), tbl)
+      Versioned.append(ev.filter(col("ts") >= lit(cuts(2))).coalesce(1), tbl)
+      val k0 = Versioned.streamFilesKept.get()
+      val t0 = Versioned.streamFilesTotal.get()
+      val q = s.readStream.format("graft.sources.VersionedSource")
+        .option("where", "ts >= TIMESTAMP '2024-01-24 00:00:00'")
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val kept = Versioned.streamFilesKept.get() - k0
+      val total = Versioned.streamFilesTotal.get() - t0
+      val out = s.read.parquet(s"$base/out")
+      import s.implicits._
+      val pred = col("ts") >= lit(I("2024-01-24T00:00:00Z"))
+      val inv = broadcast(Seq((total > 0 && kept * 2 == total,
+          out.count() == Versioned.read(s, tbl).filter(pred).count()))
+        .toDF("stream_pruned_half", "equals_batch_filter"))
+      out.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .crossJoin(inv)
+        .orderBy(col("event_type"))
+    }),
+
     // String zone maps: every commit archives order-preserving 8-byte
     // UTF-8 prefixes of each string column's min/max, so equality and
     // prefix predicates — the dashboard's `event_type = 'purchase'`
@@ -9755,6 +9805,13 @@ object SparkEntry {
     "q264_sql_skipping" ->
       """SELECT event_type, count(*)::BIGINT AS n_rows,
         |  sum(user_id)::BIGINT AS sum_user, true AS sql_pruned_half
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q266_stream_skipping" ->
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |  min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id,
+        |  true AS stream_pruned_half, true AS equals_batch_filter
         |FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

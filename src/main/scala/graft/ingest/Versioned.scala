@@ -2098,6 +2098,103 @@ object Versioned {
     }
   }
 
+  /** The conjunct parser for CATALYST expression trees — the path for
+    * predicates written as SQL TEXT (`functions.expr`, the stream
+    * source's `where` option): the text parses with the catalyst SQL
+    * parser and the unanalyzed tree walks here. Parser literals carry
+    * INTERNAL values (UTF8String, epoch days/micros), converted to
+    * their external forms so the same [[skipLitLong]] type gates
+    * apply. `LIKE 'p%'` (one trailing %, no other wildcards, no
+    * escapes) lowers to the prefix conjunct. */
+  private def skipConjunctsOfCatalyst(e0: AnyRef): Seq[SkipConjunct] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => UAttr}
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType,
+      LongType, ShortType, StringType, TimestampNTZType, TimestampType}
+    def flat(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case _ => Seq(e)
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: UAttr => Some(a.nameParts.mkString("."))
+      case _ => None
+    }
+    def ext(e: Expression): Option[(Any, Option[DataType])] = e match {
+      case Literal(null, _) => None
+      case Literal(v, dt) =>
+        val x: Any = dt match {
+          case StringType => v.toString
+          case DateType => java.time.LocalDate.ofEpochDay(
+            v.asInstanceOf[Number].longValue)
+          case TimestampType =>
+            val us = v.asInstanceOf[Number].longValue
+            java.time.Instant.ofEpochSecond(
+              Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+          case TimestampNTZType =>
+            val us = v.asInstanceOf[Number].longValue
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(us, 1000000L),
+              (Math.floorMod(us, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
+          case ByteType | ShortType | IntegerType | LongType => v
+          case _ => return None
+        }
+        Some((x, Some(dt)))
+      case _ => None
+    }
+    val cmp: Map[String, (SkipOp, SkipOp)] = Map( // (op, mirrored)
+      "=" -> (SkEq, SkEq), "<" -> (SkLt, SkGt), "<=" -> (SkLe, SkGe),
+      ">" -> (SkGt, SkLt), ">=" -> (SkGe, SkLe))
+    def one(e: Expression): SkipConjunct = e match {
+      case b: BinaryComparison if cmp.contains(b.symbol) =>
+        val (op, mir) = cmp(b.symbol)
+        (attr(b.left), ext(b.right), ext(b.left), attr(b.right)) match {
+          case (Some(n), Some(l), _, _) =>
+            SkipBounds(n, Seq((op, l._1, l._2)), s"$n ${b.symbol} ${l._1}")
+          case (_, _, Some(l), Some(n)) =>
+            SkipBounds(n, Seq((mir, l._1, l._2)), s"${l._1} ${b.symbol} $n")
+          case _ => SkipOpaque(s"<${b.symbol} over non-(column, literal)>")
+        }
+      case In(a, lits) if lits.nonEmpty =>
+        (attr(a), lits.map(ext)) match {
+          case (Some(n), es) if es.forall(_.isDefined) =>
+            SkipBounds(n, es.map(l => (SkEq: SkipOp, l.get._1, l.get._2)),
+              s"$n IN (${es.map(_.get._1).mkString(", ")})")
+          case _ => SkipOpaque("<IN over non-(column, literals)>")
+        }
+      case IsNull(a) => attr(a)
+        .map(n => SkipNull(n, isNull = true, s"$n IS NULL"): SkipConjunct)
+        .getOrElse(SkipOpaque("<isnull of a non-column>"))
+      case IsNotNull(a) => attr(a)
+        .map(n => SkipNull(n, isNull = false, s"$n IS NOT NULL"): SkipConjunct)
+        .getOrElse(SkipOpaque("<isnotnull of a non-column>"))
+      case StartsWith(a, Literal(v, StringType)) if v != null =>
+        attr(a).map(n =>
+            SkipPrefix(n, v.toString, s"$n LIKE '$v%'"): SkipConjunct)
+          .getOrElse(SkipOpaque("<startswith of a non-column>"))
+      case l @ Like(a, Literal(pat, StringType), esc) if pat != null =>
+        val s = pat.toString
+        val body = s.dropRight(1)
+        if (s.endsWith("%") && !body.exists(c =>
+              c == '%' || c == '_' || c == esc))
+          attr(a).map(n =>
+              SkipPrefix(n, body, s"$n LIKE '$s'"): SkipConjunct)
+            .getOrElse(SkipOpaque("<LIKE of a non-column>"))
+        else SkipOpaque(s"<${l.sql}>")
+      case Not(child) => negateConjunct(one(child))
+      case Or(l, r) =>
+        def orFlat(x: Expression): Seq[Expression] = x match {
+          case Or(a2, b2) => orFlat(a2) ++ orFlat(b2)
+          case other => Seq(other)
+        }
+        val branches = orFlat(e).map(br => flat(br).map(one))
+        SkipOr(branches, branches.map(_.map(_.text).mkString(" AND "))
+          .mkString("(", ") OR (", ")"))
+      case other => SkipOpaque(s"<${other.sql}>")
+    }
+    flat(e0.asInstanceOf[Expression]).map(one)
+  }
+
   /** Structural conjunct parse of a PUBLIC Column tree — the
     * comparisons the Column API builds are function-call nodes
     * ("and", ">=", "isnotnull", …), walked through the graftshim
@@ -2171,7 +2268,23 @@ object Versioned {
         SkipOr(branches,
           branches.map(_.map(_.text).mkString(" AND ")).mkString("(", ") OR (", ")"))
       case Some((fn, _)) => SkipOpaque(s"<$fn(...)>")
-      case _ => SkipOpaque("<non-function predicate node>")
+      case _ => CS.asSqlText(n) match {
+        case Some(sql) =>
+          // parser-deferred text (functions.expr): parse and walk the
+          // catalyst tree; a text that fails to parse here would fail
+          // the query too, but stays conservative regardless
+          try {
+            val parsed = org.apache.spark.sql.catalyst.parser
+              .CatalystSqlParser.parseExpression(sql)
+            skipConjunctsOfCatalyst(parsed) match {
+              case Seq(single) => single
+              case many => SkipOr(Seq(many), sql) // one AND branch
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => SkipOpaque(s"<$sql>")
+          }
+        case None => SkipOpaque("<non-function predicate node>")
+      }
     }
     flat(CS.nodeOf(predicate)).map(one)
   }
@@ -2823,6 +2936,35 @@ object Versioned {
     readFilesDF(spark, root, c.add, schema, c.partitionCols,
       colMap = c.colMap)
   }
+
+  /** STREAMING-SIDE DATA SKIPPING: the added files of ONE commit that
+    * could hold rows matching `predicate`, decided from the stats the
+    * commit record ITSELF archives — zero extra log reads per
+    * micro-batch, the same conjunct rules as [[readAsOfWhere]]
+    * (conservative on absent stats), with the full predicate
+    * re-applied to the surviving rows so the batch is result-neutral
+    * vs readCommitAdds().filter(predicate). Returns (frame, files
+    * kept, files total); the stream-source hook behind the `where`
+    * option of [[graft.sources.VersionedSource]]. */
+  def readCommitAddsWhere(spark: SparkSession, path: String, c: Commit,
+                          predicate: Column): (DataFrame, Int, Int) = {
+    val root = new Path(path)
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    val st = TableState(c.add, schema, c.partitionCols, c.dv, c.colMap)
+    val conjs = skipConjunctsOf(predicate)
+    val kept = c.add.filter(f => conjs.forall(skipFileOk(st, c.stats, f, _)))
+    streamFilesKept.addAndGet(kept.size.toLong)
+    streamFilesTotal.addAndGet(c.add.size.toLong)
+    (readFilesDF(spark, root, kept, schema, c.partitionCols,
+      colMap = c.colMap).filter(predicate), kept.size, c.add.size)
+  }
+
+  /** Files kept/total across streaming-batch pruning passes (test
+    * hooks, same contract as [[relationFilesKept]]). */
+  private[graft] val streamFilesKept =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val streamFilesTotal =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** SQL TIME-TRAVEL surface: register a temp view over the table AS
     * OF `version` (negative = relative to head: -1 is the previous

@@ -155,7 +155,8 @@ class VersionedSource extends StreamSourceProvider with DataSourceRegister {
         .map(_.toLong),
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt),
       maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong),
-      maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong))
+      maxRowsPerTrigger = parameters.get("maxRowsPerTrigger").map(_.toLong),
+      whereClause = parameters.get("where"))
   }
 }
 
@@ -166,11 +167,23 @@ private[sources] class VersionedStreamSource(
     maxVersionsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    whereClause: Option[String] = None)
   extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
+
+  /** `where` option: a SQL predicate applied to every batch — and, in
+    * append-only mode, used for PER-COMMIT FILE SKIPPING off the stats
+    * each commit record already archives (zero extra log reads per
+    * trigger; the full predicate is still applied to the surviving
+    * rows, so the stream is row-identical to an unpruned stream with a
+    * downstream .filter — it just opens fewer files). At 100 TB this
+    * is "tail only the events I care about" without paying the scan
+    * of everything else. */
+  private val whereCol: Option[org.apache.spark.sql.Column] =
+    whereClause.map(org.apache.spark.sql.functions.expr)
 
   override def schema: StructType = streamSchema
 
@@ -298,7 +311,7 @@ private[sources] class VersionedStreamSource(
     val to = versionOf(end)
     val out =
       if (from >= to) emptyBatch()
-      else if (cdf) cdfBatch(from, to)
+      else if (cdf) whereCol.foldLeft(cdfBatch(from, to))(_.filter(_))
       else appendOnlyBatch(from, to)
     // V1 contract: the batch frame must resolve against this source's
     // pinned schema — a mid-stream evolution shows up here as a loud
@@ -354,8 +367,12 @@ private[sources] class VersionedStreamSource(
       }
     }
     if (parts.isEmpty) emptyBatch()
-    else parts.map(c => Versioned.readCommitAdds(spark, path, c))
-      .reduce(_.unionByName(_))
+    else parts.map { c =>
+      whereCol match {
+        case Some(p) => Versioned.readCommitAddsWhere(spark, path, c, p)._1
+        case None => Versioned.readCommitAdds(spark, path, c)
+      }
+    }.reduce(_.unionByName(_))
   }
 
   override def commit(end: V1Offset): Unit = ()

@@ -34,6 +34,13 @@ object ColumnShim {
     case _ => None
   }
 
+  /** Deferred SQL text when the node is a parser-deferred expression
+    * (`functions.expr` / `selectExpr` / option strings). */
+  def asSqlText(n: AnyRef): Option[String] = n match {
+    case s: org.apache.spark.sql.internal.SqlExpression => Some(s.expression)
+    case _ => None
+  }
+
   /** (value, declared type if any) when the node is a literal. */
   def asLiteral(n: AnyRef): Option[(Any, Option[org.apache.spark.sql.types.DataType])] =
     n match {

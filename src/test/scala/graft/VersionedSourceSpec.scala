@@ -129,4 +129,49 @@ class VersionedSourceSpec extends SparkTestBase {
     }
     assert(messages(e).exists(_.contains("needs a partitioned table")))
   }
+
+  test("where option: per-commit file skipping, row-identical to a filtered stream") {
+    val base = tmp("where")
+    val tbl = s"$base/tbl"
+    // three commits with disjoint id bands: 1-10, 11-20, 21-30
+    (0 to 2).foreach { b =>
+      Versioned.append(
+        (1 to 10).map(i => (b * 10L + i, s"b$b-r$i")).toDF("id", "t")
+          .coalesce(1), tbl)
+    }
+    val k0 = Versioned.streamFilesKept.get()
+    val t0 = Versioned.streamFilesTotal.get()
+    runOnce(tbl, s"$base/ckpt", s"$base/out", Map("where" -> "id > 20"))
+    assert(Versioned.streamFilesTotal.get() - t0 == 3L,
+      "the batch must have considered all three commits' files")
+    assert(Versioned.streamFilesKept.get() - k0 == 1L,
+      "id > 20 must prune to the third commit's file")
+    assert(rowSet(spark.read.parquet(s"$base/out")) ==
+      (21L to 30L).map(i => Seq[Any](i, s"b2-r${i - 20}")).toSet,
+      "the pruned stream must be row-identical to a filtered stream")
+    // later commits keep pruning incrementally (only new versions);
+    // a restarted stream may plan the window more than once, so the
+    // counters are asserted as a per-pass ratio
+    Versioned.append(df(5L -> "low"), tbl)   // prunable
+    Versioned.append(df(99L -> "high"), tbl) // kept
+    val k1 = Versioned.streamFilesKept.get()
+    val t1 = Versioned.streamFilesTotal.get()
+    runOnce(tbl, s"$base/ckpt", s"$base/out", Map("where" -> "id > 20"))
+    // (restart recovery may also re-plan the previous window; every
+    // pass must still prune — kept stays strictly under total)
+    val (kd, td) = (Versioned.streamFilesKept.get() - k1,
+      Versioned.streamFilesTotal.get() - t1)
+    assert(kd >= 1 && kd < td,
+      s"the new window must prune its low-id file ($kd/$td)")
+    val outRows = rowSet(spark.read.parquet(s"$base/out"))
+    assert(outRows.contains(Seq[Any](99L, "high")) &&
+      !outRows.exists(_.head == 5L))
+    // CDF mode: `where` row-filters the change feed (no file pruning)
+    val cdfOut = s"$base/cdfout"
+    runOnce(tbl, s"$base/cdfckpt", cdfOut,
+      Map("readChangeFeed" -> "true", "where" -> "id > 20"))
+    val cdf = spark.read.parquet(cdfOut)
+    assert(cdf.filter(col("id") <= 20L).count() == 0L)
+    assert(cdf.filter(col("id") === 99L).count() == 1L)
+  }
 }
