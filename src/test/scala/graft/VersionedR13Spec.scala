@@ -378,9 +378,12 @@ class VersionedR13Spec extends SparkTestBase {
     // mirrored literal normalizes to the same bound
     val (k3, _) = exact(lit(1000L) <= col("cents") && col("g") === "b")
     assert(k3 == 1, s"mirrored comparison must prune identically, got $k3")
-    // an OR is not a conjunct: conservative full scan, result still exact
+    // an OR prunes files refuted by EVERY branch (r14 disjunction
+    // skipping): the low-cents g=b file fails both sides, the other
+    // three each satisfy one branch — result still exact
     val (k4, t4) = exact(col("cents") >= 1000L || col("g") === "a")
-    assert(k4 == t4, "disjunctions must scan conservatively")
+    assert(k4 == 3 && t4 == 4,
+      s"disjunction must prune the both-branch-refuted file, got $k4/$t4")
     // a predicate no file satisfies prunes everything
     val (k5, _) = exact(col("cents") > 100000L)
     assert(k5 == 0, s"unsatisfiable range must prune all files, got $k5")

@@ -76,8 +76,10 @@ class VersionedScaleSpec extends SparkTestBase {
       timed("raw-log fold (11 records)")(
         Versioned.planningStateProbe(spark, tbl))
     assert(nRaw == expectFiles, s"active=$nRaw, want $expectFiles")
-    // 4 entries per synthetic file + the real v1 file's own 4
-    assert(statsRaw == Records.toLong * FilesPerRecord * 4 + 4,
+    // 4 entries per synthetic file + the real v1 file's own 5 (id
+    // min/max, 2 null counts, rows, and the r14 string-prefix stats
+    // for `t`)
+    assert(statsRaw == Records.toLong * FilesPerRecord * 4 + 5,
       s"stat entries=$statsRaw")
     info(f"driver-state estimate ${bytesRaw / 1e6}%.1f MB " +
       f"(${bytesRaw.toDouble / expectFiles}%.0f B/file)")
