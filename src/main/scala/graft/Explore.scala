@@ -115,6 +115,107 @@ object Explore {
         time(s"old twice-tokenize r$r")(force(oldExcise()))
         time(s"new single-tokenize r$r")(force(Dedup.exciseRepeats(docs, 10)))
       }
+    } else if (args.headOption.contains("commitParts")) {
+      // r14 opt: where does a versioned commit's wall go at gate scale?
+      // Replicates the q252 fixture slice (~6k rows, coalesce(1)) and
+      // apportions: raw parquet write job, digest-shaped read job
+      // (read + per-file agg + collect), trivial-job floor, full append.
+      import graft.ingest.{Versioned, Fingerprint}
+      val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      o.count() // warm scan
+      val base = "/tmp/graft_explore_commit"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      time("trivial job floor x10")((1 to 10).map(_ => spark.range(1).count()).sum)
+      for (r <- 1 to 2) {
+        val w = s"$base/w$r"
+        time(s"raw write coalesce(1) x5 r$r")({
+          (1 to 5).foreach(i => o.filter(col("k") % 25 === i)
+            .coalesce(1).write.parquet(s"$w/d$i")); 5L })
+        time(s"digest-shaped read x5 r$r")({
+          (1 to 5).foreach { i =>
+            spark.read.parquet(s"$w/d$i")
+              .groupBy(expr("_metadata.file_path").as("__f"))
+              .agg(count(lit(1)), sum(Fingerprint.rowDigest(
+                  Seq(col("k"), col("c"), col("cents")))),
+                min(col("k")), max(col("k")), min(col("c")), max(col("c")),
+                min(col("cents")), max(col("cents")))
+              .collect() }; 5L })
+        val tbl = s"$base/tbl$r"
+        time(s"overwrite v1 r$r")({ Versioned.overwrite(
+          o.filter(col("k") % 25 === 0).coalesce(1), tbl); 1L })
+        time(s"append x24 r$r")({ (1L to 24L).foreach(m => Versioned.append(
+          o.filter(col("k") % 25 === m).coalesce(1), tbl)); 24L })
+        time(s"read head r$r")(Versioned.read(spark, tbl).count())
+      }
+    } else if (args.headOption.contains("q250debug")) {
+      import graft.ingest.Versioned
+      val tbl = "/tmp/graft_q250dbg/tbl"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft_q250dbg"))
+      val orders = Tables.orders(spark, dir).select(col("o_orderkey"),
+          col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("kmod", pmod(col("o_custkey"), lit(16L)))
+        .withColumn("cmod", pmod(col("cents"), lit(16L)))
+        .withColumn("dmod", pmod(col("o_orderkey"), lit(16L)))
+      Versioned.overwrite(orders.filter(col("o_orderkey") % 4 === 0)
+        .coalesce(1), tbl)
+      (1 to 3).foreach(m => Versioned.append(
+        orders.filter(col("o_orderkey") % 4 === m).coalesce(1), tbl))
+      val c = Versioned.optimize(spark, tbl, numFiles = 8,
+        zorderByN = Seq("kmod", "cmod", "dmod"), zBits = 4).get
+      println(s"[explore] optimize v${c.version} files=${c.add.size}")
+      c.stats.toSeq.sortBy(_._1).foreach { case (f, m) =>
+        println(s"[explore]  $f kmod=${m.get("kmod")} cmod=${m.get("cmod")} " +
+          s"dmod=${m.get("dmod")} rows=${m.get(" rows")}")
+      }
+      val (_, scanned, total) =
+        Versioned.readAsOfPruned(spark, tbl, c.version, "kmod", 0L, 7L)
+      println(s"[explore] kmod probe scanned=$scanned total=$total")
+    } else if (args.headOption.contains("footerProbe")) {
+      // r14 opt feasibility: (a) does observe() fire on a parquet write?
+      // (b) do footers carry exact stats for long/int/short/date/ts/
+      //     string (incl. long text) under the session's write configs?
+      println("[explore] outputTimestampType=" +
+        spark.conf.get("spark.sql.parquet.outputTimestampType"))
+      val out = "/tmp/graft_footer_probe"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val df = spark.range(0, 1000, 1, 2).toDF("id")
+        .withColumn("i", (col("id") % 97).cast("int"))
+        .withColumn("sh", (col("id") % 31).cast("short"))
+        .withColumn("dt", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("id") % 50).cast("int")))
+        .withColumn("ts", timestamp_micros(
+          lit(1709251200000000L) + col("id") * 1000000L))
+        .withColumn("s", concat(lit("doc-"), lpad(col("id").cast("string"), 5, "0"),
+          lit("-"), expr("repeat('x', 200)")))
+        .withColumn("nul", when(col("id") % 3 === 0, col("id")))
+      val obs = new org.apache.spark.sql.Observation("probe")
+      df.observe(obs, count(lit(1)).as("n"), sum(col("id")).as("s"))
+        .write.parquet(out)
+      println("[explore] observed=" + obs.get)
+      val outP = new org.apache.hadoop.fs.Path(out)
+      val fs2 = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs2.listStatus(outP).filter(_.getPath.getName.endsWith(".parquet"))
+      for (f <- st) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f.getPath, spark.sparkContext.hadoopConfiguration)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val md = rd.getFooter
+        println(s"[explore] file=${f.getPath.getName} rowgroups=${md.getBlocks.size}")
+        md.getBlocks.forEach { b =>
+          println(s"[explore]  rg rows=${b.getRowCount}")
+          b.getColumns.forEach { c =>
+            val stt: org.apache.parquet.column.statistics.Statistics[_] =
+              c.getStatistics
+            println(s"[explore]   col=${c.getPath} type=${c.getPrimitiveType} " +
+              s"stats=${if (stt == null) "null" else stt.toString.take(120)} " +
+              s"nullsSet=${if (stt == null) "-" else stt.isNumNullsSet}")
+          }
+        }
+        rd.close()
+      }
     } else if (args.headOption.contains("q48parts")) {
       // stage breakdown of embeddingNearDup at the current SF
       import graft.vector.Similarity

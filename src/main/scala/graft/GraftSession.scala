@@ -23,6 +23,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // micros (not the INT96 legacy default): INT96 chunks carry no
+      // min/max statistics, so footer-derived zone maps (Versioned
+      // stageAndDigest) could never prune timestamp ranges; micros is
+      // also the non-deprecated representation and round-trips
+      // TimestampType losslessly
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
 

@@ -346,12 +346,11 @@ object Versioned {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
-    writeData(ordered, dataDir, pcols, evolvedMap)
-    val sized = listDataFiles(fs, dataDir, dataDirName)
-    val files = sized.map(_._1)
-    val (nRows, addFp, stats) =
-      try digestDir(spark, dataDir, dataDirName, evolved, pcols, cons, evolvedMap)
+    val (sized, nRows, addFp, stats) =
+      try stageAndDigest(ordered, root, fs, dataDir, dataDirName, evolved,
+        pcols, cons, evolvedMap)
       catch { case e: Throwable => fs.delete(dataDir, true); throw e }
+    val files = sized.map(_._1)
 
     var attempt = 0
     while (attempt < maxRetries) {
@@ -664,14 +663,12 @@ object Versioned {
         }
       val dataDirName = s"d-$uuid"
       val dataDir = new Path(root, dataDirName)
-      writeData(upd, dataDir, pcols, st.colMap)
-      val sized = listDataFiles(fs, dataDir, dataDirName)
-      val files = sized.map(_._1)
-      val (addRows, addFp, stats) =
-        try digestDir(spark, dataDir, dataDirName, schema, pcols, cons,
-          st.colMap)
+      val (sized, addRows, addFp, stats) =
+        try stageAndDigest(upd, root, fs, dataDir, dataDirName, schema,
+          pcols, cons, st.colMap)
         catch { case e: Throwable =>
           fs.delete(dataDir, true); fs.delete(dvDir, true); throw e }
+      val files = sized.map(_._1)
       var base = head
       var attempt = 0
       while (attempt < 20) {
@@ -894,14 +891,10 @@ object Versioned {
         if (appends.isEmpty)
           (Nil, 0L, 0L, Map.empty[String, Map[String, (Long, Long)]])
         else {
-          writeData(appends, dataDir, pcols, outMap)
-          val fls = listDataFiles(fs, dataDir, dataDirName)
-          val (r, f, s2) =
-            try digestDir(spark, dataDir, dataDirName, outSchema, pcols, cons,
-              outMap)
-            catch { case e: Throwable =>
-              fs.delete(dataDir, true); fs.delete(dvDir, true); throw e }
-          (fls, r, f, s2)
+          try stageAndDigest(appends, root, fs, dataDir, dataDirName,
+            outSchema, pcols, cons, outMap)
+          catch { case e: Throwable =>
+            fs.delete(dataDir, true); fs.delete(dvDir, true); throw e }
         }
       val files = sized.map(_._1)
       if (evolving) {
@@ -1211,13 +1204,11 @@ object Versioned {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
-    writeData(survivors, dataDir, pcols, evolvedMap)
-    val sized = listDataFiles(fs, dataDir, dataDirName)
-    val files = sized.map(_._1)
-    val (addRows, addFp, stats) =
-      try digestDir(spark, dataDir, dataDirName, outSchema, pcols, cons,
-        evolvedMap)
+    val (sized, addRows, addFp, stats) =
+      try stageAndDigest(survivors, root, fs, dataDir, dataDirName,
+        outSchema, pcols, cons, evolvedMap)
       catch { case e: Throwable => fs.delete(dataDir, true); throw e }
+    val files = sized.map(_._1)
     val removedSet = affected.toSet
     var attempt = 0
     while (attempt < 20) {
@@ -1329,14 +1320,12 @@ object Versioned {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
-    writeData(rebuilt, dataDir, pcols, head.colMap)
-    val sized = listDataFiles(fs, dataDir, dataDirName)
-    val files = sized.map(_._1)
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    val (addRows, addFp, stats) =
-      try digestDir(spark, dataDir, dataDirName, schema, pcols, cons,
-        head.colMap)
+    val (sized, addRows, addFp, stats) =
+      try stageAndDigest(rebuilt, root, fs, dataDir, dataDirName, schema,
+        pcols, cons, head.colMap)
       catch { case e: Throwable => fs.delete(dataDir, true); throw e }
+    val files = sized.map(_._1)
     val headDvs = activeAt(fs, root, root.toString, head.version).dvs
     val (remRows, remFp) =
       digestFiles(spark, root, removed, schema, pcols, headDvs, head.colMap)
@@ -1510,16 +1499,15 @@ object Versioned {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDirName = s"d-$uuid"
     val dataDir = new Path(root, dataDirName)
-    writeData(df, dataDir, partitionCols, cmap)
-    val sized = listDataFiles(fs, dataDir, dataDirName)
-    val files = sized.map(_._1)
-    // one scan of the ADDED rows: exact count + additive content digest
-    // + per-file zone-map stats + CHECK constraint enforcement (see
-    // digestDir); a failed check deletes the staging before rethrowing
-    val (nRows, addFp, stats) =
-      try digestDir(spark, dataDir, dataDirName, df.schema, partitionCols,
-        cons, cmap)
+    // ONE pass of the ADDED rows: exact count + additive content digest
+    // + CHECK constraint enforcement observed on the write job itself,
+    // per-file zone-map stats from the written parquet footers (see
+    // stageAndDigest); a failed check deletes the staging before rethrowing
+    val (sized, nRows, addFp, stats) =
+      try stageAndDigest(df, root, fs, dataDir, dataDirName, df.schema,
+        partitionCols, cons, cmap)
       catch { case e: Throwable => fs.delete(dataDir, true); throw e }
+    val files = sized.map(_._1)
 
     // 2. claim loop: validate against the CURRENT head, try to create
     // the next version's record exclusively, retry on loss
@@ -1825,8 +1813,13 @@ object Versioned {
     * fills short strings: 0x00 for lower bounds, 0xFF for the upper
     * end of a prefix interval (every continuation of a short prefix
     * sorts at or below the 0xFF fill). */
-  private[graft] def strPrefix8(s: String, pad: Int = 0): Long = {
-    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private[graft] def strPrefix8(s: String, pad: Int = 0): Long =
+    strPrefix8Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), pad)
+
+  /** [[strPrefix8]] over raw UTF-8 bytes — what parquet footers store
+    * for STRING min/max, so footer-derived prefixes are byte-identical
+    * to frame-derived ones. */
+  private[graft] def strPrefix8Bytes(b: Array[Byte], pad: Int = 0): Long = {
     var v = 0L
     var i = 0
     while (i < 8) {
@@ -1872,7 +1865,7 @@ object Versioned {
     * fingerprints are layout-independent. The per-file partials fold
     * to the totals on the driver — bounded by the commit's file
     * count. */
-  private def digestDir(spark: SparkSession, dataDir: Path, dataDirName: String,
+  private[graft] def digestDir(spark: SparkSession, dataDir: Path, dataDirName: String,
                         schema: StructType, partitionCols: Seq[String] = Nil,
                         constraints: Seq[(String, String)] = Nil,
                         colMap: Seq[(String, String)] = Nil)
@@ -1950,6 +1943,224 @@ object Versioned {
         (RowsStatKey -> (fileRows, fileRows)))
     }.toMap
     (nRows, fp, stats)
+  }
+
+  /** Stage `df` under `dataDir` AND digest it in the SAME pass — the
+    * one-scan commit (r14 optimization, guide §1.2 "remove unnecessary
+    * passes"): the exact row count, additive content digest and CHECK
+    * constraint enforcement ride the WRITE job as observed metrics
+    * (`Dataset.observe` — global aggregates collected while the rows
+    * stream to parquet), and the per-file zone-map stats come from the
+    * PARQUET FOOTERS the write just produced ([[footerStats]] —
+    * metadata-sized reads, no second scan of the staged bytes). The
+    * [[digestDir]] read-back this replaces paid a full second pass over
+    * every staged byte on every commit; at 100 TB that is the write
+    * path's I/O doubled.
+    *
+    * Exactness: footer min/max/null-counts are what the writer computed
+    * from the very rows it stored, and every value class the zone-map
+    * domain covers round-trips parquet losslessly (micros timestamps,
+    * epoch-day dates, integrals, UTF-8 byte-ordered strings), so the
+    * archived stats and the digest are identical to a read-back — the
+    * fuzzed skip spec and the format gates compare both against full
+    * scans. Two deliberate fallbacks keep parity where the equivalence
+    * would not hold: a `TIMESTAMP_MILLIS` session truncates micros at
+    * write (the staged bytes differ from the frame), so that conf keeps
+    * the read-back digest; and stats a footer cannot prove (INT96
+    * timestamps, nested columns' null counts, absent statistics) are
+    * simply OMITTED — omission only widens scans, never changes a
+    * result (the full predicate is always re-applied).
+    *
+    * Returns (sized file list, row count, additive digest, per-file
+    * stats) — the `listDataFiles` + [[digestDir]] bundle in one call. */
+  private[graft] def stageAndDigest(df: DataFrame, root: Path, fs: FileSystem,
+      dataDir: Path, dataDirName: String, schema: StructType,
+      partitionCols: Seq[String],
+      constraints: Seq[(String, String)] = Nil,
+      colMap: Seq[(String, String)] = Nil)
+      : (Seq[(String, Long)], Long, Long,
+         Map[String, Map[String, (Long, Long)]]) = {
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    val spark = df.sparkSession
+    val lossyTs = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+      .contains("TIMESTAMP_MILLIS") &&
+      schema.fields.exists(_.dataType == TimestampType)
+    if (lossyTs) {
+      writeData(df, dataDir, partitionCols, colMap)
+      val sized = listDataFiles(fs, dataDir, dataDirName)
+      val (n, fp, st) = digestDir(spark, dataDir, dataDirName, schema,
+        partitionCols, constraints, colMap)
+      return (sized, n, fp, st)
+    }
+    // digest the frame's columns in archived-schema order; a STRING
+    // partition value of '' lands in the hive default partition and
+    // reads back as null, so it digests as null here too
+    val digestCols = schema.fields.toSeq.map { f =>
+      if (partitionCols.contains(f.name) && f.dataType == StringType)
+        when(col(f.name) === "", lit(null)).otherwise(col(f.name))
+      else col(f.name)
+    }
+    val checkAggs = constraints.zipWithIndex.map { case ((n, p), i) =>
+      sum(when(coalesce(expr(p), lit(true)) === false,
+        raise_error(lit(s"CHECK constraint `$n` violated: ($p) is false " +
+          "for a staged row — commit refused"))).otherwise(lit(0L)))
+        .as(s"__ck$i")
+    }
+    val obs = new org.apache.spark.sql.Observation(s"graft_stage_$dataDirName")
+    val metered = df.observe(obs, count(lit(1)).as("__n"),
+      (coalesce(sum(Fingerprint.rowDigest(digestCols)), lit(0L)).as("__fp") +:
+        checkAggs): _*)
+    writeData(metered, dataDir, partitionCols, colMap)
+    val m = obs.get
+    val sized = listDataFiles(fs, dataDir, dataDirName)
+    val stats = footerStats(spark.sparkContext.hadoopConfiguration, root,
+      sized.map(_._1), schema, partitionCols, colMap)
+    (sized, m("__n").asInstanceOf[Long], m("__fp").asInstanceOf[Long], stats)
+  }
+
+  /** Per-file zone-map stats assembled from the PARQUET FOOTERS of
+    * freshly staged files — same keys and Long normalization as
+    * [[digestDir]] (parquet stores DATE as epoch days and, under the
+    * session's `TIMESTAMP_MICROS` output type, timestamps as epoch
+    * micros — the zone-map domain — and orders BINARY/UTF8 stats by
+    * unsigned bytes, the [[strPrefix8]] order). Entries the footer
+    * cannot prove are omitted (conservative scan): INT96 timestamp
+    * min/max, null counts of NESTED columns (a leaf chunk's null count
+    * is not the top-level count), and any chunk without statistics.
+    * Partition-column entries are exact constants parsed from the
+    * file's own path segments. 0-row files get no entry, like the
+    * read-back digest's empty groups. */
+  private[graft] def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      root: Path, files: Seq[String], schema: StructType,
+      partitionCols: Seq[String], colMap: Seq[(String, String)])
+      : Map[String, Map[String, (Long, Long)]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val physMap = colMap.toMap
+    def physOf(n: String): String = physMap.getOrElse(n, n)
+    def isNested(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+    val (partFields, dataFields) =
+      schema.fields.toSeq.partition(f => partitionCols.contains(f.name))
+    val zoneFields = dataFields.filter(_.dataType match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    val strFields = dataFields.filter(_.dataType == StringType)
+    val nullFields = dataFields.filterNot(f =>
+      f.name.contains('\u0000') || isNested(f.dataType))
+    files.flatMap { rel =>
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(root, rel), conf))
+      val blocks = try rd.getFooter.getBlocks.asScala.toSeq finally rd.close()
+      val fileRows = blocks.map(_.getRowCount).sum
+      if (fileRows == 0L) None
+      else {
+        // per-block top-level chunk lookup by physical name
+        val perBlock = blocks.map(_.getColumns.asScala
+          .filter(_.getPath.size == 1)
+          .map(c => c.getPath.toArray()(0) -> c).toMap)
+        def statsOf(phys: String)
+            : Option[Seq[org.apache.parquet.column.statistics.Statistics[_]]] = {
+          val ss = perBlock.map(_.get(phys).map(s =>
+            (s.getStatistics: org.apache.parquet.column.statistics.Statistics[_],
+             s.getPrimitiveType)))
+          if (ss.exists(o => o.isEmpty || o.get._1 == null ||
+              o.get._1.isEmpty)) None
+          else Some(ss.map(_.get._1))
+        }
+        def primOf(phys: String) =
+          perBlock.head.get(phys).map(_.getPrimitiveType)
+        // a stored min/max normalized to the zone-map Long domain; None
+        // for encodings whose stats are not micros/days/integral-exact
+        def statLong(dt: DataType, phys: String, v: Any): Option[Long] = {
+          val n = v.asInstanceOf[java.lang.Number].longValue
+          dt match {
+            case TimestampType | TimestampNTZType =>
+              primOf(phys).flatMap(p => p.getLogicalTypeAnnotation match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                    if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                  Some(n)
+                case _ => None // INT96 / non-micros: no provable bound
+              })
+            case _ => Some(n)
+          }
+        }
+        val zone = zoneFields.flatMap { f =>
+          val phys = physOf(f.name)
+          statsOf(phys).flatMap { ss =>
+            val withVals = ss.filter(_.hasNonNullValue)
+            if (withVals.isEmpty) None
+            else {
+              val mns = withVals.map(s => statLong(f.dataType, phys, s.genericGetMin))
+              val mxs = withVals.map(s => statLong(f.dataType, phys, s.genericGetMax))
+              if (mns.exists(_.isEmpty) || mxs.exists(_.isEmpty)) None
+              else Some(phys -> (mns.flatten.min, mxs.flatten.max))
+            }
+          }
+        }
+        val strs = strFields.flatMap { f =>
+          val phys = physOf(f.name)
+          statsOf(phys).flatMap { ss =>
+            val withVals = ss.filter(_.hasNonNullValue)
+            if (withVals.isEmpty) None
+            else {
+              val p8s = withVals.map { s =>
+                (strPrefix8Bytes(s.genericGetMin
+                   .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes),
+                 strPrefix8Bytes(s.genericGetMax
+                   .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+              }
+              Some(strStatKey(phys) ->
+                (p8s.map(_._1).reduce((a, b) =>
+                   if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b),
+                 p8s.map(_._2).reduce((a, b) =>
+                   if (java.lang.Long.compareUnsigned(a, b) >= 0) a else b)))
+            }
+          }
+        }
+        val nulls = nullFields.flatMap { f =>
+          val phys = physOf(f.name)
+          statsOf(phys).flatMap { ss =>
+            if (ss.exists(!_.isNumNullsSet)) None
+            else {
+              val nNull = ss.map(_.getNumNulls).sum
+              Some(nullsStatKey(phys) -> (nNull, nNull))
+            }
+          }
+        }
+        // partition columns: constants parsed from this file's path —
+        // exact, and '%'-escaped values are refused loudly here exactly
+        // as the read-back scan refuses them
+        val parts = if (partFields.isEmpty) Nil else {
+          val vals = partitionValuesOf(rel, partitionCols)
+          partFields.flatMap { f =>
+            val phys = physOf(f.name) // never mapped, but keep the rule
+            vals(f.name) match {
+              case None =>
+                Seq(nullsStatKey(phys) -> (fileRows, fileRows))
+              case Some(raw) =>
+                val mm = f.dataType match {
+                  case StringType =>
+                    Seq(strStatKey(phys) -> (strPrefix8(raw), strPrefix8(raw)))
+                  case dt =>
+                    skipPartLong(Some(dt), raw).map(l => phys -> (l, l)).toSeq
+                }
+                mm ++ (if (f.name.contains('\u0000')) Nil
+                       else Seq(nullsStatKey(phys) -> (0L, 0L)))
+            }
+          }
+        }
+        Some(rel -> ((zone ++ strs ++ nulls ++ parts) :+
+          (RowsStatKey -> (fileRows, fileRows))).toMap)
+      }
+    }.toMap
   }
 
   /** [[readAsOf]] with ZONE-MAP FILE SKIPPING: the active files whose
@@ -3888,11 +4099,24 @@ object Versioned {
             lit(s" outside [0, 2^$zBits) — scale the dimension into " +
               "range or raise zBits")))).otherwise(v)
         }
+        // DETERMINISTIC bucket boundaries (r14): the z domain is KNOWN
+        // ([0, 2^(dims*zBits))), so files split at fixed equal-width
+        // z-buckets instead of repartitionByRange directly on __z —
+        // range sampling seeds from the global rdd-id counter, so the
+        // boundary files (and with them which dimensions can prune)
+        // used to shift with whatever ran earlier in the session, and
+        // the bounds-sampling pass itself is an extra job over the
+        // rewrite input. With power-of-two numFiles every bucket fixes
+        // the top z bits — i.e. the MSB of EVERY dimension — so zone
+        // maps are guaranteed (not sampled) to prune on each dimension.
+        val zMax = 1L << (zCols.size * zBits)
+        val bucketWidth = math.max(1L, (zMax + numFiles - 1) / numFiles)
         cur.withColumn("__z",
             graft.functions.z_value_n(zCols.map(checked), zBits))
-          .repartitionByRange(numFiles, col("__z"))
+          .withColumn("__zb", expr(s"__z div $bucketWidth"))
+          .repartitionByRange(numFiles, col("__zb"))
           .sortWithinPartitions(col("__z"))
-          .drop("__z")
+          .drop("__z", "__zb")
       } else if (sortBy.nonEmpty)
         cur.repartitionByRange(numFiles, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)

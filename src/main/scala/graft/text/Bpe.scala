@@ -1,7 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding (BPE) vocabulary learning — the
@@ -10,28 +9,37 @@ import org.apache.spark.sql.functions._
   * corpus collapses once into (word, count); every merge round then
   * operates on the DISTINCT-WORD symbol table, whose size is bounded by
   * the vocabulary — not the corpus — so 100 TB of text costs one
-  * tokenize+count shuffle, and each round is windows over a
-  * vocab-sized frame (millions of rows, not trillions). For truly
-  * gigantic vocabularies the dictionary composes with
-  * [[graft.operators.Sampling.ppsSystematic]] (count-weighted word
+  * tokenize+count shuffle, and each round is one vocab-sized pair
+  * aggregation. For truly gigantic vocabularies the dictionary composes
+  * with [[graft.operators.Sampling.ppsSystematic]] (count-weighted word
   * sampling), the standard sampled-BPE practice.
   *
   * Merge semantics are the reference implementation's greedy
-  * left-to-right pass, expressed relationally: match positions →
-  * gaps-and-islands on consecutive matches → odd-parity selection
-  * within each island (`aaaa` + merge(a,a) → `[aa][aa]`, `aaa` →
-  * `[aa]a`). Ties in pair counts break lexicographically (count desc,
-  * left asc, right asc), so the learned table is a pure function of
-  * the dictionary.
+  * left-to-right pass. r14 optimization (guide §2.4 "remove shuffles
+  * outright"): the pass is a per-word ARRAY FOLD (`aggregate` over the
+  * symbol array — append, or fuse with the previous element when it
+  * closes an un-consumed (l, r) adjacency), fully codegen'd and
+  * shuffle-free, replacing the exploded-row islands-and-parity
+  * formulation (per round: 3 window functions over (word) plus two
+  * self-joins plus a re-densify — ~3 exchanges and a checkpoint per
+  * round, ~36 exchanges for a 6-round learn+segment; now ZERO — the
+  * only per-round distributed work left is the vocab-sized pair-count
+  * argmax, which is irreducible because greedy BPE is sequential in the
+  * merge table). The fold reproduces the same greedy parity (`aaaa` +
+  * merge(a,a) → `[aa][aa]`, `aaa` → `[aa]a`): a merged symbol never
+  * serves as the LEFT half of another merge in the same pass, which is
+  * exactly what the fold's just-merged flag enforces. BpeSpec
+  * property-checks both the merge table and the segmentation against a
+  * sequential driver reference.
   *
-  * Per round the driver sees exactly ONE row (the argmax pair) — the
-  * same scalar-per-round coordination as Dedup.duplicateClusters; the
-  * symbol table itself never leaves the cluster and is
-  * localCheckpoint'ed per round to keep plans flat.
+  * Ties in pair counts break lexicographically (count desc, left asc,
+  * right asc), so the learned table is a pure function of the
+  * dictionary. Per round the driver sees exactly ONE row (the argmax
+  * pair) — the same scalar-per-round coordination as
+  * Dedup.duplicateClusters; the symbol table itself never leaves the
+  * cluster.
   */
 object Bpe {
-
-  private val byPos = Window.partitionBy("word").orderBy("pos")
 
   /** Corpus → (word, n) dictionary, whitespace-lowercase tokens.
     * `wordPattern` (optional regex) restricts which words train the
@@ -45,35 +53,33 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("n"))
   }
 
-  /** (word, n) dictionary → initial per-character symbol table. */
-  private def initialSymbols(dict: DataFrame): DataFrame = dict
-    .select(col("word"), col("n").cast("long").as("n"),
-      posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
-    .localCheckpoint()
+  /** One greedy merge pass of (l, r) over a symbol array: a single
+    * left-to-right fold — append the element, or replace the array's
+    * last element with `l+r` when it equals `l`, the element equals
+    * `r`, and the last element was not itself produced by THIS pass
+    * (the just-merged flag; greedy consumption skips the pair). */
+  private def mergeOnce(arr: Column, l: String, r: String): Column =
+    aggregate(
+      arr,
+      struct(typedlit(Seq.empty[String]).as("out"), lit(false).as("just")),
+      (acc, x) => {
+        // get() is out-of-bounds-null (empty array → null → false)
+        val canMerge = !acc("just") &&
+          get(acc("out"), size(acc("out")) - 1) === lit(l) && (x === lit(r))
+        struct(
+          when(canMerge,
+            concat(slice(acc("out"), lit(1), size(acc("out")) - 1), array(lit(l + r))))
+            .otherwise(concat(acc("out"), array(x))).as("out"),
+          coalesce(canMerge, lit(false)).as("just"))
+      },
+      acc => acc("out"))
 
-  /** One greedy merge pass of (l, r) over the symbol table: islands of
-    * consecutive matches, odd ranks win, right halves drop, positions
-    * re-densify. `flagged` must carry the `nxt` lead column.
-    */
-  private def applyMerge(flagged: DataFrame, l: String, r: String): DataFrame = {
-    val selected = flagged
-      .filter(col("sym") === lit(l) && col("nxt") === lit(r))
-      .withColumn("grp", col("pos") - row_number().over(byPos))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("word", "grp").orderBy("pos")))
-      .filter(col("rn") % 2 === 1)
-      .select(col("word"), col("pos"), lit(true).as("issel"))
-    val dropped = selected.select(col("word"),
-      (col("pos") + 1).as("pos"), lit(true).as("isdrop"))
-    flagged
-      .join(selected, Seq("word", "pos"), "left")
-      .join(dropped, Seq("word", "pos"), "left")
-      .filter(col("isdrop").isNull)
-      .withColumn("sym",
-        when(col("issel"), concat(lit(l), lit(r))).otherwise(col("sym")))
-      .withColumn("pos", row_number().over(byPos) - 1)
-      .select(col("word"), col("n"), col("pos"), col("sym"))
-      .localCheckpoint()
+  /** All adjacent symbol pairs of an array (overlaps counted — the
+    * reference's pair statistics). */
+  private def adjacentPairs(arr: Column): Column = {
+    val len = greatest(size(arr) - 1, lit(0))
+    zip_with(slice(arr, lit(1), len), slice(arr, lit(2), len),
+      (a, b) => struct(a.as("l"), b.as("r")))
   }
 
   /** Learn up to `rounds` merges from a (word, n) dictionary. Returns
@@ -82,20 +88,26 @@ object Bpe {
     */
   def learnMerges(spark: SparkSession, dict: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one merge round")
-    var syms = initialSymbols(dict)
+    // one materialization of the dictionary; each round's argmax re-plays
+    // the accumulated merge folds as expressions over it (word-length
+    // array work per row — no per-round checkpoint or shuffle)
+    val base = dict.select(col("word"), col("n").cast("long").as("n"),
+      split(col("word"), "").as("syms")).localCheckpoint()
+    var arr: Column = col("syms")
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (round <- 1 to rounds if !exhausted) {
-      val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(byPos))
-      val best = withNext.filter(col("nxt").isNotNull)
-        .groupBy(col("sym"), col("nxt")).agg(sum(col("n")).as("cnt"))
+      val best = base
+        .select(col("n"), explode(adjacentPairs(arr)).as("p"))
+        .groupBy(col("p.l").as("sym"), col("p.r").as("nxt"))
+        .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((round, l, r, cnt))
-        syms = applyMerge(withNext, l, r)
+        arr = mergeOnce(arr, l, r)
       }
     }
     import spark.implicits._
@@ -105,18 +117,14 @@ object Bpe {
   /** Apply a learned merge table to a dictionary and report the final
     * segmentation: (word, n, pieces) — the encoder counterpart of
     * [[learnMerges]], replaying the same greedy rounds in merge order.
+    * One shuffle-free pass: the whole merge chain folds per word.
     */
   def segment(spark: SparkSession, dict: DataFrame, mergeTable: DataFrame): DataFrame = {
     val ordered = mergeTable.orderBy(col("round"))
       .select(col("lhs"), col("rhs")).collect()
-    var syms = initialSymbols(dict)
-    ordered.foreach { row =>
-      syms = applyMerge(
-        syms.withColumn("nxt", lead(col("sym"), 1).over(byPos)),
-        row.getString(0), row.getString(1))
+    val pieces = ordered.foldLeft(split(col("word"), ""): Column) { (a, row) =>
+      mergeOnce(a, row.getString(0), row.getString(1))
     }
-    syms.groupBy(col("word"), col("n"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, sym))), e -> e.sym)")
-        .as("pieces"))
+    dict.select(col("word"), col("n").cast("long").as("n"), pieces.as("pieces"))
   }
 }

@@ -11,6 +11,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match GraftSession: micros timestamps carry footer stats, INT96
+      // does not (the ts zone-map specs depend on them)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .appName("graft-tests")
       .getOrCreate()
