@@ -4099,21 +4099,60 @@ object Versioned {
             lit(s" outside [0, 2^$zBits) — scale the dimension into " +
               "range or raise zBits")))).otherwise(v)
         }
-        // DETERMINISTIC bucket boundaries (r14): the z domain is KNOWN
-        // ([0, 2^(dims*zBits))), so files split at fixed equal-width
-        // z-buckets instead of repartitionByRange directly on __z —
-        // range sampling seeds from the global rdd-id counter, so the
-        // boundary files (and with them which dimensions can prune)
+        // DETERMINISTIC bucket boundaries (r14): files split at fixed
+        // equal-width z-buckets over the table's OCCUPIED z envelope
+        // instead of repartitionByRange directly on __z — range
+        // sampling seeds from the global rdd-id counter, so the
+        // boundary files (and with them which dimensions could prune)
         // used to shift with whatever ran earlier in the session, and
         // the bounds-sampling pass itself is an extra job over the
-        // rewrite input. With power-of-two numFiles every bucket fixes
-        // the top z bits — i.e. the MSB of EVERY dimension — so zone
+        // rewrite input. The envelope comes from LOG METADATA: fold
+        // each z column's archived per-file min/max over the active set
+        // (z interleaving is monotone per coordinate, so
+        // [z(mins), z(maxs)] bounds every live row); only a file with
+        // no archived stats for some dimension forces the one-pass
+        // min/max fallback. With power-of-two bucket spans every bucket
+        // fixes the top z bits — the MSB of EVERY dimension — so zone
         // maps are guaranteed (not sampled) to prune on each dimension.
         val zMax = 1L << (zCols.size * zBits)
-        val bucketWidth = math.max(1L, (zMax + numFiles - 1) / numFiles)
+        val fullSt = stateAt(fs, root, head.version)
+        val physZ = st.colMap.toMap
+        val envFromStats: Option[Seq[(Long, Long)]] = {
+          val per = zCols.map { c =>
+            val p = physZ.getOrElse(c, c)
+            val perFile = active.map(f => fullSt.stats.get(f).flatMap(_.get(p)))
+            if (perFile.exists(_.isEmpty)) None
+            else Some((perFile.flatten.map(_._1).min,
+                       perFile.flatten.map(_._2).max))
+          }
+          if (per.exists(_.isEmpty)) None else Some(per.map(_.get))
+        }
+        val env = envFromStats.getOrElse {
+          val aggs = zCols.flatMap(c =>
+            Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+          val r = cur.agg(aggs.head, aggs.tail: _*).head()
+          // an all-null dimension nulls every z anyway — any envelope works
+          zCols.indices.map(i =>
+            if (r.isNullAt(2 * i)) (0L, 0L)
+            else (r.getLong(2 * i), r.getLong(2 * i + 1)))
+        }
+        def zOf(vals: Seq[Long]): Long = {
+          var z = 0L
+          for ((x, d) <- vals.zipWithIndex; i <- 0 until zBits)
+            z |= ((x >> i) & 1L) << (i * vals.size + d)
+          z
+        }
+        // DV caveat: archived stats cover RAW file content, so the
+        // envelope can only be wider than the live rows — clamp keeps
+        // domain-guard violations on the checked() path, not here
+        val zLo = math.max(0L, zOf(env.map(_._1)))
+        val zHi = math.min(zMax - 1L, zOf(env.map(_._2)))
+        val bucketWidth = math.max(1L, (zHi - zLo + numFiles) / numFiles)
         cur.withColumn("__z",
             graft.functions.z_value_n(zCols.map(checked), zBits))
-          .withColumn("__zb", expr(s"__z div $bucketWidth"))
+          .withColumn("__zb",
+            expr(s"least(greatest((__z - $zLo) div $bucketWidth, 0), " +
+              s"${numFiles - 1})"))
           .repartitionByRange(numFiles, col("__zb"))
           .sortWithinPartitions(col("__z"))
           .drop("__z", "__zb")
