@@ -149,6 +149,46 @@ object Explore {
           o.filter(col("k") % 25 === m).coalesce(1), tbl)); 24L })
         time(s"read head r$r")(Versioned.read(spark, tbl).count())
       }
+    } else if (args.headOption.contains("appendParts")) {
+      // r14 opt: decompose the residual per-append overhead after the
+      // one-pass commit — stage+digest vs log/claim/state bookkeeping
+      import graft.ingest.Versioned
+      import org.apache.hadoop.fs.Path
+      val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      o.count()
+      val base = "/tmp/graft_explore_append"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val tbl = s"$base/tbl"
+      Versioned.overwrite(o.filter(col("k") % 25 === 0).coalesce(1), tbl)
+      (1L to 5L).foreach(m => Versioned.append(
+        o.filter(col("k") % 25 === m).coalesce(1), tbl)) // warm
+      val root = new Path(tbl)
+      val fs2 = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (r <- 1 to 2) {
+        time(s"append x5 r$r")({ (6L to 10L).foreach(m => Versioned.append(
+          o.filter(col("k") % 25 === (m + 5 * r) % 25).coalesce(1), tbl)); 5L })
+        time(s"stageAndDigest only x5 r$r")({
+          (1 to 5).foreach { i =>
+            val dn = s"d-probe$r$i"
+            val df = o.filter(col("k") % 25 === i).coalesce(1)
+            Versioned.stageAndDigest(df, root, fs2, new Path(root, dn), dn,
+              df.schema, Nil)
+          }; 5L })
+        time(s"footerStats x20 r$r")({
+          val dn = s"d-probe${r}1"
+          val files = fs2.listStatus(new Path(root, dn))
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(s => s"$dn/${s.getPath.getName}").toSeq
+          val df = o.filter(col("k") % 25 === 1)
+          (1 to 20).foreach { _ =>
+            Versioned.footerStats(spark.sparkContext.hadoopConfiguration,
+              root, files, df.schema, Nil, Nil) }; 20L })
+        time(s"plain write x5 r$r")({
+          (1 to 5).foreach(i => o.filter(col("k") % 25 === i)
+            .coalesce(1).write.parquet(s"$base/w$r$i")); 5L })
+      }
     } else if (args.headOption.contains("q250debug")) {
       import graft.ingest.Versioned
       val tbl = "/tmp/graft_q250dbg/tbl"
@@ -168,7 +208,7 @@ object Explore {
       println(s"[explore] optimize v${c.version} files=${c.add.size}")
       c.stats.toSeq.sortBy(_._1).foreach { case (f, m) =>
         println(s"[explore]  $f kmod=${m.get("kmod")} cmod=${m.get("cmod")} " +
-          s"dmod=${m.get("dmod")} rows=${m.get(" rows")}")
+          s"dmod=${m.get("dmod")} rows=${m.get("\u0000rows")}")
       }
       val (_, scanned, total) =
         Versioned.readAsOfPruned(spark, tbl, c.version, "kmod", 0L, 7L)

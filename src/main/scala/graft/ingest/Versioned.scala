@@ -2055,7 +2055,7 @@ object Versioned {
     val strFields = dataFields.filter(_.dataType == StringType)
     val nullFields = dataFields.filterNot(f =>
       f.name.contains('\u0000') || isNested(f.dataType))
-    files.flatMap { rel =>
+    def fileEntry(rel: String): Option[(String, Map[String, (Long, Long)])] = {
       val rd = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(root, rel), conf))
       val blocks = try rd.getFooter.getBlocks.asScala.toSeq finally rd.close()
@@ -2160,7 +2160,19 @@ object Versioned {
         Some(rel -> ((zone ++ strs ++ nulls ++ parts) :+
           (RowsStatKey -> (fileRows, fileRows))).toMap)
       }
-    }.toMap
+    }
+    // footer opens are independent metadata-sized reads — overlap them
+    // for multi-file commits (a partitioned stage writes one file per
+    // directory; serial opens would put the commit back on an
+    // O(files) driver wait)
+    if (files.size <= 2) files.flatMap(fileEntry).toMap
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.traverse(files)(rel => Future(fileEntry(rel))),
+        scala.concurrent.duration.Duration.Inf).flatten.toMap
+    }
   }
 
   /** [[readAsOf]] with ZONE-MAP FILE SKIPPING: the active files whose
