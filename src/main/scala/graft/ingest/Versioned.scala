@@ -1450,11 +1450,19 @@ object Versioned {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // ONE stage-time read of the head record and ONE state fold feed
+    // everything below (r14: these were four latestCommit reads and
+    // three stateAt folds — the dominant metadata cost of a small
+    // commit); the claim loop still re-reads and re-validates against
+    // whatever head it actually serializes after, as the protocol
+    // requires
+    val head0 = latestCommit(fs, root)
+    val rules0 = head0.map(h => stateAt(fs, root, h.version))
+
     // GENERATED COLUMNS: a frame that omits a generated column gets it
     // computed here (the write-path convenience the definitions buy);
     // a frame that PROVIDES one is validated in the digest scan below
-    val gens = latestCommit(fs, root)
-      .map(h => generatedOf(fs, root, h.version)).getOrElse(Nil)
+    val gens = rules0.map(_.generated).getOrElse(Nil)
     val df0 = gens.foldLeft(df1) { case (d, (n, e)) =>
       if (d.columns.contains(n)) d else d.withColumn(n, expr(e))
     }
@@ -1464,7 +1472,7 @@ object Versioned {
     // before writing/digesting — a column-permuted frame carries the
     // same content, and aligning it here keeps the archived schema and
     // the additive snapshot digest stable across the table's life
-    val df = latestCommit(fs, root) match {
+    val df = head0 match {
       case Some(h) if action == "append" =>
         val headSchema = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
         val headMap = orderedFields(headSchema).toMap
@@ -1482,15 +1490,14 @@ object Versioned {
     // active CHECK constraints + generated-column equalities at stage
     // time — enforced inside the digest scan; the claim loop
     // re-verifies the rule set did not change
-    val cons = latestCommit(fs, root)
-      .map(h => checksOf(fs, root, h.version)).getOrElse(Nil)
+    val cons = rules0.map(checksFrom).getOrElse(Nil)
 
     // column mapping + dropped-physical ledger: an APPEND inherits the
     // head's (files must be written under the current physical names);
     // an OVERWRITE starts a fresh epoch (physical = logical again —
     // old epochs' files are no longer active, and old VERSIONS read
     // with the map archived on their own records)
-    val (cmap, dropped) = latestCommit(fs, root) match {
+    val (cmap, dropped) = head0 match {
       case Some(h) if action == "append" => (h.colMap, h.droppedPhys)
       case _ => (Nil, Nil)
     }
@@ -3494,12 +3501,15 @@ object Versioned {
   /** Everything a staged commit's digest scan must enforce: CHECK
     * constraints plus the generated columns' null-safe equality (a
     * PROVIDED generated value must equal its expression — the Delta
-    * generated-column contract). */
+    * generated-column contract). One state fold, not one per rule
+    * family (r14: stateAt is the dominant metadata cost of a commit). */
   private def checksOf(fs: FileSystem, root: Path,
                        version: Long): Seq[(String, String)] =
-    constraintsOf(fs, root, version) ++
-      generatedOf(fs, root, version).map { case (n, e) =>
-        (s"generated_$n", s"`$n` <=> ($e)") }
+    checksFrom(stateAt(fs, root, version))
+
+  private def checksFrom(st: CkptState): Seq[(String, String)] =
+    st.constraints ++ st.generated.map { case (n, e) =>
+      (s"generated_$n", s"`$n` <=> ($e)") }
 
   /** ADD a CHECK constraint as a metadata commit (action="alter", no
     * data): from this version on, every append/upsert/overwrite must
