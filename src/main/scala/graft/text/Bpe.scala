@@ -82,6 +82,15 @@ object Bpe {
       (a, b) => struct(a.as("l"), b.as("r")))
   }
 
+  /** Re-anchor the accumulated merge fold into a materialized symbol
+    * array every this-many merges: bounds Catalyst expression depth
+    * (nested higher-order lambdas grow per round — hundreds of rounds
+    * would blow analysis/codegen limits) and bounds total learn work at
+    * O(rounds · AnchorEvery) fold applications instead of O(rounds²).
+    * Declared queries learn ≤ 6 rounds and never hit this, so their
+    * plans are unchanged; a vocab-scale learn (30k merges) stays flat. */
+  private[graft] val AnchorEvery = 32
+
   /** Learn up to `rounds` merges from a (word, n) dictionary. Returns
     * (round, lhs, rhs, pair_count) — one row per realized merge; stops
     * early when no adjacent pair remains (every word fully merged).
@@ -90,10 +99,14 @@ object Bpe {
     require(rounds >= 1, "need at least one merge round")
     // one materialization of the dictionary; each round's argmax re-plays
     // the accumulated merge folds as expressions over it (word-length
-    // array work per row — no per-round checkpoint or shuffle)
-    val base = dict.select(col("word"), col("n").cast("long").as("n"),
+    // array work per row — no per-round checkpoint or shuffle). Every
+    // AnchorEvery merges the fold collapses into a fresh checkpointed
+    // symbol array so expression depth (and per-round replay work)
+    // stays bounded.
+    var base = dict.select(col("word"), col("n").cast("long").as("n"),
       split(col("word"), "").as("syms")).localCheckpoint()
     var arr: Column = col("syms")
+    var depth = 0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (round <- 1 to rounds if !exhausted) {
@@ -108,6 +121,13 @@ object Bpe {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((round, l, r, cnt))
         arr = mergeOnce(arr, l, r)
+        depth += 1
+        if (depth >= AnchorEvery) {
+          base = base.select(col("word"), col("n"), arr.as("syms"))
+            .localCheckpoint()
+          arr = col("syms")
+          depth = 0
+        }
       }
     }
     import spark.implicits._
@@ -122,9 +142,27 @@ object Bpe {
   def segment(spark: SparkSession, dict: DataFrame, mergeTable: DataFrame): DataFrame = {
     val ordered = mergeTable.orderBy(col("round"))
       .select(col("lhs"), col("rhs")).collect()
-    val pieces = ordered.foldLeft(split(col("word"), ""): Column) { (a, row) =>
-      mergeOnce(a, row.getString(0), row.getString(1))
+    if (ordered.length <= AnchorEvery) {
+      // small tables (every declared query): one lazy expression chain,
+      // plan identical to the pre-cap formulation
+      val pieces = ordered.foldLeft(split(col("word"), ""): Column) { (a, row) =>
+        mergeOnce(a, row.getString(0), row.getString(1))
+      }
+      dict.select(col("word"), col("n").cast("long").as("n"), pieces.as("pieces"))
+    } else {
+      // vocab-scale tables: fold AnchorEvery merges at a time, re-anchoring
+      // each chunk on a checkpointed array so expression depth is bounded
+      // (the last chunk stays lazy — same column shape either way)
+      val start = dict.select(col("word"), col("n").cast("long").as("n"),
+        split(col("word"), "").as("pieces"))
+      val groups = ordered.grouped(AnchorEvery).toSeq
+      groups.zipWithIndex.foldLeft(start) { case (cur, (chunk, i)) =>
+        val folded = chunk.foldLeft(col("pieces"): Column) { (a, row) =>
+          mergeOnce(a, row.getString(0), row.getString(1))
+        }
+        val next = cur.select(col("word"), col("n"), folded.as("pieces"))
+        if (i == groups.size - 1) next else next.localCheckpoint()
+      }
     }
-    dict.select(col("word"), col("n").cast("long").as("n"), pieces.as("pieces"))
   }
 }

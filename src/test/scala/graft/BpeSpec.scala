@@ -94,6 +94,33 @@ class BpeSpec extends SparkTestBase {
     assert(seg("aaa") == Vector("aa", "a"))
   }
 
+  test("deep merge tables stay bounded: 80 rounds re-anchor past AnchorEvery and match the reference") {
+    // 16 words × 6 chars over DISJOINT alphabets: no pair is shared
+    // across words, so every word needs exactly 5 rounds to collapse —
+    // 80 realized merges total, > 2×AnchorEvery, so the learn fold
+    // re-anchors twice and segment's chunked path runs (the declared
+    // queries' ≤6-round path never does). Parity with the sequential
+    // reference must survive the re-anchoring.
+    assert(Bpe.AnchorEvery == 32)
+    val dict = (0 until 16).map { w =>
+      ((0 until 6).map(j => ('a' + (w * 6 + j)).toChar).mkString, 1L)
+    }.toMap
+    val df = dict.toSeq.toDF("word", "n")
+    val table = Bpe.learnMerges(spark, df, rounds = 80)
+    val (expected, _) = refLearn(dict, 80)
+    assert(expected.size == 80)
+    assert(rows(table) == expected.map(t => Seq[Any](t._1, t._2, t._3, t._4))
+      .sortBy(_.mkString("|")))
+    val got = Bpe.segment(spark, df, table).collect()
+      .map(r => (r.getString(0), r.getSeq[String](2).toVector)).toMap
+    val refByWord = dict.keys.map { w =>
+      var syms = w.split("").toVector
+      expected.foreach { case (_, l, r, _) => syms = refMergeWord(syms, l, r) }
+      (w, syms)
+    }.toMap
+    assert(got == refByWord)
+  }
+
   test("early stop when every word is a single symbol") {
     val dict = Seq(("ab", 5L)).toDF("word", "n")
     val table = Bpe.learnMerges(spark, dict, rounds = 10)

@@ -153,6 +153,7 @@ class VersionedProtocolSpec extends SparkTestBase {
     val m = new ObjectMapper()
     val node = m.readTree(v1).asInstanceOf[ObjectNode]
     node.remove("ts")
+    node.remove("nonce") // a pre-timestamp record predates nonces too
     java.nio.file.Files.write(v1.toPath, m.writeValueAsBytes(node))
     val e = intercept[IllegalStateException] {
       Versioned.vacuumOlderThan(spark, tbl, 0L)
@@ -181,6 +182,7 @@ class VersionedProtocolSpec extends SparkTestBase {
     val m = new ObjectMapper()
     val node = m.readTree(v1).asInstanceOf[ObjectNode]
     node.remove("ts")
+    node.remove("nonce") // a pre-timestamp record predates nonces too
     java.nio.file.Files.write(v1.toPath, m.writeValueAsBytes(node))
     assert(rowSet(Versioned.readAsOf(spark, tbl, 1L)) == Set(Seq(1L, "a")))
     val e = intercept[IllegalArgumentException] {

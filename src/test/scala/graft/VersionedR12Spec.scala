@@ -485,11 +485,14 @@ class VersionedR12Spec extends SparkTestBase {
     assert(Versioned.versionFloorBefore(spark, tbl,
       Versioned.commitTimestamp(spark, tbl, 1L)) == 0L,
       "nothing strictly before the first commit's stamp")
-    // strip v1's timestamp -> a walk that must pass it refuses loudly
-    // instead of treating the record as infinitely old
+    // strip v1's timestamp (and its write nonce — a true pre-timestamp
+    // record predates nonces too, and an unchanged nonce would serve
+    // the cached stamped parse) -> a walk that must pass it refuses
+    // loudly instead of treating the record as infinitely old
     val f = new java.io.File(s"$tbl/_graft_log", "v00000001.json")
     val stripped = new String(java.nio.file.Files.readAllBytes(f.toPath))
       .replaceAll(""","ts":\d+""", "")
+      .replaceAll(""""nonce":"[0-9a-f]{32}",""", "")
     assert(stripped.length < f.length(), "test setup: ts field not found")
     java.nio.file.Files.write(f.toPath, stripped.getBytes)
     val e = intercept[IllegalArgumentException] {
