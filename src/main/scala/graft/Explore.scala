@@ -378,6 +378,43 @@ object Explore {
       time("q15 likes only")(q15(true, false))
       time("q15 likes+sims")(q15(true, true))
       time("q15 nocache again")(q15(false, false))
+    } else if (args.headOption.contains("zjobs")) {
+      // r15 opt evidence: Spark jobs fired by ONE z-order optimize —
+      // exact __zb probe routing must drop RangePartitioner's sampling
+      // job (one fewer pass over the rewrite input) vs repartitionByRange
+      import graft.ingest.Versioned
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      val orders = Tables.orders(spark, dir).select(col("o_orderkey"),
+          col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("kmod", pmod(col("o_custkey"), lit(64L)))
+        .withColumn("cmod", pmod(col("cents"), lit(64L)))
+      orders.count() // warm
+      for (r <- 1 to 2) {
+        val tbl = s"/tmp/graft_zjobs/t$r"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/tmp/graft_zjobs/t$r"))
+        Versioned.overwrite(
+          orders.filter(col("o_orderkey") % 4 === 0).coalesce(1), tbl)
+        (1 to 3).foreach(m => Versioned.append(
+          orders.filter(col("o_orderkey") % 4 === m).coalesce(1), tbl))
+        spark.sparkContext.addSparkListener(listener)
+        Thread.sleep(500) // drain queued events from the fixture commits
+        val before = jobs.get()
+        val t0 = System.nanoTime()
+        val c = Versioned.optimize(spark, tbl, numFiles = 4,
+          zorderBy = Some(("kmod", "cmod")), zBits = 6).get
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000) // listener events are async
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"[explore] zjobs r$r: optimize jobs=${jobs.get() - before} " +
+          f"wall=$wall%.2f s files=${c.add.size}")
+      }
     } else for (q <- args) {
       if (sys.env.contains("EXPLORE_EXPLAIN"))
         SparkEntry.queries(q)(spark, dir).explain("formatted")
