@@ -1278,6 +1278,11 @@ object Versioned {
     (head, cur, root, fs)
   }
 
+  /** Digest scans actually launched (test hook): the certify-from-log
+    * spec asserts a full-set rewrite consults the archived totals
+    * instead of paying a second read of everything it just rewrote. */
+  private[graft] val digestScans = new java.util.concurrent.atomic.AtomicLong
+
   /** (row count, additive digest) of a root-relative file set under
     * `schema` — one scan. */
   private def digestFiles(spark: SparkSession, root: Path, files: Seq[String],
@@ -1286,6 +1291,7 @@ object Versioned {
                           colMap: Seq[(String, String)] = Nil): (Long, Long) =
     if (files.isEmpty) (0L, 0L)
     else {
+      digestScans.incrementAndGet()
       // dvFiles: the files' LIVE contribution (raw minus position
       // deletes) — what the snapshot totals actually carry for them
       val r = readFilesDF(spark, root, files, schema, partitionCols,
@@ -1326,9 +1332,26 @@ object Versioned {
         pcols, cons, head.colMap)
       catch { case e: Throwable => fs.delete(dataDir, true); throw e }
     val files = sized.map(_._1)
-    val headDvs = activeAt(fs, root, root.toString, head.version).dvs
+    val headState = activeAt(fs, root, root.toString, head.version)
+    val headDvs = headState.dvs
+    // CERTIFY FROM THE LOG where it is exact (r15, VERDICT r14 #4): a
+    // rewrite that replaces the ENTIRE active set (optimize / full
+    // compaction — the common maintenance shape) needs the removed
+    // files' LIVE (rows, fp), and for the full set those are precisely
+    // the archived snapshot totals at head — certified transitively by
+    // every earlier commit (and re-checked by every read-side
+    // certification). Skips the full second read of everything the
+    // rewrite just read: at 100 TB, OPTIMIZE pays one pass, not two.
+    // It is also the STRONGER check: the staged digest is compared
+    // against the log's additive history instead of a fresh read that
+    // shares the staging's own read path. Partial rewrites
+    // (compactSmallFiles, optimize-where, CoW upsert/delete) still
+    // digest exactly their removed subset — O(removed), never O(table).
     val (remRows, remFp) =
-      digestFiles(spark, root, removed, schema, pcols, headDvs, head.colMap)
+      if (removed.nonEmpty && removed.toSet == headState.active.toSet)
+        (head.snapshotRows, head.snapshotFp)
+      else
+        digestFiles(spark, root, removed, schema, pcols, headDvs, head.colMap)
     if (requireContentPreserved &&
         (addRows != remRows || addFp != remFp)) {
       fs.delete(dataDir, true)

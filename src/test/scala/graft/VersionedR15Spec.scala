@@ -117,6 +117,51 @@ class VersionedR15Spec extends SparkTestBase {
         "(stage fold, claim loop, parent-ts read and the new head all memoized)")
   }
 
+  // ------------------------------------------- certify from the log
+
+  test("a full-set rewrite certifies against archived totals, not a second read") {
+    val tbl = tmp("certlog") + "/tbl"
+    Versioned.overwrite(df((1L, "a"), (2L, "b"), (3L, "c")).coalesce(1), tbl)
+    (4L to 6L).foreach(i => Versioned.append(df((i, s"r$i")).coalesce(1), tbl))
+    Versioned.deleteWhereMoR(spark, tbl, col("id") === 2L) // live DVs in force
+    val d0 = Versioned.digestScans.get()
+    val c = Versioned.optimize(spark, tbl, numFiles = 2, sortBy = Seq("id")).get
+    assert(Versioned.digestScans.get() == d0,
+      "a rewrite of the ENTIRE active set must take its removed-side " +
+        "(rows, fp) from the archived snapshot totals — zero digest scans")
+    assert(rowSet(Versioned.read(spark, tbl)) ==
+      Set(Seq(1L, "a"), Seq(3L, "c"), Seq(4L, "r4"), Seq(5L, "r5"), Seq(6L, "r6")))
+    assert(certified(tbl, c.version))
+    // partial rewrites still digest exactly their removed subset (q253's
+    // shape: the big seed is excluded, only the small files rewrite)
+    val tbl2 = tmp("certlogpart") + "/tbl"
+    Versioned.overwrite(df((1L to 50L).map(i => (i, s"v$i")): _*).coalesce(1), tbl2)
+    Versioned.append(df((101L, "s1")).coalesce(1), tbl2)
+    Versioned.append(df((102L, "s2")).coalesce(1), tbl2)
+    val bigFile = Versioned.commitsBetween(spark, tbl2, 0L, 1L).head.add.head
+    val bigBytes = new java.io.File(s"$tbl2/$bigFile").length
+    val d1 = Versioned.digestScans.get()
+    assert(Versioned.compactSmallFiles(spark, tbl2, maxFileBytes = bigBytes,
+      targetNumFiles = 1).nonEmpty)
+    assert(Versioned.digestScans.get() == d1 + 1,
+      "a partial rewrite digests its removed subset (O(removed), not O(table))")
+    // and the certification still fails LOUDLY when the log's totals
+    // disagree with the staged content (the check is live, not skipped)
+    val head = Versioned.latestVersion(spark, tbl)
+    val recFile = new java.io.File(tbl, f"_graft_log/v$head%08d.json")
+    val s = new String(java.nio.file.Files.readAllBytes(recFile.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = """"snapshotFp":(-?\d+)""".r.findFirstMatchIn(s).get
+    java.nio.file.Files.write(recFile.toPath,
+      s.replace(m.matched, s""""snapshotFp":${m.group(1).toLong + 1L}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Versioned.clearCommitCache()
+    Versioned.clearCheckpointCache()
+    val e = intercept[IllegalStateException](
+      Versioned.optimize(spark, tbl, numFiles = 1, sortBy = Seq("id")))
+    assert(e.getMessage.contains("NOT content-identical"))
+  }
+
   // ------------------------------- bounded overlapped footer reads
 
   test("a footer-read timeout falls back to serial reads, commit intact") {
